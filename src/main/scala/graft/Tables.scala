@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Test-table loaders + shared determinism helpers.
+  *
+  * All queries in this engine are hash-compared against a DuckDB oracle
+  * (see `Verify.scala`), so every floating-point aggregate must be
+  * bit-deterministic regardless of partition/summation order. The pattern
+  * used throughout: cast to `decimal(18,2)` BEFORE summing (exact
+  * arithmetic, order-independent), cast the exact result back to double.
+  * The oracle SQL mirrors this with
+  * `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** Shared Column helpers enforcing cross-engine determinism. */
+object Det {
+  private val Money = DecimalType(18, 2)
+
+  /** Order-independent exact sum of a monetary double column. */
+  def dsum(c: Column): Column = sum(c.cast(Money)).cast("double")
+
+  /** Order-independent average: exact decimal sum / count, rounded. */
+  def davg(c: Column, scale: Int = 4): Column =
+    round(sum(c.cast(Money)).cast("double") / count(c), scale)
+
+  /** Round a double expression for oracle comparison. */
+  def r4(c: Column): Column = round(c, 4)
+
+  /** Order-independent sum of an arbitrary double column: round to `scale`
+    * digits first (absorbing float noise), then sum exactly as decimal.
+    */
+  def rsum(c: Column, scale: Int): Column =
+    sum(round(c, scale).cast(DecimalType(28, scale))).cast("double")
+}

@@ -1,0 +1,240 @@
+package graft.ops
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Grouped/global aggregation + sort/limit analytics family.
+  *
+  * Re-expresses the reference's analytics scripts on the harness tables:
+  * premium-by-period (reference scripts/09_analyze_fact_metrics.py:79-88),
+  * premium-by-segment (scripts/10_analyze_customer_segments.py:69-76),
+  * QA global stats (scripts/06_validate_data_quality.py:79-84), and the
+  * per-device conditional aggregation (scripts/08:261-266) generalized.
+  *
+  * Scale notes: all aggregations here are partial-aggregate (map-side
+  * combine) hash aggregations — one shuffle each keyed on the group-by
+  * columns; final orderBy is a range-partitioned sort on already-reduced
+  * data (group cardinality, not input cardinality).
+  */
+object Analytics {
+
+  /** TPC-H Q1-shaped pricing summary: the flagship aggregation. */
+  val pricingSummary = Q(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Det.rsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+        Det.davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Revenue by (year, month) — the reference's premium-trend analysis
+    * (scripts/09:64-88) shape: fact ⋈ date attrs → groupBy → ordered trend.
+    */
+  val revenueByPeriod = Q(
+    "q02_revenue_by_period",
+    """SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2
+      |ORDER BY o_year, o_month""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_year"), col("o_month"))
+      .agg(
+        Det.rsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_year"), col("o_month"))
+  }
+
+  /** Order value by market segment, ranked desc — reference scripts/10:69-76. */
+  val segmentValue = Q(
+    "q03_segment_value",
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY total_value DESC, c_mktsegment""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(Det.dsum(col("o_totalprice")).as("total_value"), count(lit(1)).as("n_orders"))
+      .orderBy(col("total_value").desc, col("c_mktsegment"))
+  }
+
+  /** Global no-group stats — reference QA stats (scripts/06:79-84). */
+  val globalStats = Q(
+    "q20_global_stats",
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice), 4) AS avg_price,
+      |  MIN(l_extendedprice) AS min_price,
+      |  MAX(l_extendedprice) AS max_price,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).agg(
+      Det.dsum(col("l_extendedprice")).as("sum_price"),
+      Det.davg(col("l_extendedprice")).as("avg_price"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  /** Conditional aggregation per group — the reference's per-device
+    * speeding-incident count pattern, count(when(cond,1)) (scripts/08:261-266).
+    */
+  val conditionalAgg = Q(
+    "q19_conditional_agg",
+    """SELECT user_id,
+      |  COUNT(CASE WHEN value > 150 THEN 1 END) AS n_high,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value), 4) AS avg_value,
+      |  MAX(value) AS max_value,
+      |  COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("value") > 150, 1)).as("n_high"),
+        count(when(col("event_type") === "error", 1)).as("n_error"),
+        Det.davg(col("value")).as("avg_value"),
+        max(col("value")).as("max_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Distinct counting: exact countDistinct (grouped + global). */
+  val distinctCounts = Q(
+    "q22_distinct_counts",
+    """SELECT o_orderstatus,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(DISTINCT o_orderpriority) AS n_priorities,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Approximate distinct (HLL sketch) — the 100 TB path for cardinality.
+    * No oracle: HLL estimates are engine-specific; rows-only check.
+    */
+  val approxDistinct = Q.noOracle("q22b_approx_distinct") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Descending sort + limit (top-k): reference O2/O3; planned as
+    * TakeOrderedAndProject — no full sort at scale.
+    */
+  val topOrders = Q(
+    "q23_top_orders",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 25""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  /** Set operations: UNION / INTERSECT / EXCEPT summarized into one
+    * deterministic result (absent from the reference — SURVEY §2.7 —
+    * but part of a complete engine surface).
+    */
+  val setOps = Q(
+    "q24_set_ops",
+    """WITH open_cust AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+      |     done_cust AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+      |SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT k FROM open_cust EXCEPT SELECT k FROM done_cust) t
+      |UNION ALL
+      |SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT k FROM open_cust INTERSECT SELECT k FROM done_cust) t
+      |UNION ALL
+      |SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT k FROM open_cust UNION SELECT k FROM done_cust) t
+      |ORDER BY op""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k")).distinct()
+    val done = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k")).distinct()
+    val ex = open.except(done).agg(count(lit(1)).as("n")).select(lit("except").as("op"), col("n"))
+    val in = open.intersect(done).agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), col("n"))
+    val un = open.union(done).distinct().agg(count(lit(1)).as("n")).select(lit("union").as("op"), col("n"))
+    ex.unionByName(in).unionByName(un).orderBy(col("op"))
+  }
+
+  /** ROLLUP hierarchy totals (region → nation → grand total). */
+  val rollupAgg = Q(
+    "q25_rollup",
+    """SELECT r_name, n_name,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), Det.dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** Quarter/date arithmetic — reference dim_date quarter formula
+    * (scripts/04:179) on live data.
+    */
+  val quarterRevenue = Q(
+    "q29_quarter_revenue",
+    """SELECT year(o_orderdate) AS o_year,
+      |  CAST(FLOOR((month(o_orderdate) - 1) / 3) + 1 AS INTEGER) AS o_quarter,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY o_year, o_quarter""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("o_quarter", (floor((month(col("o_orderdate")) - 1) / 3) + 1).cast("int"))
+      .groupBy(col("o_year"), col("o_quarter"))
+      .agg(Det.dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("o_year"), col("o_quarter"))
+  }
+
+  val specs: Seq[Q] = Seq(
+    pricingSummary, revenueByPeriod, segmentValue, globalStats, conditionalAgg,
+    distinctCounts, approxDistinct, topOrders, setOps, rollupAgg, quarterRevenue)
+}

@@ -1,3 +1,58 @@
 package graft.ops
-import graft.Q
-object Multimodal { val specs: Seq[Q] = Seq() }
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads modeled as
+  * opaque `binary` columns with typed metadata, per the north-star brief.
+  *
+  * The decode step is STUBBED (no media libraries in this environment):
+  * `fakeDecodeMeta` derives deterministic pseudo-metadata (width/height/
+  * frame count) from payload statistics the way a real decoder would
+  * derive it from the codec headers. Everything around the stub — binary
+  * column handling, byte-length vs char-length, content digests, batch
+  * schema — is real Spark plumbing and oracle-checked.
+  *
+  * Scale note: payloads stay opaque bytes end to end; nothing here
+  * deserializes media on the driver, and the per-row work is a narrow
+  * projection, so the pattern holds when `payload` is a 10 MB frame
+  * instead of a text blob. A real decoder would slot in as a
+  * `mapPartitions` over the same schema (batched, per-executor codec
+  * init), which is exactly how the stub variant in `MultimodalSpec` runs.
+  */
+object Multimodal {
+
+  /** Deterministic fake decoder: payload+char stats → media-ish metadata. */
+  def fakeDecodeMeta(df: DataFrame, payloadCol: String): DataFrame =
+    df
+      .withColumn("byte_len", length(col(payloadCol)))
+      .withColumn("width", (lit(64) + col("n_chars") % 512).cast("int"))
+      .withColumn("height", (lit(64) + (col("n_chars") * 7) % 512).cast("int"))
+      .withColumn("n_frames", (lit(1) + col("n_chars") % 8).cast("int"))
+
+  /** Binary payload ingestion + digest + stub decode metadata. */
+  val multimodalMeta = Q(
+    "q41_multimodal_meta",
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS byte_len,
+      |  n_chars AS char_len,
+      |  sha256(text) AS digest,
+      |  CAST(64 + n_chars % 512 AS INTEGER) AS width,
+      |  CAST(64 + (n_chars * 7) % 512 AS INTEGER) AS height,
+      |  CAST(1 + n_chars % 8 AS INTEGER) AS n_frames
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val withPayload = Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+    fakeDecodeMeta(withPayload, "payload")
+      .select(col("doc_id"),
+        col("byte_len"),
+        col("n_chars").as("char_len"),
+        sha2(col("payload"), 256).as("digest"),
+        col("width"), col("height"), col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  val specs: Seq[Q] = Seq(multimodalMeta)
+}

@@ -1,3 +1,339 @@
 package graft.ops
-import graft.Q
-object TextOps { val specs: Seq[Q] = Seq() }
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication family over `documents` — the
+  * training-data-pipeline operators (beyond the reference's surface, per
+  * the north-star brief): exact dedup, n-gram Jaccard near-dup,
+  * MinHash+LSH, SimHash, language stats/ID, quality scoring, token
+  * statistics, document fingerprinting.
+  *
+  * Hashing strategy: every hash-based operator derives its hash from
+  * `md5(...)` hex prefixes cast to int64 — computable identically in
+  * Spark (`conv(substr(md5(x),1,15),16,10)`) and DuckDB
+  * (`('0x'||substr(md5(x),1,15))::BIGINT`), which makes even MinHash and
+  * SimHash fully oracle-checkable. At 100 TB one would swap in
+  * `xxhash64` (one instruction vs a crypto hash) — the pipeline shape is
+  * unchanged.
+  *
+  * Scale notes: SimHash and fingerprints are computed inside one narrow
+  * projection per document; MinHash explodes shingles into a flat
+  * codegen'd hash projection and partial-aggregates back to 16 longs per
+  * document before any shuffle (see q32's doc). The only O(pairs) work is
+  * confined to LSH band buckets (and, for the exact-Jaccard oracle query,
+  * an explicit doc_id bound).
+  */
+object TextOps {
+
+  /** doc → space tokens, as a named column `toks`. */
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+
+  /** Exact deduplication: content-hash groups with a deterministic
+    * representative (min doc_id) — the hash-groupBy exact-dedup shape.
+    */
+  val dedupExact = Q(
+    "q30_dedup_exact",
+    """SELECT md5(text) AS content_hash,
+      |  MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY content_hash""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+  }
+
+  /** Exact n-gram (2-token shingle) Jaccard near-dup pairs, bounded to
+    * doc_id < 100 (the exact-pairwise oracle path; the scale path is
+    * q32's MinHash+LSH).
+    */
+  val ngramJaccard = Q(
+    "q31_dedup_ngram_jaccard",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 2),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')))) AS shingle
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT da, db, n_common,
+      |  ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+      |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+      |WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.1
+      |ORDER BY da, db""".stripMargin) { (s, d) =>
+    val sh = withToks(Tables.documents(s, d).filter(col("doc_id") < 100))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks) - 1)," +
+          " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))")).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_common"))
+    val sa = sizes.as("sa"); val sb = sizes.as("sb")
+    inter
+      .join(sa, col("da") === col("sa.doc_id"))
+      .join(sb, col("db") === col("sb.doc_id"))
+      .withColumn("jaccard_raw",
+        col("n_common") * 1.0 / (col("sa.n") + col("sb.n") - col("n_common")))
+      .filter(col("jaccard_raw") >= 0.1)
+      .select(col("da"), col("db"), col("n_common"),
+        round(col("jaccard_raw"), 6).as("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** MinHash + LSH near-dup candidates, end to end: distinct 3-token
+    * shingles → explode → ONE md5 per shingle in a codegen'd projection →
+    * groupBy(doc_id) with 16 `min` aggregates (the 16 minhash permutations
+    * are affine transforms of the one hash, folded map-side) → 8 LSH bands
+    * of 2 signature values → band self-join on the raw ints → candidate
+    * pairs with estimated Jaccard (matching-signature fraction).
+    *
+    * Shape chosen for scale: the per-shingle work is a flat codegen'd
+    * projection (no interpreted higher-order lambdas in the hot path),
+    * and partial aggregation shrinks each document to 16 longs BEFORE the
+    * shuffle — at 100 TB the shuffle carries signatures, not shingles.
+    * The band join is the only pairwise work: O(collisions), not O(n²).
+    */
+  val minhashLsh = Q(
+    "q32_dedup_minhash_lsh",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |hs AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS s
+      |  FROM toks),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS v FROM hs),
+      |sigs AS (
+      |  SELECT doc_id, [MINHASH_MINS] AS sig
+      |  FROM h GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, b, sig[2*b+1] AS s1, sig[2*b+2] AS s2
+      |  FROM sigs, (SELECT unnest(range(0, 8)) AS b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id)
+      |SELECT da, db,
+      |  ROUND(list_sum(list_transform(range(1, 17),
+      |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0, 6) AS est_jaccard
+      |FROM cand
+      |JOIN sigs sa ON sa.doc_id = da
+      |JOIN sigs sb ON sb.doc_id = db
+      |ORDER BY da, db""".stripMargin
+      .replace("MINHASH_MINS",
+        (0 until 16).map(j =>
+          s"MIN((v * ${1000003L * j + 12345L} + ${777767L * j + 1L}) % 2147483647)")
+          .mkString(", "))) { (s, d) =>
+    val shingleRows = withToks(Tables.documents(s, d))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2), i -> " +
+          "concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"))
+        .as("s"))
+    val hashed = shingleRows.select(col("doc_id"),
+      expr("CAST(conv(substr(md5(s), 1, 7), 16, 10) AS BIGINT)").as("v"))
+    val minCols = (0 until 16).map { j =>
+      min((col("v") * lit(1000003L * j + 12345L) + lit(777767L * j + 1L)) % 2147483647L)
+        .as(s"s$j")
+    }
+    val sigs = hashed.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until 16).map(j => col(s"s$j")): _*).as("sig"))
+    val bands = sigs.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 7), b -> " +
+          "struct(element_at(sig, 2*b+1) AS s1, element_at(sig, 2*b+2) AS s2))"))
+        .as(Seq("b", "bs")))
+      .select(col("doc_id"), col("b"), col("bs.s1").as("s1"), col("bs.s2").as("s2"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.s1") === col("b.s1") &&
+          col("a.s2") === col("b.s2") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(sigs.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        round(expr(
+          "aggregate(zip_with(sa.sig, sb.sig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), " +
+            "0, (acc, v) -> acc + v)") / lit(16.0), 6).as("est_jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** 32-bit SimHash over distinct tokens: per-bit majority vote of
+    * md5-derived token hashes, folded with bit arithmetic — one narrow
+    * projection per document.
+    */
+  val simhash = Q(
+    "q33_dedup_simhash",
+    """WITH hs AS (
+      |  SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+      |    x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h
+      |  FROM documents),
+      |sim AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), b ->
+      |    CASE WHEN list_sum(list_transform(h, v ->
+      |           CASE WHEN ((v >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+      |         THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+      |  FROM hs)
+      |SELECT doc_id, simhash, CAST(simhash >> 24 AS INTEGER) AS bucket
+      |FROM sim
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("h", expr(
+        "transform(array_distinct(split(text, ' ')), " +
+          "x -> CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT))"))
+      .select(col("doc_id"), expr(
+        "aggregate(transform(sequence(0, 31), b -> " +
+          "CASE WHEN aggregate(h, 0, (acc, v) -> acc + " +
+          "CASE WHEN (shiftright(v, b) & 1) = 1 THEN 1 ELSE -1 END) > 0 " +
+          "THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("simhash"))
+      .withColumn("bucket", expr("CAST(shiftright(simhash, 24) AS INT)"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language corpus stats. */
+  val langStats = Q(
+    "q36_lang_stats",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  ROUND(SUM(n_chars) * 1.0 / COUNT(*), 4) AS avg_chars,
+      |  ROUND(SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*), 4) AS avg_tokens,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    withToks(Tables.documents(s, d))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars")) * 1.0 / count(lit(1)), 4).as("avg_chars"),
+        round(sum(size(col("toks"))) * 1.0 / count(lit(1)), 4).as("avg_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  /** Stopword-list language-ID heuristic: score = stopword hits per
+    * language, argmax with a deterministic tie-break chain.
+    */
+  val langId = Q(
+    "q37_lang_id",
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(string_split(text, ' '), x -> x IN ('the','of','and','a','to'))) AS sc_en,
+      |    len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','los','y')))  AS sc_es,
+      |    len(list_filter(string_split(text, ' '), x -> x IN ('le','la','de','les','et'))) AS sc_fr,
+      |    len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','zu'))) AS sc_de
+      |  FROM documents)
+      |SELECT doc_id, lang, sc_en, sc_es, sc_fr, sc_de,
+      |  CASE WHEN sc_en = 0 AND sc_es = 0 AND sc_fr = 0 AND sc_de = 0 THEN 'unknown'
+      |       WHEN sc_en >= sc_es AND sc_en >= sc_fr AND sc_en >= sc_de THEN 'en'
+      |       WHEN sc_es >= sc_fr AND sc_es >= sc_de THEN 'es'
+      |       WHEN sc_fr >= sc_de THEN 'fr'
+      |       ELSE 'de' END AS pred_lang
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    def score(words: String) =
+      expr(s"size(filter(split(text, ' '), x -> x IN ($words)))")
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      score("'the','of','and','a','to'").as("sc_en"),
+      score("'el','la','de','los','y'").as("sc_es"),
+      score("'le','la','de','les','et'").as("sc_fr"),
+      score("'der','die','das','und','zu'").as("sc_de"))
+    scored.withColumn("pred_lang",
+        when(col("sc_en") === 0 && col("sc_es") === 0 && col("sc_fr") === 0 && col("sc_de") === 0, "unknown")
+          .when(col("sc_en") >= col("sc_es") && col("sc_en") >= col("sc_fr") && col("sc_en") >= col("sc_de"), "en")
+          .when(col("sc_es") >= col("sc_fr") && col("sc_es") >= col("sc_de"), "es")
+          .when(col("sc_fr") >= col("sc_de"), "fr")
+          .otherwise("de"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic document quality score: token counts, type-token ratio,
+    * stopword ratio, average token length, banded verdict.
+    */
+  val qualityScore = Q(
+    "q38_quality_score",
+    """WITH f AS (
+      |  SELECT doc_id, n_chars,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop,
+      |    CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, n_distinct, est_bpe_tokens,
+      |  ROUND(n_distinct * 1.0 / n_tokens, 6) AS ttr,
+      |  ROUND(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
+      |  ROUND(n_chars * 1.0 / n_tokens, 6) AS avg_tok_len,
+      |  CASE WHEN n_distinct * 1.0 / n_tokens >= 0.5 AND n_tokens >= 20 THEN 'good'
+      |       WHEN n_distinct * 1.0 / n_tokens >= 0.25 THEN 'ok'
+      |       ELSE 'spam' END AS quality_band
+      |FROM f
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val f = withToks(Tables.documents(s, d)).select(
+      col("doc_id"), col("n_chars"),
+      size(col("toks")).as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_distinct"),
+      expr("size(filter(toks, x -> x IN ('the','a','of','and','to','in','is')))").as("n_stop"),
+      ceil(col("n_chars") / 4.0).as("est_bpe_tokens"))
+    f.select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"), col("est_bpe_tokens"),
+        round(col("n_distinct") * 1.0 / col("n_tokens"), 6).as("ttr"),
+        round(col("n_stop") * 1.0 / col("n_tokens"), 6).as("stop_ratio"),
+        round(col("n_chars") * 1.0 / col("n_tokens"), 6).as("avg_tok_len"),
+        when(col("n_distinct") * 1.0 / col("n_tokens") >= 0.5 && col("n_tokens") >= 20, "good")
+          .when(col("n_distinct") * 1.0 / col("n_tokens") >= 0.25, "ok")
+          .otherwise("spam").as("quality_band"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus token statistics: top-50 tokens by frequency + doc frequency. */
+  val tokenStats = Q(
+    "q39_token_stats",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |SELECT tok, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+      |FROM t
+      |GROUP BY tok
+      |ORDER BY n_occurrences DESC, tok
+      |LIMIT 50""".stripMargin) { (s, d) =>
+    withToks(Tables.documents(s, d))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("n_occurrences").desc, col("tok"))
+      .limit(50)
+  }
+
+  /** Order-insensitive document fingerprint: md5 over the sorted distinct
+    * token set (a content signature robust to token reordering).
+    */
+  val fingerprint = Q(
+    "q40_fingerprint",
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", sort_array(array_distinct(split(col("text"), " "))))).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val specs: Seq[Q] = Seq(dedupExact, ngramJaccard, minhashLsh, simhash,
+    langStats, langId, qualityScore, tokenStats, fingerprint)
+}

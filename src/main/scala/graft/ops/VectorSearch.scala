@@ -1,3 +1,137 @@
 package graft.ops
-import graft.Q
-object VectorSearch { val specs: Seq[Q] = Seq() }
+
+import graft.{Q, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (`array<float>`, dim 64).
+  *
+  * Two paths, per the north-star brief:
+  *  - q34: brute-force cosine top-k — the exactness baseline. The query
+  *    side is a handful of vectors, broadcast against the candidate scan:
+  *    at scale this is one pass over the candidate table per batch of
+  *    queries, embarrassingly parallel, no shuffle until top-k.
+  *  - q35: random-hyperplane LSH bucketing — the scale path. Signatures
+  *    are computed distributedly (candidates × 8 broadcast planes →
+  *    sign-bit fold), then the search space shrinks to same-bucket
+  *    collisions. At 100 TB the bucketed join replaces the full scan.
+  *
+  * All math in double (float inputs upcast) so the DuckDB oracle
+  * (list_dot_product over DOUBLE[]) agrees to < 1e-12, then rounded to 6.
+  */
+object VectorSearch {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  private def cosExpr(a: String, b: String) =
+    round(cosine(col(a), col(b)), 6)
+
+  /** Brute-force cosine top-5 neighbors for query vectors vec_id < 10. */
+  val annBruteForce = Q(
+    "q34_ann_cosine_topk",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+      |sims AS (
+      |  SELECT q_id, e.vec_id AS c_id,
+      |    ROUND(list_dot_product(qv, v)
+      |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
+      |  FROM q, e WHERE q_id <> e.vec_id)
+      |SELECT q_id, rank, c_id, sim FROM (
+      |  SELECT q_id, c_id, sim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INTEGER) AS rank
+      |  FROM sims) t
+      |WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv")).filter(col("q_id") < 10)
+    val sims = e.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"), cosExpr("qv", "v").as("sim"))
+    val wk = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    sims.withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: 8 hyperplanes (the first 8 embeddings, a
+    * deterministic stand-in for random planes) → 8-bit sign signature →
+    * same-bucket candidates only → cosine top-3 per query.
+    */
+  val annLsh = Q(
+    "q35_ann_lsh_bucketed",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |planes AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 8),
+      |sigs AS (
+      |  SELECT e.vec_id, CAST(SUM(CASE WHEN list_dot_product(v, pv) > 0
+      |                       THEN (1 << p_id) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM e, planes GROUP BY e.vec_id),
+      |q AS (
+      |  SELECT s.vec_id AS q_id, e.v AS qv, s.sig
+      |  FROM sigs s JOIN e ON s.vec_id = e.vec_id WHERE s.vec_id < 10),
+      |cand AS (
+      |  SELECT q.q_id, s.vec_id AS c_id, q.qv, e.v AS cv
+      |  FROM q JOIN sigs s ON q.sig = s.sig AND s.vec_id <> q.q_id
+      |  JOIN e ON e.vec_id = s.vec_id),
+      |sims AS (
+      |  SELECT q_id, c_id,
+      |    ROUND(list_dot_product(qv, cv)
+      |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+      |  FROM cand)
+      |SELECT q_id, rank, c_id, sim FROM (
+      |  SELECT q_id, c_id, sim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INTEGER) AS rank
+      |  FROM sims) t
+      |WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val planes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("p_id"), col("v").as("pv"))
+    val sigs = e.crossJoin(broadcast(planes))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(dot(col("v"), col("pv")) > 0, expr("shiftleft(1, p_id)"))
+        .otherwise(0)).as("sig"))
+    val withV = sigs.join(e, Seq("vec_id"))
+    val q = withV.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig").as("qsig"))
+    val cand = broadcast(q).join(withV.as("c"),
+        col("qsig") === col("c.sig") && col("c.vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("c.vec_id").as("c_id"), col("qv"), col("c.v").as("cv"))
+    val sims = cand.select(col("q_id"), col("c_id"), cosExpr("qv", "cv").as("sim"))
+    val wk = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    sims.withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (bounded exact-pairwise form;
+    * the scale path composes q35's bucketing with this threshold).
+    */
+  val embeddingNearDup = Q(
+    "q42_embedding_neardup",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |           WHERE vec_id < 300)
+      |SELECT a.vec_id AS da, b.vec_id AS db,
+      |  ROUND(list_dot_product(a.v, b.v)
+      |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v)
+      |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+      |ORDER BY da, db""".stripMargin) { (s, d) =>
+    val e = emb(s, d).filter(col("vec_id") < 300)
+    val a = e.select(col("vec_id").as("da"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("db"), col("v").as("vb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("da") < col("db"))
+      .withColumn("sim_raw", cosine(col("va"), col("vb")))
+      .filter(col("sim_raw") >= 0.4)
+      .select(col("da"), col("db"), round(col("sim_raw"), 6).as("sim"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val specs: Seq[Q] = Seq(annBruteForce, annLsh, embeddingNearDup)
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.insurance._
+import graft.sources.Ingest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end insurance warehouse build — the reference's scripts 01-08 as
+  * ONE lazy Spark job graph over the reference's own raw data.
+  *
+  * Usage: runMain graft.InsurancePipeline [rawDir] [outDir]
+  * Defaults read the reference dataset (read-only) and write under /tmp.
+  *
+  * This is the library's "switch path" demo: same inputs as the reference
+  * pipeline, same cleaned/star-schema outputs (modulo the documented
+  * fact_claims natural-key fix), minus the Py4J hop, the per-stage
+  * double-execution `count()`s, and the single-threaded pandas staging.
+  */
+object InsurancePipeline {
+  def main(args: Array[String]): Unit = {
+    val rawDir = args.headOption.getOrElse("/root/reference/data")
+    val outDir = if (args.length > 1) args(1) else "/tmp/insurance_dw"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Staging (reference script 01, pandas there — distributed CSV here)
+    val contractsRaw = Ingest.dropAllNullRows(
+      Ingest.csvInferred(spark, s"$rawDir/raw/contracts.csv"))
+    val vehiclesRaw = Ingest.dropAllNullRows(
+      Ingest.csvInferred(spark, s"$rawDir/raw/vehicles.csv"))
+    val claimsRaw = Ingest.dropAllNullRows(
+      Ingest.csvInferred(spark, s"$rawDir/raw/claims.csv"))
+    val telematicsRaw = Ingest.parquet(spark, s"$rawDir/staged/telematics_raw.parquet")
+
+    // Cleaning layer (scripts 02-03)
+    val contracts = Cleaning.cleanContracts(
+      contractsRaw.withColumn("annual_premium", col("annual_premium").cast("string"))
+        .withColumn("client_age", col("client_age").cast("double")))
+    val vehicles = Cleaning.cleanVehicles(vehiclesRaw)
+    val claims = Cleaning.cleanClaims(claimsRaw)
+    val telematics = Cleaning.cleanTelematics(telematicsRaw)
+    Ingest.writeParquetPartitioned(contracts, s"$outDir/contracts_clean", "contract_status")
+    Ingest.writeParquet(vehicles, s"$outDir/vehicles_clean")
+    Ingest.writeParquet(claims, s"$outDir/claims_clean")
+
+    // Dimensions (script 04)
+    val contractsClean = Ingest.parquet(spark, s"$outDir/contracts_clean")
+    val dimCustomer = Dimensions.dimCustomer(contractsClean)
+    val dimPolicy = Dimensions.dimPolicy(contractsClean)
+    val dimDate = Dimensions.dimDate(spark, "2020-01-01", "2030-12-31")
+    Ingest.writeParquet(dimCustomer, s"$outDir/dim_customer")
+    Ingest.writeParquet(dimPolicy, s"$outDir/dim_policy")
+    Ingest.writeParquet(dimDate, s"$outDir/dim_date")
+
+    // Facts (scripts 05 + 07)
+    val factPolicy = Facts.factPolicySnapshot(contractsClean, dimCustomer, dimPolicy, dimDate)
+    val factClaims = Facts.factClaims(claims, dimPolicy, dimDate)
+    Ingest.writeParquet(factPolicy, s"$outDir/fact_policy_snapshot")
+    Ingest.writeParquet(factClaims, s"$outDir/fact_claims")
+
+    // Risk scoring (script 08)
+    val speeds = Risk.deviceSpeeds(telematics)
+    val scored = Risk.riskScores(speeds)
+    Ingest.writeParquet(scored, s"$outDir/fact_driver_risk")
+
+    // Summary (single action per table; reads back the written layer)
+    Seq("contracts_clean", "vehicles_clean", "claims_clean", "dim_customer",
+      "dim_policy", "dim_date", "fact_policy_snapshot", "fact_claims",
+      "fact_driver_risk").foreach { t =>
+      println(s"[pipeline] $t rows=${Ingest.parquet(spark, s"$outDir/$t").count()}")
+    }
+    Ingest.parquet(spark, s"$outDir/fact_driver_risk")
+      .orderBy(col("deviceId")).show(10, false)
+    spark.stop()
+  }
+}

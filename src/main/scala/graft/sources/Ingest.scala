@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface — every ingestion form the reference uses
+  * (SURVEY §2.1 S1-S9), as thin composable wrappers. The value here is
+  * the documented, consistent option set, not abstraction for its own
+  * sake — callers get back plain DataFrames/writers.
+  */
+object Ingest {
+
+  /** CSV with header + schema inference (S1, reference scripts/01:46).
+    * Inference costs an extra pass — at scale prefer [[csvWithSchema]].
+    */
+  def csvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** CSV with header, explicit schema — the 100 TB path: one pass, no
+    * sampling, stable types (S2-analog, reference 08:104 reads
+    * string-typed; explicit schema subsumes it).
+    */
+  def csvWithSchema(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** Drop rows where every column is null — the reference's ingest filter
+    * (S9, scripts/01:56 `dropna(how='all')`).
+    */
+  def dropAllNullRows(df: DataFrame): DataFrame = df.na.drop("all")
+
+  /** Parquet read (S3). */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Parquet overwrite sink (S5, reference 03:124). */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Partitioned parquet sink (S6, reference 02:100-103): physical layout
+    * keyed by a low-cardinality column so downstream predicate queries
+    * prune whole directories (partition pruning at scan).
+    */
+  def writeParquetPartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** JDBC full-table read (S4, reference 05:64-68). Single-partition by
+    * default — correct for small dimensions.
+    */
+  def jdbcTable(spark: SparkSession, url: String, table: String,
+      props: java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** JDBC partitioned read — the at-scale variant the reference's config
+    * explicitly forgoes for dims (config.py:40-44): stride the table on a
+    * numeric column across `numPartitions` parallel connections.
+    */
+  def jdbcPartitioned(spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int, props: java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
+      numPartitions, props)
+
+  /** JDBC overwrite sink (S7, reference 04:74-78). */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties, batchSize: Int = 1000): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("batchsize", batchSize)
+      .jdbc(url, table, props)
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+
+case class Decoded(doc_id: Long, n_bytes: Int, leadByte: Int)
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "hello world", 11L),
+    (1L, "héllo wörld", 11L)) // multibyte: byte_len > n_chars
+    .toDF("doc_id", "text", "n_chars")
+    .withColumn("payload", col("text").cast("binary"))
+
+  test("binary payload roundtrips and measures bytes, not chars") {
+    val m = Multimodal.fakeDecodeMeta(docs, "payload").orderBy("doc_id").collect()
+    assert(m(0).getAs[Int]("byte_len") == 11)
+    assert(m(1).getAs[Int]("byte_len") == 13) // two 2-byte UTF-8 chars
+    assert(m(0).getAs[Int]("width") == 64 + 11 % 512)
+    assert(m(0).getAs[Int]("n_frames") == 1 + 11 % 8)
+  }
+
+  test("mapPartitions decode-stub path preserves schema and batches per partition") {
+    // The shape a real decoder would take: iterate payloads per partition
+    // (so codec init happens once per executor-partition), emit features.
+    val decoded = docs.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl would init a codec here, once per partition
+        it.map { case (id, bytes) => Decoded(id, bytes.length, bytes.head & 0xff) }
+      }
+    val r = decoded.collect().sortBy(_.doc_id)
+    assert(r(0) == Decoded(0L, 11, 'h'.toInt))
+    assert(r(1).n_bytes == 13)
+  }
+
+  test("digest column matches sha-256 of the payload bytes") {
+    val d = Multimodal.multimodalMeta.run(spark, sf0001)
+      .select("digest").head().getString(0)
+    assert(d.matches("[0-9a-f]{64}"))
+  }
+}

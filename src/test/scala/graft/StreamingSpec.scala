@@ -1,0 +1,50 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{UserEvent, UserUpdate}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("windowed event-time aggregation over a memory stream") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val stream = EventStream.windowedCounts(
+      input.toDF().toDF("event_ts", "event_type", "value"),
+      watermarkDelay = "1 minute", windowLength = "5 minutes")
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 00:02:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 00:06:00"), "click", 4.0),
+      (Timestamp.valueOf("2024-01-01 00:03:00"), "view", 8.0))
+    EventStream.runToMemory(stream, "windowed_counts", OutputMode.Update)
+    val rows = spark.table("windowed_counts")
+      .select("window_start", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 00:05:00.0", "click", 1L, 4.0)))
+    assert(rows.contains(("2024-01-01 00:00:00.0", "view", 1L, 8.0)))
+  }
+
+  test("per-user running state via mapGroupsWithState across two batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val updates = EventStream.runningUserStats(input.toDS())
+    val q = updates.writeStream.format("memory")
+      .queryName("user_stats").outputMode(OutputMode.Update).start()
+    try {
+      input.addData(UserEvent(1L, 10.0), UserEvent(1L, 5.0), UserEvent(2L, 7.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(1L, 99.0)) // state must carry across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("user_stats").as[UserUpdate].collect()
+      .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n) }
+    assert(last(1L) == UserUpdate(1L, 3L, 99.0))
+    assert(last(2L) == UserUpdate(2L, 1L, 7.0))
+  }
+}

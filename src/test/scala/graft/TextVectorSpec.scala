@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Dedup/similarity semantics on crafted corpora (written as parquet into
+  * a temp dir so the queries run through their real table-loading path).
+  */
+class TextVectorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_text_fixture").toString
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "en", "src0", 43L),
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "src1", 43L), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy cat", "en", "src0", 43L), // near dup of 0
+      (3L, "completely different words about spark engines here", "en", "src2", 51L),
+      (4L, "el rapido zorro marron salta sobre el perro", "es", "src3", 43L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$d/documents.parquet")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0), // identical to 0 -> cosine 1
+      (2L, Array(0.0f, 1.0f, 0.0f), 1), // orthogonal to 0
+      (3L, Array(0.9f, 0.1f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    emb.coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("exact dedup groups identical texts under one hash") {
+    val r = ops.TextOps.dedupExact.run(spark, dir)
+      .filter(col("n_copies") > 1).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("rep_doc_id") == 0L)
+    assert(r.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH finds the exact and near duplicates, not the unrelated doc") {
+    val pairs = ops.TextOps.minhashLsh.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Double]("est_jaccard")))
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(exact.isDefined, s"missing (0,1) in ${pairs.toSeq}")
+    assert(exact.get._3 == 1.0) // identical shingle sets -> all 16 sigs match
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), "unrelated doc matched")
+  }
+
+  test("simhash of identical docs is identical; hamming-close for near dups") {
+    val sh = ops.TextOps.simhash.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(0L) == sh(1L))
+    val hamming = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    assert(hamming <= 8, s"near-dup hamming distance $hamming")
+  }
+
+  test("cosine: identical -> 1, orthogonal -> 0") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+    val pairs = e.as("a").crossJoin(e.as("b"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        VectorFunctions.cosine(col("a.v"), col("b.v")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(pairs((0L, 1L)) - 1.0) < 1e-12)
+    assert(math.abs(pairs((0L, 2L))) < 1e-12)
+    assert(pairs((0L, 3L)) > 0.99 && pairs((0L, 3L)) < 1.0)
+  }
+
+  test("quality score: short spammy doc ranks below varied doc") {
+    val q = ops.TextOps.qualityScore.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("quality_band")).toMap
+    assert(q(3L) == "ok" || q(3L) == "good") // all-distinct tokens
+  }
+}

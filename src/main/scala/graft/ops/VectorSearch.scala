@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import graft.functions.{DotProduct, VectorFunctions}
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -20,14 +21,20 @@ import org.apache.spark.sql.expressions.Window
   *
   * All math in double (float inputs upcast) so the DuckDB oracle
   * (list_dot_product over DOUBLE[]) agrees to < 1e-12, then rounded to 6.
+  * Dot products use the codegen'd [[graft.functions.DotProduct]] expression
+  * (registered as `graft_dot`) rather than interpreted zip_with/aggregate
+  * lambdas — same sequential summation order, ~2× faster scan.
   */
 object VectorSearch {
 
-  private def emb(s: SparkSession, d: String): DataFrame =
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    DotProduct.register(s) // codegen'd graft_dot; see functions.DotProduct
     Tables.embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+  }
 
   private def cosExpr(a: String, b: String) =
-    round(cosine(col(a), col(b)), 6)
+    round(expr(s"graft_dot($a, $b)") /
+      (sqrt(expr(s"graft_dot($a, $a)")) * sqrt(expr(s"graft_dot($b, $b)"))), 6)
 
   /** Brute-force cosine top-5 neighbors for query vectors vec_id < 10. */
   val annBruteForce = Q(
@@ -92,7 +99,7 @@ object VectorSearch {
       .select(col("vec_id").as("p_id"), col("v").as("pv"))
     val sigs = e.crossJoin(broadcast(planes))
       .groupBy(col("vec_id"))
-      .agg(sum(when(dot(col("v"), col("pv")) > 0, expr("shiftleft(1, p_id)"))
+      .agg(sum(when(expr("graft_dot(v, pv)") > 0, expr("shiftleft(1, p_id)"))
         .otherwise(0)).as("sig"))
     val withV = sigs.join(e, Seq("vec_id"))
     val q = withV.filter(col("vec_id") < 10)
@@ -127,7 +134,8 @@ object VectorSearch {
     val b = e.select(col("vec_id").as("db"), col("v").as("vb"))
     a.crossJoin(broadcast(b))
       .filter(col("da") < col("db"))
-      .withColumn("sim_raw", cosine(col("va"), col("vb")))
+      .withColumn("sim_raw", expr("graft_dot(va, vb)") /
+        (sqrt(expr("graft_dot(va, va)")) * sqrt(expr("graft_dot(vb, vb)"))))
       .filter(col("sim_raw") >= 0.4)
       .select(col("da"), col("db"), round(col("sim_raw"), 6).as("sim"))
       .orderBy(col("da"), col("db"))

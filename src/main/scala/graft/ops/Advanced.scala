@@ -1,0 +1,158 @@
+package graft.ops
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Advanced relational surface beyond the reference's inventory: as-of
+  * join, full window-frame family, list aggregation, CUBE, PIVOT.
+  *
+  * The as-of join deserves a note: Spark has no native as-of operator.
+  * The naive form (inequality join + top-1 per left row) is O(pairs) and
+  * dies at scale. The implementation here is the union-marker pattern:
+  * tag both sides, union, ONE window pass per key ordered by time, keep
+  * the last-seen right-side value at each left row. One shuffle on the
+  * key, linear work, no pairwise blowup — this is the shape that
+  * survives 100 TB, and it composes entirely from built-ins (preferred
+  * over a custom SparkStrategy per the design rules).
+  */
+object Advanced {
+
+  /** As-of join via union-marker: for each 'purchase' event, the most
+    * recent 'error' event of the same user at-or-before it.
+    */
+  val asofJoin = Q(
+    "q43_asof_join",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us,
+      |    CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS tag
+      |  FROM events WHERE event_type IN ('error', 'purchase')),
+      |w AS (
+      |  SELECT user_id, event_id, ts_us, tag,
+      |    last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_error_id,
+      |    last_value(CASE WHEN tag = 0 THEN ts_us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_error_us
+      |  FROM e)
+      |SELECT user_id, event_id AS purchase_id, asof_error_id,
+      |  ROUND((ts_us - asof_error_us) / 1000000.0, 6) AS gap_sec
+      |FROM w WHERE tag = 1
+      |ORDER BY user_id, purchase_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("error", "purchase"))
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
+        when(col("event_type") === "error", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("asof_error_id",
+        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("asof_error_us",
+        last(when(col("tag") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("asof_error_id"),
+        round((col("ts_us") - col("asof_error_us")) / 1000000.0, 6).as("gap_sec"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
+  /** Window-frame family: lead, ntile, running sum (ROWS unbounded..current),
+    * 3-row moving average. Window sums go through decimal so sliding-frame
+    * accumulation order can't produce float drift between engines.
+    */
+  val windowFrames = Q(
+    "q44_window_frames",
+    """SELECT user_id, event_id,
+      |  lead(event_id) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id) AS next_event_id,
+      |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id) AS INTEGER) AS quartile,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val ord = Window.partitionBy(col("user_id")).orderBy(expr("ts DIV 1000"), col("event_id"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = ord.rowsBetween(-2, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        lead(col("event_id"), 1).over(ord).as("next_event_id"),
+        ntile(4).over(ord).as("quartile"),
+        sum(col("value").cast("decimal(18,2)")).over(cum).cast("double").as("running_value"),
+        round(sum(col("value").cast("decimal(18,2)")).over(mov).cast("double")
+          / count(lit(1)).over(mov), 6).as("moving_avg3"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** List aggregation: ordered collect_list / collect_set rendered as
+    * strings (deterministic via explicit sorting).
+    */
+  val collectList = Q(
+    "q45_collect_list",
+    """SELECT user_id,
+      |  array_to_string(list_sort(list(event_type)), ',') AS all_types,
+      |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS distinct_types,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("event_type")))).as("all_types"),
+        concat_ws(",", sort_array(collect_set(col("event_type")))).as("distinct_types"),
+        count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+  }
+
+  /** CUBE over two dimensions with grouping indicator. */
+  val cubeAgg = Q(
+    "q46_cube",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        Det.dsum(col("o_totalprice")).as("revenue"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** PIVOT: order revenue by status × priority, explicit value list (the
+    * oracle expresses the same as conditional aggregation — identical
+    * semantics, fixed output schema).
+    */
+  val pivotAgg = Q(
+    "q47_pivot",
+    """SELECT o_orderstatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p1_urgent,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p3_medium,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p5_low
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", Seq("1-URGENT", "3-MEDIUM", "5-LOW"))
+      .agg(Det.dsum(col("o_totalprice")))
+      .withColumnRenamed("1-URGENT", "p1_urgent")
+      .withColumnRenamed("3-MEDIUM", "p3_medium")
+      .withColumnRenamed("5-LOW", "p5_low")
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val specs: Seq[Q] = Seq(asofJoin, windowFrames, collectList, cubeAgg, pivotAgg)
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan quality assertions: these lock in the scale-relevant
+  * plan shapes (predicate pushdown to the parquet scan, column pruning,
+  * broadcast dimension joins, shuffle-free bucketed joins) so a future
+  * refactor that silently degrades a plan fails the build.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q10: totalprice filter is pushed down to the parquet scan") {
+    val p = planOf("q10_join_using")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(o_totalprice,250000.0)"), p.take(2000))
+  }
+
+  test("q03: dimension join is a broadcast hash join") {
+    assert(planOf("q03_segment_value").contains("BroadcastHashJoin"))
+  }
+
+  test("q13: all four dimension sides broadcast; no fact-side shuffle before aggregation") {
+    val p = planOf("q13_join_multihop")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4, p.take(500))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q01: scan prunes to exactly the referenced columns") {
+    val p = planOf("q01_pricing_summary")
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).getOrElse(p)
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus")
+      .foreach(c => assert(scanLine.contains(c), scanLine))
+    Seq("l_shipdate", "l_orderkey", "l_partkey", "l_tax")
+      .foreach(c => assert(!scanLine.contains(c), scanLine))
+  }
+
+  test("q23: top-k plans as TakeOrderedAndProject, not a full sort") {
+    assert(planOf("q23_top_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("bucketed co-partitioned join runs without a shuffle exchange") {
+    import spark.implicits._
+    import scala.reflect.io.Directory
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a previously failed run can leave the managed-table location behind
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      new Directory(new java.io.File(s"/tmp/graft_test_warehouse/$t")).deleteRecursively()
+    }
+    Tables.orders(spark, sf0001).write
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    Tables.lineitem(spark, sf0001).write
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"o_totalprice", $"l_quantity")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(joined.count() > 0)
+  }
+}

@@ -97,18 +97,25 @@ object Joins {
       |JOIN region   ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    // Same partial-aggregation-before-join trick as q02: items collapse to
+    // per-order partials before touching the join chain.
+    val liAgg = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .cast("decimal(28,4)")).as("rev_dec"),
+        count(lit(1)).as("n_items_order"))
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
     val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     val r = Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    liAgg.join(o, liAgg("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(Det.rsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg(sum(col("rev_dec")).cast("double").as("revenue"),
+        sum(col("n_items_order")).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
   }
 

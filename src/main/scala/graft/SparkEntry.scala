@@ -14,7 +14,8 @@ object SparkEntry {
     ops.Analytics.specs ++ ops.Clean.specs ++ ops.Dimensional.specs ++
       ops.Joins.specs ++ ops.Quality.specs ++ ops.Events.specs ++
       ops.TextOps.specs ++ ops.VectorSearch.specs ++ ops.Multimodal.specs ++
-      ops.Advanced.specs ++ ops.Advanced2.specs ++ ops.Stats.specs
+      ops.Advanced.specs ++ ops.Advanced2.specs ++ ops.Stats.specs ++
+      ops.StreamingBatch.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

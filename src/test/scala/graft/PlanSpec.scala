@@ -40,6 +40,22 @@ class PlanSpec extends SparkSuite {
     assert(planOf("q23_top_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    import scala.reflect.io.Directory
+    val dir = "/tmp/graft_test_partitioned"
+    new Directory(new java.io.File(dir)).deleteRecursively()
+    Tables.events(spark, sf0001).write.partitionBy("event_type").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("event_type") === "click")
+      .select(col("event_id"), col("value"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p.take(1500))
+    // pruned scan must touch only the matching partition directory
+    val scanned = q.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+      .selectedPartitions.partitionCount
+    assert(scanned == 1, s"scanned $scanned partitions")
+  }
+
   test("bucketed co-partitioned join runs without a shuffle exchange") {
     import spark.implicits._
     import scala.reflect.io.Directory

@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+  * candidate-pair graph (q32), so each document resolves to one cluster
+  * representative — the final step of a dedup pipeline (keep the rep,
+  * drop the rest).
+  *
+  * Implementation is iterative label propagation: every doc starts
+  * labeled with itself; each round, labels flow across edges and every
+  * node keeps the minimum label seen; converged when no label changes.
+  * This is the standard large-scale connected-components shape (driver
+  * only orchestrates rounds — O(diameter) of them, each a join+groupBy;
+  * all data stays distributed). The oracle computes the same components
+  * with a recursive CTE.
+  */
+object DedupClusters {
+
+  /** Minimum label reachable from each node of an undirected edge list.
+    *
+    * Per-round materialization + convergence checks would pay one Spark
+    * job of fixed overhead per hop; instead `roundsPerBatch` propagation
+    * hops chain LAZILY into one job, then the batch materializes
+    * (localCheckpoint truncates the iterative lineage) and convergence is
+    * checked once. Covers components of diameter roundsPerBatch×maxBatches.
+    */
+  def connectedComponents(edges: DataFrame, maxBatches: Int = 6,
+      roundsPerBatch: Int = 4): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val nodes = sym.select(col("src").as("node")).distinct()
+    def flow(l: DataFrame): DataFrame = sym
+      .join(l, sym("src") === l("node"))
+      .select(col("dst").as("node"), col("label"))
+      .union(l.select(col("node"), col("label")))
+      .groupBy(col("node"))
+      .agg(min(col("label")).as("label"))
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxBatches) {
+      val batch = (1 to roundsPerBatch).foldLeft(labels)((l, _) => flow(l))
+        .localCheckpoint(true)
+      val changed = batch.as("f")
+        .join(labels.as("l"), col("f.node") === col("l.node"))
+        .filter(col("f.label") =!= col("l.label"))
+        .limit(1).count()
+      labels = batch
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Cluster assignment for every doc that appears in an LSH candidate
+    * pair: (doc_id, cluster_rep = min doc_id in its component).
+    */
+  val dedupClusters = Q(
+    "q57_dedup_clusters",
+    // The edge list is q32's candidate pairs; the oracle recomputes them
+    // (same SQL) and resolves components with a recursive CTE.
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |hs AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS s
+      |  FROM toks),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS v FROM hs),
+      |sigs AS (
+      |  SELECT doc_id, [MINHASH_MINS] AS sig
+      |  FROM h GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, b, sig[2*b+1] AS s1, sig[2*b+2] AS s2
+      |  FROM sigs, (SELECT unnest(range(0, 8)) AS b)),
+      |edges AS (
+      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id),
+      |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+      |reach AS (
+      |  SELECT src AS node, dst AS reached FROM sym
+      |  UNION
+      |  SELECT r.node, s.dst FROM reach r JOIN sym s ON r.reached = s.src)
+      |SELECT node AS doc_id, LEAST(node, MIN(reached)) AS cluster_rep
+      |FROM reach
+      |GROUP BY node
+      |ORDER BY doc_id""".stripMargin
+      .replace("MINHASH_MINS",
+        (0 until 16).map(j =>
+          s"MIN((v * ${1000003L * j + 12345L} + ${777767L * j + 1L}) % 2147483647)")
+          .mkString(", "))) { (s, d) =>
+    val edges = TextOps.minhashLsh.run(s, d)
+      .select(col("da").as("src"), col("db").as("dst"))
+    connectedComponents(edges)
+      .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val specs: Seq[Q] = Seq(dedupClusters)
+}

@@ -149,9 +149,14 @@ object TextOps {
       min((col("v") * lit(1000003L * j + 12345L) + lit(777767L * j + 1L)) % 2147483647L)
         .as(s"s$j")
     }
+    // The signature table feeds four plan branches (both band-join sides
+    // + the two est-jaccard joins); materialize it once instead of
+    // recomputing the shingle/hash pipeline per branch. ~16 longs per doc
+    // — at 100 TB of documents this is gigabytes, not terabytes.
     val sigs = hashed.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"), array((0 until 16).map(j => col(s"s$j")): _*).as("sig"))
+      .localCheckpoint(true)
     val bands = sigs.select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, 7), b -> " +
           "struct(element_at(sig, 2*b+1) AS s1, element_at(sig, 2*b+2) AS s2))"))

@@ -46,7 +46,7 @@ object Analytics {
     */
   val revenueByPeriod = Q(
     "q02_revenue_by_period",
-    """SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, CAST(month(o_orderdate) AS INTEGER) AS o_month,
       |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -230,7 +230,7 @@ object Analytics {
     */
   val quarterRevenue = Q(
     "q29_quarter_revenue",
-    """SELECT year(o_orderdate) AS o_year,
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
       |  CAST(FLOOR((month(o_orderdate) - 1) / 3) + 1 AS INTEGER) AS o_quarter,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_orders

@@ -26,8 +26,8 @@ object Dimensional {
     "q08_date_dimension",
     """SELECT CAST(strftime(d, '%Y%m%d') AS INTEGER) AS date_key,
       |  CAST(d AS DATE) AS full_date,
-      |  year(d) AS year, month(d) AS month, dayofmonth(d) AS day,
-      |  quarter(d) AS quarter,
+      |  CAST(year(d) AS INTEGER) AS year, CAST(month(d) AS INTEGER) AS month,
+      |  CAST(dayofmonth(d) AS INTEGER) AS day, CAST(quarter(d) AS INTEGER) AS quarter,
       |  strftime(d, '%A') AS day_name, strftime(d, '%B') AS month_name,
       |  dayofweek(d) IN (0, 6) AS is_weekend
       |FROM (SELECT unnest(generate_series(DATE '2020-01-01', DATE '2021-12-31', INTERVAL 1 DAY)) AS d)

@@ -219,7 +219,7 @@ object Events {
     """WITH e AS (
       |  SELECT event_type, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS k
       |  FROM events)
-      |SELECT event_type, COUNT(k) AS n, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+      |SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
       |FROM e
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (s, d) =>

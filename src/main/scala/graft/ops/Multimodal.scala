@@ -35,7 +35,7 @@ object Multimodal {
   val multimodalMeta = Q(
     "q41_multimodal_meta",
     """SELECT doc_id,
-      |  octet_length(encode(text)) AS byte_len,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
       |  n_chars AS char_len,
       |  sha256(text) AS digest,
       |  CAST(64 + n_chars % 512 AS INTEGER) AS width,

@@ -238,10 +238,10 @@ object TextOps {
     "q37_lang_id",
     """WITH scored AS (
       |  SELECT doc_id, lang,
-      |    len(list_filter(string_split(text, ' '), x -> x IN ('the','of','and','a','to'))) AS sc_en,
-      |    len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','los','y')))  AS sc_es,
-      |    len(list_filter(string_split(text, ' '), x -> x IN ('le','la','de','les','et'))) AS sc_fr,
-      |    len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','zu'))) AS sc_de
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','of','and','a','to'))) AS INTEGER) AS sc_en,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','los','y'))) AS INTEGER)  AS sc_es,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('le','la','de','les','et'))) AS INTEGER) AS sc_fr,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','zu'))) AS INTEGER) AS sc_de
       |  FROM documents)
       |SELECT doc_id, lang, sc_en, sc_es, sc_fr, sc_de,
       |  CASE WHEN sc_en = 0 AND sc_es = 0 AND sc_fr = 0 AND sc_de = 0 THEN 'unknown'
@@ -275,8 +275,8 @@ object TextOps {
     "q38_quality_score",
     """WITH f AS (
       |  SELECT doc_id, n_chars,
-      |    len(string_split(text, ' ')) AS n_tokens,
-      |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
       |    len(list_filter(string_split(text, ' '),
       |        x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop,
       |    CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens

@@ -52,8 +52,16 @@ def main():
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
+        got_types = dict(zip(got.columns, [str(t) for t in got.types]))
+        exp_types = dict(zip(exp.columns, [str(t) for t in exp.types]))
+        type_diffs = {k: (got_types.get(k), exp_types.get(k))
+                      for k in set(got_types) | set(exp_types)
+                      if got_types.get(k) != exp_types.get(k)}
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns spark={got_cols} oracle={exp_cols}")
+            n_fail += 1
+        elif type_diffs:
+            print(f"FAIL {name}: dtypes {type_diffs}")
             n_fail += 1
         elif len(got_rows) != len(exp_rows):
             print(f"FAIL {name}: rows spark={len(got_rows)} oracle={len(exp_rows)}")

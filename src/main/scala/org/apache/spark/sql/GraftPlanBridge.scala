@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into the `private[sql]` Dataset constructor so library code can
+  * materialize a DataFrame from a custom LogicalPlan — the standard
+  * pattern for OSS Spark extension libraries (a helper object inside the
+  * org.apache.spark.sql package). No Spark internals are modified.
+  */
+object GraftPlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column → Catalyst Expression (Spark 4 Columns wrap ColumnNodes). */
+  def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

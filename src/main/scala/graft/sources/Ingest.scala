@@ -43,6 +43,22 @@ object Ingest {
   def writeParquetPartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** ORC read/write — columnar alternative to parquet, same pushdown and
+    * pruning behavior (beyond the reference's formats; completes the
+    * columnar source surface).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** JSON-lines read/write (schema explicit on read — inference costs a
+    * full pass, same rule as CSV).
+    */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** JDBC full-table read (S4, reference 05:64-68). Single-partition by
     * default — correct for small dimensions.
     */

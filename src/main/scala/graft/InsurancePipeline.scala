@@ -69,10 +69,21 @@ object InsurancePipeline {
     val scored = Risk.riskScores(speeds)
     Ingest.writeParquet(scored, s"$outDir/fact_driver_risk")
 
+    // Warehouse analytics (scripts 09 + 10) + validation (script 06)
+    val fp = Ingest.parquet(spark, s"$outDir/fact_policy_snapshot")
+    Ingest.writeParquet(
+      Analytics.premiumByPeriod(fp, Ingest.parquet(spark, s"$outDir/dim_date")),
+      s"$outDir/analysis_premium_by_period")
+    Ingest.writeParquet(
+      Analytics.premiumBySegment(fp, Ingest.parquet(spark, s"$outDir/dim_customer")),
+      s"$outDir/analysis_premium_by_segment")
+    Validation.validateFactPolicy(fp).show(truncate = false)
+
     // Summary (single action per table; reads back the written layer)
     Seq("contracts_clean", "vehicles_clean", "claims_clean", "dim_customer",
       "dim_policy", "dim_date", "fact_policy_snapshot", "fact_claims",
-      "fact_driver_risk").foreach { t =>
+      "fact_driver_risk", "analysis_premium_by_period",
+      "analysis_premium_by_segment").foreach { t =>
       println(s"[pipeline] $t rows=${Ingest.parquet(spark, s"$outDir/$t").count()}")
     }
     Ingest.parquet(spark, s"$outDir/fact_driver_risk")

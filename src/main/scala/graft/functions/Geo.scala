@@ -25,4 +25,16 @@ object Geo {
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
     lit(2 * EarthRadiusKm) * atan2(sqrt(a), sqrt(lit(1.0) - a))
   }
+
+  /** Same formula on plain doubles — for stateful streaming code that
+    * runs inside typed group functions rather than expression trees.
+    */
+  def haversineKmScalar(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val a = math.pow(math.sin(dLat / 2), 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.pow(math.sin(dLon / 2), 2)
+    2 * EarthRadiusKm * math.atan2(math.sqrt(a), math.sqrt(1.0 - a))
+  }
 }

@@ -209,6 +209,54 @@ object Facts {
   }
 }
 
+/** Warehouse analytics — reference scripts/09_analyze_fact_metrics.py and
+  * 10_analyze_customer_segments.py as library functions over the star
+  * schema.
+  */
+object Analytics {
+
+  /** Premium + policy counts by (year, month) — reference 09:64-88. */
+  def premiumByPeriod(factPolicy: DataFrame, dimDate: DataFrame): DataFrame = {
+    val dates = broadcast(dimDate.select(
+      date_format(col("date_key"), "yyyyMMdd").cast("int").as("date_key_int"),
+      col("year"), col("month"), col("month_name")))
+    factPolicy
+      .join(dates, factPolicy("date_key") === dates("date_key_int"), "inner")
+      .groupBy(col("year"), col("month_name"), col("month"))
+      .agg(sum(col("premium_amount")).as("total_premium"),
+        sum(col("policy_count")).as("total_policies"))
+      .orderBy(col("year"), col("month"))
+  }
+
+  /** Premium + policies by customer segment, ranked — reference 10:61-76. */
+  def premiumBySegment(factPolicy: DataFrame, dimCustomer: DataFrame): DataFrame =
+    factPolicy
+      .join(broadcast(dimCustomer.select(col("customer_key"), col("customer_segment"))),
+        Seq("customer_key"), "inner")
+      .groupBy(col("customer_segment"))
+      .agg(sum(col("premium_amount")).as("total_premium_by_segment"),
+        sum(col("policy_count")).as("total_policies"))
+      .orderBy(col("total_premium_by_segment").desc)
+}
+
+/** Data-quality validation — reference scripts/06_validate_data_quality.py,
+  * but as ONE single-pass aggregation instead of a filter+count per column.
+  */
+object Validation {
+
+  /** QA summary over the policy fact: counts, null keys, premium stats. */
+  def validateFactPolicy(factPolicy: DataFrame): DataFrame =
+    factPolicy.agg(
+      count(lit(1)).as("record_count"),
+      count(when(col("policy_key").isNull, 1)).as("null_policy_keys"),
+      count(when(col("customer_key").isNull, 1)).as("null_customer_keys"),
+      count(when(col("date_key").isNull, 1)).as("null_date_keys"),
+      sum(col("premium_amount")).as("premium_sum"),
+      avg(col("premium_amount")).as("premium_avg"),
+      min(col("premium_amount")).as("premium_min"),
+      max(col("premium_amount")).as("premium_max"))
+}
+
 /** Telematics → driver risk scoring — reference scripts/08:200-285,
   * exact thresholds and formula.
   */

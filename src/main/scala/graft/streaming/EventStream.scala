@@ -53,6 +53,39 @@ object EventStream {
       }
   }
 
+  case class GpsFix(deviceId: String, tsSec: Long, lat: Double, lon: Double)
+  case class SpeedState(lastTs: Long, lastLat: Double, lastLon: Double,
+      maxSpeed: Double, nFixes: Long)
+  case class SpeedUpdate(deviceId: String, n_fixes: Long, max_speed_kmh: Double)
+
+  /** The reference's telematics risk pipeline as a LIVE stream: per-device
+    * GPS fixes arrive in event order, state carries the last fix across
+    * micro-batches, speed = Haversine distance over time delta
+    * (graft.functions.Geo.haversineKmScalar — same formula as the batch
+    * expression tree). Emits the running per-device fix count + max speed.
+    */
+  def liveSpeedTracking(fixes: Dataset[GpsFix]): Dataset[SpeedUpdate] = {
+    import fixes.sparkSession.implicits._
+    fixes
+      .groupByKey(_.deviceId)
+      .mapGroupsWithState[SpeedState, SpeedUpdate](GroupStateTimeout.NoTimeout) {
+        (deviceId: String, rows: Iterator[GpsFix], state: GroupState[SpeedState]) =>
+          val ordered = rows.toSeq.sortBy(_.tsSec)
+          val init = state.getOption.getOrElse(SpeedState(Long.MinValue, 0, 0, 0.0, 0L))
+          val next = ordered.foldLeft(init) { (st, fix) =>
+            val speed =
+              if (st.nFixes == 0 || fix.tsSec <= st.lastTs) 0.0
+              else graft.functions.Geo.haversineKmScalar(
+                st.lastLat, st.lastLon, fix.lat, fix.lon) /
+                ((fix.tsSec - st.lastTs) / 3600.0)
+            SpeedState(fix.tsSec, fix.lat, fix.lon,
+              math.max(st.maxSpeed, speed), st.nFixes + 1)
+          }
+          state.update(next)
+          SpeedUpdate(deviceId, next.nFixes, next.maxSpeed)
+      }
+  }
+
   /** Drive a streaming DataFrame into an in-memory table and block until
     * all available input is processed — the synchronous harness used by
     * tests (and handy for local smoke runs).

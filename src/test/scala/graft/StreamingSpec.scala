@@ -30,6 +30,26 @@ class StreamingSpec extends SparkSuite {
     assert(rows.contains(("2024-01-01 00:00:00.0", "view", 1L, 8.0)))
   }
 
+  test("live speed tracking carries GPS state across micro-batches") {
+    import graft.streaming.EventStream.{GpsFix, SpeedUpdate}
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[GpsFix]
+    val q = EventStream.liveSpeedTracking(input.toDS())
+      .writeStream.format("memory").queryName("speeds")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: two fixes 60s apart, 0.01 deg lat (~1.112 km) -> ~66.7 km/h
+      input.addData(GpsFix("dev1", 1000L, 45.00, 7.00), GpsFix("dev1", 1060L, 45.01, 7.00))
+      q.processAllAvailable()
+      // batch 2: state must remember the last fix: another 0.02 deg in 60s -> ~133 km/h
+      input.addData(GpsFix("dev1", 1120L, 45.03, 7.00))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("speeds").as[SpeedUpdate].collect().maxBy(_.n_fixes)
+    assert(last.n_fixes == 3L)
+    assert(math.abs(last.max_speed_kmh - 133.4) < 1.0, s"got ${last.max_speed_kmh}")
+  }
+
   test("per-user running state via mapGroupsWithState across two batches") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[UserEvent]

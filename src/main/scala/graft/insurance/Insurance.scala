@@ -143,6 +143,43 @@ object Dimensions {
         col("risk_zone"), col("sales_channel"), col("contract_status"), col("load_date"))
   }
 
+  /** Slowly-changing-dimension Type-2 merge — the incremental update the
+    * reference's overwrite-everything warehouse loads lack. `current`
+    * carries (key, attrs..., valid_from, valid_to with NULL = open);
+    * `updates` carries (key, attrs..., changeDateCol). Changed keys close
+    * their open row at the change date and insert a new open version;
+    * unknown keys insert; unchanged keys pass through untouched.
+    * Null-safe attribute comparison (`<=>`), pure DataFrame ops, one
+    * full-outer join on the key — scales like any key-partitioned merge.
+    */
+  def scd2Merge(current: DataFrame, updates: DataFrame, key: String,
+      attrs: Seq[String], changeDateCol: String): DataFrame = {
+    val upd = updates.select(
+      (col(key).as("u_key") +: attrs.map(a => col(a).as(s"u_$a"))) :+
+        col(changeDateCol).as("u_change_date"): _*)
+    val open = current.filter(col("valid_to").isNull)
+    val history = current.filter(col("valid_to").isNotNull)
+    val j = open.join(upd, col(key) === col("u_key"), "full_outer")
+    val attrsEqual = attrs.map(a => col(a) <=> col(s"u_$a")).reduce(_ && _)
+    val currentCols = (key +: attrs).map(col) :+ col("valid_from") :+ col("valid_to")
+    // open rows with no update, or with an identical update
+    val untouched = j.filter(col("u_key").isNull || (col(key).isNotNull && attrsEqual))
+      .select(currentCols: _*)
+    // changed keys: the old version closes at the change date...
+    val closedOld = j.filter(col(key).isNotNull && col("u_key").isNotNull && !attrsEqual)
+      .select((key +: attrs).map(col) :+ col("valid_from") :+
+        col("u_change_date").as("valid_to"): _*)
+    // ...and the new version (also covers brand-new keys) opens there
+    val opened = j.filter(col("u_key").isNotNull && (col(key).isNull || !attrsEqual))
+      .select((col("u_key").as(key) +: attrs.map(a => col(s"u_$a").as(a))) :+
+        col("u_change_date").as("valid_from") :+
+        lit(null).cast(DateType).as("valid_to"): _*)
+    history.select(currentCols: _*)
+      .unionByName(untouched)
+      .unionByName(closedOld)
+      .unionByName(opened)
+  }
+
   /** Generated dim_date — reference 04:164-179 (sequence + explode). */
   def dimDate(spark: SparkSession, startDate: String, endDate: String): DataFrame =
     spark.sql(

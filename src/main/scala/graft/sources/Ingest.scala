@@ -43,6 +43,26 @@ object Ingest {
   def writeParquetPartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Small-files compaction: rewrite a parquet dataset into a bounded
+    * file count. The #1 operational parquet problem at scale — thousands
+    * of tiny files from incremental writes destroy scan throughput
+    * (per-file open cost) and driver memory (file listing).
+    */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+      numFiles: Int): Unit =
+    spark.read.parquet(inPath).repartition(numFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+
+  /** Clustered parquet write: range-partition + sort within partitions on
+    * the cluster columns, so parquet row-group min/max statistics become
+    * selective — point/range predicates on those columns skip row groups
+    * (the poor-man's z-order, effective for one leading dimension).
+    */
+  def writeClusteredParquet(df: DataFrame, path: String, clusterCols: String*): Unit =
+    df.repartitionByRange(clusterCols.map(df.col): _*)
+      .sortWithinPartitions(clusterCols.map(df.col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** ORC read/write — columnar alternative to parquet, same pushdown and
     * pruning behavior (beyond the reference's formats; completes the
     * columnar source surface).

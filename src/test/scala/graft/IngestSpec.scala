@@ -33,6 +33,24 @@ class IngestSpec extends SparkSuite {
     assert(back.schema == subset.schema)
   }
 
+  test("compaction rewrites to a bounded file count") {
+    orders.repartition(16).write.mode("overwrite").parquet(s"$dir/many")
+    Ingest.compactParquet(spark, s"$dir/many", s"$dir/compacted", 2)
+    val files = new java.io.File(s"$dir/compacted").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 2, s"got $files files")
+    assert(Ingest.parquet(spark, s"$dir/compacted").count() == orders.count())
+  }
+
+  test("clustered write sorts within files so row-group stats are selective") {
+    Ingest.writeClusteredParquet(orders, s"$dir/clustered", "o_totalprice")
+    val firstFile = new java.io.File(s"$dir/clustered").listFiles()
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val vals = spark.read.parquet(firstFile.getAbsolutePath)
+      .select("o_totalprice").collect().map(_.getDouble(0)).toSeq
+    assert(vals == vals.sorted, "file not sorted on cluster column")
+  }
+
   test("csv with explicit schema roundtrips; all-null rows droppable") {
     val subset = orders.select(col("o_orderkey"), col("o_orderstatus"))
     subset.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")

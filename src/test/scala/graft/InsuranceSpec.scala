@@ -139,6 +139,30 @@ class InsuranceSpec extends SparkSuite {
     assert(r.getAs[Int]("policy_key") == 1)
   }
 
+  test("SCD2 merge: changed keys close + reopen, new keys insert, unchanged pass") {
+    val current = Seq(
+      ("CLI_1", "Paris", Date.valueOf("2024-01-01"), null.asInstanceOf[Date]),  // will change
+      ("CLI_2", "Lyon", Date.valueOf("2024-01-01"), null.asInstanceOf[Date]),   // unchanged
+      ("CLI_1", "Nice", Date.valueOf("2023-01-01"), Date.valueOf("2024-01-01")) // history
+    ).toDF("customer_key", "city", "valid_from", "valid_to")
+    val updates = Seq(
+      ("CLI_1", "Marseille", Date.valueOf("2024-06-01")), // changed city
+      ("CLI_2", "Lyon", Date.valueOf("2024-06-01")),      // no change
+      ("CLI_3", "Toulouse", Date.valueOf("2024-06-01")))  // brand new
+      .toDF("customer_key", "city", "change_date")
+    val merged = Dimensions.scd2Merge(current, updates, "customer_key",
+      Seq("city"), "change_date").orderBy("customer_key", "valid_from").collect()
+    assert(merged.length == 5)
+    val cli1 = merged.filter(_.getString(0) == "CLI_1")
+    assert(cli1.map(r => (r.getString(1), r.getDate(3) == null)).toSeq ==
+      Seq(("Nice", false), ("Paris", false), ("Marseille", true)))
+    assert(cli1(1).getDate(3) == Date.valueOf("2024-06-01")) // Paris closed at change date
+    val cli2 = merged.filter(_.getString(0) == "CLI_2")
+    assert(cli2.length == 1 && cli2.head.getDate(3) == null) // untouched, still open
+    val cli3 = merged.filter(_.getString(0) == "CLI_3")
+    assert(cli3.length == 1 && cli3.head.getDate(2) == Date.valueOf("2024-06-01"))
+  }
+
   test("risk: speeds from consecutive GPS fixes, score formula, bands") {
     // Two fixes 60s apart, ~1.112 km apart (0.01 deg lat) -> ~66.7 km/h
     val tele = Seq(

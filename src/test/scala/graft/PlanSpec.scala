@@ -40,6 +40,14 @@ class PlanSpec extends SparkSuite {
     assert(planOf("q23_top_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("no registered query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if fn(spark, sf0001).queryExecution.executedPlan
+        .toString.contains("CartesianProduct") => name
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("partitioned layout prunes non-matching partitions at the scan") {
     import scala.reflect.io.Directory
     val dir = "/tmp/graft_test_partitioned"

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Det, Q, Tables}
-import graft.functions.DotProduct
+import graft.functions.{CosineSim, DotProduct}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -88,11 +88,11 @@ object Advanced2 {
       |WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin) { (s, d) =>
     DotProduct.register(s)
+    CosineSim.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
     val cent = e.filter(col("vec_id") < 16).select(col("vec_id").as("c_id"), col("v").as("cv"))
-    val cos = round(expr("graft_dot(v, cv)") /
-      (sqrt(expr("graft_dot(v, v)")) * sqrt(expr("graft_dot(cv, cv)"))), 6)
+    val cos = round(expr("graft_cosine(v, cv)"), 6)
     val wAff = Window.partitionBy(col("vec_id")).orderBy(col("ca").desc, col("c_id"))
     val aff = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("c_id"), cos.as("ca"))
@@ -103,8 +103,7 @@ object Advanced2 {
     val cand = broadcast(probes)
       .join(assigned.as("a"), col("probe_c_id") === col("a.c_id") && col("a.vec_id") =!= col("q_id"))
       .select(col("q_id"), col("a.vec_id").as("c_vec")).distinct()
-    val simCos = round(expr("graft_dot(qv, cv2)") /
-      (sqrt(expr("graft_dot(qv, qv)")) * sqrt(expr("graft_dot(cv2, cv2)"))), 6)
+    val simCos = round(expr("graft_cosine(qv, cv2)"), 6)
     val sims = cand
       .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), Seq("q_id"))
       .join(e.select(col("vec_id").as("c_vec"), col("v").as("cv2")), Seq("c_vec"))

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import graft.functions.{DotProduct, VectorFunctions}
+import graft.functions.{CosineSim, DotProduct, VectorFunctions}
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -29,12 +29,12 @@ object VectorSearch {
 
   private def emb(s: SparkSession, d: String): DataFrame = {
     DotProduct.register(s) // codegen'd graft_dot; see functions.DotProduct
+    CosineSim.register(s)  // fused one-pass cosine; see functions.CosineSim
     Tables.embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
   }
 
   private def cosExpr(a: String, b: String) =
-    round(expr(s"graft_dot($a, $b)") /
-      (sqrt(expr(s"graft_dot($a, $a)")) * sqrt(expr(s"graft_dot($b, $b)"))), 6)
+    round(expr(s"graft_cosine($a, $b)"), 6)
 
   /** Brute-force cosine top-5 neighbors for query vectors vec_id < 10. */
   val annBruteForce = Q(
@@ -134,8 +134,7 @@ object VectorSearch {
     val b = e.select(col("vec_id").as("db"), col("v").as("vb"))
     a.crossJoin(broadcast(b))
       .filter(col("da") < col("db"))
-      .withColumn("sim_raw", expr("graft_dot(va, vb)") /
-        (sqrt(expr("graft_dot(va, va)")) * sqrt(expr("graft_dot(vb, vb)"))))
+      .withColumn("sim_raw", expr("graft_cosine(va, vb)"))
       .filter(col("sim_raw") >= 0.4)
       .select(col("da"), col("db"), round(col("sim_raw"), 6).as("sim"))
       .orderBy(col("da"), col("db"))

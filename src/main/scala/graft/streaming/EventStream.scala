@@ -53,6 +53,24 @@ object EventStream {
       }
   }
 
+  /** Streaming deduplication: drop events already seen (by id) within the
+    * watermark horizon — the exactly-once guard for at-least-once sources.
+    * State is bounded by the watermark: ids older than the horizon are
+    * evicted, which is what makes this viable on an unbounded stream.
+    */
+  def dedupStream(events: DataFrame, idCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_ts", watermarkDelay)
+      .dropDuplicates(idCol, "event_ts")
+
+  /** Stream-static enrichment: join the live stream against a static
+    * dimension (broadcast per micro-batch) — the streaming analog of the
+    * reference's device_mapping join (scripts/08:120).
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left_outer")
+
   case class GpsFix(deviceId: String, tsSec: Long, lat: Double, lon: Double)
   case class SpeedState(lastTs: Long, lastLat: Double, lastLon: Double,
       maxSpeed: Double, nFixes: Long)

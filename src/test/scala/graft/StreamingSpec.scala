@@ -30,6 +30,43 @@ class StreamingSpec extends SparkSuite {
     assert(rows.contains(("2024-01-01 00:00:00.0", "view", 1L, 8.0)))
   }
 
+  test("streaming dedup drops replayed events across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val deduped = EventStream.dedupStream(
+      input.toDF().toDF("event_id", "event_ts", "payload"), "event_id")
+    val q = deduped.writeStream.format("memory")
+      .queryName("deduped").outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, Timestamp.valueOf("2024-01-01 00:01:00"), "a"),
+        (2L, Timestamp.valueOf("2024-01-01 00:01:30"), "b"))
+      q.processAllAvailable()
+      // at-least-once source replays event 1; event 3 is genuinely new
+      input.addData((1L, Timestamp.valueOf("2024-01-01 00:01:00"), "a"),
+        (3L, Timestamp.valueOf("2024-01-01 00:02:00"), "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("deduped").select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+  }
+
+  test("stream-static enrichment joins the dimension per micro-batch") {
+    implicit val sc = spark.sqlContext
+    val dim = Seq(("dev1", "CLI_1"), ("dev2", "CLI_2")).toDF("deviceId", "customer_id")
+    val input = MemoryStream[(String, Double)]
+    val enriched = EventStream.enrich(
+      input.toDF().toDF("deviceId", "value"), dim, "deviceId")
+    val q = enriched.writeStream.format("memory")
+      .queryName("enriched").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(("dev1", 1.0), ("dev9", 2.0)) // dev9 unknown -> null customer
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("enriched")
+      .collect().map(r => (r.getString(0), Option(r.getString(2)))).toSet
+    assert(rows == Set(("dev1", Some("CLI_1")), ("dev9", None)))
+  }
+
   test("live speed tracking carries GPS state across micro-batches") {
     import graft.streaming.EventStream.{GpsFix, SpeedUpdate}
     implicit val sc = spark.sqlContext

@@ -1,38 +1,28 @@
 package graft
 
-import graft.plans.TopK
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
 
-/** Dev-only scratch main: native top-k vs window row_number timing. */
+/** Dev-only scratch main: dump formatted physical plans (used to generate
+  * PLANS.md). Pass query names as args.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
-      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    val d = "/root/testdata/sf0.01"
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q01_pricing_summary", "q13_join_multihop", "q26_risk_scores",
+        "q32_dedup_minhash_lsh", "q34_ann_cosine_topk", "q58_native_topk")
+    names.foreach { n =>
+      println(s"\n================ $n ================")
+      SparkEntry.queries(n)(spark, d).explain("formatted")
     }
-    // warm
-    li.count()
-    val order = Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false))
-    time("warm native")(TopK.perGroup(li, 2, Seq("l_suppkey"), order).count())
-    val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-    def windowed = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
-    time("window 1")(windowed.count())
-    time("window 2")(windowed.count())
-    time("native 1")(TopK.perGroup(li, 2, Seq("l_suppkey"), order).count())
-    time("native 2")(TopK.perGroup(li, 2, Seq("l_suppkey"), order).count())
     spark.stop()
   }
 }

@@ -281,6 +281,15 @@ object Analytics {
   */
 object Validation {
 
+  /** Flexible schema-presence check — the reference's `df.columns`
+    * introspection (scripts/06:52-75) as a reusable function: which
+    * expected columns are missing, which present columns are unexpected.
+    */
+  def schemaCheck(df: DataFrame, expected: Seq[String]): (Seq[String], Seq[String]) = {
+    val actual = df.columns.toSeq
+    (expected.filterNot(actual.contains), actual.filterNot(expected.contains))
+  }
+
   /** QA summary over the policy fact: counts, null keys, premium stats. */
   def validateFactPolicy(factPolicy: DataFrame): DataFrame =
     factPolicy.agg(

@@ -139,6 +139,13 @@ class InsuranceSpec extends SparkSuite {
     assert(r.getAs[Int]("policy_key") == 1)
   }
 
+  test("schema check reports missing and unexpected columns") {
+    val (missing, extra) = Validation.schemaCheck(
+      contracts, Seq("contract_id", "annual_premium", "not_a_column"))
+    assert(missing == Seq("not_a_column"))
+    assert(extra.contains("first_name") && !extra.contains("contract_id"))
+  }
+
   test("SCD2 merge: changed keys close + reopen, new keys insert, unchanged pass") {
     val current = Seq(
       ("CLI_1", "Paris", Date.valueOf("2024-01-01"), null.asInstanceOf[Date]),  // will change

@@ -105,6 +105,20 @@ object InsurancePipeline {
     }
     Ingest.parquet(spark, s"$outDir/fact_driver_risk")
       .orderBy(col("deviceId")).show(10, false)
+
+    // Optional JDBC warehouse load (third arg = JDBC URL), mirroring the
+    // reference's PostgreSQL loads (scripts 04:74-78, 05:146-151) --
+    // demonstrated against the Derby that ships with Spark.
+    if (args.length > 2) {
+      val url = args(2)
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      Seq("dim_customer", "dim_policy", "fact_policy_snapshot", "fact_claims")
+        .foreach { t =>
+          Ingest.writeJdbc(Ingest.parquet(spark, s"$outDir/$t"), url, t, props)
+          println(s"[pipeline-jdbc] loaded $t")
+        }
+    }
     spark.stop()
   }
 }

@@ -20,11 +20,29 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }
+    // Full per-query detail on separate lines (human log / BENCH.md).
+    results.foreach { case (n, s) => println(f"BENCHQ $n%-28s $s%.3f s") }
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // The driver captures only the LAST ~2000 chars of output and parses the
+    // JSON line out of that window — round-1 full-precision doubles pushed the
+    // line to ~3k chars and its head was truncated, so the driver recorded
+    // "parsed": null. Keep the machine line compact: 3-decimal values, and if
+    // it still exceeds the budget, keep only the slowest queries in the map
+    // (the total is what BASELINE.md grades; per-query is informative).
+    def render(kept: Seq[(String, Double)], dropped: Int): String = {
+      val qs = kept.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      val trunc = if (dropped > 0) s""","queries_omitted":$dropped""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$trunc,"sf":"$sfDir","n":${results.size}}"""
+    }
+    val bySlowest = results.sortBy(-_._2)
+    var kept = bySlowest
+    var line = render(kept.sortBy(_._1), results.size - kept.size)
+    while (line.length > 1800 && kept.size > 1) {
+      kept = kept.dropRight(math.max(1, kept.size / 10))
+      line = render(kept.sortBy(_._1), results.size - kept.size)
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -53,6 +53,10 @@ object DedupClusters {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after ${maxBatches * roundsPerBatch} " +
+          "propagation rounds — a component has a larger diameter; raise maxBatches")
     labels
   }
 

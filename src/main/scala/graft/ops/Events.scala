@@ -168,14 +168,14 @@ object Events {
     "q27_sessionize",
     """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us FROM events),
       |flagged AS (
-      |  SELECT user_id, ts_us,
+      |  SELECT user_id, ts_us, event_id,
       |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
       |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
       |         THEN 1 ELSE 0 END AS new_sess
       |  FROM e),
       |sessions AS (
       |  SELECT user_id, ts_us,
-      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
       |  FROM flagged),
       |per_sess AS (
@@ -195,7 +195,9 @@ object Events {
       .withColumn("new_sess",
         when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1)
           .otherwise(0))
-    val cum = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    // event_id tie-break: duplicate timestamps otherwise make the running
+    // sum (and thus session assignment) order-dependent across engines.
+    val cum = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sessions = flagged.withColumn("sess_id", sum(col("new_sess")).over(cum))
     val perSess = sessions.groupBy(col("user_id"), col("sess_id"))

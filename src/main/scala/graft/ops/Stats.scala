@@ -33,12 +33,18 @@ object Stats {
   }
 
   /** Sketch-based percentiles (t-digest): the one-pass mergeable scale
-    * path. No oracle — sketch estimates are engine-specific.
+    * path. No oracle — sketch estimates are engine-specific. Flattened to
+    * scalar columns (an array column breaks the driver's pandas sorter).
     */
   val approxPercentiles = Q.noOracle("q51b_approx_percentiles") { (s, d) =>
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))
       .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 1000)").as("pcts"))
+      .select(
+        col("o_orderstatus"),
+        col("pcts").getItem(0).as("p50"),
+        col("pcts").getItem(1).as("p90"),
+        col("pcts").getItem(2).as("p99"))
       .orderBy(col("o_orderstatus"))
   }
 

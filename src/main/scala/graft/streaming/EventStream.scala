@@ -54,15 +54,17 @@ object EventStream {
   }
 
   /** Streaming deduplication: drop events already seen (by id) within the
-    * watermark horizon — the exactly-once guard for at-least-once sources.
-    * State is bounded by the watermark: ids older than the horizon are
+    * watermark horizon — the exactly-once guard for at-least-once sources,
+    * where a replayed event may carry a different event_ts than the
+    * original. `dropDuplicatesWithinWatermark` dedups on the id alone and
+    * still bounds state by the watermark: ids older than the horizon are
     * evicted, which is what makes this viable on an unbounded stream.
     */
   def dedupStream(events: DataFrame, idCol: String,
       watermarkDelay: String = "10 minutes"): DataFrame =
     events
       .withWatermark("event_ts", watermarkDelay)
-      .dropDuplicates(idCol, "event_ts")
+      .dropDuplicatesWithinWatermark(idCol)
 
   /** Stream-static enrichment: join the live stream against a static
     * dimension (broadcast per micro-batch) — the streaming analog of the

@@ -41,8 +41,9 @@ class StreamingSpec extends SparkSuite {
       input.addData((1L, Timestamp.valueOf("2024-01-01 00:01:00"), "a"),
         (2L, Timestamp.valueOf("2024-01-01 00:01:30"), "b"))
       q.processAllAvailable()
-      // at-least-once source replays event 1; event 3 is genuinely new
-      input.addData((1L, Timestamp.valueOf("2024-01-01 00:01:00"), "a"),
+      // at-least-once source replays event 1 — with a DIFFERENT event_ts,
+      // as real replays may; by-id dedup must still drop it. Event 3 is new.
+      input.addData((1L, Timestamp.valueOf("2024-01-01 00:01:05"), "a"),
         (3L, Timestamp.valueOf("2024-01-01 00:02:00"), "c"))
       q.processAllAvailable()
     } finally q.stop()

@@ -4,24 +4,43 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev-only scratch main: dump formatted physical plans (used to generate
   * PLANS.md). Pass query names as args.
+  *
+  * Timing mode: set SPARK_GRAFT_PROBE_SF=/root/testdata/sf0.1 to instead
+  * time 3 runs of each named query at local[32] (post-JIT timings, no
+  * plan dump) — separates real work from Bench's one-shot JIT noise.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val timeSf = sys.env.get("SPARK_GRAFT_PROBE_SF")
+    val cpus = if (timeSf.isDefined) "32" else "4"
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_pricing_summary", "q13_join_multihop", "q26_risk_scores",
         "q32_dedup_minhash_lsh", "q34_ann_cosine_topk", "q58_native_topk")
-    names.foreach { n =>
-      println(s"\n================ $n ================")
-      SparkEntry.queries(n)(spark, d).explain("formatted")
+    timeSf match {
+      case Some(d) =>
+        try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+        names.foreach { n =>
+          val ts = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries(n)(spark, d).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"PROBE $n%-28s ${ts.map(t => f"$t%.3f").mkString(" ")} s")
+        }
+      case None =>
+        val d = "/root/testdata/sf0.01"
+        names.foreach { n =>
+          println(s"\n================ $n ================")
+          SparkEntry.queries(n)(spark, d).explain("formatted")
+        }
     }
     spark.stop()
   }

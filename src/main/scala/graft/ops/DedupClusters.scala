@@ -26,38 +26,62 @@ object DedupClusters {
     * hops chain LAZILY into one job, then the batch materializes
     * (localCheckpoint truncates the iterative lineage) and convergence is
     * checked once. Covers components of diameter roundsPerBatch×maxBatches.
+    *
+    * Two scale-aware choices:
+    *  - The candidate-pair graph is orders of magnitude smaller than the
+    *    corpus that produced it, so the iteration's shuffle parallelism is
+    *    sized to the EDGE COUNT (~2M edges per partition), not inherited
+    *    from the corpus-sized session default — on a 946-edge graph that
+    *    turns 32-task micro-stages into 1-task stages; on a billion-edge
+    *    graph it keeps full parallelism.
+    *  - Convergence is detected by comparing sum(label) between batches:
+    *    labels are monotonically non-increasing under min-propagation, so
+    *    the exact decimal sum strictly decreases until the fixpoint — one
+    *    tiny aggregate per batch instead of a self-join + count. (Node ids
+    *    must therefore be numeric; doc_ids here are BIGINT.)
     */
   def connectedComponents(edges: DataFrame, maxBatches: Int = 6,
       roundsPerBatch: Int = 4): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
+    val spark = edges.sparkSession
+    val symWide = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
-    val nodes = sym.select(col("src").as("node")).distinct()
-    def flow(l: DataFrame): DataFrame = sym
-      .join(l, sym("src") === l("node"))
-      .select(col("dst").as("node"), col("label"))
-      .union(l.select(col("node"), col("label")))
-      .groupBy(col("node"))
-      .agg(min(col("label")).as("label"))
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint(true)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxBatches) {
-      val batch = (1 to roundsPerBatch).foldLeft(labels)((l, _) => flow(l))
-        .localCheckpoint(true)
-      val changed = batch.as("f")
-        .join(labels.as("l"), col("f.node") === col("l.node"))
-        .filter(col("f.label") =!= col("l.label"))
-        .limit(1).count()
-      labels = batch
-      converged = changed == 0
-      i += 1
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge after ${maxBatches * roundsPerBatch} " +
-          "propagation rounds — a component has a larger diameter; raise maxBatches")
-    labels
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1, math.min(defaultParts.toLong,
+      symWide.count() / 2000000L + 1L)).toInt
+    val sym =
+      if (parts < defaultParts) symWide.repartition(parts).localCheckpoint(true)
+      else symWide
+    val prevConf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      val nodes = sym.select(col("src").as("node")).distinct()
+      def flow(l: DataFrame): DataFrame = sym
+        .join(l, sym("src") === l("node"))
+        .select(col("dst").as("node"), col("label"))
+        .union(l.select(col("node"), col("label")))
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"))
+      var labels = nodes.withColumn("label", col("node")).localCheckpoint(true)
+      var prevSum: Option[java.math.BigDecimal] = None
+      var converged = false
+      var i = 0
+      while (!converged && i < maxBatches) {
+        val batch = (1 to roundsPerBatch).foldLeft(labels)((l, _) => flow(l))
+          .localCheckpoint(true)
+        val labelSum = batch.agg(sum(col("label").cast("decimal(38,0)")))
+          .collect()(0).getDecimal(0)
+        converged = prevSum.contains(labelSum)
+        prevSum = Some(labelSum)
+        labels = batch
+        i += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge after ${maxBatches * roundsPerBatch} " +
+            "propagation rounds — a component has a larger diameter; raise maxBatches")
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevConf)
   }
 
   /** Cluster assignment for every doc that appears in an LSH candidate
@@ -98,7 +122,7 @@ object DedupClusters {
         (0 until 16).map(j =>
           s"MIN((v * ${1000003L * j + 12345L} + ${777767L * j + 1L}) % 2147483647)")
           .mkString(", "))) { (s, d) =>
-    val edges = TextOps.minhashLsh.run(s, d)
+    val edges = TextOps.minhashCandidates(s, d)
       .select(col("da").as("src"), col("db").as("dst"))
     connectedComponents(edges)
       .select(col("node").as("doc_id"), col("label").as("cluster_rep"))

@@ -106,6 +106,47 @@ object TextOps {
     * shuffle — at 100 TB the shuffle carries signatures, not shingles.
     * The band join is the only pairwise work: O(collisions), not O(n²).
     */
+  /** MinHash signature table (doc_id, sig: array of 16 longs), shared by
+    * q32 (candidate report) and q57 (cluster resolution) via [[graft.Shared]].
+    */
+  def minhashSigs(s: SparkSession, d: String): DataFrame =
+    graft.Shared.materialized(s, s"minhash-sigs@$d") {
+      val shingleRows = withToks(Tables.documents(s, d))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, size(toks) - 2), i -> " +
+            "concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"))
+          .as("s"))
+      val hashed = shingleRows.select(col("doc_id"),
+        expr("CAST(conv(substr(md5(s), 1, 7), 16, 10) AS BIGINT)").as("v"))
+      val minCols = (0 until 16).map { j =>
+        min((col("v") * lit(1000003L * j + 12345L) + lit(777767L * j + 1L)) % 2147483647L)
+          .as(s"s$j")
+      }
+      hashed.groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"), array((0 until 16).map(j => col(s"s$j")): _*).as("sig"))
+    }
+
+  /** LSH candidate pairs (da < db) from the shared signature table: 8
+    * bands of 2 signature values, self-join per band. Shared by q32/q57.
+    */
+  def minhashCandidates(s: SparkSession, d: String): DataFrame =
+    graft.Shared.materialized(s, s"minhash-cand@$d") {
+      val sigs = minhashSigs(s, d)
+      val bands = sigs.select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, 7), b -> " +
+            "struct(element_at(sig, 2*b+1) AS s1, element_at(sig, 2*b+2) AS s2))"))
+          .as(Seq("b", "bs")))
+        .select(col("doc_id"), col("b"), col("bs.s1").as("s1"), col("bs.s2").as("s2"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.b") === col("b.b") && col("a.s1") === col("b.s1") &&
+            col("a.s2") === col("b.s2") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+    }
+
   val minhashLsh = Q(
     "q32_dedup_minhash_lsh",
     """WITH toks AS (
@@ -137,37 +178,12 @@ object TextOps {
         (0 until 16).map(j =>
           s"MIN((v * ${1000003L * j + 12345L} + ${777767L * j + 1L}) % 2147483647)")
           .mkString(", "))) { (s, d) =>
-    val shingleRows = withToks(Tables.documents(s, d))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, size(toks) - 2), i -> " +
-          "concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"))
-        .as("s"))
-    val hashed = shingleRows.select(col("doc_id"),
-      expr("CAST(conv(substr(md5(s), 1, 7), 16, 10) AS BIGINT)").as("v"))
-    val minCols = (0 until 16).map { j =>
-      min((col("v") * lit(1000003L * j + 12345L) + lit(777767L * j + 1L)) % 2147483647L)
-        .as(s"s$j")
-    }
     // The signature table feeds four plan branches (both band-join sides
-    // + the two est-jaccard joins); materialize it once instead of
-    // recomputing the shingle/hash pipeline per branch. ~16 longs per doc
-    // — at 100 TB of documents this is gigabytes, not terabytes.
-    val sigs = hashed.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"), array((0 until 16).map(j => col(s"s$j")): _*).as("sig"))
-      .localCheckpoint(true)
-    val bands = sigs.select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 7), b -> " +
-          "struct(element_at(sig, 2*b+1) AS s1, element_at(sig, 2*b+2) AS s2))"))
-        .as(Seq("b", "bs")))
-      .select(col("doc_id"), col("b"), col("bs.s1").as("s1"), col("bs.s2").as("s2"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.b") === col("b.b") && col("a.s1") === col("b.s1") &&
-          col("a.s2") === col("b.s2") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+    // + the two est-jaccard joins); it is materialized once in the shared
+    // cache instead of recomputed per branch — ~16 longs per doc, so at
+    // 100 TB of documents this is gigabytes, not terabytes.
+    val sigs = minhashSigs(s, d)
+    val cand = minhashCandidates(s, d)
     cand
       .join(sigs.as("sa"), col("da") === col("sa.doc_id"))
       .join(sigs.as("sb"), col("db") === col("sb.doc_id"))

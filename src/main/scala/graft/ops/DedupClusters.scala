@@ -84,6 +84,17 @@ object DedupClusters {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevConf)
   }
 
+  /** Shared (node, label) cluster assignment over the LSH candidate
+    * graph — computed once per session and reused by q57 (report) and
+    * q76 (corpus purge).
+    */
+  def clusterLabels(s: SparkSession, d: String): DataFrame =
+    graft.Shared.materialized(s, s"cc-labels@$d") {
+      connectedComponents(
+        TextOps.minhashCandidates(s, d)
+          .select(col("da").as("src"), col("db").as("dst")))
+    }
+
   /** Cluster assignment for every doc that appears in an LSH candidate
     * pair: (doc_id, cluster_rep = min doc_id in its component).
     */
@@ -122,9 +133,7 @@ object DedupClusters {
         (0 until 16).map(j =>
           s"MIN((v * ${1000003L * j + 12345L} + ${777767L * j + 1L}) % 2147483647)")
           .mkString(", "))) { (s, d) =>
-    val edges = TextOps.minhashCandidates(s, d)
-      .select(col("da").as("src"), col("db").as("dst"))
-    connectedComponents(edges)
+    clusterLabels(s, d)
       .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
       .orderBy(col("doc_id"))
   }

@@ -64,6 +64,37 @@ class PlanSpec extends SparkSuite {
     assert(scanned == 1, s"scanned $scanned partitions")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    import spark.implicits._
+    // 90% of the left side lands on one key: with thresholds scaled down
+    // to the test data size, AQE's skew-join rule must split the hot
+    // partition instead of letting one task process 90% of the join.
+    val conf = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force sort-merge
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 60000)
+        .select(when($"id" % 10 === 0, $"id" % 100).otherwise(0L).as("k"),
+          ($"id" * 7 % 1000).as("payload"))
+      val right = spark.range(0, 100).select($"id".as("k"), ($"id" * 3).as("dim"))
+      // No groupBy on the join key: AQE will not split skewed partitions
+      // if a downstream operator requires the join's hash partitioning
+      // (splitting would force an extra shuffle), so aggregate globally.
+      val joined = left.join(right, "k").agg(sum($"payload" + $"dim").as("s"))
+      joined.collect() // AQE decides skew handling at runtime — must execute
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed co-partitioned join runs without a shuffle exchange") {
     import spark.implicits._
     import scala.reflect.io.Directory

@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output normally goes through sbt's logger, which prefixes every
+// line with "[info] " — that broke the driver's machine-line parse two rounds
+// running (BENCH_r0{1,2}.json: "parsed": null). StdoutOutput passes the child
+// process's stdout through verbatim, so graft.Bench's JSON line starts with '{'.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

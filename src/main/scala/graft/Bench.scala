@@ -21,8 +21,12 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // %.3f via the f-interpolator is locale-sensitive (comma decimals under
+    // e.g. de_DE would corrupt the JSON), so format explicitly with ROOT.
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Full per-query detail on separate lines (human log / BENCH.md).
-    results.foreach { case (n, s) => println(f"BENCHQ $n%-28s $s%.3f s") }
+    results.foreach { case (n, s) => println(s"BENCHQ ${n.padTo(28, ' ')} ${d3(s)} s") }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // The driver captures only the LAST ~2000 chars of output and parses the
     // JSON line out of that window — round-1 full-precision doubles pushed the
@@ -31,9 +35,9 @@ object Bench {
     // it still exceeds the budget, keep only the slowest queries in the map
     // (the total is what BASELINE.md grades; per-query is informative).
     def render(kept: Seq[(String, Double)], dropped: Int): String = {
-      val qs = kept.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      val qs = kept.map { case (k, v) => s""""$k":${d3(v)}""" }.mkString("{", ",", "}")
       val trunc = if (dropped > 0) s""","queries_omitted":$dropped""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$trunc,"sf":"$sfDir","n":${results.size}}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs$trunc,"sf":"$sfDir","n":${results.size}}"""
     }
     val bySlowest = results.sortBy(-_._2)
     var kept = bySlowest

@@ -41,57 +41,68 @@ object InsurancePipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Staging (reference script 01, pandas there — distributed CSV here)
-    val contractsRaw = Ingest.dropAllNullRows(
-      Ingest.csvInferred(spark, s"$rawDir/raw/contracts.csv"))
-    val vehiclesRaw = Ingest.dropAllNullRows(
-      Ingest.csvInferred(spark, s"$rawDir/raw/vehicles.csv"))
-    val claimsRaw = Ingest.dropAllNullRows(
-      Ingest.csvInferred(spark, s"$rawDir/raw/claims.csv"))
-    val telematicsRaw = Ingest.parquet(spark, s"$rawDir/staged/telematics_raw.parquet")
+    // Staging + cleaning (reference scripts 01-03), fault-isolated per
+    // source (reference 03:44-51,306-316): one corrupt/missing feed logs
+    // a skip and the remaining sources still land; downstream stages run
+    // for whatever their inputs survived.
+    val loaded = Ingest.loadIsolated(
+      "contracts" -> (() => Cleaning.cleanContracts(
+        Ingest.dropAllNullRows(Ingest.csvInferred(spark, s"$rawDir/raw/contracts.csv"))
+          .withColumn("annual_premium", col("annual_premium").cast("string"))
+          .withColumn("client_age", col("client_age").cast("double")))),
+      "vehicles" -> (() => Cleaning.cleanVehicles(
+        Ingest.dropAllNullRows(Ingest.csvInferred(spark, s"$rawDir/raw/vehicles.csv")))),
+      "claims" -> (() => Cleaning.cleanClaims(
+        Ingest.dropAllNullRows(Ingest.csvInferred(spark, s"$rawDir/raw/claims.csv")))),
+      "telematics" -> (() => Cleaning.cleanTelematics(
+        Ingest.parquet(spark, s"$rawDir/staged/telematics_raw.parquet"))))
+    loaded.failed.foreach { case (n, e) => println(s"[pipeline-skip] source $n failed: $e") }
+    println(s"[pipeline] ${loaded.tally}")
 
-    // Cleaning layer (scripts 02-03)
-    val contracts = Cleaning.cleanContracts(
-      contractsRaw.withColumn("annual_premium", col("annual_premium").cast("string"))
-        .withColumn("client_age", col("client_age").cast("double")))
-    val vehicles = Cleaning.cleanVehicles(vehiclesRaw)
-    val claims = Cleaning.cleanClaims(claimsRaw)
-    val telematics = Cleaning.cleanTelematics(telematicsRaw)
-    Ingest.writeParquetPartitioned(contracts, s"$outDir/contracts_clean", "contract_status")
-    println(s"[pipeline-observed] vehicles_clean rows=" +
-      writeWithRowCount(vehicles, s"$outDir/vehicles_clean"))
-    println(s"[pipeline-observed] claims_clean rows=" +
-      writeWithRowCount(claims, s"$outDir/claims_clean"))
+    loaded("contracts").foreach { contracts =>
+      Ingest.writeParquetPartitioned(contracts, s"$outDir/contracts_clean", "contract_status")
+    }
+    loaded("vehicles").foreach { vehicles =>
+      println(s"[pipeline-observed] vehicles_clean rows=" +
+        writeWithRowCount(vehicles, s"$outDir/vehicles_clean"))
+    }
+    loaded("claims").foreach { claims =>
+      println(s"[pipeline-observed] claims_clean rows=" +
+        writeWithRowCount(claims, s"$outDir/claims_clean"))
+    }
 
-    // Dimensions (script 04)
-    val contractsClean = Ingest.parquet(spark, s"$outDir/contracts_clean")
-    val dimCustomer = Dimensions.dimCustomer(contractsClean)
-    val dimPolicy = Dimensions.dimPolicy(contractsClean)
-    val dimDate = Dimensions.dimDate(spark, "2020-01-01", "2030-12-31")
-    Ingest.writeParquet(dimCustomer, s"$outDir/dim_customer")
-    Ingest.writeParquet(dimPolicy, s"$outDir/dim_policy")
-    Ingest.writeParquet(dimDate, s"$outDir/dim_date")
+    // Dimensions (script 04) + facts (scripts 05 + 07) + analytics
+    // (scripts 09 + 10) + validation (script 06) — gated on contracts.
+    loaded("contracts").foreach { _ =>
+      val contractsClean = Ingest.parquet(spark, s"$outDir/contracts_clean")
+      val dimCustomer = Dimensions.dimCustomer(contractsClean)
+      val dimPolicy = Dimensions.dimPolicy(contractsClean)
+      val dimDate = Dimensions.dimDate(spark, "2020-01-01", "2030-12-31")
+      Ingest.writeParquet(dimCustomer, s"$outDir/dim_customer")
+      Ingest.writeParquet(dimPolicy, s"$outDir/dim_policy")
+      Ingest.writeParquet(dimDate, s"$outDir/dim_date")
 
-    // Facts (scripts 05 + 07)
-    val factPolicy = Facts.factPolicySnapshot(contractsClean, dimCustomer, dimPolicy, dimDate)
-    val factClaims = Facts.factClaims(claims, dimPolicy, dimDate)
-    Ingest.writeParquet(factPolicy, s"$outDir/fact_policy_snapshot")
-    Ingest.writeParquet(factClaims, s"$outDir/fact_claims")
+      val factPolicy = Facts.factPolicySnapshot(contractsClean, dimCustomer, dimPolicy, dimDate)
+      Ingest.writeParquet(factPolicy, s"$outDir/fact_policy_snapshot")
+      loaded("claims").foreach { claims =>
+        Ingest.writeParquet(Facts.factClaims(claims, dimPolicy, dimDate), s"$outDir/fact_claims")
+      }
 
-    // Risk scoring (script 08)
-    val speeds = Risk.deviceSpeeds(telematics)
-    val scored = Risk.riskScores(speeds)
-    Ingest.writeParquet(scored, s"$outDir/fact_driver_risk")
+      val fp = Ingest.parquet(spark, s"$outDir/fact_policy_snapshot")
+      Ingest.writeParquet(
+        Analytics.premiumByPeriod(fp, Ingest.parquet(spark, s"$outDir/dim_date")),
+        s"$outDir/analysis_premium_by_period")
+      Ingest.writeParquet(
+        Analytics.premiumBySegment(fp, Ingest.parquet(spark, s"$outDir/dim_customer")),
+        s"$outDir/analysis_premium_by_segment")
+      Validation.validateFactPolicy(fp).show(truncate = false)
+    }
 
-    // Warehouse analytics (scripts 09 + 10) + validation (script 06)
-    val fp = Ingest.parquet(spark, s"$outDir/fact_policy_snapshot")
-    Ingest.writeParquet(
-      Analytics.premiumByPeriod(fp, Ingest.parquet(spark, s"$outDir/dim_date")),
-      s"$outDir/analysis_premium_by_period")
-    Ingest.writeParquet(
-      Analytics.premiumBySegment(fp, Ingest.parquet(spark, s"$outDir/dim_customer")),
-      s"$outDir/analysis_premium_by_segment")
-    Validation.validateFactPolicy(fp).show(truncate = false)
+    // Risk scoring (script 08) — gated on telematics only.
+    loaded("telematics").foreach { telematics =>
+      Ingest.writeParquet(Risk.riskScores(Risk.deviceSpeeds(telematics)),
+        s"$outDir/fact_driver_risk")
+    }
 
     // Summary: one cheap count per written table. (The reference instead
     // interleaves count() actions mid-pipeline, re-executing every plan
@@ -102,10 +113,13 @@ object InsurancePipeline {
       "dim_policy", "dim_date", "fact_policy_snapshot", "fact_claims",
       "fact_driver_risk", "analysis_premium_by_period",
       "analysis_premium_by_segment").foreach { t =>
-      println(s"[pipeline] $t rows=${Ingest.parquet(spark, s"$outDir/$t").count()}")
+      if (new java.io.File(s"$outDir/$t").exists())
+        println(s"[pipeline] $t rows=${Ingest.parquet(spark, s"$outDir/$t").count()}")
+      else println(s"[pipeline] $t skipped (source failed upstream)")
     }
-    Ingest.parquet(spark, s"$outDir/fact_driver_risk")
-      .orderBy(col("deviceId")).show(10, false)
+    if (new java.io.File(s"$outDir/fact_driver_risk").exists())
+      Ingest.parquet(spark, s"$outDir/fact_driver_risk")
+        .orderBy(col("deviceId")).show(10, false)
 
     // Optional JDBC warehouse load (third arg = JDBC URL), mirroring the
     // reference's PostgreSQL loads (scripts 04:74-78, 05:146-151) --
@@ -115,6 +129,7 @@ object InsurancePipeline {
       val props = new java.util.Properties()
       props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       Seq("dim_customer", "dim_policy", "fact_policy_snapshot", "fact_claims")
+        .filter(t => new java.io.File(s"$outDir/$t").exists())
         .foreach { t =>
           Ingest.writeJdbc(Ingest.parquet(spark, s"$outDir/$t"), url, t, props)
           println(s"[pipeline-jdbc] loaded $t")

@@ -195,13 +195,25 @@ object Analytics {
       |UNION ALL
       |SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT k FROM open_cust UNION SELECT k FROM done_cust) t
       |ORDER BY op""".stripMargin) { (s, d) =>
+    // EXCEPT/INTERSECT/UNION over the two DISTINCT customer sets, computed
+    // as ONE fact scan + ONE shuffle: group by customer with two boolean
+    // flags, then the three set cardinalities are conditional counts over
+    // the (tiny) per-customer flag table. The literal except/intersect/
+    // union form scanned orders 3× and ran 3 distinct-shuffles — at 100 TB
+    // that triples the dominant cost for identical semantics.
     val o = Tables.orders(s, d)
-    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k")).distinct()
-    val done = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k")).distinct()
-    val ex = open.except(done).agg(count(lit(1)).as("n")).select(lit("except").as("op"), col("n"))
-    val in = open.intersect(done).agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), col("n"))
-    val un = open.union(done).distinct().agg(count(lit(1)).as("n")).select(lit("union").as("op"), col("n"))
-    ex.unionByName(in).unionByName(un).orderBy(col("op"))
+    val flags = o.filter(col("o_orderstatus").isin("O", "F"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(col("o_orderstatus") === "O").as("has_open"),
+        max(col("o_orderstatus") === "F").as("has_done"))
+    flags.agg(
+        count(when(col("has_open") && !col("has_done"), 1)).as("except_n"),
+        count(when(col("has_open") && col("has_done"), 1)).as("intersect_n"),
+        count(lit(1)).as("union_n"))
+      .select(expr(
+        "stack(3, 'except', except_n, 'intersect', intersect_n, 'union', union_n) AS (op, n)"))
+      .orderBy(col("op"))
   }
 
   /** ROLLUP hierarchy totals (region → nation → grand total). */

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads modeled as
@@ -30,6 +30,41 @@ object Multimodal {
       .withColumn("width", (lit(64) + col("n_chars") % 512).cast("int"))
       .withColumn("height", (lit(64) + (col("n_chars") * 7) % 512).cast("int"))
       .withColumn("n_frames", (lit(1) + col("n_chars") % 8).cast("int"))
+
+  /** Media-ish features a decoder emits per payload. */
+  case class DecodedMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+    n_frames: Int)
+
+  /** Batched media decode over `(id, payload)` — the 100 TB decode shape
+    * as a library entry point (not test scaffolding): `codecFactory` runs
+    * ONCE per partition (per executor task) so codec/library init is
+    * amortized over the whole batch, payload bytes stream through
+    * executors without ever visiting the driver, and the result is a
+    * typed Dataset ready for downstream relational ops.
+    *
+    * The real decoder isn't available in this offline environment — a
+    * production caller passes e.g. `() => jpegDecode _` built on its
+    * native codec; [[stubCodec]] is the deterministic stand-in used by
+    * tests and demos.
+    */
+  def decodePartitions[T: Encoder](df: DataFrame, idCol: String, payloadCol: String)
+      (codecFactory: () => (Long, Array[Byte]) => T): Dataset[T] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val decode = codecFactory() // codec init: once per partition
+        it.map { case (id, bytes) => decode(id, bytes) }
+      }
+  }
+
+  /** Deterministic stub codec for [[decodePartitions]]: byte statistics →
+    * media-ish metadata, mirroring what a real codec reads from headers.
+    */
+  def stubCodec: () => (Long, Array[Byte]) => DecodedMeta =
+    () => (id, bytes) => DecodedMeta(id, bytes.length,
+      64 + bytes.length % 512, 64 + (bytes.length * 7) % 512,
+      1 + bytes.length % 8)
 
   /** Binary payload ingestion + digest + stub decode metadata. */
   val multimodalMeta = Q(

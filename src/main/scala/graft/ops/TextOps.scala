@@ -184,13 +184,17 @@ object TextOps {
     // 100 TB of documents this is gigabytes, not terabytes.
     val sigs = minhashSigs(s, d)
     val cand = minhashCandidates(s, d)
+    // Signature agreement as a flat sum of 16 element_at comparisons —
+    // stays inside whole-stage codegen. The aggregate(zip_with(...)) form
+    // runs interpreted per row in Spark 4.1 (lambda HOFs have no doGenCode).
+    val agree = (1 to 16).map { i =>
+      when(element_at(col("sa.sig"), i) === element_at(col("sb.sig"), i), 1).otherwise(0)
+    }.reduce(_ + _)
     cand
       .join(sigs.as("sa"), col("da") === col("sa.doc_id"))
       .join(sigs.as("sb"), col("db") === col("sb.doc_id"))
       .select(col("da"), col("db"),
-        round(expr(
-          "aggregate(zip_with(sa.sig, sb.sig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), " +
-            "0, (acc, v) -> acc + v)") / lit(16.0), 6).as("est_jaccard"))
+        round(agree / lit(16.0), 6).as("est_jaccard"))
       .orderBy(col("da"), col("db"))
   }
 

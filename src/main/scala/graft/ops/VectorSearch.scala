@@ -65,29 +65,39 @@ object VectorSearch {
   }
 
   /** LSH-bucketed ANN: 8 hyperplanes (the first 8 embeddings, a
-    * deterministic stand-in for random planes) → 8-bit sign signature →
-    * same-bucket candidates only → cosine top-3 per query.
+    * deterministic stand-in for random planes) → 4 bands × 2 sign bits →
+    * OR-amplified candidates (pairs colliding in ANY band) → cosine top-3
+    * per query.
+    *
+    * Banding matters at corpus scale: a single 8-bit signature collides
+    * with probability (1-θ/π)^8 — a recall cliff for genuinely-near pairs.
+    * Four 2-bit bands keep per-band join fan-out bounded while
+    * 1-(1-p²)⁴ ≥ p⁸ recovers the recall (same structure as q32's 8×2
+    * MinHash bands). Recall vs the exact q34 top-k is asserted in
+    * TextVectorSpec.
     */
   val annLsh = Q(
     "q35_ann_lsh_bucketed",
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |planes AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 8),
-      |sigs AS (
-      |  SELECT e.vec_id, CAST(SUM(CASE WHEN list_dot_product(v, pv) > 0
-      |                       THEN (1 << p_id) ELSE 0 END) AS BIGINT) AS sig
-      |  FROM e, planes GROUP BY e.vec_id),
-      |q AS (
-      |  SELECT s.vec_id AS q_id, e.v AS qv, s.sig
-      |  FROM sigs s JOIN e ON s.vec_id = e.vec_id WHERE s.vec_id < 10),
+      |bits AS (
+      |  SELECT e.vec_id, p_id,
+      |    CASE WHEN list_dot_product(v, pv) > 0 THEN 1 ELSE 0 END AS bit
+      |  FROM e, planes),
+      |bands AS (
+      |  SELECT vec_id, CAST(p_id // 2 AS BIGINT) AS b,
+      |    CAST(SUM(bit << CAST(p_id % 2 AS INTEGER)) AS BIGINT) AS bsig
+      |  FROM bits GROUP BY vec_id, p_id // 2),
       |cand AS (
-      |  SELECT q.q_id, s.vec_id AS c_id, q.qv, e.v AS cv
-      |  FROM q JOIN sigs s ON q.sig = s.sig AND s.vec_id <> q.q_id
-      |  JOIN e ON e.vec_id = s.vec_id),
+      |  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS c_id
+      |  FROM bands qb JOIN bands cb
+      |    ON qb.b = cb.b AND qb.bsig = cb.bsig AND cb.vec_id <> qb.vec_id
+      |  WHERE qb.vec_id < 10),
       |sims AS (
       |  SELECT q_id, c_id,
-      |    ROUND(list_dot_product(qv, cv)
-      |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
-      |  FROM cand)
+      |    ROUND(list_dot_product(qe.v, ce.v)
+      |      / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 6) AS sim
+      |  FROM cand JOIN e qe ON qe.vec_id = q_id JOIN e ce ON ce.vec_id = c_id)
       |SELECT q_id, rank, c_id, sim FROM (
       |  SELECT q_id, c_id, sim,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INTEGER) AS rank
@@ -97,17 +107,25 @@ object VectorSearch {
     val e = emb(s, d)
     val planes = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("p_id"), col("v").as("pv"))
-    val sigs = e.crossJoin(broadcast(planes))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(expr("graft_dot(v, pv)") > 0, expr("shiftleft(1, p_id)"))
-        .otherwise(0)).as("sig"))
-    val withV = sigs.join(e, Seq("vec_id"))
-    val q = withV.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig").as("qsig"))
-    val cand = broadcast(q).join(withV.as("c"),
-        col("qsig") === col("c.sig") && col("c.vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("c.vec_id").as("c_id"), col("qv"), col("c.v").as("cv"))
-    val sims = cand.select(col("q_id"), col("c_id"), cosExpr("qv", "cv").as("sim"))
+    // (vec_id, band, band-signature): one narrow scan × 8 broadcast planes,
+    // partial-aggregated to 4 rows/vector before any shuffle.
+    val bands = e.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("p_id"),
+        when(expr("graft_dot(v, pv)") > 0, 1).otherwise(0).as("bit"))
+      .groupBy(col("vec_id"), expr("p_id div 2").cast("long").as("b"))
+      .agg(sum(expr("shiftleft(bit, CAST(p_id % 2 AS INT))")).as("bsig"))
+    val qBands = bands.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("b").as("qb"), col("bsig").as("qsig"))
+    // OR-amplification: a pair qualifies if ANY band collides → distinct.
+    val cand = broadcast(qBands).join(bands.as("c"),
+        col("qb") === col("c.b") && col("qsig") === col("c.bsig") &&
+          col("c.vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("c.vec_id").as("c_id"))
+      .distinct()
+    val sims = cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), Seq("q_id"))
+      .join(e.select(col("vec_id").as("c_id"), col("v").as("cv")), Seq("c_id"))
+      .select(col("q_id"), col("c_id"), cosExpr("qv", "cv").as("sim"))
     val wk = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     sims.withColumn("rank", row_number().over(wk))
       .filter(col("rank") <= 3)

@@ -96,6 +96,40 @@ object Ingest {
     spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
       numPartitions, props)
 
+  /** Result of a fault-isolated multi-source load: the sources that built,
+    * the per-source failure messages, and the reference's success tally.
+    */
+  case class SourceLoad(ok: Map[String, DataFrame], failed: Map[String, String]) {
+    def apply(name: String): Option[DataFrame] = ok.get(name)
+    /** "3/4 sources loaded" — the tally the reference logs (scripts/03:306-316). */
+    def tally: String = s"${ok.size}/${ok.size + failed.size} sources loaded"
+  }
+
+  /** Per-source failure isolation (reference
+    * scripts/03_clean_multisource_data.py:44-51,306-316: each source is
+    * cleaned inside try/except, a failure yields None, and the run
+    * continues with a success tally). One corrupt or missing source must
+    * not abort a multi-source ingest — at 100 TB with dozens of upstream
+    * feeds, partial availability is the NORMAL case.
+    *
+    * Each thunk builds (and typically validates) one source. Spark
+    * analysis errors — missing path, schema/column mismatch in the
+    * cleaning projection — surface at build time and are caught here.
+    * DataFrames are lazy, so data-level corruption inside row values
+    * surfaces at the caller's action; wrap the terminal write in the
+    * thunk when full load→clean→land isolation is wanted.
+    */
+  def loadIsolated(sources: (String, () => DataFrame)*): SourceLoad = {
+    val results = sources.map { case (name, build) =>
+      name -> scala.util.Try(build())
+    }
+    SourceLoad(
+      ok = results.collect { case (n, scala.util.Success(df)) => n -> df }.toMap,
+      failed = results.collect { case (n, scala.util.Failure(e)) =>
+        n -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}"
+      }.toMap)
+  }
+
   /** JDBC overwrite sink (S7, reference 04:74-78). */
   def writeJdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties, batchSize: Int = 1000): Unit =

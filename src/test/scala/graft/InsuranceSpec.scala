@@ -199,4 +199,25 @@ class InsuranceSpec extends SparkSuite {
     assert(scored(1).getAs[Double]("driver_risk_score") == 0.0)
     assert(scored(1).getAs[String]("risk_category") == "VERY_RISKY")
   }
+
+  test("multi-source ingest: one corrupt source is isolated, the rest load") {
+    import graft.sources.Ingest
+    // "claims" is corrupt: header lacks every column cleanClaims projects,
+    // so its cleaning projection fails analysis — exactly the reference's
+    // per-source try/except path (scripts/03:44-51,306-316).
+    val corrupt = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$corrupt/claims.csv"), "a,b\n1,2\n")
+    val loaded = Ingest.loadIsolated(
+      "contracts" -> (() => Cleaning.cleanContracts(rawContracts)),
+      "claims" -> (() => Cleaning.cleanClaims(
+        Ingest.csvInferred(spark, s"$corrupt/claims.csv"))),
+      "missing" -> (() => Ingest.parquet(spark, s"$corrupt/does_not_exist.parquet")))
+    assert(loaded.ok.keySet == Set("contracts"), s"failed=${loaded.failed}")
+    assert(loaded.failed.keySet == Set("claims", "missing"))
+    assert(loaded.tally == "1/3 sources loaded")
+    // The surviving source is fully usable downstream.
+    assert(loaded("contracts").get.count() == 3)
+    assert(loaded("claims").isEmpty)
+  }
 }

@@ -22,17 +22,24 @@ class MultimodalSpec extends SparkSuite {
     assert(m(0).getAs[Int]("n_frames") == 1 + 11 % 8)
   }
 
-  test("mapPartitions decode-stub path preserves schema and batches per partition") {
-    // The shape a real decoder would take: iterate payloads per partition
-    // (so codec init happens once per executor-partition), emit features.
-    val decoded = docs.select("doc_id", "payload").as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // real impl would init a codec here, once per partition
-        it.map { case (id, bytes) => Decoded(id, bytes.length, bytes.head & 0xff) }
-      }
+  test("library decodePartitions: custom codec, init once per partition") {
+    val inits = spark.sparkContext.longAccumulator("codec-inits")
+    val decoded = Multimodal.decodePartitions(docs.repartition(2), "doc_id", "payload") {
+      () =>
+        inits.add(1) // a real impl would open its codec here
+        (id: Long, bytes: Array[Byte]) => Decoded(id, bytes.length, bytes.head & 0xff)
+    }
     val r = decoded.collect().sortBy(_.doc_id)
     assert(r(0) == Decoded(0L, 11, 'h'.toInt))
     assert(r(1).n_bytes == 13)
+    assert(inits.value == 2, "codec must init exactly once per partition")
+  }
+
+  test("library decodePartitions with the stub codec emits media-ish metadata") {
+    val meta = Multimodal.decodePartitions(docs, "doc_id", "payload")(Multimodal.stubCodec)
+      .collect().sortBy(_.doc_id)
+    assert(meta(0) == Multimodal.DecodedMeta(0L, 11, 64 + 11 % 512, 64 + 77 % 512, 1 + 11 % 8))
+    assert(meta(1).n_bytes == 13) // bytes, not chars
   }
 
   test("digest column matches sha-256 of the payload bytes") {

@@ -49,39 +49,43 @@ object DedupClusters {
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = math.max(1, math.min(defaultParts.toLong,
       symWide.count() / 2000000L + 1L)).toInt
-    val sym =
-      if (parts < defaultParts) symWide.repartition(parts).localCheckpoint(true)
-      else symWide
-    val prevConf = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
-      val nodes = sym.select(col("src").as("node")).distinct()
-      def flow(l: DataFrame): DataFrame = sym
-        .join(l, sym("src") === l("node"))
-        .select(col("dst").as("node"), col("label"))
-        .union(l.select(col("node"), col("label")))
-        .groupBy(col("node"))
-        .agg(min(col("label")).as("label"))
-      var labels = nodes.withColumn("label", col("node")).localCheckpoint(true)
-      var prevSum: Option[java.math.BigDecimal] = None
-      var converged = false
-      var i = 0
-      while (!converged && i < maxBatches) {
-        val batch = (1 to roundsPerBatch).foldLeft(labels)((l, _) => flow(l))
-          .localCheckpoint(true)
-        val labelSum = batch.agg(sum(col("label").cast("decimal(38,0)")))
-          .collect()(0).getDecimal(0)
-        converged = prevSum.contains(labelSum)
-        prevSum = Some(labelSum)
-        labels = batch
-        i += 1
-      }
-      if (!converged)
-        throw new IllegalStateException(
-          s"connectedComponents did not converge after ${maxBatches * roundsPerBatch} " +
-            "propagation rounds — a component has a larger diameter; raise maxBatches")
-      labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevConf)
+    // Partitioning is pinned per-plan with explicit hash repartition on the
+    // join/agg keys — NOT by mutating the session-global shuffle.partitions
+    // conf, which would silently leak the tiny partition count into any
+    // query planned concurrently on the same session. The join reuses
+    // sym's hash(src) and labels' hash(node) layouts (same key, any
+    // partition count satisfies the clustered distribution → no extra
+    // exchange); each round's only shuffle is the one repartition feeding
+    // the min-label aggregate.
+    val sym = symWide.repartition(parts, col("src")).localCheckpoint(true)
+    val nodes = sym.select(col("src").as("node")).distinct()
+    def flow(l: DataFrame): DataFrame = sym
+      .join(l, sym("src") === l("node"))
+      .select(col("dst").as("node"), col("label"))
+      .union(l.select(col("node"), col("label")))
+      .repartition(parts, col("node"))
+      .groupBy(col("node"))
+      .agg(min(col("label")).as("label"))
+    var labels = nodes.withColumn("label", col("node"))
+      .repartition(parts, col("node")).localCheckpoint(true)
+    var prevSum: Option[java.math.BigDecimal] = None
+    var converged = false
+    var i = 0
+    while (!converged && i < maxBatches) {
+      val batch = (1 to roundsPerBatch).foldLeft(labels)((l, _) => flow(l))
+        .localCheckpoint(true)
+      val labelSum = batch.agg(sum(col("label").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
+      converged = prevSum.contains(labelSum)
+      prevSum = Some(labelSum)
+      labels = batch
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after ${maxBatches * roundsPerBatch} " +
+          "propagation rounds — a component has a larger diameter; raise maxBatches")
+    labels
   }
 
   /** Shared (node, label) cluster assignment over the LSH candidate

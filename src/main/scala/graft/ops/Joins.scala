@@ -66,13 +66,10 @@ object Joins {
       |FROM fact JOIN dim_date USING (date_key)
       |GROUP BY day_name
       |ORDER BY day_name""".stripMargin) { (s, d) =>
-    val dimDate = s.range(1)
-      .select(explode(sequence(
-        lit(java.sql.Date.valueOf("1992-01-01")),
-        lit(java.sql.Date.valueOf("2005-12-31")),
-        expr("interval 1 day"))).as("d"))
-      .select(date_format(col("d"), "yyyyMMdd").cast("int").as("date_key"),
-        date_format(col("d"), "EEEE").as("day_name"))
+    // Shared session calendar (computed once, reused by q08): the extra
+    // 2006-2021 tail is invisible to this inner join.
+    val dimDate = Dimensional.calendar(s)
+      .select(col("date_key"), col("day_name"))
     val fact = Tables.orders(s, d)
       .select(date_format(col("o_orderdate"), "yyyyMMdd").cast("int").as("date_key"),
         col("o_totalprice"))

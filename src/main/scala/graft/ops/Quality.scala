@@ -51,5 +51,58 @@ object Quality {
         round(count(col("c_custkey")) * 100.0 / count(lit(1)), 4).as("pct_matched"))
   }
 
-  val specs: Seq[Q] = Seq(nullProfile, coverageRatio)
+  /** Star-schema fact QA through the library's Validation surface
+    * (reference 06:52-75): build a fact_policy-shaped table from orders
+    * (orderkey→policy_key, left-joined customer→customer_key so unmatched
+    * facts surface as null keys, yyyyMMdd date_key, decimal premium), run
+    * `Validation.schemaCheck` (column-presence introspection) and
+    * `Validation.validateFactPolicy` (one-scan record/null-key/premium
+    * profile), then project to oracle-deterministic dtypes. The avg is
+    * recomputed as exact-decimal-sum ÷ count in double (the Det.davg form
+    * the oracle mirrors) — validateFactPolicy's decimal-division avg
+    * rounds at a different scale than DuckDB.
+    */
+  val factQuality = Q(
+    "q21c_fact_quality",
+    """WITH fact AS (
+      |  SELECT o_orderkey AS policy_key,
+      |         c_custkey AS customer_key,
+      |         CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS date_key,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS premium_amount
+      |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey)
+      |SELECT COUNT(*) AS record_count,
+      |  COUNT(CASE WHEN policy_key IS NULL THEN 1 END) AS null_policy_keys,
+      |  COUNT(CASE WHEN customer_key IS NULL THEN 1 END) AS null_customer_keys,
+      |  COUNT(CASE WHEN date_key IS NULL THEN 1 END) AS null_date_keys,
+      |  CAST(SUM(premium_amount) AS DOUBLE) AS premium_sum,
+      |  ROUND(CAST(SUM(premium_amount) AS DOUBLE) / COUNT(*), 4) AS premium_avg,
+      |  CAST(MIN(premium_amount) AS DOUBLE) AS premium_min,
+      |  CAST(MAX(premium_amount) AS DOUBLE) AS premium_max,
+      |  0 AS n_missing_cols, 0 AS n_unexpected_cols
+      |FROM fact""".stripMargin) { (s, d) =>
+    import graft.insurance.Validation
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d).select(col("c_custkey"))
+    val fact = o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_outer")
+      .select(
+        col("o_orderkey").as("policy_key"),
+        col("c_custkey").as("customer_key"),
+        date_format(col("o_orderdate"), "yyyyMMdd").cast("int").as("date_key"),
+        col("o_totalprice").cast("decimal(18,2)").as("premium_amount"))
+    val (missing, extra) = Validation.schemaCheck(fact,
+      Seq("policy_key", "customer_key", "date_key", "premium_amount"))
+    Validation.validateFactPolicy(fact)
+      .select(
+        col("record_count"),
+        col("null_policy_keys"), col("null_customer_keys"), col("null_date_keys"),
+        col("premium_sum").cast("double").as("premium_sum"),
+        round(col("premium_sum").cast("double") / col("record_count"), 4)
+          .as("premium_avg"),
+        col("premium_min").cast("double").as("premium_min"),
+        col("premium_max").cast("double").as("premium_max"),
+        lit(missing.size).as("n_missing_cols"),
+        lit(extra.size).as("n_unexpected_cols"))
+  }
+
+  val specs: Seq[Q] = Seq(nullProfile, coverageRatio, factQuality)
 }

@@ -30,8 +30,11 @@ class StreamingSelfOracleSpec extends SparkSuite {
       .map(r => (r.getTimestamp(0), r.getString(1), r.getDecimal(2)))
       .toSeq
 
+  /** Exactly `n` chunks (grouped can yield fewer for some sizes — pad with
+    * empty batches so `val Seq(a,b,c) = chunks(..,3)` never MatchErrors).
+    */
   private def chunks[T](xs: Seq[T], n: Int): Seq[Seq[T]] =
-    xs.grouped(math.max(1, (xs.size + n - 1) / n)).toSeq
+    xs.grouped(math.max(1, (xs.size + n - 1) / n)).toSeq.padTo(n, Seq.empty[T])
 
   private def canon(df: DataFrame): Seq[String] =
     df.select(col("window_start").cast("string"), col("event_type"),

@@ -72,4 +72,23 @@ class TextVectorSpec extends SparkSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("quality_band")).toMap
     assert(q(3L) == "ok" || q(3L) == "good") // all-distinct tokens
   }
+
+  test("q35 multi-band LSH recovers most of the exact q34 top-3 (recall)") {
+    import graft.ops.VectorSearch
+    // Real testdata embeddings: recall of the OR-amplified 4×2-bit banding
+    // vs the brute-force oracle. A single 8-bit band scores near zero here
+    // — this assertion is what the banding rewrite buys.
+    def top3(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = df
+      .filter(col("rank") <= 3)
+      .select(col("q_id").cast("long"), col("c_id").cast("long"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = top3(VectorSearch.annBruteForce.run(spark, sf0001))
+    val lsh = top3(VectorSearch.annLsh.run(spark, sf0001))
+    val recalls = exact.toSeq.map { case (q, t) =>
+      (t & lsh.getOrElse(q, Set.empty)).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean top-3 recall over ${recalls.size} queries: $mean%.3f")
+    assert(mean >= 0.5, f"multi-band LSH recall too low: $mean%.3f")
+  }
 }

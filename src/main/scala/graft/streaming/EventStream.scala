@@ -73,6 +73,38 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left_outer")
 
+  /** Gap-based session windows per user (native `session_window`): a
+    * session extends while consecutive events arrive within `gap`; the
+    * window closes at last_event + gap. In streaming mode the watermark
+    * bounds session state (sessions older than the horizon finalize and
+    * evict); in batch mode the same plan computes the full history. At
+    * scale this shuffles once on user_id — session assembly is local to
+    * each key's partition.
+    */
+  def sessionStats(events: DataFrame, gap: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("event_ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Stream-stream inner join. Both sides carry watermarks so the state
+    * store can discard rows that fall out of the join's time bound — the
+    * condition must time-constrain the two event-time columns (range or
+    * equality), otherwise state grows without bound. Batch mode runs the
+    * identical plan (watermarks are no-ops there), which is what q83
+    * verifies against the oracle.
+    */
+  def streamStreamJoin(left: DataFrame, leftTs: String, leftDelay: String,
+      right: DataFrame, rightTs: String, rightDelay: String,
+      cond: org.apache.spark.sql.Column): DataFrame =
+    left.withWatermark(leftTs, leftDelay)
+      .join(right.withWatermark(rightTs, rightDelay), cond)
+
   case class GpsFix(deviceId: String, tsSec: Long, lat: Double, lon: Double)
   case class SpeedState(lastTs: Long, lastLat: Double, lastLon: Double,
       maxSpeed: Double, nFixes: Long)

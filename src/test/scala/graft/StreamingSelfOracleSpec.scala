@@ -90,6 +90,70 @@ class StreamingSelfOracleSpec extends SparkSuite {
     assert(streamed.size == streamed.distinct.size, "stream emitted a duplicate id")
   }
 
+  test("session windows: incremental over 4 micro-batches == batch") {
+    implicit val sc = spark.sqlContext
+    val rows = Tables.events(spark, sf0001)
+      .select(col("user_id"), timestamp_micros(expr("ts DIV 1000")).as("event_ts"),
+        col("value").cast("decimal(18,2)").as("value"))
+      .orderBy(col("event_ts"), col("user_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDecimal(2))).toSeq
+
+    val input = MemoryStream[(Long, Timestamp, java.math.BigDecimal)]
+    val stream = EventStream.sessionStats(
+      input.toDF().toDF("user_id", "event_ts", "value"), gap = "4 hours")
+    val q = stream.writeStream.format("memory")
+      .queryName("self_oracle_sessions").outputMode(OutputMode.Complete).start()
+    try {
+      chunks(rows, 4).foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+
+    def canonS(df: DataFrame): Seq[String] =
+      df.select(col("user_id").cast("string"), col("session_start").cast("string"),
+          col("session_end").cast("string"), col("n_events").cast("string"),
+          col("sum_value").cast("string"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+    val batch = EventStream.sessionStats(
+      rows.toDF("user_id", "event_ts", "value"), gap = "4 hours")
+    assert(canonS(spark.table("self_oracle_sessions")) == canonS(batch))
+  }
+
+  test("stream-stream interval join: incremental == batch") {
+    implicit val sc = spark.sqlContext
+    val e = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(expr("ts DIV 1000")).as("t"))
+      .orderBy(col("t"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3))).toSeq
+    val clickRows = e.filter(_._3 == "click").map(x => (x._2, x._1, x._4))
+    val purchaseRows = e.filter(_._3 == "purchase").map(x => (x._2, x._1, x._4))
+
+    val clickIn = MemoryStream[(Long, Long, Timestamp)]
+    val purchIn = MemoryStream[(Long, Long, Timestamp)]
+    def joined(c: DataFrame, p: DataFrame): DataFrame =
+      EventStream.streamStreamJoin(
+        c.toDF("user_id", "click_id", "click_ts"), "click_ts", "30 minutes",
+        p.toDF("p_user_id", "purchase_id", "purchase_ts"), "purchase_ts", "30 minutes",
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+    val q = joined(clickIn.toDF(), purchIn.toDF()).writeStream.format("memory")
+      .queryName("self_oracle_ssjoin").outputMode(OutputMode.Append).start()
+    try {
+      (chunks(clickRows, 3) zip chunks(purchaseRows, 3)).foreach { case (cc, pc) =>
+        clickIn.addData(cc); purchIn.addData(pc); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def canonJ(df: DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    val batch = joined(clickRows.toDF("user_id", "click_id", "click_ts"),
+      purchaseRows.toDF("p_user_id", "purchase_id", "purchase_ts"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+    assert(canonJ(spark.table("self_oracle_ssjoin")) == canonJ(batch))
+  }
+
   test("stateful running stats: final state per user == batch aggregate") {
     implicit val sc = spark.sqlContext
     val userRows = Tables.events(spark, sf0001)

@@ -53,7 +53,11 @@ object Advanced4 {
       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val sigs = simhash60(Tables.documents(s, d))
+    // Materialize signatures before the self-join: without this the scan +
+    // explode + 60-sum aggregate subtree plans TWICE (once per join side) —
+    // at corpus scale that's 2x the whole signature pass. After the
+    // checkpoint both sides read the (tiny: one long per doc) sig table.
+    val sigs = simhash60(Tables.documents(s, d)).localCheckpoint()
     val bandMask = (1L << 30) - 1
     val bands = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array(
@@ -196,15 +200,24 @@ object Advanced4 {
     val c0 = e.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
 
-    def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    // argmin as min(struct(dist, cid)): the k candidate rows for one
+    // vector are produced in the SAME task (the broadcast join preserves
+    // the scan partitioning), so the PARTIAL aggregate collapses k rows
+    // to 1 before the shuffle — the shuffle carries one row per vector,
+    // never k. (Struct mins plan as SortAggregate — struct buffers are
+    // not hash-aggregable — which costs a local sort, same as the
+    // row_number/WindowGroupLimit alternative; the map-side collapse is
+    // the property that matters at fleet scale.) Struct comparison
+    // orders by (dist, cid) — the oracle's ROW_NUMBER tie-break.
+    def assign(cent: DataFrame): DataFrame =
       e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("cid"), col("v"),
-          round(expr("graft_dot(v,v) - 2*graft_dot(v,cv) + graft_dot(cv,cv)"), 6).as("dist"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("v"), col("dist"))
-    }
+        .select(col("vec_id"), col("v"),
+          struct(
+            round(expr("graft_dot(v,v) - 2*graft_dot(v,cv) + graft_dot(cv,cv)"), 6).as("dist"),
+            col("cid")).as("dc"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("dc")).as("m"), first(col("v")).as("v")) // v constant per vec_id
+        .select(col("vec_id"), col("m.cid").as("cid"), col("v"), col("m.dist").as("dist"))
 
     val a1 = assign(c0)
     val m1 = a1.select(col("cid"), posexplode(col("v")).as(Seq("dim", "val")))

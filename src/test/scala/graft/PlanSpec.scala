@@ -40,6 +40,28 @@ class PlanSpec extends SparkSuite {
     assert(planOf("q23_top_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("q77: signatures materialize once; the band join is an equi hash join") {
+    val p = planOf("q77_simhash_neardup")
+    // Post-checkpoint both join sides read the signature RDD, so the
+    // scan+explode+60-sum subtree must not appear twice (no parquet scan
+    // survives into the executed pair-join plan at all).
+    assert(!p.contains("Scan parquet"), p.take(2000))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("NestedLoop"), p.take(2000))
+  }
+
+  test("q80: centroids broadcast to the fleet side, which never shuffles pre-assignment") {
+    val p = planOf("q80_kmeans_lloyd")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000)) // 8-row side broadcast
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q82: session windows cost one data shuffle (plus the output sort)") {
+    val p = planOf("q82_session_windows")
+    assert("Exchange".r.findAllIn(p).size == 2, p.take(2000))
+    assert(p.contains("MergingSessions"), p.take(2000))
+  }
+
   test("no registered query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if fn(spark, sf0001).queryExecution.executedPlan

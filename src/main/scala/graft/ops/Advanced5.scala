@@ -1,0 +1,201 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Fifth advanced batch (round 3): the remaining built-in function surface
+  * a reference user would expect from a full engine — window navigation
+  * (first/last/nth_value with explicit frames), map construction and
+  * lookup, array set algebra, deterministic train/val/test splitting, and
+  * argmin/argmax aggregates.
+  *
+  * Scale notes: q84 shuffles once on the window key and serves all four
+  * navigation functions plus the row filter from the SAME sorted
+  * partition (one sort, five outputs); q85/q88 are single groupBy shapes
+  * with map-side partial aggregation; q86/q87 are narrow per-row
+  * projections whose only shuffle is the final presentation orderBy —
+  * at 100 TB each is one scan.
+  */
+object Advanced5 {
+
+  /** Per-customer order-history navigation: first / second / latest order
+    * price via `first_value` / `nth_value` / `last_value` over an explicit
+    * unbounded frame. The navigation window and the row_number picker
+    * share partitioning AND ordering, so Catalyst plans ONE Window node
+    * over one sort — five window functions, one shuffle, one sort.
+    * Ordering is (o_orderdate, o_orderkey): the key makes it total, so
+    * every engine picks identical first/nth/last rows.
+    */
+  val windowNavigation = Q(
+    "q84_window_navigation",
+    """SELECT o_custkey, n_orders, first_price, second_price, last_price
+      |FROM (
+      |  SELECT o_custkey,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS n_orders,
+      |    FIRST_VALUE(o_totalprice) OVER w AS first_price,
+      |    NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+      |    LAST_VALUE(o_totalprice) OVER w AS last_price,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |) t WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val order = Seq(col("o_orderdate"), col("o_orderkey"))
+    val wNav = Window.partitionBy(col("o_custkey")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRn = Window.partitionBy(col("o_custkey")).orderBy(order: _*)
+    Tables.orders(s, d)
+      .select(col("o_custkey"),
+        count(lit(1)).over(wNav).as("n_orders"),
+        first_value(col("o_totalprice")).over(wNav).as("first_price"),
+        nth_value(col("o_totalprice"), 2).over(wNav).as("second_price"),
+        last_value(col("o_totalprice")).over(wNav).as("last_price"),
+        row_number().over(wRn).as("rn"))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Order-status profile per market segment via a MAP column:
+    * status→count entries built with `map_from_entries`, inspected with
+    * `map_keys`/`try_element_at`. The map is built AFTER aggregation (3
+    * entries per segment), so the expensive path is still a plain
+    * two-level partial-agg'd groupBy; the map work touches 5 rows.
+    * `try_element_at` (not `element_at`) because ANSI mode errors on
+    * missing map keys.
+    */
+  val mapFunctions = Q(
+    "q85_map_functions",
+    """SELECT c_mktsegment,
+      |  CAST(COUNT(DISTINCT o_orderstatus) AS INTEGER) AS n_statuses,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS open_cnt,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS finished_cnt,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS pending_cnt
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val counts = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy(col("c_mktsegment"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("o_orderstatus"), col("cnt"))))).as("m"))
+      .select(col("c_mktsegment"),
+        size(map_keys(col("m"))).as("n_statuses"),
+        coalesce(try_element_at(col("m"), lit("O")), lit(0L)).as("open_cnt"),
+        coalesce(try_element_at(col("m"), lit("F")), lit(0L)).as("finished_cnt"),
+        coalesce(try_element_at(col("m"), lit("P")), lit(0L)).as("pending_cnt"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Array set algebra per document: split the token stream in half and
+    * measure vocabulary overlap between the halves with `array_intersect`
+    * / `array_union` / `array_except` (distinct-set semantics in both
+    * engines). A narrow per-row projection — arrays never leave the row,
+    * nothing shuffles but the presentation sort. Docs are ≥10 tokens in
+    * this corpus, so both halves are non-empty.
+    */
+  val arraySetOps = Q(
+    "q86_array_setops",
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(toks[1:CAST(len(toks)//2 AS INTEGER)]) AS a,
+      |         list_distinct(toks[CAST(len(toks)//2 AS INTEGER)+1:CAST(len(toks) AS INTEGER)]) AS b
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(a) AS INTEGER) AS n_first, CAST(len(b) AS INTEGER) AS n_second,
+      |    CAST(len(list_filter(a, x -> list_contains(b, x))) AS INTEGER) AS n_common,
+      |    CAST(len(list_distinct(list_concat(a, b))) AS INTEGER) AS n_union,
+      |    CAST(len(list_filter(a, x -> NOT list_contains(b, x))) AS INTEGER) AS n_only_first
+      |  FROM t)
+      |SELECT doc_id, n_first, n_second, n_common, n_union, n_only_first,
+      |  ROUND(n_common * 1.0 / n_union, 4) AS jaccard
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n"), col("toks"))
+      .select(col("doc_id"),
+        array_distinct(slice(col("toks"), lit(1), (col("n") / 2).cast("int"))).as("a"),
+        array_distinct(slice(col("toks"), (col("n") / 2).cast("int") + 1,
+          col("n") - (col("n") / 2).cast("int"))).as("b"))
+    t.select(col("doc_id"),
+        size(col("a")).as("n_first"), size(col("b")).as("n_second"),
+        size(array_intersect(col("a"), col("b"))).as("n_common"),
+        size(array_union(col("a"), col("b"))).as("n_union"),
+        size(array_except(col("a"), col("b"))).as("n_only_first"))
+      .withColumn("jaccard", round(col("n_common") * 1.0 / col("n_union"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic train/val/test split (90/5/5) by content-independent
+    * doc-id hash — the assignment every training pipeline needs to be
+    * reproducible across reruns, engines, and partitionings. Same
+    * md5-prefix trick as q60: both engines compute an identical bucket in
+    * [0,100), so the split is portable, and re-ingesting a doc lands it
+    * in the same split forever. Narrow projection + partial-agg'd
+    * groupBy; one scan at any scale.
+    */
+  val datasetSplit = Q(
+    "q87_dataset_split",
+    """WITH h AS (
+      |  SELECT source, n_chars,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 AS bucket
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, n_chars,
+      |    CASE WHEN bucket < 90 THEN 'train'
+      |         WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+      |  FROM h)
+      |SELECT source, split, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM s GROUP BY source, split
+      |ORDER BY source, split""".stripMargin) { (s, d) =>
+    val bucket =
+      expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 100")
+    Tables.documents(s, d)
+      .select(col("source"), col("n_chars"),
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  /** Richest / poorest customer per market segment via `max_by` / `min_by`
+    * — declarative argmax aggregates with map-side partial aggregation
+    * (each mapper keeps one candidate per segment; the shuffle carries 5
+    * rows per mapper, never the table). Balances can tie, so the ordering
+    * key is (balance-in-cents ∥ custkey) packed into one BIGINT — strictly
+    * monotonic in (c_acctbal, c_custkey) because custkey < 10^7, making
+    * the winner unique and identical in both engines. `round` before the
+    * cents cast because Spark's ANSI double→long truncates while DuckDB's
+    * rounds (the dialect trap from q51).
+    */
+  val argMinMax = Q(
+    "q88_argminmax",
+    """SELECT c_mktsegment,
+      |  arg_max(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS top_name,
+      |  MAX(c_acctbal) AS top_bal,
+      |  arg_min(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS bottom_name,
+      |  MIN(c_acctbal) AS bottom_bal
+      |FROM customer GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val key = round(col("c_acctbal") * 100).cast("bigint") * 10000000L + col("c_custkey")
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        max_by(col("c_name"), key).as("top_name"),
+        max(col("c_acctbal")).as("top_bal"),
+        min_by(col("c_name"), key).as("bottom_name"),
+        min(col("c_acctbal")).as("bottom_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  def specs: Seq[Q] =
+    Seq(windowNavigation, mapFunctions, arraySetOps, datasetSplit, argMinMax)
+}

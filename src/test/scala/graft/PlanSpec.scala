@@ -62,6 +62,26 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("MergingSessions"), p.take(2000))
   }
 
+  test("q84: all five window functions share ONE Window node (one shuffle, one sort)") {
+    val p = planOf("q84_window_navigation")
+    assert("\\bWindow \\[".r.findAllIn(p).size == 1, p.take(2500))
+    // exactly two exchanges: the window's hash partitioning + the output sort
+    assert("Exchange".r.findAllIn(p).size == 2, p.take(2500))
+  }
+
+  test("q86: array set algebra is a single-scan narrow plan (no mid-plan shuffle)") {
+    val p = planOf("q86_array_setops")
+    // only the presentation orderBy exchanges; no aggregate/join shuffles
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(2500))
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).getOrElse(p)
+    assert(scanLine.contains("doc_id") && !scanLine.contains("lang"), scanLine)
+  }
+
+  test("q88: min_by/max_by partial-aggregate map-side before the shuffle") {
+    val p = planOf("q88_argminmax")
+    assert(p.contains("partial_max_by") && p.contains("partial_min_by"), p.take(2500))
+  }
+
   test("no registered query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if fn(spark, sf0001).queryExecution.executedPlan

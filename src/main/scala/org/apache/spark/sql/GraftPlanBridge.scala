@@ -14,4 +14,11 @@ object GraftPlanBridge {
 
   /** Column → Catalyst Expression (Spark 4 Columns wrap ColumnNodes). */
   def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Catalyst Expression → Column — for expressions that exist in
+    * Catalyst but are not exposed in the public function registry
+    * (e.g. BloomFilterMightContain, registered only for Spark's internal
+    * runtime-filter rewrite).
+    */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.Ingest
+import graft.sources.{Ingest, ShardWriter}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -49,6 +49,61 @@ class IngestSpec extends SparkSuite {
     val vals = spark.read.parquet(firstFile.getAbsolutePath)
       .select("o_totalprice").collect().map(_.getDouble(0)).toSeq
     assert(vals == vals.sorted, "file not sorted on cluster column")
+  }
+
+  test("shard writer (range): disjoint increasing ranges, internal sort, no loss") {
+    val out = s"$dir/shards"
+    ShardWriter.writeShards(orders, out, 4, col("o_orderkey"))
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 4, s"expected 4 shards, got ${files.length}")
+    // each shard internally ordered; shard ranges disjoint and increasing,
+    // so filename-order concatenation IS the global key order
+    var prevMax = Long.MinValue
+    var total = 0L
+    files.foreach { f =>
+      val keys = spark.read.parquet(f).select(col("o_orderkey"))
+        .collect().map(_.getLong(0))
+      assert(keys.sameElements(keys.sorted), s"shard $f not internally sorted")
+      assert(keys.head > prevMax, s"shard $f overlaps previous range")
+      prevMax = keys.last
+      total += keys.length
+    }
+    assert(total == orders.count())
+    // shards balanced: sampling bounds must not starve any shard
+    val counts = files.map(f => spark.read.parquet(f).count())
+    assert(counts.min > counts.max / 4, s"shards unbalanced: ${counts.toSeq}")
+  }
+
+  test("shard writer (hashed): membership is the mod formula, reruns identical") {
+    val out = s"$dir/shards_hashed"
+    ShardWriter.writeShardsHashed(orders, out, 4, col("o_orderkey"))
+    val back = spark.read.parquet(out)
+    // every row's directory matches the formula — and the formula is
+    // content-only, so a rerun is identical by construction
+    val mismatched = back.filter(
+      col("shard") =!= pmod(xxhash64(col("o_orderkey")), lit(4L))).count()
+    assert(mismatched == 0L)
+    assert(back.count() == orders.count())
+    assert(back.select(col("shard")).distinct().count() == 4L)
+    val snapshot = back.filter(col("shard") === 0)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+    ShardWriter.writeShardsHashed(orders, out, 4, col("o_orderkey"))
+    val rerun = spark.read.parquet(out).filter(col("shard") === 0)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+    assert(rerun.sorted == snapshot.sorted, "rerun changed hashed shard membership")
+  }
+
+  test("shard writer: maxRecordsPerFile rolls files inside a shard task") {
+    val out = s"$dir/shards_rolled"
+    ShardWriter.writeShards(orders, out, 2, col("o_orderkey"), maxRecordsPerFile = 200L)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 2, s"expected rolled files, got ${files.length}")
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getPath).count()
+      assert(n <= 200, s"${f.getName} has $n rows")
+    }
   }
 
   test("csv with explicit schema roundtrips; all-null rows droppable") {

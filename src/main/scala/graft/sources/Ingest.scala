@@ -63,6 +63,14 @@ object Ingest {
       .sortWithinPartitions(clusterCols.map(df.col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Schema-evolution parquet read: merge the schemas of all footers so
+    * files written before a column existed read back with nulls in it.
+    * Footer-merging is a distributed job over file metadata — pay it only
+    * on datasets that actually evolved (plain reads use the first footer).
+    */
+  def parquetMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** ORC read/write — columnar alternative to parquet, same pushdown and
     * pruning behavior (beyond the reference's formats; completes the
     * columnar source surface).

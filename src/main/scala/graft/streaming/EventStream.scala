@@ -138,6 +138,38 @@ object EventStream {
       }
   }
 
+  /** Exactly-once parquet sink: append-mode file sink driven from a
+    * checkpoint. The checkpoint's offset log + the file sink's
+    * transactional manifest (_spark_metadata) give end-to-end
+    * exactly-once across restarts — a query killed mid-batch resumes
+    * from the last committed offset and the half-written batch's files
+    * are never visible to readers of the manifest. The returned query is
+    * NOT awaited: callers own its lifecycle (tests stop/restart it to
+    * exercise recovery).
+    */
+  def toParquetSink(stream: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** foreachBatch escape hatch: run an arbitrary batch action per
+    * micro-batch (JDBC upsert, merge, multi-sink fan-out — sinks the
+    * declarative writers can't express). Exactly-once is the CALLER's
+    * contract here: the action receives (batch, batchId) and must be
+    * idempotent on batchId, because a batch replays with the SAME id
+    * after a crash-restart.
+    */
+  def toForeachBatch(stream: DataFrame, checkpoint: String)(
+      action: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(action)
+      .start()
+
   /** Drive a streaming DataFrame into an in-memory table and block until
     * all available input is processed — the synchronous harness used by
     * tests (and handy for local smoke runs).

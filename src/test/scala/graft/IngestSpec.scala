@@ -6,6 +6,7 @@ import java.nio.file.Files
 
 /** Source/sink roundtrips through every supported format. */
 class IngestSpec extends SparkSuite {
+  import spark.implicits._
 
   private lazy val dir = Files.createTempDirectory("graft_ingest").toString
   private lazy val orders = Tables.orders(spark, sf0001)
@@ -104,6 +105,18 @@ class IngestSpec extends SparkSuite {
       val n = spark.read.parquet(f.getPath).count()
       assert(n <= 200, s"${f.getName} has $n rows")
     }
+  }
+
+  test("mergeSchema read unions evolved schemas, nulls the missing column") {
+    val out = s"$dir/evolved"
+    Seq((1L, "a")).toDF("id", "old_col").write.parquet(s"$out/part=1")
+    Seq((2L, 9.5)).toDF("id", "new_col").write.parquet(s"$out/part=2")
+    val merged = Ingest.parquetMergedSchema(spark, out)
+    assert(merged.columns.toSet == Set("id", "old_col", "new_col", "part"))
+    val byId = merged.collect().map(r => r.getLong(r.fieldIndex("id")) -> r).toMap
+    assert(byId(1L).getString(byId(1L).fieldIndex("old_col")) == "a")
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("new_col")))
+    assert(byId(2L).getDouble(byId(2L).fieldIndex("new_col")) == 9.5)
   }
 
   test("csv with explicit schema roundtrips; all-null rows droppable") {

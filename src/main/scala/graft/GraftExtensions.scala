@@ -1,0 +1,36 @@
+package graft
+
+import graft.functions.{CosineSim, DotProduct}
+import graft.plans.TopKStrategy
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Deployment entry point: install every graft Catalyst extension into a
+  * session at build time, the way a cluster operator ships a library —
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (or `.withExtensions(new GraftExtensions)` on a builder). Injects the
+  * codegen'd vector expressions into the function registry (visible to
+  * pure-SQL users, unlike per-session temp registration) and the
+  * top-k-per-group planner strategy. The per-session `register` helpers
+  * on each function remain for harness-owned sessions that can't set
+  * builder config.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSim(exprs.head, exprs(1))))
+    ext.injectPlannerStrategy(_ => TopKStrategy)
+  }
+}

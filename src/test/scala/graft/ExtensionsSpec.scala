@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions must make graft SQL functions and the top-k strategy
+  * available on a session built with `withExtensions` — no per-session
+  * register calls.
+  *
+  * Session hygiene: other suites share one JVM-wide SparkSession.
+  * getOrCreate() would silently RETURN that session (never applying the
+  * extensions), so the default/active sessions are cleared first to
+  * force a fresh session (same underlying SparkContext), and restored —
+  * not stopped, which would kill the shared context — afterwards.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("withExtensions(GraftExtensions) exposes graft_dot/graft_cosine to SQL") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val row = spark.sql(
+        """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+          |       graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c
+          |""".stripMargin).collect().head
+      assert(row.getDouble(0) == 11.0)
+      assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+      // planner strategy injected too: the native top-k node plans
+      val topk = plans.TopK.perGroup(
+        Tables.lineitem(spark, "/root/testdata/sf0.001")
+          .select(org.apache.spark.sql.functions.col("l_returnflag"),
+            org.apache.spark.sql.functions.col("l_quantity")),
+        k = 2, Seq("l_returnflag"), Seq(("l_quantity", false)))
+      assert(topk.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Seventh advanced batch (round 3): the remaining scalar-function
+  * surface (calendar arithmetic + string shaping) and null-preserving
+  * generators. Both are narrow single-scan shapes — the only shuffle in
+  * either query is the presentation sort.
+  */
+object Advanced7 {
+
+  /** Calendar + string shaping sweep: date_trunc / last_day / ISO
+    * weekday / week-of-year / datediff / date_add over order dates, and
+    * lpad / reverse / translate / repeat over customer fields — the long
+    * tail of §2.8 scalar functions a reference user would reach for
+    * next. One broadcast dim join; every function is a codegen'd
+    * built-in. Cross-engine traps handled: Spark `weekday` is 0=Monday
+    * while DuckDB `isodow` is 1=Monday (+1 aligns), and Spark
+    * `date_trunc` returns timestamp (cast to date on both sides).
+    */
+  val calendarStrings = Q(
+    "q92_calendar_strings",
+    """SELECT o_orderkey,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  last_day(o_orderdate) AS month_end,
+      |  CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+      |  CAST(weekofyear(o_orderdate) AS INTEGER) AS week_no,
+      |  CAST(date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE) AS review_date,
+      |  lpad(CAST(o_custkey AS VARCHAR), 9, '0') AS cust_code,
+      |  reverse(lower(c_mktsegment)) AS seg_rev,
+      |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lowvowel,
+      |  repeat(substr(c_mktsegment, 1, 1), 3) AS seg_tag
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey < 1000
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 1000)
+      .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        (weekday(col("o_orderdate")) + 1).as("iso_dow"),
+        weekofyear(col("o_orderdate")).as("week_no"),
+        datediff(col("o_orderdate").cast("date"), lit("2024-01-01").cast("date")).as("days_since"),
+        date_add(col("o_orderdate").cast("date"), 90).as("review_date"),
+        lpad(col("o_custkey").cast("string"), 9, "0").as("cust_code"),
+        reverse(lower(col("c_mktsegment"))).as("seg_rev"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_lowvowel"),
+        repeat(substring(col("c_mktsegment"), 1, 1), 3).as("seg_tag"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Null-preserving generator: explode each document's long words
+    * (≥8 letters via codegen'd regexp_extract_all) with positions,
+    * KEEPING documents that have none — `posexplode_outer` emits a
+    * (null, null) row instead of dropping the parent, so a downstream
+    * per-doc aggregate still sees every document. ~1/5 of this corpus
+    * has no match: the outer semantics are load-bearing, not cosmetic.
+    */
+  val explodeOuter = Q(
+    "q93_explode_outer",
+    """WITH m AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[a-z]{8,}') AS ws FROM documents)
+      |SELECT doc_id,
+      |  CAST(u.pos AS INTEGER) AS pos, u.w AS long_word
+      |FROM m LEFT JOIN LATERAL (
+      |  SELECT unnest(ws) AS w, generate_subscripts(ws, 1) - 1 AS pos) u ON true
+      |ORDER BY doc_id, pos NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("[a-z]{8,}"), lit(0)).as("ws"))
+      .select(col("doc_id"), posexplode_outer(col("ws")).as(Seq("pos", "long_word")))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  def specs: Seq[Q] = Seq(calendarStrings, explodeOuter)
+}

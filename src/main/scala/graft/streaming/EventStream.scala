@@ -105,6 +105,46 @@ object EventStream {
     left.withWatermark(leftTs, leftDelay)
       .join(right.withWatermark(rightTs, rightDelay), cond)
 
+  /** `runningUserStats` on Spark 4's `transformWithState` — the
+    * successor API to mapGroupsWithState: typed state handles
+    * (ValueState/ListState/MapState) with per-state TTL, timers, and
+    * schema evolution, running on the RocksDB store. Same semantics as
+    * the mapGroupsWithState form (RocksDBStateSpec proves output
+    * parity); new pipelines should start here, the old form stays for
+    * API coverage.
+    */
+  class RunningUserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserUpdate] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[UserState]("userState",
+        org.apache.spark.sql.Encoders.product[UserState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserUpdate] = {
+      val prev = Option(state.get()).getOrElse(UserState(0L, Double.MinValue))
+      val next = rows.foldLeft(prev) { (st, e) =>
+        UserState(st.n + 1, math.max(st.maxValue, e.value))
+      }
+      state.update(next)
+      Iterator.single(UserUpdate(key, next.n, next.maxValue))
+    }
+  }
+
+  /** Running per-user stats via transformWithState (requires the RocksDB
+    * state store provider — the API refuses HDFS-backed stores).
+    */
+  def runningUserStatsTws(events: Dataset[UserEvent]): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningUserStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   case class GpsFix(deviceId: String, tsSec: Long, lat: Double, lon: Double)
   case class SpeedState(lastTs: Long, lastLat: Double, lastLon: Double,
       maxSpeed: Double, nFixes: Long)

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{CosineSim, DotProduct}
-import graft.plans.TopKStrategy
+import graft.plans.{AsOfStrategy, TopKStrategy}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -32,5 +32,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSim(exprs.head, exprs(1))))
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectPlannerStrategy(_ => AsOfStrategy)
   }
 }

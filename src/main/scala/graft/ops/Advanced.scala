@@ -9,12 +9,15 @@ import org.apache.spark.sql.expressions.Window
   *
   * The as-of join deserves a note: Spark has no native as-of operator.
   * The naive form (inequality join + top-1 per left row) is O(pairs) and
-  * dies at scale. The implementation here is the union-marker pattern:
-  * tag both sides, union, ONE window pass per key ordered by time, keep
-  * the last-seen right-side value at each left row. One shuffle on the
-  * key, linear work, no pairwise blowup — this is the shape that
-  * survives 100 TB, and it composes entirely from built-ins (preferred
-  * over a custom SparkStrategy per the design rules).
+  * dies at scale. Two linear implementations are registered against the
+  * SAME oracle: q43, the union-marker pattern (tag both sides, union,
+  * ONE window pass per key ordered by time — composes entirely from
+  * built-ins), and q43b, the native `plans.AsOfJoin` exec (both sides
+  * shuffle once on the key, then a per-partition O(n+m) streaming merge
+  * with one buffered row — no union materialization and no window
+  * buffering at all). The custom exec exists because the union pass
+  * sorts PURCHASES AND ERRORS TOGETHER through one window; the merge
+  * sorts each side separately and never materializes their union.
   */
 object Advanced {
 
@@ -54,6 +57,48 @@ object Advanced {
       .filter(col("tag") === 1)
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("asof_error_id"),
+        round((col("ts_us") - col("asof_error_us")) / 1000000.0, 6).as("gap_sec"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
+  /** Native as-of join (see object scaladoc): same semantics and oracle
+    * as q43, via `plans.AsOfJoin`'s streaming-merge exec. The right side
+    * carries the event_id tie-break so equal-(user, ts) errors resolve
+    * to the max event_id — exactly the oracle window's last_value order.
+    */
+  val nativeAsof = Q(
+    "q43b_native_asof",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us,
+      |    CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS tag
+      |  FROM events WHERE event_type IN ('error', 'purchase')),
+      |w AS (
+      |  SELECT user_id, event_id, ts_us, tag,
+      |    last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_error_id,
+      |    last_value(CASE WHEN tag = 0 THEN ts_us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_error_us
+      |  FROM e)
+      |SELECT user_id, event_id AS purchase_id, asof_error_id,
+      |  ROUND((ts_us - asof_error_us) / 1000000.0, 6) AS gap_sec
+      |FROM w WHERE tag = 1
+      |ORDER BY user_id, purchase_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("error", "purchase"))
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_type"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("asof_error_id"),
+        col("ts_us").as("asof_error_us"))
+    graft.plans.AsOf.join(purchases, errors,
+        leftKey = "user_id", rightKey = "e_user",
+        leftTsCol = "ts_us", rightTsCol = "asof_error_us",
+        rightTieBreaks = Seq("asof_error_id"))
+      .select(col("user_id"), col("purchase_id"), col("asof_error_id"),
         round((col("ts_us") - col("asof_error_us")) / 1000000.0, 6).as("gap_sec"))
       .orderBy(col("user_id"), col("purchase_id"))
   }
@@ -154,5 +199,6 @@ object Advanced {
       .orderBy(col("o_orderstatus"))
   }
 
-  val specs: Seq[Q] = Seq(asofJoin, windowFrames, collectList, cubeAgg, pivotAgg)
+  val specs: Seq[Q] =
+    Seq(asofJoin, nativeAsof, windowFrames, collectList, cubeAgg, pivotAgg)
 }

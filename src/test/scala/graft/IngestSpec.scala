@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{Ingest, ShardWriter}
+import graft.sources.{Ingest, ShardWriter, ZOrderWriter}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -105,6 +105,40 @@ class IngestSpec extends SparkSuite {
       val n = spark.read.parquet(f.getPath).count()
       assert(n <= 200, s"${f.getName} has $n rows")
     }
+  }
+
+  test("z-order write narrows per-file ranges on BOTH dims; 1-dim clustering doesn't") {
+    // interleave sanity: z(3,0) spreads x bits to even positions = 0b101;
+    // z(0,3) = 0b1010; z(0xFFFF,0xFFFF) fills 32 bits
+    val z = ZOrderWriter.zValue(lit(3), lit(0))
+    val z2 = ZOrderWriter.zValue(lit(0), lit(3))
+    val z3 = ZOrderWriter.zValue(lit(0xFFFF), lit(0xFFFF))
+    val Seq(a, b, c) = orders.limit(1).select(z, z2, z3).collect().head.toSeq.map(_.asInstanceOf[Long])
+    assert(a == 5L && b == 10L && c == 0xFFFFFFFFL)
+
+    val xb = pmod(col("o_custkey"), lit(256)).cast("int")
+    val yb = least(floor(col("o_totalprice") / lit(2500)).cast("int"), lit(255))
+    def avgRange(path: String, dim: String): Double = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f)
+          .select(pmod(col("o_custkey"), lit(256)).cast("int").as("xb"),
+            least(floor(col("o_totalprice") / lit(2500)).cast("int"), lit(255)).as("yb"))
+          .agg(min(col(dim)).as("lo"), max(col(dim)).as("hi")).collect().head
+        (r.getInt(1) - r.getInt(0)) / 255.0
+      }
+      ranges.sum / ranges.length
+    }
+    ZOrderWriter.writeZOrdered(orders, s"$dir/zorder", 16, xb, yb)
+    // both dimensions narrow: files cover a fraction of each dim's range
+    assert(avgRange(s"$dir/zorder", "xb") < 0.5, s"xb ${avgRange(s"$dir/zorder", "xb")}")
+    assert(avgRange(s"$dir/zorder", "yb") < 0.5, s"yb ${avgRange(s"$dir/zorder", "yb")}")
+    // contrast: clustering on xb alone leaves yb's per-file range ~full
+    orders.withColumn("xb", xb).repartitionByRange(16, col("xb"))
+      .sortWithinPartitions(col("xb")).drop("xb")
+      .write.mode("overwrite").parquet(s"$dir/onedim")
+    assert(avgRange(s"$dir/onedim", "yb") > 0.7, s"yb ${avgRange(s"$dir/onedim", "yb")}")
   }
 
   test("mergeSchema read unions evolved schemas, nulls the missing column") {

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** End-to-end training-corpus build — the LLM-data analog of
+  * `InsurancePipeline`: chains the registered operators' logic into the
+  * pipeline a real corpus team runs, from raw documents to training
+  * shards on disk.
+  *
+  *   raw → quality gate (q78's repetition metrics) → exact dedup (q30)
+  *       → near-dup purge via shared MinHash/LSH cluster labels (q32/q57/q76)
+  *       → weighted source mixture (q91) → train/val/test split (q87)
+  *       → sequence packing (q68) → deterministic hashed shards
+  *         (`ShardWriter`, membership stable across reruns)
+  *
+  * Every stage is a narrow projection, hash aggregate, or broadcast-able
+  * join; the only iterative piece is the shared connected-components
+  * labeling, which is reused from the session cache if q32/q57 already
+  * ran. Stage row counts print as `[corpus]` lines; the spec asserts
+  * monotone shrinkage and split/mixture determinism.
+  */
+object CorpusPipeline {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_corpus")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, sfDir, outDir)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    def log(stage: String, n: Long): Unit = println(f"[corpus] $stage%-22s rows=$n")
+
+    val raw = Tables.documents(spark, sfDir)
+    log("raw", raw.count())
+
+    // 1. Quality gate — q78's Gopher-style repetition signals, computed
+    // in one two-level partial aggregate, joined back semi-style.
+    val toks = raw.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val perTok = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val metrics = perTok.groupBy(col("doc_id")).agg(
+      sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      max(col("cnt")).as("top_cnt"))
+    val passing = metrics.filter(
+      col("n_tokens") >= 8 &&
+      col("n_distinct") * 1.0 / col("n_tokens") >= 0.25 &&
+      col("top_cnt") * 1.0 / col("n_tokens") <= 0.5)
+      .select(col("doc_id"))
+    val quality = raw.join(passing, Seq("doc_id"), "left_semi")
+    log("quality_gate", quality.count())
+
+    // 2. Exact dedup — keep the smallest doc_id per content hash.
+    val wDup = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val exact = quality.withColumn("__rn", row_number().over(wDup))
+      .filter(col("__rn") === 1).drop("__rn")
+    log("exact_dedup", exact.count())
+
+    // 3. Near-dup purge — shared LSH cluster labels (cached across
+    // queries): survivors are cluster representatives or unclustered.
+    val labels = ops.DedupClusters.clusterLabels(spark, sfDir)
+    val purged = exact.join(labels, exact("doc_id") === labels("node"), "left_outer")
+      .filter(col("label").isNull || col("label") === col("doc_id"))
+      .select(exact.columns.map(col): _*)
+    log("neardup_purge", purged.count())
+
+    // 4. Weighted source mixture (md5 chars 9-15, independent of the
+    // split bucket below).
+    val mixRate = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1.0)
+      .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 0.5)
+      .otherwise(0.25)
+    val mixBucket =
+      expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 9, 7), 16, 10) AS BIGINT) % 1000")
+    val mixed = purged.filter(mixBucket < mixRate * 1000)
+    log("source_mixture", mixed.count())
+
+    // 5. Train/val/test split (md5 chars 1-7), 90/5/5.
+    val splitBucket =
+      expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 100")
+    val assigned = mixed.withColumn("split",
+      when(splitBucket < 90, "train").when(splitBucket < 95, "val").otherwise("test"))
+
+    // 6. Sequence packing — q68's greedy cumsum binning per (split, lang).
+    val budget = 512L
+    val wPack = Window.partitionBy(col("split"), col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = assigned
+      .withColumn("n_toks", size(split(col("text"), " ")))
+      .withColumn("pack_id",
+        ((sum(col("n_toks")).over(wPack) - col("n_toks")) / budget).cast("long"))
+    log("packed", packed.count())
+
+    // 7. Deterministic hashed shards: membership is a pure function of
+    // doc_id, so re-running the pipeline rebuilds identical shards.
+    sources.ShardWriter.writeShardsHashed(packed, outDir, 8, col("doc_id"))
+    val back = spark.read.parquet(outDir)
+    log("shards_written", back.count())
+    back
+  }
+}

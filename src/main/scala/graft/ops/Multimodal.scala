@@ -66,6 +66,82 @@ object Multimodal {
       64 + bytes.length % 512, 64 + (bytes.length * 7) % 512,
       1 + bytes.length % 8)
 
+  /** One sampled frame of a (video-ish) payload. */
+  case class SampledFrame(doc_id: Long, frame_idx: Int, byte_offset: Long,
+    frame_digest: Long)
+
+  /** Frame sampling over `(id, payload)` — the 1:N generator shape: each
+    * payload fans out to `everyNth`-strided frames, so output cardinality
+    * is a MULTIPLE of input (size your shuffle partitions for the
+    * post-sample row count, not the input's). Same per-partition codec
+    * amortization as [[decodePartitions]]; the iterator is lazy end to
+    * end, so a 10 MB payload's frames stream out without buffering the
+    * whole fan-out in memory.
+    */
+  def sampleFramesPartitions(df: DataFrame, idCol: String, payloadCol: String,
+      everyNth: Int)(
+      codecFactory: () => (Long, Array[Byte], Int) => Iterator[SampledFrame])
+      : Dataset[SampledFrame] = {
+    import df.sparkSession.implicits._
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val sample = codecFactory()
+        it.flatMap { case (id, bytes) => sample(id, bytes, everyNth) }
+      }
+  }
+
+  /** Deterministic stub frame sampler: pretends each 256-byte run is a
+    * frame, keeps every `everyNth`, digests it with a rolling hash — the
+    * slot where a real demuxer seeks keyframes.
+    */
+  def stubFrameCodec: () => (Long, Array[Byte], Int) => Iterator[SampledFrame] =
+    () => (id, bytes, everyNth) => {
+      val nFrames = math.max(1, bytes.length / 256)
+      Iterator.range(0, nFrames, everyNth).map { i =>
+        val from = i * 256
+        val until = math.min(bytes.length, from + 256)
+        var h = 1125899906842597L
+        var j = from
+        while (j < until) { h = 31 * h + bytes(j); j += 1 }
+        SampledFrame(id, i, from.toLong, h)
+      }
+    }
+
+  /** Per-payload embedding extraction — the feature-extract shape that
+    * feeds the ANN family (q34/q35/q49): payload → fixed-width float
+    * vector, codec init amortized per partition, output directly
+    * joinable with the `embeddings` table operators.
+    */
+  def extractFeaturesPartitions(df: DataFrame, idCol: String, payloadCol: String,
+      dim: Int)(
+      codecFactory: () => (Array[Byte], Int) => Array[Float])
+      : DataFrame = {
+    import df.sparkSession.implicits._
+    require(dim > 0, s"dim must be positive, got $dim")
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val embed = codecFactory()
+        it.map { case (id, bytes) => (id, embed(bytes, dim)) }
+      }
+      .toDF("vec_id", "embedding")
+  }
+
+  /** Deterministic stub featurizer: byte histogram folded into `dim`
+    * L2-normalized buckets — the slot where a real vision/audio encoder
+    * (ONNX runtime etc.) plugs in.
+    */
+  def stubFeatureCodec: () => (Array[Byte], Int) => Array[Float] =
+    () => (bytes, dim) => {
+      val acc = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) { acc((bytes(i) & 0xFF) % dim) += 1f; i += 1 }
+      val norm = math.sqrt(acc.map(v => v * v.toDouble).sum).toFloat
+      if (norm == 0f) acc else acc.map(_ / norm)
+    }
+
   /** Binary payload ingestion + digest + stub decode metadata. */
   val multimodalMeta = Q(
     "q41_multimodal_meta",

@@ -47,4 +47,42 @@ class MultimodalSpec extends SparkSuite {
       .select("digest").head().getString(0)
     assert(d.matches("[0-9a-f]{64}"))
   }
+
+  test("frame sampling fans out 1:N with the configured stride") {
+    // payloads of 1024 and 600 bytes → 4 and 2 stub "frames"
+    val media = Seq(
+      (10L, Array.fill[Byte](1024)(7)),
+      (11L, Array.fill[Byte](600)(3)))
+      .toDF("doc_id", "payload")
+    val all = Multimodal.sampleFramesPartitions(media, "doc_id", "payload", 1)(
+      Multimodal.stubFrameCodec).collect()
+    assert(all.count(_.doc_id == 10L) == 4 && all.count(_.doc_id == 11L) == 2)
+    assert(all.filter(_.doc_id == 10L).map(_.byte_offset).sorted.toSeq
+      == Seq(0L, 256L, 512L, 768L))
+    // stride 2 keeps every other frame
+    val strided = Multimodal.sampleFramesPartitions(media, "doc_id", "payload", 2)(
+      Multimodal.stubFrameCodec).collect()
+    assert(strided.filter(_.doc_id == 10L).map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    // identical byte runs digest identically; different bytes don't
+    val ds = all.filter(_.doc_id == 10L).map(_.frame_digest).distinct
+    assert(ds.length == 1, "uniform payload frames must share a digest")
+    assert(all.find(_.doc_id == 11L).get.frame_digest != ds.head)
+  }
+
+  test("feature extraction emits L2-normalized vectors joinable with ANN ops") {
+    val media = Seq((0L, "aaaabbbb"), (1L, "zzzzzzzz"))
+      .toDF("vec_id", "text").withColumn("payload", col("text").cast("binary"))
+    val feats = Multimodal.extractFeaturesPartitions(media, "vec_id", "payload", 8)(
+      Multimodal.stubFeatureCodec)
+    assert(feats.columns.toSeq == Seq("vec_id", "embedding"))
+    val rows = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.values.foreach { v =>
+      assert(math.abs(v.map(x => x * x.toDouble).sum - 1.0) < 1e-5, "not L2-normalized")
+      assert(v.length == 8)
+    }
+    // deterministic: same payload → same vector
+    val again = Multimodal.extractFeaturesPartitions(media, "vec_id", "payload", 8)(
+      Multimodal.stubFeatureCodec).collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(again == rows)
+  }
 }

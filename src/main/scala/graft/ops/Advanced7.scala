@@ -76,5 +76,62 @@ object Advanced7 {
       .orderBy(col("doc_id"), col("pos"))
   }
 
-  def specs: Seq[Q] = Seq(calendarStrings, explodeOuter)
+  /** Z-order cell profile — oracle-checks `ZOrderWriter`'s Morton
+    * arithmetic cross-engine: both engines compute the identical bit
+    * spread (the write-side clustering is only as correct as this
+    * value), then profile row counts and revenue per coarse z cell.
+    * Everything is codegen'd bit ops; one scan, one partial-agg'd
+    * groupBy.
+    */
+  val zorderCells = Q(
+    "q94_zorder_cells",
+    """WITH b AS (
+      |  SELECT o_custkey % 256 AS xb,
+      |    least(CAST(floor(o_totalprice / 2500) AS BIGINT), 255) AS yb,
+      |    o_totalprice
+      |  FROM orders),
+      |sx AS (SELECT *,
+      |  ((xb | (xb << 8)) & 16711935) AS x1, ((yb | (yb << 8)) & 16711935) AS y1 FROM b),
+      |s2 AS (SELECT *,
+      |  ((x1 | (x1 << 4)) & 252645135) AS x2, ((y1 | (y1 << 4)) & 252645135) AS y2 FROM sx),
+      |s3 AS (SELECT *,
+      |  ((x2 | (x2 << 2)) & 858993459) AS x3, ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2),
+      |s4 AS (SELECT *,
+      |  ((x3 | (x3 << 1)) & 1431655765) AS x4, ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3),
+      |z AS (SELECT (x4 | (y4 << 1)) >> 8 AS z_cell, o_totalprice FROM s4)
+      |SELECT z_cell, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM z GROUP BY z_cell ORDER BY z_cell""".stripMargin) { (s, d) =>
+    val xb = pmod(col("o_custkey"), lit(256))
+    val yb = least(floor(col("o_totalprice") / 2500).cast("long"), lit(255L))
+    Tables.orders(s, d)
+      .select(shiftright(graft.sources.ZOrderWriter.zValue(xb, yb), 8).as("z_cell"),
+        col("o_totalprice"))
+      .groupBy(col("z_cell"))
+      .agg(count(lit(1)).as("n"), graft.Det.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("z_cell"))
+  }
+
+  /** Boolean aggregate family: bool_and / bool_or / count_if — the
+    * assertion-style aggregates QA dashboards run. Map-side partial
+    * aggregation shrinks each to one boolean/long per mapper.
+    */
+  val boolAggs = Q(
+    "q95_bool_aggs",
+    """SELECT c_mktsegment,
+      |  bool_and(c_acctbal > 0) AS all_positive,
+      |  bool_or(c_acctbal > 9000) AS any_rich,
+      |  CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_negative
+      |FROM customer GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        bool_and(col("c_acctbal") > 0).as("all_positive"),
+        bool_or(col("c_acctbal") > 9000).as("any_rich"),
+        count_if(col("c_acctbal") < 0).as("n_negative"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  def specs: Seq[Q] = Seq(calendarStrings, explodeOuter, zorderCells, boolAggs)
 }

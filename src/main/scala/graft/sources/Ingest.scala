@@ -28,6 +28,37 @@ object Ingest {
     */
   def dropAllNullRows(df: DataFrame): DataFrame = df.na.drop("all")
 
+  /** Permissive CSV read that CAPTURES malformed lines instead of
+    * nulling them silently: rows that fail the schema land intact in
+    * `_corrupt_record`, so a pipeline can split good/bad streams and
+    * quarantine the bad ones (the multi-source cleaning posture of
+    * reference scripts/03, but row-granular). The corrupt column must be
+    * materialized alongside data columns to be populated — hence part of
+    * the schema passed in, not bolted on after. Caveat: Spark refuses a
+    * query whose referenced columns are ONLY `_corrupt_record` (the
+    * pruned scan would have nothing to fail on) — `cache()` the frame or
+    * include a data column before splitting good/bad streams.
+    */
+  def csvPermissive(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", "string"))
+      .csv(path)
+
+  /** CSV read that silently drops rows failing the schema — for sources
+    * where bad lines are expected noise, not signal. Counting the drop
+    * rate needs a second read (or [[csvPermissive]]); Spark does not
+    * report it.
+    */
+  def csvDropMalformed(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .schema(schema)
+      .csv(path)
+
   /** Parquet read (S3). */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

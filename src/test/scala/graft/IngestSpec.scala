@@ -153,6 +153,30 @@ class IngestSpec extends SparkSuite {
     assert(byId(2L).getDouble(byId(2L).fieldIndex("new_col")) == 9.5)
   }
 
+  test("permissive csv captures malformed rows; dropMalformed discards them") {
+    import org.apache.spark.sql.types._
+    val csvDir = s"$dir/malformed"
+    new java.io.File(csvDir).mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$csvDir/a.csv"),
+      "id,amount\n1,10.5\nnot_a_number,oops\n3,7.25\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType)))
+    // cache() is required before filtering on _corrupt_record alone —
+    // Spark refuses column-pruned queries over ONLY the corrupt column
+    // on raw files (see csvPermissive scaladoc)
+    val perm = Ingest.csvPermissive(spark, csvDir, schema).cache()
+    val bad = perm.filter(col("_corrupt_record").isNotNull)
+    assert(bad.count() == 1)
+    assert(bad.select(col("_corrupt_record")).head.getString(0) == "not_a_number,oops")
+    assert(perm.filter(col("_corrupt_record").isNull).count() == 2)
+    val dropped = Ingest.csvDropMalformed(spark, csvDir, schema)
+    // count() alone would prune every column → nothing parses → nothing
+    // drops (reports 3); malformed rows only drop when their columns are
+    // actually read
+    assert(dropped.select(col("id"), col("amount")).collect().length == 2)
+    assert(dropped.select(sum(col("amount"))).head.getDouble(0) == 17.75)
+  }
+
   test("csv with explicit schema roundtrips; all-null rows droppable") {
     val subset = orders.select(col("o_orderkey"), col("o_orderstatus"))
     subset.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")

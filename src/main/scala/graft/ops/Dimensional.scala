@@ -45,6 +45,40 @@ object Dimensional {
           dayofweek(col("d")).isin(1, 7).as("is_weekend"))
     }
 
+  /** The 100 TB surrogate-key paths the scale note above points at, as
+    * library functions (the ordered-window q09 form stays for dimension
+    * parity with the reference):
+    *
+    *  - [[sparseSurrogateKeys]]: `monotonically_increasing_id` — zero
+    *    shuffle, ids unique but NON-dense (partition id in the high
+    *    bits); the right default for fact-table keys where only
+    *    uniqueness matters.
+    *  - [[denseSurrogateKeys]]: RDD `zipWithIndex` — ids dense 0..n-1 at
+    *    the cost of one extra job (Spark counts the leading partitions
+    *    to compute per-partition offsets); for when downstream systems
+    *    require gapless ids.
+    *
+    * Neither is deterministic across RUNS (assignment follows physical
+    * partitioning), which is why no oracle query registers them —
+    * uniqueness/density are asserted by DimensionalSpec instead.
+    */
+  def sparseSurrogateKeys(df: org.apache.spark.sql.DataFrame,
+      keyCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn(keyCol, monotonically_increasing_id())
+
+  def denseSurrogateKeys(df: org.apache.spark.sql.DataFrame,
+      keyCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        org.apache.spark.sql.types.StructField(keyCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val withId = df.rdd.zipWithIndex.map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
+    }
+    spark.createDataFrame(withId, schema)
+  }
+
   /** Generated calendar dimension: sequence → explode → calendar attrs. */
   val dateDimension = Q(
     "q08_date_dimension",

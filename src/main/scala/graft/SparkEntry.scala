@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private def allSpecs: Seq[Q] =
+  private[graft] def allSpecs: Seq[Q] =
     ops.Analytics.specs ++ ops.Clean.specs ++ ops.Dimensional.specs ++
       ops.Joins.specs ++ ops.Quality.specs ++ ops.Events.specs ++
       ops.TextOps.specs ++ ops.VectorSearch.specs ++ ops.Multimodal.specs ++

@@ -109,6 +109,38 @@ object Multimodal {
       }
     }
 
+  /** Binary-in/binary-OUT transform — the resize/transcode shape: the
+    * output column is a new payload (plus its new dims), not metadata,
+    * so downstream stages keep operating on opaque bytes. Same
+    * per-partition codec amortization; output bytes can be smaller OR
+    * larger than input, which is why the write side of a resize job
+    * sizes `maxRecordsPerFile`/partitions on the OUTPUT payload size.
+    */
+  def transformPayloadPartitions(df: DataFrame, idCol: String, payloadCol: String,
+      targetW: Int, targetH: Int)(
+      codecFactory: () => (Array[Byte], Int, Int) => Array[Byte]): DataFrame = {
+    import df.sparkSession.implicits._
+    require(targetW > 0 && targetH > 0, s"bad target dims ${targetW}x$targetH")
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val resize = codecFactory()
+        it.map { case (id, bytes) => (id, resize(bytes, targetW, targetH), targetW, targetH) }
+      }
+      .toDF("doc_id", "payload", "width", "height")
+  }
+
+  /** Deterministic stub resizer: emits a payload proportional to the
+    * target pixel count by cycling the source bytes — byte-count
+    * behavior (shrink or grow) mirrors a real scaler; a real image
+    * library replaces the lambda wholesale.
+    */
+  def stubResizeCodec: () => (Array[Byte], Int, Int) => Array[Byte] =
+    () => (bytes, w, h) => {
+      val n = math.max(1, (w * h) / 64)
+      Array.tabulate[Byte](n)(i => if (bytes.isEmpty) 0 else bytes(i % bytes.length))
+    }
+
   /** Per-payload embedding extraction — the feature-extract shape that
     * feeds the ANN family (q34/q35/q49): payload → fixed-width float
     * vector, codec init amortized per partition, output directly

@@ -69,6 +69,22 @@ class MultimodalSpec extends SparkSuite {
     assert(all.find(_.doc_id == 11L).get.frame_digest != ds.head)
   }
 
+  test("payload transform emits new binary payloads sized by the target dims") {
+    val media = Seq((0L, "abcdefgh"), (1L, "xy"))
+      .toDF("doc_id", "text").withColumn("payload", col("text").cast("binary"))
+    val resized = Multimodal.transformPayloadPartitions(media, "doc_id", "payload",
+      targetW = 64, targetH = 64)(Multimodal.stubResizeCodec)
+    assert(resized.columns.toSeq == Seq("doc_id", "payload", "width", "height"))
+    val rows = resized.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    // 64*64/64 = 64 output bytes regardless of input size: the output,
+    // not the input, determines downstream sizing
+    assert(rows(0L).length == 64 && rows(1L).length == 64)
+    assert(rows(0L).take(8).toSeq == "abcdefgh".getBytes.toSeq)
+    assert(rows(1L).take(4).toSeq == "xyxy".getBytes.toSeq) // cycled source
+    assert(resized.select(col("width"), col("height")).head.toSeq == Seq(64, 64))
+  }
+
   test("feature extraction emits L2-normalized vectors joinable with ANN ops") {
     val media = Seq((0L, "aaaabbbb"), (1L, "zzzzzzzz"))
       .toDF("vec_id", "text").withColumn("payload", col("text").cast("binary"))

@@ -133,5 +133,33 @@ object Advanced7 {
       .orderBy(col("c_mktsegment"))
   }
 
-  def specs: Seq[Q] = Seq(calendarStrings, explodeOuter, zorderCells, boolAggs)
+  /** Spark 4 VARIANT path for semi-structured data: `parse_json` ingests
+    * the payload once into the binary variant encoding (shreddable,
+    * type-preserving — the modern replacement for per-query from_json
+    * re-parsing), `variant_get` extracts typed paths. The oracle reads
+    * the same path with DuckDB's JSON extraction — identical values
+    * prove the encoding round-trips. q28 is the from_json sibling.
+    */
+  val variantExtract = Q(
+    "q96_variant_extract",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      |  FROM events)
+      |SELECT event_type, COUNT(k) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM e GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        try_variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  def specs: Seq[Q] =
+    Seq(calendarStrings, explodeOuter, zorderCells, boolAggs, variantExtract)
 }

@@ -118,6 +118,17 @@ object Ingest {
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** XML read/write — native in Spark 4 core (no external package):
+    * `rowTag` names the repeated element that becomes a row. Completes
+    * the self-describing-format surface next to JSON lines.
+    */
+  def xml(spark: SparkSession, path: String, rowTag: String,
+      schema: StructType): DataFrame =
+    spark.read.option("rowTag", rowTag).schema(schema).xml(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.option("rowTag", rowTag).mode(SaveMode.Overwrite).xml(path)
+
   /** JDBC full-table read (S4, reference 05:64-68). Single-partition by
     * default — correct for small dimensions.
     */

@@ -153,6 +153,21 @@ class IngestSpec extends SparkSuite {
     assert(byId(2L).getDouble(byId(2L).fieldIndex("new_col")) == 9.5)
   }
 
+  test("xml roundtrips with identical aggregates (Spark 4 native source)") {
+    import org.apache.spark.sql.types._
+    val out = s"$dir/xml"
+    val base = orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    Ingest.writeXml(base, out, "order")
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    val back = Ingest.xml(spark, out, "order", schema)
+    assert(back.count() == base.count())
+    val a = base.agg(sum(col("o_totalprice")).cast("decimal(18,2)")).head.getDecimal(0)
+    val b = back.agg(sum(col("o_totalprice")).cast("decimal(18,2)")).head.getDecimal(0)
+    assert(a == b)
+  }
+
   test("permissive csv captures malformed rows; dropMalformed discards them") {
     import org.apache.spark.sql.types._
     val csvDir = s"$dir/malformed"

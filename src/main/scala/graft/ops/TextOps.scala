@@ -359,6 +359,48 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination — the train/eval overlap scan every
+    * training pipeline must run: a training doc (doc_id < 450) is
+    * contaminated if it shares ANY 5-token window with the held-out
+    * benchmark set (doc_id ≥ 450). Grams build from a lead() window
+    * keyed by doc (q79's adjacency pattern — no interpreted lambdas);
+    * the only pairwise-ish work is the equi-join ON THE GRAM, which
+    * shuffles gram hashes linearly — at 100 TB the shuffle carries each
+    * side's grams once, never a doc×doc product. The benchmark side is
+    * distinct'd first: eval suites are small, so that side broadcasts.
+    */
+  val decontamination = Q(
+    "q97_decontamination",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS g
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i) u),
+      |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id >= 450),
+      |hits AS (
+      |  SELECT s.doc_id, COUNT(DISTINCT s.g) AS n_shared_grams
+      |  FROM sh s JOIN bench b USING (g)
+      |  WHERE s.doc_id < 450 GROUP BY s.doc_id)
+      |SELECT doc_id, CAST(n_shared_grams AS BIGINT) AS n_shared_grams
+      |FROM hits ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val x = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    // concat (not concat_ws): incomplete tail windows yield NULL and drop
+    val grams = x.select(col("doc_id"),
+      concat(col("tok"),
+        lit(" "), lead(col("tok"), 1).over(w), lit(" "), lead(col("tok"), 2).over(w),
+        lit(" "), lead(col("tok"), 3).over(w), lit(" "), lead(col("tok"), 4).over(w))
+        .as("g"))
+      .filter(col("g").isNotNull)
+    val bench = grams.filter(col("doc_id") >= 450).select(col("g")).distinct()
+    grams.filter(col("doc_id") < 450)
+      .join(bench, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   val specs: Seq[Q] = Seq(dedupExact, ngramJaccard, minhashLsh, simhash,
-    langStats, langId, qualityScore, tokenStats, fingerprint)
+    langStats, langId, qualityScore, tokenStats, fingerprint, decontamination)
 }

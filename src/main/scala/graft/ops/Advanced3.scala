@@ -270,20 +270,26 @@ object Advanced3 {
   val embeddingCentroids = Q(
     "q75_embedding_centroids",
     """SELECT label, CAST(p.pos AS INTEGER) AS pos,
-      |  ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[p.pos + 1] AS DOUBLE), 6)
-      |                      AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS centroid_v,
+      |  (2 * SUM(CAST(ROUND(CAST(embedding[p.pos + 1] AS DOUBLE) * 1000000) AS BIGINT))
+      |     + COUNT(*)) // (2 * COUNT(*)) / 1000000.0 AS centroid_v,
       |  COUNT(*) AS n_vectors
       |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) p
       |GROUP BY label, p.pos
       |ORDER BY label, pos""".stripMargin) { (s, d) =>
+    // Mean at 6 decimals in INTEGER micro-units (exact sum, half-up via
+    // (2a+b) DIV 2b — both engines truncate identically): a double
+    // division + round() flips between engines when the true mean sits
+    // on a .0000005 boundary, which sf0.1 actually hits.
     Tables.embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg(
-        round(
-          sum(round(col("v").cast("double"), 6).cast("decimal(18,6)")).cast("double")
-            / count(lit(1)), 6).as("centroid_v"),
+        sum(round(col("v").cast("double") * 1000000).cast("long")).as("sum_micro"),
         count(lit(1)).as("n_vectors"))
+      .select(col("label"), col("pos"),
+        (expr("(2 * sum_micro + n_vectors) DIV (2 * n_vectors)") / 1000000.0)
+          .as("centroid_v"),
+        col("n_vectors"))
       .orderBy(col("label"), col("pos"))
   }
 

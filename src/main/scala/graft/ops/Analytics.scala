@@ -115,23 +115,37 @@ object Analytics {
     */
   val conditionalAgg = Q(
     "q19_conditional_agg",
-    """SELECT user_id,
-      |  COUNT(CASE WHEN value > 150 THEN 1 END) AS n_high,
-      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
-      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value), 4) AS avg_value,
-      |  MAX(value) AS max_value,
-      |  COUNT(*) AS n_events
-      |FROM events
-      |GROUP BY user_id
+    """SELECT user_id, n_high, n_error,
+      |  (2 * sum_cents * 100 + n_vals) // (2 * n_vals) / 10000.0 AS avg_value,
+      |  max_value, n_events
+      |FROM (
+      |  SELECT user_id,
+      |    COUNT(CASE WHEN value > 150 THEN 1 END) AS n_high,
+      |    COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+      |    SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents,
+      |    COUNT(value) AS n_vals,
+      |    MAX(value) AS max_value,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY user_id)
       |ORDER BY user_id""".stripMargin) { (s, d) =>
+    // The average rounds at 4 decimals in INTEGER space — a double
+    // division followed by round() disagrees between engines when the
+    // true quotient lands on a .00005 boundary (the double can't
+    // represent it; each engine's round() then picks a different side).
+    // Exact cents → half-up via (2a+b) DIV 2b: both engines truncate
+    // integer division identically, so the boundary is deterministic.
     Tables.events(s, d)
       .groupBy(col("user_id"))
       .agg(
         count(when(col("value") > 150, 1)).as("n_high"),
         count(when(col("event_type") === "error", 1)).as("n_error"),
-        Det.davg(col("value")).as("avg_value"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+        count(col("value")).as("n_vals"),
         max(col("value")).as("max_value"),
         count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_high"), col("n_error"),
+        (expr("(2 * sum_cents * 100 + n_vals) DIV (2 * n_vals)") / 10000.0).as("avg_value"),
+        col("max_value"), col("n_events"))
       .orderBy(col("user_id"))
   }
 

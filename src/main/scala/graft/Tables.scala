@@ -43,20 +43,6 @@ object Det {
   /** Order-independent exact sum of a monetary double column. */
   def dsum(c: Column): Column = sum(c.cast(Money)).cast("double")
 
-  /** Order-independent average: exact decimal sum / count, rounded.
-    *
-    * BOUNDARY HAZARD: if the true mean lands exactly on a half boundary
-    * at `scale` (e.g. 49.19125 at scale 4), the double can't represent
-    * it and Spark/DuckDB round opposite ways. When a verify sweep flags
-    * such a flip (q19/q75 did at sf0.1), switch that query to exact
-    * integer units + rounded division — `(2*sum_units + n) DIV (2*n)`
-    * then divide by the scale power; Spark DIV and DuckDB // truncate
-    * identically, so both engines agree on every input (see
-    * Analytics.conditionalAgg / Advanced3.embeddingCentroids).
-    */
-  def davg(c: Column, scale: Int = 4): Column =
-    round(sum(c.cast(Money)).cast("double") / count(c), scale)
-
   /** Round a double expression for oracle comparison. */
   def r4(c: Column): Column = round(c, 4)
 

@@ -115,11 +115,13 @@ object Advanced {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
       |    OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
-      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+      |  (2 * SUM(CAST(ROUND(value * 100) AS BIGINT))
       |    OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id
-      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
-      |    / COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id
-      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 10000
+      |   + COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+      |  // (2 * COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) / 1000000.0 AS moving_avg3
       |FROM events
       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
     val ord = Window.partitionBy(col("user_id")).orderBy(expr("ts DIV 1000"), col("event_id"))
@@ -130,8 +132,12 @@ object Advanced {
         lead(col("event_id"), 1).over(ord).as("next_event_id"),
         ntile(4).over(ord).as("quartile"),
         sum(col("value").cast("decimal(18,2)")).over(cum).cast("double").as("running_value"),
-        round(sum(col("value").cast("decimal(18,2)")).over(mov).cast("double")
-          / count(lit(1)).over(mov), 6).as("moving_avg3"))
+        sum(round(col("value") * 100).cast("long")).over(mov).as("mov_cents"),
+        count(lit(1)).over(mov).as("mov_n"))
+      .select(col("user_id"), col("event_id"), col("next_event_id"), col("quartile"),
+        col("running_value"),
+        (expr("(2 * mov_cents * 10000 + mov_n) DIV (2 * mov_n)") / 1000000.0)
+          .as("moving_avg3"))
       .orderBy(col("user_id"), col("event_id"))
   }
 

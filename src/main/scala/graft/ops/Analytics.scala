@@ -25,7 +25,8 @@ object Analytics {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
-      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
+      |  (2 * SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) * 100 + COUNT(l_quantity))
+      |    // (2 * COUNT(l_quantity)) / 10000.0 AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -36,8 +37,13 @@ object Analytics {
         Det.dsum(col("l_quantity")).as("sum_qty"),
         Det.dsum(col("l_extendedprice")).as("sum_base_price"),
         Det.rsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
-        Det.davg(col("l_quantity")).as("avg_qty"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+        count(col("l_quantity")).as("n_qty"),
         count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_price"), col("sum_disc_price"),
+        (expr("(2 * qty_cents * 100 + n_qty) DIV (2 * n_qty)") / 10000.0).as("avg_qty"),
+        col("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
@@ -97,17 +103,23 @@ object Analytics {
     "q20_global_stats",
     """SELECT
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice), 4) AS avg_price,
+      |  (2 * SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) * 100 + COUNT(l_extendedprice))
+      |    // (2 * COUNT(l_extendedprice)) / 10000.0 AS avg_price,
       |  MIN(l_extendedprice) AS min_price,
       |  MAX(l_extendedprice) AS max_price,
       |  COUNT(*) AS n_rows
       |FROM lineitem""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d).agg(
       Det.dsum(col("l_extendedprice")).as("sum_price"),
-      Det.davg(col("l_extendedprice")).as("avg_price"),
+      sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+      count(col("l_extendedprice")).as("n_prices"),
       min(col("l_extendedprice")).as("min_price"),
       max(col("l_extendedprice")).as("max_price"),
       count(lit(1)).as("n_rows"))
+      .select(col("sum_price"),
+        (expr("(2 * price_cents * 100 + n_prices) DIV (2 * n_prices)") / 10000.0)
+          .as("avg_price"),
+        col("min_price"), col("max_price"), col("n_rows"))
   }
 
   /** Conditional aggregation per group — the reference's per-device

@@ -108,7 +108,8 @@ object Events {
       |  SELECT user_id,
       |    COUNT(*) AS n_moves,
       |    COUNT(CASE WHEN speed_kmh > 60 THEN 1 END) AS speeding,
-      |    ROUND(CAST(SUM(CAST(ROUND(speed_kmh, 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_speed,
+      |    (2 * SUM(CAST(ROUND(speed_kmh * 1000000) AS BIGINT)) + COUNT(*) * 100)
+      |      // (2 * COUNT(*) * 100) / 10000.0 AS avg_speed,
       |    ROUND(MAX(speed_kmh), 4) AS max_speed
       |  FROM speeds WHERE speed_kmh < 160 GROUP BY user_id)
       |SELECT user_id, n_moves, speeding, avg_speed, max_speed,
@@ -145,8 +146,11 @@ object Events {
     val feats = speeds.groupBy(col("user_id")).agg(
       count(lit(1)).as("n_moves"),
       count(when(col("speed_kmh") > 60, 1)).as("speeding"),
-      round(Det.rsum(col("speed_kmh"), 6) / count(lit(1)), 4).as("avg_speed"),
+      sum(round(col("speed_kmh") * 1000000).cast("long")).as("speed_micro"),
       round(max(col("speed_kmh")), 4).as("max_speed"))
+      .withColumn("avg_speed",
+        expr("(2 * speed_micro + n_moves * 100) DIV (2 * n_moves * 100)") / 10000.0)
+      .drop("speed_micro")
     val score = greatest(lit(0.0),
       lit(100.0) - lit(2.0) * col("speeding")
         - when(col("avg_speed") > 50, 10.0).otherwise(0.0)
@@ -185,7 +189,7 @@ object Events {
       |SELECT user_id,
       |  COUNT(*) AS n_sessions,
       |  CAST(SUM(n_events) AS BIGINT) AS total_events,
-      |  ROUND(SUM(n_events) * 1.0 / COUNT(*), 4) AS avg_session_events,
+      |  (2 * SUM(n_events) * 10000 + COUNT(*)) // (2 * COUNT(*)) / 10000.0 AS avg_session_events,
       |  MAX(duration_sec) AS max_session_sec
       |FROM per_sess
       |GROUP BY user_id
@@ -207,8 +211,9 @@ object Events {
       .agg(
         count(lit(1)).as("n_sessions"),
         sum(col("n_events")).as("total_events"),
-        round(sum(col("n_events")) * 1.0 / count(lit(1)), 4).as("avg_session_events"),
         max(col("duration_sec")).as("max_session_sec"))
+      .withColumn("avg_session_events",
+        expr("(2 * total_events * 10000 + n_sessions) DIV (2 * n_sessions)") / 10000.0)
       .orderBy(col("user_id"))
   }
 

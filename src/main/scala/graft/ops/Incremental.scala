@@ -53,8 +53,8 @@ object Incremental {
       |  COUNT(*) AS n_keys,
       |  CAST(MIN(n) AS BIGINT) AS min_per_key,
       |  CAST(MAX(n) AS BIGINT) AS max_per_key,
-      |  ROUND(SUM(n) * 1.0 / COUNT(*), 4) AS avg_per_key,
-      |  ROUND(MAX(n) * 1.0 / (SUM(n) * 1.0 / COUNT(*)), 4) AS skew_ratio
+      |  (2 * SUM(n) * 10000 + COUNT(*)) // (2 * COUNT(*)) / 10000.0 AS avg_per_key,
+      |  (2 * MAX(n) * COUNT(*) * 10000 + SUM(n)) // (2 * SUM(n)) / 10000.0 AS skew_ratio
       |FROM per_key""".stripMargin) { (s, d) =>
     val perKey = Tables.lineitem(s, d)
       .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
@@ -62,8 +62,13 @@ object Incremental {
       count(lit(1)).as("n_keys"),
       min(col("n")).as("min_per_key"),
       max(col("n")).as("max_per_key"),
-      round(sum(col("n")) * 1.0 / count(lit(1)), 4).as("avg_per_key"),
-      round(max(col("n")) * 1.0 / (sum(col("n")) * 1.0 / count(lit(1))), 4).as("skew_ratio"))
+      sum(col("n")).as("sum_n"))
+      .select(col("n_keys"), col("min_per_key"), col("max_per_key"),
+        (expr("(2 * sum_n * 10000 + n_keys) DIV (2 * n_keys)") / 10000.0)
+          .as("avg_per_key"),
+        // skew = max/avg = max*n_keys/sum, rounded the same exact way
+        (expr("(2 * max_per_key * n_keys * 10000 + sum_n) DIV (2 * sum_n)") / 10000.0)
+          .as("skew_ratio"))
   }
 
   val specs: Seq[Q] = Seq(incrementalDedup, skewProfile)

@@ -40,7 +40,7 @@ object Quality {
     """SELECT
       |  COUNT(*) AS n_orders,
       |  COUNT(c_custkey) AS n_matched,
-      |  ROUND(COUNT(c_custkey) * 100.0 / COUNT(*), 4) AS pct_matched
+      |  (2 * COUNT(c_custkey) * 1000000 + COUNT(*)) // (2 * COUNT(*)) / 10000.0 AS pct_matched
       |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin) { (s, d) =>
     val o = Tables.orders(s, d).select(col("o_custkey"))
     val c = Tables.customer(s, d).select(col("c_custkey"))
@@ -48,7 +48,10 @@ object Quality {
       .agg(
         count(lit(1)).as("n_orders"),
         count(col("c_custkey")).as("n_matched"),
-        round(count(col("c_custkey")) * 100.0 / count(lit(1)), 4).as("pct_matched"))
+        count(col("c_custkey")).as("nm"),
+        count(lit(1)).as("nt"))
+      .select(col("n_orders"), col("n_matched"),
+        (expr("(2 * nm * 1000000 + nt) DIV (2 * nt)") / 10000.0).as("pct_matched"))
   }
 
   /** Star-schema fact QA through the library's Validation surface
@@ -58,9 +61,10 @@ object Quality {
     * `Validation.schemaCheck` (column-presence introspection) and
     * `Validation.validateFactPolicy` (one-scan record/null-key/premium
     * profile), then project to oracle-deterministic dtypes. The avg is
-    * recomputed as exact-decimal-sum ÷ count in double (the Det.davg form
-    * the oracle mirrors) — validateFactPolicy's decimal-division avg
-    * rounds at a different scale than DuckDB.
+    * recomputed boundary-exactly (integer cents + truncated-division
+    * half-up, the form every rounded average in this repo uses — see
+    * Analytics.conditionalAgg's comment) because validateFactPolicy's
+    * decimal-division avg rounds at a different scale than DuckDB.
     */
   val factQuality = Q(
     "q21c_fact_quality",
@@ -75,7 +79,8 @@ object Quality {
       |  COUNT(CASE WHEN customer_key IS NULL THEN 1 END) AS null_customer_keys,
       |  COUNT(CASE WHEN date_key IS NULL THEN 1 END) AS null_date_keys,
       |  CAST(SUM(premium_amount) AS DOUBLE) AS premium_sum,
-      |  ROUND(CAST(SUM(premium_amount) AS DOUBLE) / COUNT(*), 4) AS premium_avg,
+      |  (2 * CAST(SUM(premium_amount) * 100 AS BIGINT) * 100 + COUNT(*))
+      |    // (2 * COUNT(*)) / 10000.0 AS premium_avg,
       |  CAST(MIN(premium_amount) AS DOUBLE) AS premium_min,
       |  CAST(MAX(premium_amount) AS DOUBLE) AS premium_max,
       |  0 AS n_missing_cols, 0 AS n_unexpected_cols
@@ -96,8 +101,8 @@ object Quality {
         col("record_count"),
         col("null_policy_keys"), col("null_customer_keys"), col("null_date_keys"),
         col("premium_sum").cast("double").as("premium_sum"),
-        round(col("premium_sum").cast("double") / col("record_count"), 4)
-          .as("premium_avg"),
+        (expr("(2 * CAST(premium_sum * 100 AS BIGINT) * 100 + record_count)" +
+          " DIV (2 * record_count)") / 10000.0).as("premium_avg"),
         col("premium_min").cast("double").as("premium_min"),
         col("premium_max").cast("double").as("premium_max"),
         lit(missing.size).as("n_missing_cols"),

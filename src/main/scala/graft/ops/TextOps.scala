@@ -235,8 +235,8 @@ object TextOps {
   val langStats = Q(
     "q36_lang_stats",
     """SELECT lang, COUNT(*) AS n_docs,
-      |  ROUND(SUM(n_chars) * 1.0 / COUNT(*), 4) AS avg_chars,
-      |  ROUND(SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*), 4) AS avg_tokens,
+      |  (2 * SUM(n_chars) * 10000 + COUNT(*)) // (2 * COUNT(*)) / 10000.0 AS avg_chars,
+      |  (2 * SUM(len(string_split(text, ' '))) * 10000 + COUNT(*)) // (2 * COUNT(*)) / 10000.0 AS avg_tokens,
       |  COUNT(DISTINCT source) AS n_sources
       |FROM documents
       |GROUP BY lang
@@ -245,9 +245,13 @@ object TextOps {
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(sum(col("n_chars")) * 1.0 / count(lit(1)), 4).as("avg_chars"),
-        round(sum(size(col("toks"))) * 1.0 / count(lit(1)), 4).as("avg_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(size(col("toks"))).as("sum_toks"),
         countDistinct(col("source")).as("n_sources"))
+      .select(col("lang"), col("n_docs"),
+        (expr("(2 * sum_chars * 10000 + n_docs) DIV (2 * n_docs)") / 10000.0).as("avg_chars"),
+        (expr("(2 * sum_toks * 10000 + n_docs) DIV (2 * n_docs)") / 10000.0).as("avg_tokens"),
+        col("n_sources"))
       .orderBy(col("lang"))
   }
 

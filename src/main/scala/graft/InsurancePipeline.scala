@@ -41,6 +41,13 @@ object InsurancePipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Tables THIS run wrote. The summary/JDBC stages key off this set, not
+    // File.exists() probes — a reused outDir can hold stale parquet from a
+    // previous run, and reporting (or JDBC-loading) leftovers as if this
+    // run produced them would mask an upstream source failure.
+    val written = scala.collection.mutable.LinkedHashSet[String]()
+    def record(name: String): Unit = written += name
+
     // Staging + cleaning (reference scripts 01-03), fault-isolated per
     // source (reference 03:44-51,306-316): one corrupt/missing feed logs
     // a skip and the remaining sources still land; downstream stages run
@@ -61,14 +68,17 @@ object InsurancePipeline {
 
     loaded("contracts").foreach { contracts =>
       Ingest.writeParquetPartitioned(contracts, s"$outDir/contracts_clean", "contract_status")
+      record("contracts_clean")
     }
     loaded("vehicles").foreach { vehicles =>
       println(s"[pipeline-observed] vehicles_clean rows=" +
         writeWithRowCount(vehicles, s"$outDir/vehicles_clean"))
+      record("vehicles_clean")
     }
     loaded("claims").foreach { claims =>
       println(s"[pipeline-observed] claims_clean rows=" +
         writeWithRowCount(claims, s"$outDir/claims_clean"))
+      record("claims_clean")
     }
 
     // Dimensions (script 04) + facts (scripts 05 + 07) + analytics
@@ -78,23 +88,27 @@ object InsurancePipeline {
       val dimCustomer = Dimensions.dimCustomer(contractsClean)
       val dimPolicy = Dimensions.dimPolicy(contractsClean)
       val dimDate = Dimensions.dimDate(spark, "2020-01-01", "2030-12-31")
-      Ingest.writeParquet(dimCustomer, s"$outDir/dim_customer")
-      Ingest.writeParquet(dimPolicy, s"$outDir/dim_policy")
-      Ingest.writeParquet(dimDate, s"$outDir/dim_date")
+      Ingest.writeParquet(dimCustomer, s"$outDir/dim_customer"); record("dim_customer")
+      Ingest.writeParquet(dimPolicy, s"$outDir/dim_policy"); record("dim_policy")
+      Ingest.writeParquet(dimDate, s"$outDir/dim_date"); record("dim_date")
 
       val factPolicy = Facts.factPolicySnapshot(contractsClean, dimCustomer, dimPolicy, dimDate)
       Ingest.writeParquet(factPolicy, s"$outDir/fact_policy_snapshot")
+      record("fact_policy_snapshot")
       loaded("claims").foreach { claims =>
         Ingest.writeParquet(Facts.factClaims(claims, dimPolicy, dimDate), s"$outDir/fact_claims")
+        record("fact_claims")
       }
 
       val fp = Ingest.parquet(spark, s"$outDir/fact_policy_snapshot")
       Ingest.writeParquet(
         Analytics.premiumByPeriod(fp, Ingest.parquet(spark, s"$outDir/dim_date")),
         s"$outDir/analysis_premium_by_period")
+      record("analysis_premium_by_period")
       Ingest.writeParquet(
         Analytics.premiumBySegment(fp, Ingest.parquet(spark, s"$outDir/dim_customer")),
         s"$outDir/analysis_premium_by_segment")
+      record("analysis_premium_by_segment")
       Validation.validateFactPolicy(fp).show(truncate = false)
     }
 
@@ -102,6 +116,7 @@ object InsurancePipeline {
     loaded("telematics").foreach { telematics =>
       Ingest.writeParquet(Risk.riskScores(Risk.deviceSpeeds(telematics)),
         s"$outDir/fact_driver_risk")
+      record("fact_driver_risk")
     }
 
     // Summary: one cheap count per written table. (The reference instead
@@ -113,11 +128,11 @@ object InsurancePipeline {
       "dim_policy", "dim_date", "fact_policy_snapshot", "fact_claims",
       "fact_driver_risk", "analysis_premium_by_period",
       "analysis_premium_by_segment").foreach { t =>
-      if (new java.io.File(s"$outDir/$t").exists())
+      if (written.contains(t))
         println(s"[pipeline] $t rows=${Ingest.parquet(spark, s"$outDir/$t").count()}")
       else println(s"[pipeline] $t skipped (source failed upstream)")
     }
-    if (new java.io.File(s"$outDir/fact_driver_risk").exists())
+    if (written.contains("fact_driver_risk"))
       Ingest.parquet(spark, s"$outDir/fact_driver_risk")
         .orderBy(col("deviceId")).show(10, false)
 
@@ -129,7 +144,7 @@ object InsurancePipeline {
       val props = new java.util.Properties()
       props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       Seq("dim_customer", "dim_policy", "fact_policy_snapshot", "fact_claims")
-        .filter(t => new java.io.File(s"$outDir/$t").exists())
+        .filter(written.contains)
         .foreach { t =>
           Ingest.writeJdbc(Ingest.parquet(spark, s"$outDir/$t"), url, t, props)
           println(s"[pipeline-jdbc] loaded $t")

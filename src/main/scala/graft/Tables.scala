@@ -51,4 +51,18 @@ object Det {
     */
   def rsum(c: Column, scale: Int): Column =
     sum(round(c, scale).cast(DecimalType(28, scale))).cast("double")
+
+  /** Half-up rounded integer average `(2*num + den) DIV (2*den)` (den >
+    * 0): rounds num/den to the nearest integer, ties away from zero for
+    * num >= 0. Oracle pairing: DuckDB's INTEGER `//` truncates toward
+    * zero exactly like Spark's `DIV` (verified: `-7 // 2` = -3 in both
+    * engines — DuckDB only floors for DOUBLE operands), so the pair is
+    * bit-identical for EVERY sign of `num`. Negative sums occur in real
+    * data (q75's embedding means), so this single definition — not
+    * per-query re-derivations of the expression — is the only sanctioned
+    * form of an oracle-checked rounded average. Call sites scale `num` up
+    * by 10^k first to average at k decimal digits.
+    */
+  def halfUpDiv(num: Column, den: Column): Column =
+    call_function("div", lit(2) * num + den, lit(2) * den)
 }

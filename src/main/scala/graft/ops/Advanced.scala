@@ -136,7 +136,7 @@ object Advanced {
         count(lit(1)).over(mov).as("mov_n"))
       .select(col("user_id"), col("event_id"), col("next_event_id"), col("quartile"),
         col("running_value"),
-        (expr("(2 * mov_cents * 10000 + mov_n) DIV (2 * mov_n)") / 1000000.0)
+        (Det.halfUpDiv(col("mov_cents") * 10000, col("mov_n")) / 1000000.0)
           .as("moving_avg3"))
       .orderBy(col("user_id"), col("event_id"))
   }

@@ -287,7 +287,7 @@ object Advanced3 {
         sum(round(col("v").cast("double") * 1000000).cast("long")).as("sum_micro"),
         count(lit(1)).as("n_vectors"))
       .select(col("label"), col("pos"),
-        (expr("(2 * sum_micro + n_vectors) DIV (2 * n_vectors)") / 1000000.0)
+        (Det.halfUpDiv(col("sum_micro"), col("n_vectors")) / 1000000.0)
           .as("centroid_v"),
         col("n_vectors"))
       .orderBy(col("label"), col("pos"))

@@ -170,11 +170,13 @@ object Advanced5 {
     * — declarative argmax aggregates with map-side partial aggregation
     * (each mapper keeps one candidate per segment; the shuffle carries 5
     * rows per mapper, never the table). Balances can tie, so the ordering
-    * key is (balance-in-cents ∥ custkey) packed into one BIGINT — strictly
-    * monotonic in (c_acctbal, c_custkey) because custkey < 10^7, making
-    * the winner unique and identical in both engines. `round` before the
-    * cents cast because Spark's ANSI double→long truncates while DuckDB's
-    * rounds (the dialect trap from q51).
+    * key is lexicographic (balance-in-cents, custkey): the Spark side uses
+    * a STRUCT key (orderable at every scale — no packing overflow), while
+    * the oracle packs the pair into one BIGINT, which is monotonic exactly
+    * while custkey < 10^7 — always true at the oracle's test SFs (the
+    * engine side carries no such bound). `round` before the cents cast
+    * because Spark's ANSI double→long truncates while DuckDB's rounds
+    * (the dialect trap from q51).
     */
   val argMinMax = Q(
     "q88_argminmax",
@@ -185,7 +187,9 @@ object Advanced5 {
       |  MIN(c_acctbal) AS bottom_bal
       |FROM customer GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
-    val key = round(col("c_acctbal") * 100).cast("bigint") * 10000000L + col("c_custkey")
+    val key = struct(
+      round(col("c_acctbal") * 100).cast("bigint").as("bal_cents"),
+      col("c_custkey").as("c_custkey"))
     Tables.customer(s, d)
       .groupBy(col("c_mktsegment"))
       .agg(

@@ -42,7 +42,7 @@ object Analytics {
         count(lit(1)).as("count_order"))
       .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
         col("sum_base_price"), col("sum_disc_price"),
-        (expr("(2 * qty_cents * 100 + n_qty) DIV (2 * n_qty)") / 10000.0).as("avg_qty"),
+        (Det.halfUpDiv(col("qty_cents") * 100, col("n_qty")) / 10000.0).as("avg_qty"),
         col("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -117,7 +117,7 @@ object Analytics {
       max(col("l_extendedprice")).as("max_price"),
       count(lit(1)).as("n_rows"))
       .select(col("sum_price"),
-        (expr("(2 * price_cents * 100 + n_prices) DIV (2 * n_prices)") / 10000.0)
+        (Det.halfUpDiv(col("price_cents") * 100, col("n_prices")) / 10000.0)
           .as("avg_price"),
         col("min_price"), col("max_price"), col("n_rows"))
   }
@@ -156,7 +156,7 @@ object Analytics {
         max(col("value")).as("max_value"),
         count(lit(1)).as("n_events"))
       .select(col("user_id"), col("n_high"), col("n_error"),
-        (expr("(2 * sum_cents * 100 + n_vals) DIV (2 * n_vals)") / 10000.0).as("avg_value"),
+        (Det.halfUpDiv(col("sum_cents") * 100, col("n_vals")) / 10000.0).as("avg_value"),
         col("max_value"), col("n_events"))
       .orderBy(col("user_id"))
   }

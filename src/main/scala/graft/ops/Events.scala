@@ -149,7 +149,7 @@ object Events {
       sum(round(col("speed_kmh") * 1000000).cast("long")).as("speed_micro"),
       round(max(col("speed_kmh")), 4).as("max_speed"))
       .withColumn("avg_speed",
-        expr("(2 * speed_micro + n_moves * 100) DIV (2 * n_moves * 100)") / 10000.0)
+        Det.halfUpDiv(col("speed_micro"), col("n_moves") * 100) / 10000.0)
       .drop("speed_micro")
     val score = greatest(lit(0.0),
       lit(100.0) - lit(2.0) * col("speeding")
@@ -213,7 +213,7 @@ object Events {
         sum(col("n_events")).as("total_events"),
         max(col("duration_sec")).as("max_session_sec"))
       .withColumn("avg_session_events",
-        expr("(2 * total_events * 10000 + n_sessions) DIV (2 * n_sessions)") / 10000.0)
+        Det.halfUpDiv(col("total_events") * 10000, col("n_sessions")) / 10000.0)
       .orderBy(col("user_id"))
   }
 

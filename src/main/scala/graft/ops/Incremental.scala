@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Q, Tables}
+import graft.{Det, Q, Tables}
 import org.apache.spark.sql.functions._
 
 /** Incremental-ingestion operators: the steady-state shape of a corpus
@@ -64,10 +64,10 @@ object Incremental {
       max(col("n")).as("max_per_key"),
       sum(col("n")).as("sum_n"))
       .select(col("n_keys"), col("min_per_key"), col("max_per_key"),
-        (expr("(2 * sum_n * 10000 + n_keys) DIV (2 * n_keys)") / 10000.0)
+        (Det.halfUpDiv(col("sum_n") * 10000, col("n_keys")) / 10000.0)
           .as("avg_per_key"),
         // skew = max/avg = max*n_keys/sum, rounded the same exact way
-        (expr("(2 * max_per_key * n_keys * 10000 + sum_n) DIV (2 * sum_n)") / 10000.0)
+        (Det.halfUpDiv(col("max_per_key") * col("n_keys") * 10000, col("sum_n")) / 10000.0)
           .as("skew_ratio"))
   }
 

@@ -51,7 +51,7 @@ object Quality {
         count(col("c_custkey")).as("nm"),
         count(lit(1)).as("nt"))
       .select(col("n_orders"), col("n_matched"),
-        (expr("(2 * nm * 1000000 + nt) DIV (2 * nt)") / 10000.0).as("pct_matched"))
+        (Det.halfUpDiv(col("nm") * 1000000, col("nt")) / 10000.0).as("pct_matched"))
   }
 
   /** Star-schema fact QA through the library's Validation surface
@@ -101,8 +101,8 @@ object Quality {
         col("record_count"),
         col("null_policy_keys"), col("null_customer_keys"), col("null_date_keys"),
         col("premium_sum").cast("double").as("premium_sum"),
-        (expr("(2 * CAST(premium_sum * 100 AS BIGINT) * 100 + record_count)" +
-          " DIV (2 * record_count)") / 10000.0).as("premium_avg"),
+        (Det.halfUpDiv((col("premium_sum") * 100).cast("bigint") * 100,
+          col("record_count")) / 10000.0).as("premium_avg"),
         col("premium_min").cast("double").as("premium_min"),
         col("premium_max").cast("double").as("premium_max"),
         lit(missing.size).as("n_missing_cols"),

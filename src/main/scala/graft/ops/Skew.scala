@@ -13,9 +13,14 @@ import org.apache.spark.sql.functions._
   * `buckets`-fold, and the join key becomes (key, salt) — every salted
   * partition carries ≤ 1/buckets of the hottest key.
   *
-  * The salt must distribute ROWS of one key, so it derives from the
-  * whole large-side row (xxhash64 over all columns), not from the key —
-  * a key-derived salt would land the entire hot key in one bucket again.
+  * The salt must distribute ROWS of one key, so it mixes a per-row
+  * component (`monotonically_increasing_id` — unique per row regardless
+  * of content) into the hash rather than deriving from the key alone: a
+  * key-derived salt would land the entire hot key in one bucket again,
+  * and a content-derived salt (xxhash64 of the columns) re-collides on
+  * FULLY-DUPLICATE hot rows — the most common real skew shape. The salt
+  * never appears in the output, so its run-to-run nondeterminism is
+  * invisible (the join result set is identical either way).
   * Cost model: small side is materialized `buckets`× (broadcast-sized
   * sides only); the large side is never duplicated. q50 is the
   * aggregation sibling (two-phase salted agg).
@@ -30,12 +35,15 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame,
       largeKey: Column, smallKey: Column, buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val salted = large.withColumn("__salt",
-      pmod(xxhash64(large.columns.map(large.col): _*), lit(buckets.toLong)))
-    val replicated = small.withColumn("__salt",
+    // Fresh temp-column name: a caller-owned "__salt" must survive intact.
+    val saltCol = Iterator.from(0).map(i => s"__graft_salt$i")
+      .find(n => !large.columns.contains(n) && !small.columns.contains(n)).get
+    val salted = large.withColumn(saltCol,
+      pmod(xxhash64(monotonically_increasing_id()), lit(buckets.toLong)))
+    val replicated = small.withColumn(saltCol,
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     salted.join(replicated,
-        largeKey === smallKey && salted("__salt") === replicated("__salt"))
-      .drop("__salt")
+        largeKey === smallKey && salted(saltCol) === replicated(saltCol))
+      .drop(saltCol)
   }
 }

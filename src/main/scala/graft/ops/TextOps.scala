@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Q, Tables}
+import graft.{Det, Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -249,8 +249,8 @@ object TextOps {
         sum(size(col("toks"))).as("sum_toks"),
         countDistinct(col("source")).as("n_sources"))
       .select(col("lang"), col("n_docs"),
-        (expr("(2 * sum_chars * 10000 + n_docs) DIV (2 * n_docs)") / 10000.0).as("avg_chars"),
-        (expr("(2 * sum_toks * 10000 + n_docs) DIV (2 * n_docs)") / 10000.0).as("avg_tokens"),
+        (Det.halfUpDiv(col("sum_chars") * 10000, col("n_docs")) / 10000.0).as("avg_chars"),
+        (Det.halfUpDiv(col("sum_toks") * 10000, col("n_docs")) / 10000.0).as("avg_tokens"),
         col("n_sources"))
       .orderBy(col("lang"))
   }

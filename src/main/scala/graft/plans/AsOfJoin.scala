@@ -134,10 +134,7 @@ object AsOf {
       leftTsCol: String, rightTsCol: String,
       rightTieBreaks: Seq[String] = Nil): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfStrategy
-    }
+    Strategies.ensureInstalled(spark, AsOfStrategy)
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String) =

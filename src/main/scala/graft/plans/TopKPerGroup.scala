@@ -95,10 +95,7 @@ object TopK {
   def perGroup(df: DataFrame, k: Int, groupCols: Seq[String],
       orderCols: Seq[(String, Boolean)]): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
-    }
+    Strategies.ensureInstalled(spark, TopKStrategy)
     val child = df.queryExecution.analyzed
     def attr(name: String) = child.output.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Det, Q, Tables}
+import graft.functions.NGrams
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -67,10 +68,8 @@ object Advanced3 {
     val sh = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, size(toks) - 2), i -> " +
-          "concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"))
-        .as("s"))
+      .select(col("doc_id"),
+        explode(array_distinct(NGrams.ngrams(col("toks"), 3))).as("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("sa"), col("da") === col("sa.doc_id"))
@@ -115,9 +114,7 @@ object Advanced3 {
     val f = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
-      .withColumn("bg", expr(
-        "transform(sequence(1, size(toks) - 1), i -> " +
-          "concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+      .withColumn("bg", NGrams.ngrams(col("toks"), 2))
       .select(col("doc_id"), col("lang"),
         size(col("bg")).as("n_bigrams"),
         size(array_distinct(col("bg"))).as("n_distinct"))

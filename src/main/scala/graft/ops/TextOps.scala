@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Det, Q, Tables}
+import graft.functions.NGrams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -72,9 +73,8 @@ object TextOps {
       |ORDER BY da, db""".stripMargin) { (s, d) =>
     val sh = withToks(Tables.documents(s, d).filter(col("doc_id") < 100))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, size(toks) - 1)," +
-          " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))")).as("shingle"))
+      .select(col("doc_id"),
+        explode(array_distinct(NGrams.ngrams(col("toks"), 2))).as("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b,
@@ -113,10 +113,8 @@ object TextOps {
     graft.Shared.materialized(s, s"minhash-sigs@$d") {
       val shingleRows = withToks(Tables.documents(s, d))
         .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(1, size(toks) - 2), i -> " +
-            "concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"))
-          .as("s"))
+        .select(col("doc_id"),
+          explode(array_distinct(NGrams.ngrams(col("toks"), 3))).as("s"))
       val hashed = shingleRows.select(col("doc_id"),
         expr("CAST(conv(substr(md5(s), 1, 7), 16, 10) AS BIGINT)").as("v"))
       val minCols = (0 until 16).map { j =>
@@ -366,12 +364,21 @@ object TextOps {
   /** Benchmark decontamination — the train/eval overlap scan every
     * training pipeline must run: a training doc (doc_id < 450) is
     * contaminated if it shares ANY 5-token window with the held-out
-    * benchmark set (doc_id ≥ 450). Grams build from a lead() window
-    * keyed by doc (q79's adjacency pattern — no interpreted lambdas);
-    * the only pairwise-ish work is the equi-join ON THE GRAM, which
-    * shuffles gram hashes linearly — at 100 TB the shuffle carries each
-    * side's grams once, never a doc×doc product. The benchmark side is
-    * distinct'd first: eval suites are small, so that side broadcasts.
+    * benchmark set (doc_id ≥ 450). Grams build in ONE narrow codegen'd
+    * projection per side (`graft_ngrams` — no window shuffle/sort of the
+    * tokenized corpus, no interpreted lambdas); the only pairwise-ish
+    * work is the equi-join ON THE GRAM, which shuffles gram hashes
+    * linearly — at 100 TB the shuffle carries each side's distinct grams
+    * once, never a doc×doc product. Both sides dedup BEFORE the join
+    * (bench globally, train per-doc via array_distinct inside the
+    * projection), so join multiplicity is exactly 0/1 per (train doc,
+    * gram) and the post-join count needs no distinct shuffle. Grams
+    * travel as xxhash64 LONGS, not strings — the shuffle/broadcast
+    * carries 8 bytes per gram instead of ~5 tokens of text (a 64-bit
+    * collision inflates a count by 1 with p ≈ n²/2⁶⁴ — negligible at any
+    * ingestible corpus size; a paranoid 100 TB run would widen to two
+    * independent 64-bit hashes). Eval suites are small, so the bench
+    * side broadcasts.
     */
   val decontamination = Q(
     "q97_decontamination",
@@ -386,22 +393,16 @@ object TextOps {
       |  WHERE s.doc_id < 450 GROUP BY s.doc_id)
       |SELECT doc_id, CAST(n_shared_grams AS BIGINT) AS n_shared_grams
       |FROM hits ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val x = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    // concat (not concat_ws): incomplete tail windows yield NULL and drop
-    val grams = x.select(col("doc_id"),
-      concat(col("tok"),
-        lit(" "), lead(col("tok"), 1).over(w), lit(" "), lead(col("tok"), 2).over(w),
-        lit(" "), lead(col("tok"), 3).over(w), lit(" "), lead(col("tok"), 4).over(w))
-        .as("g"))
-      .filter(col("g").isNotNull)
-    val bench = grams.filter(col("doc_id") >= 450).select(col("g")).distinct()
-    grams.filter(col("doc_id") < 450)
-      .join(bench, Seq("g"))
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        explode(array_distinct(NGrams.ngrams(split(col("text"), " "), 5))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val docs = Tables.documents(s, d)
+    val bench = grams(docs.filter(col("doc_id") >= 450)).select(col("gh")).distinct()
+    grams(docs.filter(col("doc_id") < 450))
+      .join(bench, Seq("gh"))
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("g")).as("n_shared_grams"))
+      .agg(count(lit(1)).as("n_shared_grams"))
       .orderBy(col("doc_id"))
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct, NGrams}
+import graft.functions.{CosineSim, DotProduct, NGrams, SimHash60}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import graft.plans.{AsOfStrategy, TopKStrategy}
 import org.apache.spark.sql.SparkSessionExtensions
@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"graft_ngrams(toks, n) needs a literal int n, got $other")
         })))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash60(exprs.head)))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
   }

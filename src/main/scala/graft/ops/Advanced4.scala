@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import graft.functions.{DotProduct, VectorFunctions}
+import graft.functions.{DotProduct, SimHash60, VectorFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -31,12 +31,12 @@ object Advanced4 {
     * The oracle therefore uses the O(n²) self-join form; results are
     * provably identical.
     *
-    * The signature build is fully codegen'd: one md5 per distinct token,
-    * 60 conditional partial sums with map-side combine (docs shrink to 60
-    * longs before the shuffle), then a flat 60-term projection — no
-    * interpreted higher-order lambdas anywhere (contrast q33's compact
-    * declarative form, acceptable there because signatures are the final
-    * output; here they feed a join and stay on the hot path).
+    * The signature build is the native `graft_simhash60` expression: the
+    * whole 60-bit majority vote computes in one narrow codegen'd
+    * projection per document — no token explode, no 60-column aggregate,
+    * no shuffle before the band join (contrast q33's compact declarative
+    * form, acceptable there because signatures are the final output;
+    * here they feed a join and stay on the hot path).
     */
   val simhashNeardup = Q(
     "q77_simhash_neardup",
@@ -54,9 +54,9 @@ object Advanced4 {
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     // Materialize signatures before the self-join: without this the scan +
-    // explode + 60-sum aggregate subtree plans TWICE (once per join side) —
-    // at corpus scale that's 2x the whole signature pass. After the
-    // checkpoint both sides read the (tiny: one long per doc) sig table.
+    // simhash projection plans TWICE (once per join side) — at corpus
+    // scale that's 2x the whole signature pass. After the checkpoint both
+    // sides read the (tiny: one long per doc) sig table.
     val sigs = simhash60(Tables.documents(s, d)).localCheckpoint()
     val bandMask = (1L << 30) - 1
     val bands = sigs.select(col("doc_id"), col("simhash"),
@@ -73,23 +73,14 @@ object Advanced4 {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 60-bit SimHash per doc, codegen'd end-to-end (see q77 scaladoc).
+  /** 60-bit SimHash per doc via the native [[graft.functions.SimHash60]]
+    * expression — ONE narrow projection, no explode, no 60-column
+    * aggregate, no shuffle (see its scaladoc for the bit definition).
     * Package-visible so Advanced4Spec can brute-force the same signatures.
     */
-  private[graft] def simhash60(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .withColumn("hv", expr("CAST(conv(substr(md5(tok),1,15),16,10) AS BIGINT)"))
-    val bitSums = (0 until 60).map { b =>
-      sum(when(shiftright(col("hv"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$b")
-    }
-    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 60).map { b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    sums.select(col("doc_id"), sig.as("simhash"))
-  }
+  private[graft] def simhash60(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      SimHash60.simhash60(array_distinct(split(col("text"), " "))).as("simhash"))
 
   /** Gopher-style repetition quality: token counts, distinct-token ratio,
     * top-token mass fraction, and a drop verdict. Two-level aggregate —
@@ -209,11 +200,16 @@ object Advanced4 {
     // row_number/WindowGroupLimit alternative; the map-side collapse is
     // the property that matters at fleet scale.) Struct comparison
     // orders by (dist, cid) — the oracle's ROW_NUMBER tie-break.
+    // ||v||² hoists to one dot per VECTOR and ||c||² to one per CENTROID
+    // (inside the broadcast build), so the k-wide inner loop computes a
+    // single dot product per pair — (vv - 2·v·c) + cc associates exactly
+    // like the oracle's inline form, so the rounded dist is bit-identical.
+    val eVv = e.withColumn("vv", expr("graft_dot(v, v)"))
     def assign(cent: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cent))
+      eVv.crossJoin(broadcast(cent.withColumn("cc", expr("graft_dot(cv, cv)"))))
         .select(col("vec_id"), col("v"),
           struct(
-            round(expr("graft_dot(v,v) - 2*graft_dot(v,cv) + graft_dot(cv,cv)"), 6).as("dist"),
+            round(col("vv") - expr("2*graft_dot(v,cv)") + col("cc"), 6).as("dist"),
             col("cid")).as("dc"))
         .groupBy(col("vec_id"))
         .agg(min(col("dc")).as("m"), first(col("v")).as("v")) // v constant per vec_id

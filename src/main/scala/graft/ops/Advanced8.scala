@@ -1,0 +1,321 @@
+package graft.ops
+
+import graft.{Det, Q, Tables}
+import graft.functions.NGrams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Fourth-round batch: warehouse change tracking (SCD2), event-stream
+  * hygiene (windowed dedup, forward-fill imputation), and the corpus-
+  * curation closers (epoch reweighting toward a target mixture, vocab
+  * pruning, cross-source contamination matrix, text normalization,
+  * winsorized robust stats).
+  *
+  * Scale notes: every query here is either a narrow projection, a
+  * partial-agg'd groupBy, or a window partitioned by a high-cardinality
+  * key (customer/user/doc). The one join on exploded data (q103) joins
+  * DISTINCT gram hashes — the shuffle carries each source's vocabulary
+  * once, and pair fan-out is bounded by the source count, not the corpus.
+  */
+object Advanced8 {
+
+  /** SCD2 dimension build — collapse a per-customer order-status history
+    * into validity intervals [eff_from, eff_to): keep only CHANGE rows
+    * (status differs from the previous row), then close each interval
+    * with the next change's date. The reference's dimension loads
+    * (scripts/04) are type-1 overwrites; this is the type-2 upgrade a
+    * real warehouse needs. Windows partition by customer — parallel over
+    * 150k×SF keys, no global sort.
+    */
+  val scd2Intervals = Q(
+    "q98_scd2_intervals",
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+      |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev_s
+      |  FROM orders),
+      |c AS (SELECT * FROM o WHERE prev_s IS NULL OR prev_s <> o_orderstatus)
+      |SELECT o_custkey,
+      |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+      |  o_orderstatus, o_orderdate AS eff_from,
+      |  lead(o_orderdate) OVER w AS eff_to
+      |FROM c
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, version""".stripMargin) { (s, d) =>
+    val wAll = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+      .withColumn("prev_s", lag(col("o_orderstatus"), 1).over(wAll))
+      .filter(col("prev_s").isNull || col("prev_s") =!= col("o_orderstatus"))
+    changes
+      .withColumn("version", row_number().over(wAll))
+      .withColumn("eff_to", lead(col("o_orderdate"), 1).over(wAll))
+      .select(col("o_custkey"), col("version"), col("o_orderstatus"),
+        col("o_orderdate").as("eff_from"), col("eff_to"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
+  /** Windowed deduplication — the bounded-state streaming-dedup shape in
+    * batch form: within each 10-minute tumbling window, events of one
+    * (user, type) collapse to their first occurrence (min event_id).
+    * Pure two-level groupBy: both levels partial-aggregate map-side, and
+    * at 100 TB the state is one row per live (user, type, window) — the
+    * same bound `dropDuplicatesWithinWatermark` keeps in streaming.
+    */
+  val windowDedup = Q(
+    "q99_window_dedup",
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_ns(ts)//1000 // 600000000 AS win
+      |  FROM events),
+      |k AS (
+      |  SELECT user_id, event_type, win, MIN(event_id) AS keep_id, COUNT(*) AS n
+      |  FROM b GROUP BY 1, 2, 3)
+      |SELECT user_id, event_type,
+      |  COUNT(*) AS n_windows,
+      |  CAST(SUM(n) AS BIGINT) AS n_events,
+      |  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dropped
+      |FROM k GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts DIV 1000 DIV 600000000").as("win"))
+      .groupBy(col("user_id"), col("event_type"), col("win"))
+      .agg(min(col("event_id")).as("keep_id"), count(lit(1)).as("n"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("n")).as("n_events"),
+        (sum(col("n")) - count(lit(1))).as("n_dropped"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Forward-fill imputation — carry the last observed measurement over
+    * gaps (here: 'error' events carry no measurement) per user in event
+    * order: `last(_, ignoreNulls)` over a running frame. The window
+    * partitions by user, so fill state never crosses keys and the sort
+    * parallelizes; the canonical telemetry-backfill shape.
+    */
+  val forwardFill = Q(
+    "q100_forward_fill",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, v,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      |  FROM e)
+      |SELECT user_id,
+      |  CAST(COUNT(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_missing,
+      |  CAST(COUNT(*) FILTER (WHERE v IS NULL AND v_filled IS NOT NULL) AS BIGINT) AS n_filled,
+      |  CAST(SUM(CAST(ROUND(v_filled * 100) AS BIGINT)) AS BIGINT) AS filled_cents
+      |FROM f GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")).as("v"))
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("v").isNull, 1)).as("n_missing"),
+        count(when(col("v").isNull && col("v_filled").isNotNull, 1)).as("n_filled"),
+        sum(round(col("v_filled") * 100).cast("long")).as("filled_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Epoch reweighting toward a target mixture — the complement of q91's
+    * downsampling: given a uniform token-share target (1/20 per source),
+    * the factor each source must be repeated by. Integer micro-unit
+    * division ([[Det.halfUpDiv]]) keeps the factor bit-identical across
+    * engines. One partial-agg'd groupBy + a broadcast 1-row total.
+    */
+  val mixtureReweight = Q(
+    "q101_mixture_reweight",
+    """WITH s AS (
+      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM s)
+      |SELECT source, toks,
+      |  (2 * (total * 50000) + toks) // (2 * toks) / 1000000.0 AS repeat_factor
+      |FROM s, t
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val perSrc = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+    val total = perSrc.agg(sum(col("toks")).as("total"))
+    perSrc.crossJoin(broadcast(total))
+      .select(col("source"), col("toks"),
+        (Det.halfUpDiv(col("total") * 50000, col("toks")) / 1000000.0).as("repeat_factor"))
+      .orderBy(col("source"))
+  }
+
+  /** Vocabulary pruning — drop tokens appearing in fewer than 5 documents
+    * and report what survives: vocab size kept/total and the occurrence
+    * coverage of the kept vocab. Two-level aggregate; the shuffle carries
+    * (token, doc) keys once and token stats once — never raw instances.
+    */
+  val vocabPrune = Q(
+    "q102_vocab_prune",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY tok)
+      |SELECT
+      |  CAST(COUNT(*) FILTER (WHERE df >= 5) AS BIGINT) AS vocab_kept,
+      |  CAST(COUNT(*) AS BIGINT) AS vocab_total,
+      |  CAST(SUM(n_occ) FILTER (WHERE df >= 5) AS BIGINT) AS occ_kept,
+      |  CAST(SUM(n_occ) AS BIGINT) AS occ_total,
+      |  (2 * CAST(SUM(n_occ) FILTER (WHERE df >= 5) AS BIGINT) * 1000000
+      |     + CAST(SUM(n_occ) AS BIGINT))
+      |    // (2 * CAST(SUM(n_occ) AS BIGINT)) / 10000.0 AS coverage_pct
+      |FROM c""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("df"))
+      .agg(
+        count(when(col("df") >= 5, 1)).as("vocab_kept"),
+        count(lit(1)).as("vocab_total"),
+        sum(when(col("df") >= 5, col("n_occ")).otherwise(0L)).as("occ_kept"),
+        sum(col("n_occ")).as("occ_total"))
+      .select(col("vocab_kept"), col("vocab_total"), col("occ_kept"), col("occ_total"),
+        (Det.halfUpDiv(col("occ_kept") * 1000000, col("occ_total")) / 10000.0)
+          .as("coverage_pct"))
+  }
+
+  /** Cross-source contamination matrix — which sources share content:
+    * distinct 3-gram hashes per SOURCE, pairwise overlap + Jaccard for
+    * every overlapping pair. The join operates on each source's distinct
+    * vocabulary (never raw gram instances) and the hash is the md5-prefix
+    * int64 (oracle-computable; xxhash64 at production scale). Pair
+    * fan-out per gram is bounded by the source count squared — sources
+    * are a config-sized set, so the output is a small matrix at any
+    * corpus size.
+    */
+  val sourceOverlap = Q(
+    "q103_source_overlap",
+    """WITH t AS (
+      |  SELECT source, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |r AS (
+      |  SELECT source, unnest(list_transform(range(1, len(toks) - 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS gr
+      |  FROM t),
+      |g AS (SELECT DISTINCT source, ('0x' || substr(md5(gr), 1, 15))::BIGINT AS gh FROM r),
+      |sz AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+      |ov AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      |  FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_shared,
+      |  ROUND(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS jaccard
+      |FROM ov
+      |JOIN sz sa ON sa.source = src_a
+      |JOIN sz sb ON sb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    val g = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(NGrams.ngrams(col("toks"), 3)).as("gr"))
+      .select(col("source"),
+        expr("CAST(conv(substr(md5(gr), 1, 15), 16, 10) AS BIGINT)").as("gh"))
+      .distinct()
+    val sz = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val ov = g.as("a")
+      .join(g.as("b"), col("a.gh") === col("b.gh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    ov.join(sz.as("sa"), col("src_a") === col("sa.source"))
+      .join(sz.as("sb"), col("src_b") === col("sb.source"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared") * 1.0 / (col("sa.n") + col("sb.n") - col("n_shared")), 6)
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Text normalization — the standard pre-tokenization cleanup (lower,
+    * strip non-alphanumerics, squish whitespace) plus a stopword count,
+    * reported as a per-doc content hash + shrink stats. Pure narrow
+    * projection feeding one partial-agg'd groupBy(doc).
+    */
+  val textNormalize = Q(
+    "q104_text_normalize",
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', '', 'g'),
+      |      ' +', ' ', 'g')) AS norm
+      |  FROM documents),
+      |t AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM n),
+      |c AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |    CAST(COUNT(*) FILTER (WHERE tok IN ('the','a','of','and','to','in','is'))
+      |      AS BIGINT) AS n_stop
+      |  FROM t GROUP BY doc_id)
+      |SELECT n.doc_id, md5(n.norm) AS norm_hash, c.n_toks, c.n_stop
+      |FROM n JOIN c USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val n = Tables.documents(s, d)
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]+", ""),
+          " +", " ")).as("norm"))
+    n.select(col("doc_id"), md5(col("norm")).as("norm_hash"),
+        explode(split(col("norm"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("norm_hash"))
+      .agg(count(lit(1)).as("n_toks"),
+        count(when(col("tok").isin(stop: _*), 1)).as("n_stop"))
+      .select(col("doc_id"), col("norm_hash"), col("n_toks"), col("n_stop"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Winsorized robust statistics — clip values at the per-type rounded
+    * p05/p95 and report clip counts + the winsorized mean (exact-cents
+    * [[Det.halfUpDiv]] average). Thresholds round to 4 decimals BEFORE
+    * clipping so the clip decision is an exact double compare in both
+    * engines (raw interpolated percentiles can differ in the last ulp).
+    * The 5-row threshold table broadcasts; the fact side never shuffles
+    * before its aggregate.
+    */
+  val winsorize = Q(
+    "q105_winsorize",
+    """WITH q AS (
+      |  SELECT event_type,
+      |    ROUND(quantile_cont(value, 0.05), 4) AS lo,
+      |    ROUND(quantile_cont(value, 0.95), 4) AS hi
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(*) FILTER (WHERE value < lo) AS BIGINT) AS n_lo,
+      |  CAST(COUNT(*) FILTER (WHERE value > hi) AS BIGINT) AS n_hi,
+      |  lo, hi,
+      |  (2 * CAST(SUM(CAST(ROUND(LEAST(GREATEST(value, lo), hi) * 100) AS BIGINT)) AS BIGINT)
+      |     + COUNT(*)) // (2 * COUNT(*)) / 100.0 AS winsor_mean
+      |FROM events e JOIN q USING (event_type)
+      |GROUP BY e.event_type, lo, hi
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val q = ev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.05)"), 4).as("lo"),
+        round(expr("percentile(value, 0.95)"), 4).as("hi"))
+    val clipped = least(greatest(col("value"), col("lo")), col("hi"))
+    ev.join(broadcast(q), Seq("event_type"))
+      .groupBy(col("event_type"), col("lo"), col("hi"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("value") < col("lo"), 1)).as("n_lo"),
+        count(when(col("value") > col("hi"), 1)).as("n_hi"),
+        sum(round(clipped * 100).cast("long")).as("clip_cents"))
+      .select(col("event_type"), col("n"), col("n_lo"), col("n_hi"),
+        col("lo"), col("hi"),
+        (Det.halfUpDiv(col("clip_cents"), col("n")) / 100.0).as("winsor_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  def specs: Seq[Q] = Seq(scd2Intervals, windowDedup, forwardFill,
+    mixtureReweight, vocabPrune, sourceOverlap, textNormalize, winsorize)
+}

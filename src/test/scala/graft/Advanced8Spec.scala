@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.Advanced8
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the round-4 batch (the oracle hash-checks the
+  * values; these lock the invariants the values are supposed to have).
+  */
+class Advanced8Spec extends SparkSuite {
+  import spark.implicits._
+
+  test("q98 SCD2: versions are dense per customer and intervals chain") {
+    val iv = Advanced8.scd2Intervals.run(spark, sf0001).cache()
+    // versions 1..n per customer with exactly one open interval (eff_to null)
+    val perCust = iv.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"), max($"version").as("maxv"),
+        count(when($"eff_to".isNull, 1)).as("n_open"))
+    assert(perCust.filter($"n" =!= $"maxv" || $"n_open" =!= 1).isEmpty)
+    // each interval's eff_to equals the next version's eff_from
+    val a = iv.select($"o_custkey", $"version", $"eff_to")
+    val b = iv.select($"o_custkey", ($"version" - 1).as("version"), $"eff_from")
+    val chained = a.join(b, Seq("o_custkey", "version"))
+    assert(chained.filter($"eff_to" =!= $"eff_from").isEmpty)
+    // consecutive versions never repeat a status
+    val s1 = iv.select($"o_custkey", $"version", $"o_orderstatus".as("s_cur"))
+    val s2 = iv.select($"o_custkey", ($"version" - 1).as("version"),
+      $"o_orderstatus".as("s_next"))
+    assert(s1.join(s2, Seq("o_custkey", "version"))
+      .filter($"s_cur" === $"s_next").isEmpty)
+  }
+
+  test("q99 windowed dedup: kept + dropped reconciles with raw event counts") {
+    val dd = Advanced8.windowDedup.run(spark, sf0001)
+    val raw = Tables.events(spark, sf0001)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n_raw"))
+    val j = dd.join(raw, Seq("user_id", "event_type"))
+    assert(j.filter($"n_events" =!= $"n_raw").isEmpty)
+    assert(j.filter($"n_windows" + $"n_dropped" =!= $"n_events").isEmpty)
+  }
+
+  test("q100 forward-fill: every missing value after the first observation fills") {
+    val ff = Advanced8.forwardFill.run(spark, sf0001)
+    // unfillable rows are exactly the error-events preceding a user's first
+    // measurement; sanity: fills never exceed misses, and some fills happen
+    val agg = ff.agg(sum($"n_missing").as("miss"), sum($"n_filled").as("fill"))
+      .head()
+    assert(agg.getLong(1) > 0 && agg.getLong(1) <= agg.getLong(0))
+  }
+
+  test("q101 reweighting: factors are inversely ordered by source size") {
+    val rw = Advanced8.mixtureReweight.run(spark, sf0001).collect()
+    val bySize = rw.sortBy(_.getAs[Long]("toks"))
+    val factors = bySize.map(_.getAs[Double]("repeat_factor"))
+    assert(factors.zip(factors.tail).forall { case (a, b) => a >= b },
+      s"factors not monotone vs size: ${factors.toSeq}")
+  }
+
+  test("q105 winsorize: mean stays within the clip bounds") {
+    val w = Advanced8.winsorize.run(spark, sf0001)
+    assert(w.filter($"winsor_mean" < $"lo" || $"winsor_mean" > $"hi").isEmpty)
+    assert(w.filter($"n_lo" + $"n_hi" > $"n").isEmpty)
+  }
+}

@@ -316,6 +316,35 @@ object Advanced8 {
       .orderBy(col("event_type"))
   }
 
+  /** BPE-style regex pre-tokenization counts — the GPT-2 pre-tokenizer
+    * shape (space-attached letter runs / digit runs / punctuation runs)
+    * reduced to this corpus's lowercase-ascii alphabet, vs the naive
+    * whitespace count. Pure narrow projection (regex runs per document,
+    * codegen'd `regexp_extract_all`); the true-BPE refinement slots in as
+    * a vocab broadcast + greedy merge without changing the plan shape.
+    */
+  val bpePretokenize = Q(
+    "q106_bpe_pretokenize",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+      |    AS BIGINT) AS n_pretokens,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+      |  CAST(ceil(len(text) / 4.0) AS BIGINT) AS est_subwords
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0))).cast("long").as("n_pretokens"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_digit_runs"),
+        ceil(length(col("text")) / 4.0).cast("long").as("est_subwords"))
+      .orderBy(col("doc_id"))
+  }
+
   def specs: Seq[Q] = Seq(scd2Intervals, windowDedup, forwardFill,
-    mixtureReweight, vocabPrune, sourceOverlap, textNormalize, winsorize)
+    mixtureReweight, vocabPrune, sourceOverlap, textNormalize, winsorize,
+    bpePretokenize)
 }

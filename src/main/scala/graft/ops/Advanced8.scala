@@ -218,6 +218,9 @@ object Advanced8 {
       |JOIN sz sa ON sa.source = src_a
       |JOIN sz sb ON sb.source = src_b
       |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    // Materialize the per-source vocabulary ONCE: without the checkpoint
+    // the scan→ngrams→distinct subtree plans four times (both self-join
+    // sides and both size branches) — 4x the corpus pass at any scale.
     val g = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
@@ -225,6 +228,7 @@ object Advanced8 {
       .select(col("source"),
         expr("CAST(conv(substr(md5(gr), 1, 15), 16, 10) AS BIGINT)").as("gh"))
       .distinct()
+      .localCheckpoint()
     val sz = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val ov = g.as("a")
       .join(g.as("b"), col("a.gh") === col("b.gh") && col("a.source") < col("b.source"))

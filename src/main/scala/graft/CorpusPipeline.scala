@@ -12,6 +12,8 @@ import org.apache.spark.sql.expressions.Window
   *   raw → quality gate (q78's repetition metrics) → exact dedup (q30)
   *       → near-dup purge via shared MinHash/LSH cluster labels (q32/q57/q76)
   *       → weighted source mixture (q91) → train/val/test split (q87)
+  *       → benchmark decontamination (q97: train docs sharing any
+  *         5-token window with the held-out val/test docs are dropped)
   *       → sequence packing (q68) → deterministic hashed shards
   *         (`ShardWriter`, membership stable across reruns)
   *
@@ -91,11 +93,29 @@ object CorpusPipeline {
     val assigned = mixed.withColumn("split",
       when(splitBucket < 90, "train").when(splitBucket < 95, "val").otherwise("test"))
 
+    // 5b. Benchmark decontamination — q97's gram-hash overlap, applied
+    // where it actually bites: a TRAIN doc sharing any 5-token window
+    // with a held-out val/test doc leaks eval content into training, so
+    // it is dropped. Grams build in the native `graft_ngrams` projection
+    // and travel as xxhash64 longs; the held-out side is split-sized
+    // (5-10% of the corpus) and broadcasts.
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        explode(array_distinct(functions.NGrams.ngrams(split(col("text"), " "), 5))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val bench = grams(assigned.filter(col("split") =!= "train"))
+      .select(col("gh")).distinct()
+    val contaminated = grams(assigned.filter(col("split") === "train"))
+      .join(bench, Seq("gh"))
+      .select(col("doc_id")).distinct()
+    val decontaminated = assigned.join(contaminated, Seq("doc_id"), "left_anti")
+    log("decontaminated", decontaminated.count())
+
     // 6. Sequence packing — q68's greedy cumsum binning per (split, lang).
     val budget = 512L
     val wPack = Window.partitionBy(col("split"), col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = assigned
+    val packed = decontaminated
       .withColumn("n_toks", size(split(col("text"), " ")))
       .withColumn("pack_id",
         ((sum(col("n_toks")).over(wPack) - col("n_toks")) / budget).cast("long"))

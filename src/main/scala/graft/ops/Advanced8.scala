@@ -348,7 +348,32 @@ object Advanced8 {
       .orderBy(col("doc_id"))
   }
 
+  /** Count-min-sketch heavy hitters — the mergeable-sketch counting path
+    * (spark-sketch's CountMinSketch via `df.stat`): each partition builds
+    * a fixed-size sketch, sketches merge associatively (the 100 TB shape:
+    * no groupBy shuffle of raw keys, sketch size is independent of both
+    * cardinality and row count), and the driver reads off estimates for
+    * the dimension-sized key set. With eps=1e-4 the 5-key domain cannot
+    * collide, so the estimates EQUAL the exact counts and the exact
+    * GROUP BY is a true oracle — the same estimate==exact trick as q49's
+    * IVF recall check. Seeded, so the sketch is deterministic.
+    */
+  val cmsHeavyHitters = Q(
+    "q107_cms_heavyhitters",
+    """SELECT event_type, COUNT(*) AS est_count
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val cms = ev.stat.countMinSketch(col("event_type"), 1e-4, 0.999, 42)
+    // The key read-out is dimension-sized (event taxonomy), not data-sized.
+    val types = ev.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    import s.implicits._
+    types.map(t => (t, cms.estimateCount(t))).toDF("event_type", "est_count")
+      .orderBy(col("event_type"))
+  }
+
   def specs: Seq[Q] = Seq(scd2Intervals, windowDedup, forwardFill,
     mixtureReweight, vocabPrune, sourceOverlap, textNormalize, winsorize,
-    bpePretokenize)
+    bpePretokenize, cmsHeavyHitters)
 }

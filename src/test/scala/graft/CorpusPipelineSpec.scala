@@ -5,8 +5,9 @@ import java.nio.file.Files
 
 /** End-to-end corpus build on a crafted corpus where every gate has a
   * victim: a degenerate repetitive doc (quality), an exact duplicate
-  * (dedup keeps the smaller id), and a rerun that must reproduce
-  * identical shard membership.
+  * (dedup keeps the smaller id), a train doc leaking a held-out doc's
+  * 5-gram (decontamination; doc_id 8 md5-buckets into the val split),
+  * and a rerun that must reproduce identical shard membership.
   */
 class CorpusPipelineSpec extends SparkSuite {
   import spark.implicits._
@@ -14,18 +15,21 @@ class CorpusPipelineSpec extends SparkSuite {
   private lazy val dir: String = {
     val d = Files.createTempDirectory("graft_corpus_fixture").toString
     val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val leak = "shared secret benchmark answer phrase"
     val docs = Seq(
       (0L, good, "en", "src0", 60L),
       (1L, good, "en", "src1", 60L),                                     // exact dup of 0
       (2L, "spark spark spark spark spark spark spark spark", "en", "src0", 47L), // repetitive
       (3L, "uno dos tres cuatro cinco seis siete ocho nueve diez", "es", "src2", 52L),
-      (4L, "one two three four five six seven eight nine ten", "en", "src3", 49L))
+      (4L, "one two three four five six seven eight nine ten", "en", "src3", 49L),
+      (5L, s"$leak plus unique train padding words here", "en", "src0", 75L), // leaks doc 8's gram
+      (8L, s"$leak with other held out eval context tokens", "en", "src0", 80L)) // val-split doc
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.coalesce(1).write.parquet(s"$d/documents.parquet")
     d
   }
 
-  test("quality gate and exact dedup both fire; survivors are the right docs") {
+  test("quality, dedup, and decontamination gates all fire on their victims") {
     val out = Files.createTempDirectory("graft_corpus_out").toString
     val shards = CorpusPipeline.run(spark, dir, out)
     val ids = shards.select(col("doc_id")).collect().map(_.getLong(0)).toSet
@@ -33,6 +37,13 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(!ids.contains(1L), "exact duplicate survived (should keep doc 0)")
     // doc 0 kept over its duplicate; src2/src3 docs subject only to mixture
     assert(ids.contains(0L))
+    // doc 8 lands in val (md5 split bucket 93) and doc 5 (train) shares
+    // its 5-gram -> decontamination drops 5, keeps 8
+    assert(ids.contains(8L), "held-out doc should survive")
+    assert(!ids.contains(5L), "contaminated train doc survived decontamination")
+    val splits = shards.select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(splits(8L) == "val", splits.toString)
     // every surviving row carries split/pack metadata
     val cols = shards.columns.toSet
     assert(Set("split", "pack_id", "shard").subsetOf(cols), cols.toString)

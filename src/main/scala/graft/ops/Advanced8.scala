@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{Det, Q, Tables}
 import graft.functions.NGrams
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -373,7 +373,67 @@ object Advanced8 {
       .orderBy(col("event_type"))
   }
 
+  /** Product-quantization encoding — the ANN compression layer between
+    * q49's IVF partitioner and q34's exact scan: the 64-dim space splits
+    * into 4 sub-blocks of 16, each block quantizes independently against
+    * an 8-entry codebook (first-8 seed vectors, as in q80/q49), and every
+    * vector reduces to 4 one-byte codes + its quantization error. One
+    * broadcast of the codebook, one scan, map-side argmin — at fleet
+    * scale the encoded corpus is 4 bytes/vector instead of 256, which is
+    * what makes in-memory ADC scans possible. Per-block argmin packs
+    * (micro-dist, cid) into one BIGINT (cid < 100 by construction) so
+    * MIN() is the lexicographic winner — bit-identical in both engines,
+    * no struct aggregate needed.
+    */
+  val pqEncode = {
+    def sql(b: Int): String = {
+      val lo = 16 * b + 1; val hi = 16 * b + 16
+      s"""CAST(ROUND((list_dot_product(v[$lo:$hi], v[$lo:$hi])
+         |    - 2 * list_dot_product(v[$lo:$hi], cv[$lo:$hi])
+         |    + list_dot_product(cv[$lo:$hi], cv[$lo:$hi])) * 1000000) AS BIGINT)
+         |  * 100 + cid AS p$b""".stripMargin
+    }
+    Q(
+      "q108_pq_encode",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |p AS (
+         |  SELECT e.vec_id, ${(0 until 4).map(sql).mkString(",\n")}
+         |  FROM e CROSS JOIN c),
+         |m AS (SELECT vec_id, MIN(p0) AS m0, MIN(p1) AS m1, MIN(p2) AS m2, MIN(p3) AS m3
+         |      FROM p GROUP BY vec_id)
+         |SELECT vec_id,
+         |  CAST(m0 % 100 AS INTEGER) AS c0, CAST(m1 % 100 AS INTEGER) AS c1,
+         |  CAST(m2 % 100 AS INTEGER) AS c2, CAST(m3 % 100 AS INTEGER) AS c3,
+         |  (m0 // 100 + m1 // 100 + m2 // 100 + m3 // 100) / 1000000.0 AS err
+         |FROM m ORDER BY vec_id""".stripMargin) { (s, d) =>
+      graft.functions.DotProduct.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      val c = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+      def packed(b: Int): Column = {
+        val lo = 16 * b + 1
+        val dist = expr(
+          s"graft_dot(slice(v, $lo, 16), slice(v, $lo, 16))" +
+            s" - 2 * graft_dot(slice(v, $lo, 16), slice(cv, $lo, 16))" +
+            s" + graft_dot(slice(cv, $lo, 16), slice(cv, $lo, 16))")
+        round(dist * 1000000).cast("long") * 100 + col("cid")
+      }
+      e.crossJoin(broadcast(c))
+        .groupBy(col("vec_id"))
+        .agg(min(packed(0)).as("m0"), min(packed(1)).as("m1"),
+          min(packed(2)).as("m2"), min(packed(3)).as("m3"))
+        .select(col("vec_id"),
+          (col("m0") % 100).cast("int").as("c0"), (col("m1") % 100).cast("int").as("c1"),
+          (col("m2") % 100).cast("int").as("c2"), (col("m3") % 100).cast("int").as("c3"),
+          (expr("m0 DIV 100 + m1 DIV 100 + m2 DIV 100 + m3 DIV 100") / 1000000.0).as("err"))
+        .orderBy(col("vec_id"))
+    }
+  }
+
   def specs: Seq[Q] = Seq(scd2Intervals, windowDedup, forwardFill,
     mixtureReweight, vocabPrune, sourceOverlap, textNormalize, winsorize,
-    bpePretokenize, cmsHeavyHitters)
+    bpePretokenize, cmsHeavyHitters, pqEncode)
 }

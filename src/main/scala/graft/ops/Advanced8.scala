@@ -385,14 +385,44 @@ object Advanced8 {
     * MIN() is the lexicographic winner — bit-identical in both engines,
     * no struct aggregate needed.
     */
+  /** Micro-unit block distance ||x_b - c_b||² as a BIGINT, shared by the
+    * PQ queries: `x`/`c` name array<double> columns, block b spans dims
+    * [16b+1, 16b+16]. Identical text on both engines modulo the dot
+    * product spelling (graft_dot / list_dot_product — both sequential
+    * folds, parity proven by q80).
+    */
+  private def blockDistMicroSql(b: Int, x: String, c: String, dot: String): String = {
+    val lo = 16 * b + 1
+    val sliceX = if (dot == "list_dot_product") s"$x[$lo:${lo + 15}]" else s"slice($x, $lo, 16)"
+    val sliceC = if (dot == "list_dot_product") s"$c[$lo:${lo + 15}]" else s"slice($c, $lo, 16)"
+    s"CAST(ROUND(($dot($sliceX, $sliceX) - 2 * $dot($sliceX, $sliceC)" +
+      s" + $dot($sliceC, $sliceC)) * 1000000) AS BIGINT)"
+  }
+
+  /** Embeddings as double vectors + the first-8 seed codebook. */
+  private def pqBase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    graft.functions.DotProduct.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    (e, c)
+  }
+
+  /** Per-vector packed block minima m0..m3 (the PQ assignment table). */
+  private def pqAssign(e: DataFrame, c: DataFrame): DataFrame = {
+    def packed(b: Int): Column =
+      expr(blockDistMicroSql(b, "v", "cv", "graft_dot")) * 100 + col("cid")
+    e.crossJoin(broadcast(c))
+      .groupBy(col("vec_id"))
+      .agg(min(packed(0)).as("m0"), min(packed(1)).as("m1"),
+        min(packed(2)).as("m2"), min(packed(3)).as("m3"))
+  }
+
   val pqEncode = {
-    def sql(b: Int): String = {
-      val lo = 16 * b + 1; val hi = 16 * b + 16
-      s"""CAST(ROUND((list_dot_product(v[$lo:$hi], v[$lo:$hi])
-         |    - 2 * list_dot_product(v[$lo:$hi], cv[$lo:$hi])
-         |    + list_dot_product(cv[$lo:$hi], cv[$lo:$hi])) * 1000000) AS BIGINT)
-         |  * 100 + cid AS p$b""".stripMargin
-    }
+    def sql(b: Int): String =
+      blockDistMicroSql(b, "v", "cv", "list_dot_product") + s" * 100 + cid AS p$b"
     Q(
       "q108_pq_encode",
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -407,24 +437,8 @@ object Advanced8 {
          |  CAST(m2 % 100 AS INTEGER) AS c2, CAST(m3 % 100 AS INTEGER) AS c3,
          |  (m0 // 100 + m1 // 100 + m2 // 100 + m3 // 100) / 1000000.0 AS err
          |FROM m ORDER BY vec_id""".stripMargin) { (s, d) =>
-      graft.functions.DotProduct.register(s)
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
-      val c = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
-      def packed(b: Int): Column = {
-        val lo = 16 * b + 1
-        val dist = expr(
-          s"graft_dot(slice(v, $lo, 16), slice(v, $lo, 16))" +
-            s" - 2 * graft_dot(slice(v, $lo, 16), slice(cv, $lo, 16))" +
-            s" + graft_dot(slice(cv, $lo, 16), slice(cv, $lo, 16))")
-        round(dist * 1000000).cast("long") * 100 + col("cid")
-      }
-      e.crossJoin(broadcast(c))
-        .groupBy(col("vec_id"))
-        .agg(min(packed(0)).as("m0"), min(packed(1)).as("m1"),
-          min(packed(2)).as("m2"), min(packed(3)).as("m3"))
+      val (e, c) = pqBase(s, d)
+      pqAssign(e, c)
         .select(col("vec_id"),
           (col("m0") % 100).cast("int").as("c0"), (col("m1") % 100).cast("int").as("c1"),
           (col("m2") % 100).cast("int").as("c2"), (col("m3") % 100).cast("int").as("c3"),
@@ -433,7 +447,74 @@ object Advanced8 {
     }
   }
 
+  /** ADC (asymmetric-distance) top-k over the PQ codes — the search that
+    * makes q108's compression useful: each query precomputes its 8×4
+    * block-distance table to the codebook (a tiny broadcast), and every
+    * candidate's approximate distance is FOUR table lookups summed over
+    * its codes — the scan never touches raw vectors. Distances stay in
+    * integer micro-units end to end, so ranking ties break identically
+    * in both engines. At fleet scale: codes are 4 bytes/vector, the
+    * distance table is queries×8×4 longs, and the whole search is one
+    * broadcast-join + partial-agg'd top-k — no vector I/O at all.
+    */
+  val pqAdcSearch = {
+    def dtabSql(b: Int): String =
+      s"SELECT qid, cid, $b AS b, " +
+        blockDistMicroSql(b, "qv", "cv", "list_dot_product") + " AS dm FROM q CROSS JOIN c"
+    Q(
+      "q109_pq_adc_search",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |p AS (
+         |  SELECT e.vec_id, ${(0 until 4).map(b =>
+              blockDistMicroSql(b, "v", "cv", "list_dot_product") + s" * 100 + cid AS p$b")
+              .mkString(",\n")}
+         |  FROM e CROSS JOIN c),
+         |m AS (SELECT vec_id, MIN(p0) AS m0, MIN(p1) AS m1, MIN(p2) AS m2, MIN(p3) AS m3
+         |      FROM p GROUP BY vec_id),
+         |codes AS (
+         |  SELECT vec_id, 0 AS b, CAST(m0 % 100 AS INTEGER) AS code FROM m
+         |  UNION ALL SELECT vec_id, 1, CAST(m1 % 100 AS INTEGER) FROM m
+         |  UNION ALL SELECT vec_id, 2, CAST(m2 % 100 AS INTEGER) FROM m
+         |  UNION ALL SELECT vec_id, 3, CAST(m3 % 100 AS INTEGER) FROM m),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |dtab AS (${(0 until 4).map(dtabSql).mkString("\n  UNION ALL ")}),
+         |ad AS (
+         |  SELECT d.qid, cd.vec_id AS cand, CAST(SUM(d.dm) AS BIGINT) AS adist_micro
+         |  FROM codes cd JOIN dtab d ON d.b = cd.b AND d.cid = cd.code
+         |  GROUP BY d.qid, cd.vec_id),
+         |r AS (
+         |  SELECT qid, cand, adist_micro,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY adist_micro, cand) AS INTEGER) AS rnk
+         |  FROM ad QUALIFY rnk <= 3)
+         |SELECT qid, rnk, cand, adist_micro / 1000000.0 AS approx_dist
+         |FROM r ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val (e, c) = pqBase(s, d)
+      val m = pqAssign(e, c)
+      val codes = (0 until 4).map(b =>
+        m.select(col("vec_id"), lit(b).as("b"),
+          (col(s"m$b") % 100).cast("int").as("code"))).reduce(_ union _)
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
+      val joined = q.crossJoin(broadcast(c))
+      val dtab = (0 until 4).map(b =>
+        joined.select(col("qid"), col("cid"), lit(b).as("b"),
+          expr(blockDistMicroSql(b, "qv", "cv", "graft_dot")).as("dm"))).reduce(_ union _)
+      val ad = codes.as("cd")
+        .join(broadcast(dtab.as("dt")),
+          col("cd.b") === col("dt.b") && col("cd.code") === col("dt.cid"))
+        .groupBy(col("dt.qid").as("qid"), col("cd.vec_id").as("cand"))
+        .agg(sum(col("dt.dm")).as("adist_micro"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("adist_micro"), col("cand"))
+      ad.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("cand"),
+          (col("adist_micro") / 1000000.0).as("approx_dist"))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
   def specs: Seq[Q] = Seq(scd2Intervals, windowDedup, forwardFill,
     mixtureReweight, vocabPrune, sourceOverlap, textNormalize, winsorize,
-    bpePretokenize, cmsHeavyHitters, pqEncode)
+    bpePretokenize, cmsHeavyHitters, pqEncode, pqAdcSearch)
 }

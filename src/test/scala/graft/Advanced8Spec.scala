@@ -55,6 +55,30 @@ class Advanced8Spec extends SparkSuite {
       s"factors not monotone vs size: ${factors.toSeq}")
   }
 
+  test("q109 ADC search: recall@3 vs the exact L2 top-3 is non-degenerate") {
+    import graft.functions.{DotProduct, VectorFunctions}
+    DotProduct.register(spark)
+    val adc = Advanced8.pqAdcSearch.run(spark, sf0001)
+      .select($"qid", $"cand").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", VectorFunctions.asDouble($"embedding").as("v"))
+    val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"v".as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"dist", $"cand")
+    val exact = q.crossJoin(e)
+      .select($"qid", $"vec_id".as("cand"),
+        expr("graft_dot(qv,qv) - 2*graft_dot(qv,v) + graft_dot(v,v)").as("dist"))
+      .withColumn("rnk", row_number().over(w)).filter($"rnk" <= 3)
+      .select($"qid", $"cand").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (qid, ex) => adc(qid).intersect(ex).size / 3.0 }
+    // every query finds at least one true neighbor through 4-byte codes;
+    // measured mean 0.53 at sf0.001 (0.47 at sf0.01) with the 8-entry codebook
+    assert(recalls.forall(_ >= 1.0 / 3), recalls.toString)
+    assert(recalls.sum / recalls.size >= 0.4, s"mean recall ${recalls.sum / recalls.size}")
+  }
+
   test("q105 winsorize: mean stays within the clip bounds") {
     val w = Advanced8.winsorize.run(spark, sf0001)
     assert(w.filter($"winsor_mean" < $"lo" || $"winsor_mean" > $"hi").isEmpty)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct, NGrams, SimHash60}
+import graft.functions.{CosineSim, Deletions, DotProduct, NGrams, SimHash60}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import graft.plans.{AsOfStrategy, TopKStrategy}
 import org.apache.spark.sql.SparkSessionExtensions
@@ -46,6 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash60(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_deletions"),
+      new ExpressionInfo(classOf[Deletions].getName, "graft_deletions"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Deletions(exprs.head)))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
   }

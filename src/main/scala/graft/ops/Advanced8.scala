@@ -514,7 +514,46 @@ object Advanced8 {
     }
   }
 
+  /** Fuzzy join via SYMMETRIC-DELETE blocking (the SymSpell shape):
+    * match a probe list against customer names at Levenshtein distance
+    * ≤ 1 WITHOUT the O(n·m) cross join — both sides explode into their
+    * deletion neighborhoods (`graft_deletions`: the string + every
+    * 1-char deletion), the equi-join on neighborhood keys finds every
+    * qualifying pair (blocking is EXACT for distance ≤ 1 — see the
+    * expression's scaladoc), and the cheap levenshtein verify runs only
+    * on blocked candidates. The oracle is the naive cross join, proving
+    * blocked ≡ naive. Probes derive deterministically from the data
+    * (every 97th customer's name with its 2nd char dropped).
+    */
+  val fuzzyJoin = Q(
+    "q110_fuzzy_join",
+    """WITH probes AS (
+      |  SELECT DISTINCT substr(c_name, 1, 1) || substr(c_name, 3, 1000) AS probe
+      |  FROM customer WHERE c_custkey % 97 = 0)
+      |SELECT p.probe, c.c_custkey, c.c_name,
+      |  CAST(levenshtein(c.c_name, p.probe) AS INTEGER) AS dist
+      |FROM customer c CROSS JOIN probes p
+      |WHERE levenshtein(c.c_name, p.probe) <= 1
+      |ORDER BY probe, c_custkey""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    val probes = cust.filter(pmod(col("c_custkey"), lit(97)) === 0)
+      .select(concat(substring(col("c_name"), 1, 1), substring(col("c_name"), 3, 1000))
+        .as("probe"))
+      .distinct()
+    val custKeys = cust.select(col("c_custkey"), col("c_name"),
+      explode(graft.functions.Deletions.deletions(col("c_name"))).as("k"))
+    val probeKeys = probes.select(col("probe"),
+      explode(graft.functions.Deletions.deletions(col("probe"))).as("k"))
+    custKeys.join(probeKeys, Seq("k"))
+      .select(col("probe"), col("c_custkey"), col("c_name"))
+      .distinct() // a pair can collide on several deletion keys
+      .filter(levenshtein(col("c_name"), col("probe")) <= 1)
+      .select(col("probe"), col("c_custkey"), col("c_name"),
+        levenshtein(col("c_name"), col("probe")).cast("int").as("dist"))
+      .orderBy(col("probe"), col("c_custkey"))
+  }
+
   def specs: Seq[Q] = Seq(scd2Intervals, windowDedup, forwardFill,
     mixtureReweight, vocabPrune, sourceOverlap, textNormalize, winsorize,
-    bpePretokenize, cmsHeavyHitters, pqEncode, pqAdcSearch)
+    bpePretokenize, cmsHeavyHitters, pqEncode, pqAdcSearch, fuzzyJoin)
 }

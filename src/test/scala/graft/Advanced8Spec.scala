@@ -79,6 +79,35 @@ class Advanced8Spec extends SparkSuite {
     assert(recalls.sum / recalls.size >= 0.4, s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("graft_deletions: neighborhood contents and the distance-1 blocking guarantee") {
+    import graft.functions.Deletions
+    val vars = Seq("abc").toDF("s")
+      .select(Deletions.deletions($"s").as("v")).head().getSeq[String](0)
+    assert(vars == Seq("abc", "bc", "ac", "ab"))
+    // dist<=1 pairs ALWAYS share a key: substitution, insertion, deletion, equal
+    for ((a, b) <- Seq(("abc", "axc"), ("abc", "abxc"), ("abc", "ab"), ("abc", "abc"))) {
+      val va = Deletions.compute(org.apache.spark.unsafe.types.UTF8String.fromString(a))
+      val vb = Deletions.compute(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      val sa = (0 until va.numElements()).map(va.getUTF8String(_).toString).toSet
+      val sb = (0 until vb.numElements()).map(vb.getUTF8String(_).toString).toSet
+      assert(sa.intersect(sb).nonEmpty, s"($a, $b) shares no deletion key")
+    }
+  }
+
+  test("q110 blocked fuzzy join equals the naive cross join") {
+    val blocked = Advanced8.fuzzyJoin.run(spark, sf0001)
+    val cust = Tables.customer(spark, sf0001).select($"c_custkey", $"c_name")
+    val probes = cust.filter(pmod($"c_custkey", lit(97)) === 0)
+      .select(concat(substring($"c_name", 1, 1), substring($"c_name", 3, 1000)).as("probe"))
+      .distinct()
+    val naive = cust.crossJoin(probes)
+      .filter(levenshtein($"c_name", $"probe") <= 1)
+      .select($"probe", $"c_custkey", $"c_name",
+        levenshtein($"c_name", $"probe").cast("int").as("dist"))
+    assert(blocked.count() == naive.count() && blocked.count() > 0)
+    assert(blocked.exceptAll(naive).isEmpty && naive.exceptAll(blocked).isEmpty)
+  }
+
   test("q105 winsorize: mean stays within the clip bounds") {
     val w = Advanced8.winsorize.run(spark, sf0001)
     assert(w.filter($"winsor_mean" < $"lo" || $"winsor_mean" > $"hi").isEmpty)

@@ -410,15 +410,22 @@ object Advanced8 {
     (e, c)
   }
 
-  /** Per-vector packed block minima m0..m3 (the PQ assignment table). */
-  private def pqAssign(e: DataFrame, c: DataFrame): DataFrame = {
-    def packed(b: Int): Column =
-      expr(blockDistMicroSql(b, "v", "cv", "graft_dot")) * 100 + col("cid")
-    e.crossJoin(broadcast(c))
-      .groupBy(col("vec_id"))
-      .agg(min(packed(0)).as("m0"), min(packed(1)).as("m1"),
-        min(packed(2)).as("m2"), min(packed(3)).as("m3"))
-  }
+  /** Per-vector packed block minima m0..m3 (the PQ assignment table) —
+    * computed once per session via [[graft.Shared]] (q108 reports it,
+    * q109 searches over it; one corpus encode feeds both, the same reuse
+    * seam as the q32/q57 MinHash base).
+    */
+  private def pqAssign(s: SparkSession, d: String)(
+      base: => (DataFrame, DataFrame)): DataFrame =
+    graft.Shared.materialized(s, s"pq-assign@$d") {
+      val (e, c) = base
+      def packed(b: Int): Column =
+        expr(blockDistMicroSql(b, "v", "cv", "graft_dot")) * 100 + col("cid")
+      e.crossJoin(broadcast(c))
+        .groupBy(col("vec_id"))
+        .agg(min(packed(0)).as("m0"), min(packed(1)).as("m1"),
+          min(packed(2)).as("m2"), min(packed(3)).as("m3"))
+    }
 
   val pqEncode = {
     def sql(b: Int): String =
@@ -437,8 +444,7 @@ object Advanced8 {
          |  CAST(m2 % 100 AS INTEGER) AS c2, CAST(m3 % 100 AS INTEGER) AS c3,
          |  (m0 // 100 + m1 // 100 + m2 // 100 + m3 // 100) / 1000000.0 AS err
          |FROM m ORDER BY vec_id""".stripMargin) { (s, d) =>
-      val (e, c) = pqBase(s, d)
-      pqAssign(e, c)
+      pqAssign(s, d)(pqBase(s, d))
         .select(col("vec_id"),
           (col("m0") % 100).cast("int").as("c0"), (col("m1") % 100).cast("int").as("c1"),
           (col("m2") % 100).cast("int").as("c2"), (col("m3") % 100).cast("int").as("c3"),
@@ -491,7 +497,7 @@ object Advanced8 {
          |SELECT qid, rnk, cand, adist_micro / 1000000.0 AS approx_dist
          |FROM r ORDER BY qid, rnk""".stripMargin) { (s, d) =>
       val (e, c) = pqBase(s, d)
-      val m = pqAssign(e, c)
+      val m = pqAssign(s, d)((e, c))
       val codes = (0 until 4).map(b =>
         m.select(col("vec_id"), lit(b).as("b"),
           (col(s"m$b") % 100).cast("int").as("code"))).reduce(_ union _)

@@ -90,8 +90,13 @@ object CorpusPipeline {
     // 5. Train/val/test split (md5 chars 1-7), 90/5/5.
     val splitBucket =
       expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 100")
+    // localCheckpoint: `assigned` feeds THREE consumers below (bench grams,
+    // train grams, the anti-join's left side) — without materialization the
+    // whole quality→dedup→purge→mixture chain would replan and re-execute
+    // per consumer (the q77/q103 multiple-subtree lesson).
     val assigned = mixed.withColumn("split",
       when(splitBucket < 90, "train").when(splitBucket < 95, "val").otherwise("test"))
+      .localCheckpoint()
 
     // 5b. Benchmark decontamination — q97's gram-hash overlap, applied
     // where it actually bites: a TRAIN doc sharing any 5-token window

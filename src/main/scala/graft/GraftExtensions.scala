@@ -1,7 +1,6 @@
 package graft
 
 import graft.functions.{CosineSim, Deletions, DotProduct, NGrams, SimHash60}
-import org.apache.spark.sql.catalyst.expressions.Literal
 import graft.plans.{AsOfStrategy, TopKStrategy}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -35,12 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[NGrams].getName, "graft_ngrams"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        NGrams(exprs.head, exprs(1) match {
-          case Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_ngrams(toks, n) needs a literal int n, got $other")
-        })))
+      NGrams.fromExprs _))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),

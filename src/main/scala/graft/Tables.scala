@@ -52,17 +52,24 @@ object Det {
   def rsum(c: Column, scale: Int): Column =
     sum(round(c, scale).cast(DecimalType(28, scale))).cast("double")
 
-  /** Half-up rounded integer average `(2*num + den) DIV (2*den)` (den >
-    * 0): rounds num/den to the nearest integer, ties away from zero for
-    * num >= 0. Oracle pairing: DuckDB's INTEGER `//` truncates toward
+  /** Round-half-away-from-zero integer average (den > 0):
+    * `(2*num + sign(num)*den) DIV (2*den)` rounds num/den to the NEAREST
+    * integer (ties away from zero) for EVERY sign of `num` — the naive
+    * `(2*num + den) DIV (2*den)` is only correct for num >= 0 (for
+    * negative numerators its truncation overshoots even exact quotients
+    * by one). Oracle pairing: DuckDB's INTEGER `//` truncates toward
     * zero exactly like Spark's `DIV` (verified: `-7 // 2` = -3 in both
-    * engines — DuckDB only floors for DOUBLE operands), so the pair is
-    * bit-identical for EVERY sign of `num`. Negative sums occur in real
-    * data (q75's embedding means), so this single definition — not
-    * per-query re-derivations of the expression — is the only sanctioned
-    * form of an oracle-checked rounded average. Call sites scale `num` up
-    * by 10^k first to average at k decimal digits.
+    * engines — DuckDB only floors for DOUBLE operands), so oracles whose
+    * numerator is provably non-negative may keep the short
+    * `(2*n + d) // (2*d)` form (identical values), while any
+    * negative-capable oracle (q75's embedding sums) must spell the sign
+    * term: `(2*n + CASE WHEN n < 0 THEN -d ELSE d END) // (2*d)`.
+    * Negative sums occur in real data, so this single definition — not
+    * per-query re-derivations — is the only sanctioned form of an
+    * oracle-checked rounded average. Call sites scale `num` up by 10^k
+    * first to average at k decimal digits.
     */
   def halfUpDiv(num: Column, den: Column): Column =
-    call_function("div", lit(2) * num + den, lit(2) * den)
+    call_function("div",
+      lit(2) * num + when(num < 0, -den).otherwise(den), lit(2) * den)
 }

@@ -80,16 +80,21 @@ object NGrams {
   def ngrams(toks: Column, n: Int): Column =
     GraftPlanBridge.column(NGrams(GraftPlanBridge.expr(toks), n))
 
+  /** SQL-registration builder (shared by the temp-function path and
+    * [[graft.GraftExtensions]] so the literal-int contract can't drift
+    * between the two): `graft_ngrams(toks, n)` with a literal `n`.
+    */
+  def fromExprs(exprs: Seq[Expression]): NGrams =
+    NGrams(exprs.head, exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_ngrams(toks, n) needs a literal int n, got $other")
+    })
+
   /** Idempotently register `graft_ngrams(toks, n)` (n a literal) so the
     * SQL interface resolves it on any session.
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_ngrams",
-      exprs => NGrams(exprs.head, exprs(1) match {
-        case Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"graft_ngrams(toks, n) needs a literal int n, got $other")
-      }),
-      "scala_udf")
+      "graft_ngrams", fromExprs, "scala_udf")
 }

@@ -268,7 +268,9 @@ object Advanced3 {
     "q75_embedding_centroids",
     """SELECT label, CAST(p.pos AS INTEGER) AS pos,
       |  (2 * SUM(CAST(ROUND(CAST(embedding[p.pos + 1] AS DOUBLE) * 1000000) AS BIGINT))
-      |     + COUNT(*)) // (2 * COUNT(*)) / 1000000.0 AS centroid_v,
+      |     + CASE WHEN SUM(CAST(ROUND(CAST(embedding[p.pos + 1] AS DOUBLE) * 1000000) AS BIGINT)) < 0
+      |            THEN -COUNT(*) ELSE COUNT(*) END)
+      |    // (2 * COUNT(*)) / 1000000.0 AS centroid_v,
       |  COUNT(*) AS n_vectors
       |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) p
       |GROUP BY label, p.pos

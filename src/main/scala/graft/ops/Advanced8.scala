@@ -168,9 +168,9 @@ object Advanced8 {
       |SELECT
       |  CAST(COUNT(*) FILTER (WHERE df >= 5) AS BIGINT) AS vocab_kept,
       |  CAST(COUNT(*) AS BIGINT) AS vocab_total,
-      |  CAST(SUM(n_occ) FILTER (WHERE df >= 5) AS BIGINT) AS occ_kept,
+      |  CAST(COALESCE(SUM(n_occ) FILTER (WHERE df >= 5), 0) AS BIGINT) AS occ_kept,
       |  CAST(SUM(n_occ) AS BIGINT) AS occ_total,
-      |  (2 * CAST(SUM(n_occ) FILTER (WHERE df >= 5) AS BIGINT) * 1000000
+      |  (2 * CAST(COALESCE(SUM(n_occ) FILTER (WHERE df >= 5), 0) AS BIGINT) * 1000000
       |     + CAST(SUM(n_occ) AS BIGINT))
       |    // (2 * CAST(SUM(n_occ) AS BIGINT)) / 10000.0 AS coverage_pct
       |FROM c""".stripMargin) { (s, d) =>

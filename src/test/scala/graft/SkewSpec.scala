@@ -25,10 +25,19 @@ class SkewSpec extends SparkSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
-  test("FULLY-DUPLICATE hot rows still scatter across all salt buckets") {
-    // The real-world hot shape: every row of the hot key is bit-identical,
-    // so a content-derived salt (xxhash64 of the columns) would put all of
-    // them in ONE bucket. The per-row salt must scatter them anyway.
+  test("default mode: distinct hot-key rows scatter, salts replay deterministically") {
+    val salts = large.filter($"k" === 0L)
+      .withColumn("__s", pmod(xxhash64(large.columns.map(col): _*), lit(8L)))
+      .groupBy($"__s").count().collect()
+    assert(salts.length == 8, s"hot key used only ${salts.length}/8 buckets")
+    val counts = salts.map(_.getLong(1))
+    assert(counts.max < 2L * counts.sum / 8, s"unbalanced: ${counts.toSeq}")
+  }
+
+  test("scatterDuplicates: FULLY-DUPLICATE hot rows spread across all buckets") {
+    // The duplicate-skew shape: every row of the hot key is bit-identical,
+    // so the default content-derived salt puts all of them in ONE bucket;
+    // the per-row mode must scatter them anyway.
     val dupHot = spark.range(0, 9000).select(lit(0L).as("k"), lit(42L).as("payload"))
     val salts = dupHot
       .withColumn("__s", pmod(xxhash64(monotonically_increasing_id()), lit(8L)))
@@ -39,13 +48,17 @@ class SkewSpec extends SparkSuite {
     assert(counts.max < 2L * counts.sum / 8, s"unbalanced: ${counts.toSeq}")
   }
 
-  test("duplicate-hot-row join result matches the plain join (multiplicity kept)") {
+  test("duplicate-hot-row join matches the plain join in BOTH salt modes") {
     val dupHot = spark.range(0, 500).select(lit(0L).as("k"), lit(42L).as("payload"))
     val plain = dupHot.join(small, $"k" === $"sk").select($"k", $"payload", $"dim")
-    val salted = Skew.saltedJoin(dupHot, small, col("k"), col("sk"), 8)
-      .select($"k", $"payload", $"dim")
-    assert(salted.count() == plain.count())
-    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    for (scatter <- Seq(false, true)) {
+      val salted = Skew.saltedJoin(dupHot, small, col("k"), col("sk"), 8,
+          scatterDuplicates = scatter)
+        .select($"k", $"payload", $"dim")
+      assert(salted.count() == plain.count(), s"scatterDuplicates=$scatter")
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"scatterDuplicates=$scatter")
+    }
   }
 
   test("plan joins on (key, salt), small side replicated via explode") {

@@ -142,5 +142,80 @@ object DedupClusters {
       .orderBy(col("doc_id"))
   }
 
-  val specs: Seq[Q] = Seq(dedupClusters)
+  /** Triangle census of the LSH candidate graph — the graph-analytics
+    * signal the CC labels don't give: a triangle is a MUTUALLY-similar
+    * triple (dense near-dup group), while a high-degree node without
+    * triangles is the chain/hub shape LSH false positives produce.
+    * Implementation is the standard distributed triangle join on
+    * id-oriented edges (src < dst everywhere, so each triangle counts
+    * exactly once): edges ⋈ edges on the middle vertex, closed by a
+    * third edge join — every step an equi-join on edge keys, no
+    * enumeration of neighborhoods in one task. At web scale the one
+    * refinement is degree-based orientation (point low→high degree) to
+    * bound the wedge fan-out of hot vertices; id-orientation is the
+    * same plan shape. Edges come from the SHARED candidate table
+    * (q32/q57's base — computed once per session).
+    */
+  val graphTriangles = Q(
+    "q111_graph_triangles",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |hs AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS s
+      |  FROM toks),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS v FROM hs),
+      |sigs AS (
+      |  SELECT doc_id, [MINHASH_MINS] AS sig
+      |  FROM h GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, b, sig[2*b+1] AS s1, sig[2*b+2] AS s2
+      |  FROM sigs, (SELECT unnest(range(0, 8)) AS b)),
+      |edges AS (
+      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id),
+      |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+      |deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY src),
+      |tri AS (
+      |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM edges e1
+      |  JOIN edges e2 ON e2.src = e1.dst
+      |  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      |tcnt AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+      |    SELECT a AS node FROM tri
+      |    UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri) u
+      |  GROUP BY node)
+      |SELECT d.node AS doc_id, CAST(d.degree AS BIGINT) AS degree,
+      |  COALESCE(t.n_triangles, 0) AS n_triangles
+      |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+      |ORDER BY doc_id""".stripMargin
+      .replace("MINHASH_MINS",
+        (0 until 16).map(j =>
+          s"MIN((v * ${1000003L * j + 12345L} + ${777767L * j + 1L}) % 2147483647)")
+          .mkString(", "))) { (s, d) =>
+    val edges = TextOps.minhashCandidates(s, d)
+      .select(col("da").as("src"), col("db").as("dst"))
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e2.src") === col("e1.dst"))
+      .join(edges.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val tcnt = tri.select(col("a").as("node"))
+      .union(tri.select(col("b").as("node")))
+      .union(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(tcnt, Seq("node"), "left_outer")
+      .select(col("node").as("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val specs: Seq[Q] = Seq(dedupClusters, graphTriangles)
 }

@@ -25,16 +25,19 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * DISTINCT tokens have bit b set in their 60-bit hash than not.
   * Callers pass the distinct token array (`array_distinct(split ...)`).
   */
-case class SimHash60(child: Expression) extends UnaryExpression {
+case class SimHash60(child: Expression, bits: Int = 60) extends UnaryExpression {
+  require(bits > 0 && bits <= 60 && bits % 4 == 0,
+    s"bits must be a positive multiple of 4 up to 60, got $bits")
+
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash60"
 
   override def nullSafeEval(input: Any): Any =
-    SimHash60.compute(input.asInstanceOf[ArrayData])
+    SimHash60.compute(input.asInstanceOf[ArrayData], bits)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SimHash60.compute($c);")
+      s"${ev.value} = graft.functions.SimHash60.compute($c, $bits);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash60 =
     copy(child = newChild)
@@ -45,29 +48,34 @@ object SimHash60 {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
-  /** Top 60 bits of md5(token UTF-8 bytes) — numerically identical to
-    * SQL `CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)`:
-    * 15 hex chars = the first 7 bytes plus the high nibble of byte 8.
+  /** Top `bits` bits of md5(token UTF-8 bytes) — numerically identical
+    * to SQL `CAST(conv(substr(md5(tok), 1, bits/4), 16, 10) AS BIGINT)`:
+    * the first bits/4 hex chars of the digest, folded nibble-wise.
     */
-  private def hash60(bytes: Array[Byte]): Long = {
+  private def hashBits(bytes: Array[Byte], bits: Int): Long = {
     val md = digest.get()
     md.reset()
     val h = md.digest(bytes)
+    val nibbles = bits / 4
     var v = 0L
     var i = 0
-    while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
-    (v << 4) | ((h(7) >> 4) & 0xfL)
+    while (i < nibbles) {
+      val nib = if (i % 2 == 0) (h(i / 2) >> 4) & 0xf else h(i / 2) & 0xf
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
   }
 
   /** One-pass SimHash over a token array (called from generated code). */
-  def compute(toks: ArrayData): Long = {
-    val counts = new Array[Int](60)
+  def compute(toks: ArrayData, bits: Int): Long = {
+    val counts = new Array[Int](bits)
     val n = toks.numElements()
     var i = 0
     while (i < n) {
-      val hv = hash60(toks.getUTF8String(i).getBytes)
+      val hv = hashBits(toks.getUTF8String(i).getBytes, bits)
       var b = 0
-      while (b < 60) {
+      while (b < bits) {
         if (((hv >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
         b += 1
       }
@@ -75,13 +83,15 @@ object SimHash60 {
     }
     var sig = 0L
     var b = 0
-    while (b < 60) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+    while (b < bits) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
     sig
   }
 
-  /** Column-level entry point: `simhash60(array_distinct(tokens))`. */
-  def simhash60(toks: Column): Column =
-    GraftPlanBridge.column(SimHash60(GraftPlanBridge.expr(toks)))
+  /** Column-level entry point: `simhash60(array_distinct(tokens))`;
+    * `bits` narrows the signature (q33's 32-bit variant).
+    */
+  def simhash60(toks: Column, bits: Int = 60): Column =
+    GraftPlanBridge.column(SimHash60(GraftPlanBridge.expr(toks), bits))
 
   /** Idempotently register `graft_simhash60(toks)` for SQL callers. */
   def register(spark: SparkSession): Unit =

@@ -132,10 +132,12 @@ object TextOps {
   def minhashCandidates(s: SparkSession, d: String): DataFrame =
     graft.Shared.materialized(s, s"minhash-cand@$d") {
       val sigs = minhashSigs(s, d)
-      val bands = sigs.select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, 7), b -> " +
-            "struct(element_at(sig, 2*b+1) AS s1, element_at(sig, 2*b+2) AS s2))"))
-          .as(Seq("b", "bs")))
+      // flat array-of-structs (literal band indices) — fully codegen'd,
+      // no interpreted transform(sequence(...)) lambda in the hot path
+      val bandStructs = array((0 until 8).map(b =>
+        struct(element_at(col("sig"), 2 * b + 1).as("s1"),
+          element_at(col("sig"), 2 * b + 2).as("s2"))): _*)
+      val bands = sigs.select(col("doc_id"), posexplode(bandStructs).as(Seq("b", "bs")))
         .select(col("doc_id"), col("b"), col("bs.s1").as("s1"), col("bs.s2").as("s2"))
       bands.as("a")
         .join(bands.as("b"),
@@ -197,8 +199,9 @@ object TextOps {
   }
 
   /** 32-bit SimHash over distinct tokens: per-bit majority vote of
-    * md5-derived token hashes, folded with bit arithmetic — one narrow
-    * projection per document.
+    * md5-derived token hashes via the native [[graft.functions.SimHash60]]
+    * expression (bits = 32) — one codegen'd call per document, no
+    * interpreted lambdas.
     */
   val simhash = Q(
     "q33_dedup_simhash",
@@ -216,15 +219,10 @@ object TextOps {
       |FROM sim
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
-      .withColumn("h", expr(
-        "transform(array_distinct(split(text, ' ')), " +
-          "x -> CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT))"))
-      .select(col("doc_id"), expr(
-        "aggregate(transform(sequence(0, 31), b -> " +
-          "CASE WHEN aggregate(h, 0, (acc, v) -> acc + " +
-          "CASE WHEN (shiftright(v, b) & 1) = 1 THEN 1 ELSE -1 END) > 0 " +
-          "THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.SimHash60
+          .simhash60(array_distinct(split(col("text"), " ")), bits = 32)
+          .as("simhash"))
       .withColumn("bucket", expr("CAST(shiftright(simhash, 24) AS INT)"))
       .orderBy(col("doc_id"))
   }

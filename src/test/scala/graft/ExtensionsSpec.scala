@@ -33,6 +33,15 @@ class ExtensionsSpec extends AnyFunSuite {
           |""".stripMargin).collect().head
       assert(row.getDouble(0) == 11.0)
       assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+      // round-4 expressions injected too
+      val row2 = spark.sql(
+        """SELECT graft_ngrams(array('a','b','c'), 2) AS g,
+          |       graft_simhash60(array('x')) AS s,
+          |       graft_deletions('ab') AS d
+          |""".stripMargin).collect().head
+      assert(row2.getSeq[String](0) == Seq("a b", "b c"))
+      assert(row2.getLong(1) != 0L)
+      assert(row2.getSeq[String](2) == Seq("ab", "b", "a"))
       // planner strategy injected too: the native top-k node plans
       val topk = plans.TopK.perGroup(
         Tables.lineitem(spark, "/root/testdata/sf0.001")

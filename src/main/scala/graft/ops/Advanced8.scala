@@ -559,7 +559,54 @@ object Advanced8 {
       .orderBy(col("probe"), col("c_custkey"))
   }
 
+  /** CDC merge/upsert — the incremental-warehouse shape the reference's
+    * overwrite loads lack: a change batch (updates to existing keys +
+    * brand-new keys, derived deterministically from the data) merges
+    * into the base via ONE full-outer join on the key; each output row
+    * classifies as update / insert / keep. At scale this is a single
+    * co-partitioned shuffle join — and zero-exchange when base and batch
+    * share bucketing (the PlanSpec bucketed-join property); a lakehouse
+    * MERGE INTO plans the identical join under the hood.
+    */
+  val mergeUpsert = Q(
+    "q112_merge_upsert",
+    """WITH batch AS (
+      |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 100 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 2000000000, o_totalprice
+      |  FROM orders WHERE o_orderkey % 100 = 0),
+      |merged AS (
+      |  SELECT COALESCE(b.o_orderkey, o.o_orderkey) AS o_orderkey,
+      |    COALESCE(b.o_totalprice, o.o_totalprice) AS price,
+      |    CASE WHEN b.o_orderkey IS NULL THEN 'keep'
+      |         WHEN o.o_orderkey IS NULL THEN 'insert'
+      |         ELSE 'update' END AS action
+      |  FROM orders o FULL OUTER JOIN batch b ON o.o_orderkey = b.o_orderkey)
+      |SELECT action, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM merged GROUP BY action
+      |ORDER BY action""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val changed = base.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+    val batch = changed
+      .select(col("o_orderkey"), (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      .union(changed.select((col("o_orderkey") + 2000000000L).as("o_orderkey"),
+        col("o_totalprice")))
+    base.as("o").join(batch.as("b"),
+        col("o.o_orderkey") === col("b.o_orderkey"), "full_outer")
+      .select(
+        coalesce(col("b.o_totalprice"), col("o.o_totalprice")).as("price"),
+        when(col("b.o_orderkey").isNull, "keep")
+          .when(col("o.o_orderkey").isNull, "insert")
+          .otherwise("update").as("action"))
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n_rows"), Det.dsum(col("price")).as("total_value"))
+      .orderBy(col("action"))
+  }
+
   def specs: Seq[Q] = Seq(scd2Intervals, windowDedup, forwardFill,
     mixtureReweight, vocabPrune, sourceOverlap, textNormalize, winsorize,
-    bpePretokenize, cmsHeavyHitters, pqEncode, pqAdcSearch, fuzzyJoin)
+    bpePretokenize, cmsHeavyHitters, pqEncode, pqAdcSearch, fuzzyJoin,
+    mergeUpsert)
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Det, Q, Tables}
 import graft.functions.NGrams
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -64,6 +65,22 @@ object Advanced3 {
         (0 until 16).map(j =>
           s"MIN((v * ${1000003L * j + 12345L} + ${777767L * j + 1L}) % 2147483647)")
           .mkString(", "))) { (s, d) =>
+    candidatePairStats(s, d)
+      .withColumn("jac_raw",
+        col("n_common") * 1.0 / (col("na") + col("nb") - col("n_common")))
+      .select(col("da"), col("db"), col("n_common"),
+        round(col("jac_raw"), 6).as("jaccard"),
+        when(col("jac_raw") >= 0.8, "dup").otherwise("candidate").as("verdict"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Shared verify-stage base: for every LSH candidate pair, the exact
+    * distinct-3-gram overlap `(da, db, n_common, na, nb)`. Cost is
+    * O(candidate pairs), never O(n²) — the gram join touches only docs
+    * that appear in a candidate pair. q69 derives Jaccard from it;
+    * q119 derives the asymmetric containment ratios.
+    */
+  private[ops] def candidatePairStats(s: SparkSession, d: String): DataFrame = {
     val cand = TextOps.minhashCandidates(s, d)
     val sh = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
@@ -81,12 +98,8 @@ object Advanced3 {
     pairs
       .join(sizes.as("za"), col("da") === col("za.doc_id"))
       .join(sizes.as("zb"), col("db") === col("zb.doc_id"))
-      .withColumn("jac_raw",
-        col("n_common") * 1.0 / (col("za.n") + col("zb.n") - col("n_common")))
       .select(col("da"), col("db"), col("n_common"),
-        round(col("jac_raw"), 6).as("jaccard"),
-        when(col("jac_raw") >= 0.8, "dup").otherwise("candidate").as("verdict"))
-      .orderBy(col("da"), col("db"))
+        col("za.n").as("na"), col("zb.n").as("nb"))
   }
 
   /** Boilerplate detection: repeated-bigram ratio per document (the

@@ -1,0 +1,416 @@
+package graft.ops
+
+import graft.{Det, Q, Tables}
+import graft.functions.NGrams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Fifth advanced batch (round 4): corpus statistics the curation loop
+  * reads before and after a dedup/filter pass — unigram-LM commonness
+  * scoring, PageRank centrality of the near-dup candidate graph, PMI
+  * collocation mining, the embedding second-moment matrix (the PCA
+  * input), duplicated-span contamination fractions, OOV-rate against a
+  * frequency-capped vocabulary, asymmetric containment for the
+  * quote/subset dedup case, and a two-sample KS drift statistic
+  * between sources.
+  *
+  * Scale notes: every aggregate here is partial-agg'd (map-side
+  * combine); the only joins against per-token/per-gram tables join the
+  * corpus VOCABULARY (content-diversity-sized, broadcast-able), never
+  * raw instances. The PageRank/containment graphs are LSH-candidate-
+  * sized (shared, computed once per session). All oracle-checked math
+  * is integer micro-unit arithmetic ([[Det.halfUpDiv]]) — bit-identical
+  * across engines, no float summation order anywhere.
+  */
+object Advanced9 {
+
+  /** The MinHash/LSH candidate-edge preamble shared by every oracle
+    * that recomputes the graph in DuckDB (same SQL as q32/q57/q111).
+    */
+  private val EdgeSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |hs AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS s
+      |  FROM toks),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS v FROM hs),
+      |sigs AS (
+      |  SELECT doc_id, [MINHASH_MINS] AS sig
+      |  FROM h GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, b, sig[2*b+1] AS s1, sig[2*b+2] AS s2
+      |  FROM sigs, (SELECT unnest(range(0, 8)) AS b)),
+      |edges AS (
+      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id)""".stripMargin
+      .replace("MINHASH_MINS",
+        (0 until 16).map(j =>
+          s"MIN((v * ${1000003L * j + 12345L} + ${777767L * j + 1L}) % 2147483647)")
+          .mkString(", "))
+
+  /** Unigram-LM commonness score — the cheap shape of perplexity-based
+    * quality filtering (CCNet-style): score each document by the corpus
+    * frequency of its tokens (mean + rarest). Docs full of rare garbage
+    * tokens score low; boilerplate scores high. Kept in exact integer
+    * units (mean at 3 decimals) rather than log-space — log10 is not
+    * bit-stable across engines, token counts are. At 100 TB the token-
+    * frequency table is vocabulary-sized: it broadcasts, and the
+    * instance side never shuffles (the per-doc groupBy reuses the scan).
+    */
+  val tokenCommonness = Q(
+    "q113_token_commonness",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY tok)
+      |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |  MIN(c.n) AS rarest_freq,
+      |  (2 * CAST(SUM(c.n) AS BIGINT) * 1000 + COUNT(*)) // (2 * COUNT(*)) / 1000.0
+      |    AS mean_tok_freq
+      |FROM t JOIN c USING (tok)
+      |GROUP BY t.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val c = t.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    t.join(c, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), min(col("n")).as("rarest_freq"),
+        sum(col("n")).as("sum_n"))
+      .select(col("doc_id"), col("n_toks"), col("rarest_freq"),
+        (Det.halfUpDiv(col("sum_n") * 1000, col("n_toks")) / 1000.0)
+          .as("mean_tok_freq"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PageRank over the LSH candidate graph (3 damped iterations,
+    * d = 0.85) — centrality separates the hub of a template family
+    * (high rank) from its leaves, which is the keep/drop priority
+    * signal cluster labels (q57) alone don't give. Ranks live in
+    * BIGINT micro-units and every division is [[Det.halfUpDiv]], so the
+    * iteration is bit-identical across engines — no float accumulation
+    * order anywhere. Each hop is one equi-join + partial-agg'd groupBy
+    * on the edge list (the standard message-passing shape); the edge
+    * table is the SHARED checkpointed candidate base, so the MinHash
+    * subtree runs once per session, not once per hop.
+    */
+  val pagerank = Q(
+    "q114_pagerank",
+    (EdgeSql +
+      """,
+      |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+      |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY src),
+      |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),
+      |p1 AS (SELECT e.dst AS node,
+      |        150000 + (34 * SUM((2 * p.r + d.degree) // (2 * d.degree)) + 20) // 40 AS r
+      |       FROM sym e JOIN p0 p ON p.node = e.src JOIN deg d ON d.node = e.src
+      |       GROUP BY e.dst),
+      |p2 AS (SELECT e.dst AS node,
+      |        150000 + (34 * SUM((2 * p.r + d.degree) // (2 * d.degree)) + 20) // 40 AS r
+      |       FROM sym e JOIN p1 p ON p.node = e.src JOIN deg d ON d.node = e.src
+      |       GROUP BY e.dst),
+      |p3 AS (SELECT e.dst AS node,
+      |        150000 + (34 * SUM((2 * p.r + d.degree) // (2 * d.degree)) + 20) // 40 AS r
+      |       FROM sym e JOIN p2 p ON p.node = e.src JOIN deg d ON d.node = e.src
+      |       GROUP BY e.dst)
+      |SELECT p3.node AS doc_id, deg.degree, CAST(p3.r AS BIGINT) / 1000000.0 AS pagerank
+      |FROM p3 JOIN deg ON deg.node = p3.node
+      |ORDER BY doc_id""").stripMargin) { (s, d) =>
+    val cand = TextOps.minhashCandidates(s, d)
+    val edges = cand.select(col("da").as("src"), col("db").as("dst"))
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    var ranks = deg.select(col("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      ranks = sym.as("e")
+        .join(ranks.as("p"), col("p.node") === col("e.src"))
+        .join(deg.as("d"), col("d.node") === col("e.src"))
+        .groupBy(col("e.dst").as("node"))
+        .agg(sum(Det.halfUpDiv(col("p.r"), col("d.degree"))).as("contrib"))
+        .select(col("node"),
+          (lit(150000L) + Det.halfUpDiv(lit(17) * col("contrib"), lit(20))).as("r"))
+    }
+    ranks.as("pr")
+      .join(deg.as("dg"), col("dg.node") === col("pr.node"))
+      .select(col("pr.node").as("doc_id"), col("dg.degree"),
+        (col("pr.r") / 1000000.0).as("pagerank"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PMI-style collocation mining as exact integer "lift":
+    * N²·c(xy) / (M·c(x)·c(y)) — the log-free monotone form of pointwise
+    * mutual information, top-25 bigrams with support ≥ 5. The unigram
+    * table is vocabulary-sized (broadcast at scale); the bigram count is
+    * one partial-agg'd groupBy over the codegen'd gram projection. The
+    * two-step micro-unit division keeps every intermediate ≤ (N·10³)²
+    * / max(c(x), c(y)) — inside BIGINT up to corpus sizes around 10¹²
+    * tokens; beyond that the same formula lifts to DECIMAL(38,0).
+    */
+  val pmiCollocations = Q(
+    "q115_pmi_collocations",
+    """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |u AS (SELECT unnest(t) AS tok FROM toks),
+      |cu AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY tok),
+      |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM u),
+      |bg AS (SELECT unnest(list_transform(range(1, len(t)),
+      |         i -> array_to_string(t[i:i+1], ' '))) AS gr FROM toks),
+      |cb AS (SELECT gr, CAST(COUNT(*) AS BIGINT) AS nxy FROM bg
+      |       GROUP BY gr HAVING COUNT(*) >= 5),
+      |mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_total FROM bg),
+      |j AS (SELECT cb.gr, cb.nxy,
+      |        (2 * nt.n_total * 1000 + cx.n) // (2 * cx.n) AS a,
+      |        (2 * nt.n_total * 1000 + cy.n) // (2 * cy.n) AS b,
+      |        mt.m_total
+      |      FROM cb
+      |      JOIN cu cx ON cx.tok = string_split(cb.gr, ' ')[1]
+      |      JOIN cu cy ON cy.tok = string_split(cb.gr, ' ')[2]
+      |      CROSS JOIN nt CROSS JOIN mt)
+      |SELECT gr, nxy,
+      |  (2 * a * b * nxy + m_total * 1000) // (2 * m_total * 1000) / 1000.0 AS lift
+      |FROM j
+      |ORDER BY lift DESC, gr
+      |LIMIT 25""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val uni = toks.select(explode(col("t")).as("tok"))
+    val cu = uni.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val nTot = uni.agg(count(lit(1)).as("n_total"))
+    val bg = toks.select(explode(NGrams.ngrams(col("t"), 2)).as("gr"))
+    val cb = bg.groupBy(col("gr")).agg(count(lit(1)).as("nxy"))
+      .filter(col("nxy") >= 5)
+    val mTot = bg.agg(count(lit(1)).as("m_total"))
+    cb.withColumn("w1", split(col("gr"), " ").getItem(0))
+      .withColumn("w2", split(col("gr"), " ").getItem(1))
+      .join(cu.as("cx"), col("w1") === col("cx.tok"))
+      .join(cu.as("cy"), col("w2") === col("cy.tok"))
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(mTot))
+      .withColumn("a", Det.halfUpDiv(col("n_total") * 1000, col("cx.n")))
+      .withColumn("b", Det.halfUpDiv(col("n_total") * 1000, col("cy.n")))
+      .select(col("gr"), col("nxy"),
+        (Det.halfUpDiv(col("a") * col("b") * col("nxy"), col("m_total") * 1000) / 1000.0)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("gr"))
+      .limit(25)
+  }
+
+  /** Embedding second-moment matrix E[vᵢ·vⱼ] for the leading 8
+    * dimensions (36 upper-triangle entries) — the input PCA/whitening
+    * needs; cov(i,j) = m2(i,j) − mean(i)·mean(j) with means from q75.
+    * One pass: each vector explodes to its 36 literal (i, j, product)
+    * structs (fully codegen'd — no self-join, no per-dimension scan) and
+    * a 36-group partial aggregate reduces them; the same shape extends
+    * to all 64 dims (2080 entries) at the cost of codegen method size.
+    * Products are rounded to micro-units BEFORE the exact decimal-free
+    * BIGINT sum — order-independent, so bit-identical at any
+    * parallelism (q75's documented boundary-exact recipe).
+    */
+  val embeddingMoments = Q(
+    "q116_embedding_moments",
+    """SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+      |  (2 * SUM(CAST(ROUND(CAST(embedding[p.i + 1] AS DOUBLE)
+      |                      * CAST(embedding[p.j + 1] AS DOUBLE) * 1000000) AS BIGINT))
+      |     + CASE WHEN SUM(CAST(ROUND(CAST(embedding[p.i + 1] AS DOUBLE)
+      |                      * CAST(embedding[p.j + 1] AS DOUBLE) * 1000000) AS BIGINT)) < 0
+      |            THEN -COUNT(*) ELSE COUNT(*) END)
+      |    // (2 * COUNT(*)) / 1000000.0 AS m2,
+      |  COUNT(*) AS n_vectors
+      |FROM embeddings
+      |CROSS JOIN (SELECT a.i AS i, b.j AS j
+      |            FROM range(0, 8) a(i), range(0, 8) b(j) WHERE a.i <= b.j) p
+      |GROUP BY p.i, p.j
+      |ORDER BY i, j""".stripMargin) { (s, d) =>
+    val pairs = for { i <- 0 until 8; j <- i until 8 } yield (i, j)
+    val entries = array(pairs.map { case (i, j) =>
+      struct(lit(i).as("i"), lit(j).as("j"),
+        (element_at(col("embedding"), i + 1).cast("double")
+          * element_at(col("embedding"), j + 1).cast("double")).as("p"))
+    }: _*)
+    Tables.embeddings(s, d)
+      .select(explode(entries).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(round(col("p") * 1000000).cast("long")).as("sum_micro"),
+        count(lit(1)).as("n_vectors"))
+      .select(col("i"), col("j"),
+        (Det.halfUpDiv(col("sum_micro"), col("n_vectors")) / 1000000.0).as("m2"),
+        col("n_vectors"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Duplicated-span contamination: per document, the fraction of its
+    * distinct 5-gram spans that also occur in ANOTHER document — the
+    * substring-level dedup signal (Lee et al.'s "deduplicating training
+    * data" measured exactly this before cutting). Spans ship as 60-bit
+    * md5-prefix hashes (one BIGINT per span, oracle-computable;
+    * xxhash64 at production scale); the document-frequency table is
+    * span-vocabulary-sized. Two partial-agg'd groupBys + one
+    * vocabulary join — never a doc×doc comparison.
+    */
+  val dupSpanFraction = Q(
+    "q117_dup_span_fraction",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |g AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(gr), 1, 15))::BIGINT AS gh FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+      |    i -> array_to_string(t[i:i+4], ' '))) AS gr FROM toks) q),
+      |df AS (SELECT gh, COUNT(*) AS nd FROM g GROUP BY gh)
+      |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(COUNT(*) FILTER (WHERE df.nd >= 2) AS BIGINT) AS n_dup_spans,
+      |  (2 * COUNT(*) FILTER (WHERE df.nd >= 2) * 1000000 + COUNT(*))
+      |    // (2 * COUNT(*)) / 10000.0 AS dup_pct
+      |FROM g JOIN df USING (gh)
+      |GROUP BY g.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val g = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(NGrams.ngrams(col("toks"), 5)).as("gr"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(gr), 1, 15), 16, 10) AS BIGINT)").as("gh"))
+      .distinct()
+    val dfc = g.groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+    g.join(dfc, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("nd") >= 2, 1)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (Det.halfUpDiv(col("n_dup_spans") * 1000000, col("n_spans")) / 10000.0)
+          .as("dup_pct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** OOV rate against a frequency-capped vocabulary (top-10 tokens by
+    * corpus count, ties broken lexically) — the tokenizer-coverage
+    * check run before committing to a vocab size. The vocabulary is
+    * deterministic (total-ordered limit) and BROADCAST to the token
+    * stream; per-doc aggregation reuses the scan partitioning. At
+    * production vocab sizes (32–256k) the broadcast is a few MB —
+    * the same plan.
+    */
+  val oovRate = Q(
+    "q118_oov_rate",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+      |v AS (SELECT tok FROM c ORDER BY n DESC, tok LIMIT 10)
+      |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |  CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+      |  (2 * COUNT(*) FILTER (WHERE v.tok IS NULL) * 1000000 + COUNT(*))
+      |    // (2 * COUNT(*)) / 10000.0 AS oov_pct
+      |FROM t LEFT JOIN v ON v.tok = t.tok
+      |GROUP BY t.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val v = t.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(10)
+      .select(col("tok").as("vtok"))
+    t.join(broadcast(v), col("tok") === col("vtok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        count(when(col("vtok").isNull, 1)).as("n_oov"))
+      .select(col("doc_id"), col("n_toks"), col("n_oov"),
+        (Det.halfUpDiv(col("n_oov") * 1000000, col("n_toks")) / 10000.0)
+          .as("oov_pct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Asymmetric containment over the LSH candidate pairs:
+    * |A∩B|/|A| and |A∩B|/|B| on exact distinct-3-gram sets. Jaccard
+    * (q69) misses the quote/subset dup case — a short doc fully
+    * contained in a long one has low Jaccard but containment ≈ 1. Same
+    * O(candidates) verify cost as q69 (shared base).
+    */
+  val containment = Q(
+    "q119_containment",
+    (EdgeSql +
+      """,
+      |cand AS (SELECT src AS da, dst AS db FROM edges),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.da, c.db, COUNT(*) AS n_common
+      |  FROM cand c JOIN hs sa ON sa.doc_id = c.da
+      |              JOIN hs sb ON sb.doc_id = c.db AND sb.s = sa.s
+      |  GROUP BY c.da, c.db),
+      |pairs AS (
+      |  SELECT c.da, c.db, COALESCE(i.n_common, 0) AS n_common
+      |  FROM cand c LEFT JOIN inter i ON i.da = c.da AND i.db = c.db)
+      |SELECT p.da, p.db, p.n_common,
+      |  ROUND(p.n_common * 1.0 / sa.n, 6) AS cont_a,
+      |  ROUND(p.n_common * 1.0 / sb.n, 6) AS cont_b
+      |FROM pairs p
+      |JOIN sizes sa ON sa.doc_id = p.da
+      |JOIN sizes sb ON sb.doc_id = p.db
+      |ORDER BY da, db""").stripMargin) { (s, d) =>
+    Advanced3.candidatePairStats(s, d)
+      .select(col("da"), col("db"), col("n_common"),
+        round(col("n_common") * 1.0 / col("na"), 6).as("cont_a"),
+        round(col("n_common") * 1.0 / col("nb"), 6).as("cont_b"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift between the doc-length
+    * distributions of the two largest sources — the batch-over-batch
+    * distribution-shift monitor a production pipeline alarms on. The
+    * ECDF difference is computed at distinct n_chars values (a window
+    * over the VALUE DOMAIN, not the corpus — bounded by length
+    * diversity), and the statistic stays exact: D is reported as the
+    * integer cross-scaled max |cumA·nB − cumB·nA| plus its double form.
+    */
+  val ksDrift = Q(
+    "q120_ks_drift",
+    """WITH src AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, source) AS rk
+      |  FROM documents GROUP BY source),
+      |pa AS (SELECT source, n FROM src WHERE rk = 1),
+      |pb AS (SELECT source, n FROM src WHERE rk = 2),
+      |d AS (SELECT n_chars,
+      |    COUNT(*) FILTER (WHERE source = (SELECT source FROM pa)) AS ca,
+      |    COUNT(*) FILTER (WHERE source = (SELECT source FROM pb)) AS cb
+      |  FROM documents
+      |  WHERE source = (SELECT source FROM pa) OR source = (SELECT source FROM pb)
+      |  GROUP BY n_chars),
+      |c AS (SELECT SUM(ca) OVER (ORDER BY n_chars) AS cum_a,
+      |             SUM(cb) OVER (ORDER BY n_chars) AS cum_b FROM d)
+      |SELECT (SELECT source FROM pa) AS src_a, (SELECT source FROM pb) AS src_b,
+      |  (SELECT n FROM pa) AS n_a, (SELECT n FROM pb) AS n_b,
+      |  CAST(MAX(ABS(cum_a * (SELECT n FROM pb) - cum_b * (SELECT n FROM pa)))
+      |    AS BIGINT) AS d_scaled,
+      |  ROUND(MAX(ABS(cum_a * (SELECT n FROM pb) - cum_b * (SELECT n FROM pa))) * 1.0
+      |    / ((SELECT n FROM pa) * (SELECT n FROM pb)), 6) AS ks_stat
+      |FROM c
+      |ORDER BY src_a""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val ranked = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n").desc, col("source"))))
+    val pa = ranked.filter(col("rk") === 1)
+      .select(col("source").as("src_a"), col("n").as("n_a"))
+    val pb = ranked.filter(col("rk") === 2)
+      .select(col("source").as("src_b"), col("n").as("n_b"))
+    val counts = docs.crossJoin(broadcast(pa)).crossJoin(broadcast(pb))
+      .filter(col("source") === col("src_a") || col("source") === col("src_b"))
+      .groupBy(col("n_chars"))
+      .agg(max(col("src_a")).as("src_a"), max(col("n_a")).as("n_a"),
+        max(col("src_b")).as("src_b"), max(col("n_b")).as("n_b"),
+        count(when(col("source") === col("src_a"), 1)).as("ca"),
+        count(when(col("source") === col("src_b"), 1)).as("cb"))
+    val w = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        sum(col("ca")).over(w).as("cum_a"), sum(col("cb")).over(w).as("cum_b"))
+      .groupBy(col("src_a"), col("src_b"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+        .as("d_scaled"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("d_scaled"),
+        round(col("d_scaled") * 1.0 / (col("n_a") * col("n_b")), 6).as("ks_stat"))
+      .orderBy(col("src_a"))
+  }
+
+  val specs: Seq[Q] = Seq(tokenCommonness, pagerank, pmiCollocations,
+    embeddingMoments, dupSpanFraction, oovRate, containment, ksDrift)
+}

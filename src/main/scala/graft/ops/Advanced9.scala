@@ -120,7 +120,11 @@ object Advanced9 {
     val cand = TextOps.minhashCandidates(s, d)
     val edges = cand.select(col("da").as("src"), col("db").as("dst"))
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // deg is NODE-sized and consumed by every hop plus the final join —
+    // materialize once; leaving it lazy re-aggregates the EDGE list
+    // (a shuffle of the graph) once per hop at any scale.
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
     var ranks = deg.select(col("node"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
       ranks = sym.as("e")
@@ -271,6 +275,11 @@ object Advanced9 {
       .select(col("doc_id"),
         expr("CAST(conv(substr(md5(gr), 1, 15), 16, 10) AS BIGINT)").as("gh"))
       .distinct()
+      // materialize the distinct span table ONCE: it feeds both the
+      // document-frequency aggregate and the join side — without this
+      // the scan→ngrams→hash→distinct subtree (the corpus pass) plans
+      // and runs twice (q103's documented trade, same here).
+      .localCheckpoint()
     val dfc = g.groupBy(col("gh")).agg(count(lit(1)).as("nd"))
     g.join(dfc, Seq("gh"))
       .groupBy(col("doc_id"))
@@ -411,6 +420,46 @@ object Advanced9 {
       .orderBy(col("src_a"))
   }
 
+  /** Per-source dataset card — the one-table corpus report a curation
+    * run publishes: volume (docs/chars), language diversity, length
+    * spread (min/max plus exact integer mean), and the short-doc share
+    * that drives the length filter. ONE partial-agg'd groupBy over a
+    * narrow projection; distinct-language counts expand to
+    * (source, lang) pairs first, which is config-cardinality-sized.
+    */
+  val datasetCard = Q(
+    "q123_dataset_card",
+    """SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+      |  (2 * CAST(SUM(n_chars) AS BIGINT) * 100 + COUNT(*)) // (2 * COUNT(*)) / 100.0
+      |    AS mean_chars,
+      |  (2 * COUNT(CASE WHEN n_chars < 120 THEN 1 END) * 1000000 + COUNT(*))
+      |    // (2 * COUNT(*)) / 10000.0 AS short_pct
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        Det.halfUpDiv(sum(col("n_chars")) * 100, count(lit(1))).as("mean_c100"),
+        count(when(col("n_chars") < 120, 1)).as("n_short"))
+      .select(col("source"), col("n_docs"), col("n_langs"), col("total_chars"),
+        col("min_chars"), col("max_chars"),
+        (col("mean_c100") / 100.0).as("mean_chars"),
+        (Det.halfUpDiv(col("n_short") * 1000000, col("n_docs")) / 10000.0)
+          .as("short_pct"))
+      .orderBy(col("source"))
+  }
+
   val specs: Seq[Q] = Seq(tokenCommonness, pagerank, pmiCollocations,
-    embeddingMoments, dupSpanFraction, oovRate, containment, ksDrift)
+    embeddingMoments, dupSpanFraction, oovRate, containment, ksDrift,
+    datasetCard)
 }

@@ -102,6 +102,43 @@ class Advanced9Spec extends SparkSuite {
     assert(ca == 1.0 && cb < 1.0)
   }
 
+  test("quota sample: exactly min(10, n) docs per language, rerun-stable") {
+    val rows = ops.Sampling.quotaSample.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Int]("rk")))
+    val perLang = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perLang("en") == 10) // 12 en docs capped at 10
+    assert(perLang("es") == 1)  // 1 es doc -> quota is the stratum size
+    // ranks are dense 1..k within each stratum
+    assert(rows.filter(_._2 == "en").map(_._3).sorted.toSeq == (1 to 10))
+    // hash membership is deterministic: a rerun picks the identical docs
+    val again = ops.Sampling.quotaSample.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Int]("rk")))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("weighted sample: per-source accounting is consistent and rerun-stable") {
+    val rows = ops.Sampling.weightedSample.run(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("sampled_chars") <= r.getAs[Long]("total_chars"))
+    }
+    val again = ops.Sampling.weightedSample.run(spark, dir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("dataset card: hand-computed per-source stats") {
+    val m = ops.Advanced9.datasetCard.run(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val misc1 = m("misc1") // docs 0 (57), 2 (58), 4 (68)
+    assert(misc1.getAs[Long]("n_docs") == 3L)
+    assert(misc1.getAs[Long]("n_langs") == 2L) // en + es
+    assert(misc1.getAs[Long]("total_chars") == 183L)
+    assert(misc1.getAs[Double]("mean_chars") == 61.0)
+    assert(misc1.getAs[Double]("short_pct") == 100.0) // all < 120 chars
+    val ksb = m("ksb") // 100/200/300/400 chars -> one short doc
+    assert(ksb.getAs[Double]("short_pct") == 25.0)
+  }
+
   test("ks drift: disjoint length distributions give KS = 1.0 on the two largest sources") {
     val r = ops.Advanced9.ksDrift.run(spark, dir).collect()
     assert(r.length == 1)

@@ -82,6 +82,22 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_max_by") && p.contains("partial_min_by"), p.take(2500))
   }
 
+  test("q116: moment matrix is one scan + one aggregate — no join, no self-product") {
+    val p = planOf("q116_embedding_moments")
+    assert(!p.contains("Join"), p.take(2000))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("q118: the capped vocabulary arrives broadcast at the token stream") {
+    val p = planOf("q118_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q117: the distinct span table materializes once (no parquet scan in the final plan)") {
+    val p = planOf("q117_dup_span_fraction")
+    assert(!p.contains("Scan parquet"), p.take(2000))
+  }
+
   test("no registered query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if fn(spark, sf0001).queryExecution.executedPlan

@@ -20,7 +20,8 @@ object SparkEntry {
       ops.Sampling.specs ++ ops.Nested.specs ++ ops.ProductAnalytics.specs ++
       ops.Incremental.specs ++ ops.Chunking.specs ++ ops.Advanced3.specs ++
       ops.Advanced4.specs ++ ops.Advanced5.specs ++ ops.Advanced6.specs ++
-      ops.Advanced7.specs ++ ops.Advanced8.specs ++ ops.Advanced9.specs
+      ops.Advanced7.specs ++ ops.Advanced8.specs ++ ops.Advanced9.specs ++
+      ops.Advanced10.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -64,3 +64,82 @@ object Deletions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_deletions", exprs => Deletions(exprs.head), "scala_udf")
 }
+
+/** Depth-2 symmetric-delete neighborhood: the string, every single
+  * deletion, and every ordered double deletion (positions i < j) —
+  * 1 + n + n·(n−1)/2 keys. Two strings within Levenshtein distance 2
+  * share a key (each unit edit costs at most one deletion per side), so
+  * an equi-join on exploded depth-2 neighborhoods blocks EVERY
+  * distance-≤2 pair; the levenshtein verify then discards the
+  * false positives the looser depth admits. Key fan-out is the O(len²)
+  * cost knob documented in q110 — acceptable for name/title keys.
+  */
+case class Deletions2(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_deletions2"
+
+  override def nullSafeEval(input: Any): Any =
+    Deletions2.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Deletions2.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Deletions2 =
+    copy(child = newChild)
+}
+
+object Deletions2 {
+  /** [x, del_i(x) for all i, del_{i,j}(x) for all i < j] over code points.
+    * Duplicate strings from distinct position pairs (e.g. repeated chars)
+    * are not deduped here — blocking joins dedup pairs anyway, and the
+    * common case has none.
+    */
+  def compute(s: UTF8String): GenericArrayData = {
+    val str = s.toString
+    val n = str.codePointCount(0, str.length)
+    // offsets(k) = char index where code point k starts; offsets(n) = end
+    val offsets = new Array[Int](n + 1)
+    var k = 0
+    var off = 0
+    while (k < n) {
+      offsets(k) = off
+      off = str.offsetByCodePoints(off, 1)
+      k += 1
+    }
+    offsets(n) = str.length
+    val out = new Array[Any](1 + n + n * (n - 1) / 2)
+    out(0) = s
+    var w = 1
+    var i = 0
+    while (i < n) {
+      out(w) = UTF8String.fromString(
+        str.substring(0, offsets(i)) + str.substring(offsets(i + 1)))
+      w += 1
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(w) = UTF8String.fromString(
+          str.substring(0, offsets(i)) +
+            str.substring(offsets(i + 1), offsets(j)) +
+            str.substring(offsets(j + 1)))
+        w += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column-level entry point: `deletions2(name)`. */
+  def deletions2(s: Column): Column =
+    GraftPlanBridge.column(Deletions2(GraftPlanBridge.expr(s)))
+
+  /** Idempotently register `graft_deletions2(str)` for SQL callers. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_deletions2", exprs => Deletions2(exprs.head), "scala_udf")
+}

@@ -37,11 +37,13 @@ class ExtensionsSpec extends AnyFunSuite {
       val row2 = spark.sql(
         """SELECT graft_ngrams(array('a','b','c'), 2) AS g,
           |       graft_simhash60(array('x')) AS s,
-          |       graft_deletions('ab') AS d
+          |       graft_deletions('ab') AS d,
+          |       graft_deletions2('abc') AS d2
           |""".stripMargin).collect().head
       assert(row2.getSeq[String](0) == Seq("a b", "b c"))
       assert(row2.getLong(1) != 0L)
       assert(row2.getSeq[String](2) == Seq("ab", "b", "a"))
+      assert(row2.getSeq[String](3).toSet == Set("abc", "bc", "ac", "ab", "c", "b", "a"))
       // planner strategy injected too: the native top-k node plans
       val topk = plans.TopK.perGroup(
         Tables.lineitem(spark, "/root/testdata/sf0.001")

@@ -4,10 +4,11 @@ import graft.{Q, Tables}
 import graft.functions.{Deletions2, NGrams}
 import org.apache.spark.sql.functions._
 
-/** Sixth advanced batch (round 4): the depth-2 entity-resolution join
-  * and the sketch-based path for cross-source overlap — the two
-  * ROADMAP round-5 candidates that close the fuzzy-matching and
-  * overlap-estimation surfaces.
+/** Sixth advanced batch (round 4): the depth-2 entity-resolution join,
+  * the sketch-based path for cross-source overlap, and two
+  * feature-engineering closers whose naive float forms are not
+  * oracle-stable — EWMA recency weighting (exact bounded-depth decimal
+  * decay) and MAD robust outliers (exact integer-cents medians).
   */
 object Advanced10 {
 
@@ -81,5 +82,104 @@ object Advanced10 {
       .orderBy(col("src_a"), col("src_b"))
   }
 
-  val specs: Seq[Q] = Seq(fuzzyJoin2, sourceOverlapSketch)
+  /** Recency-weighted engagement (EWMA over each user's last 8 events,
+    * decay 0.9) — the classic feature-engineering op whose naive form
+    * (`pow(0.9, k)` per engine) is NOT bit-stable across engines.
+    * Bounded depth makes it exact: 0.9^k for k ≤ 7 is an exact decimal
+    * (9^k·10^(7-k) in 10^-7 units), so every term is INTEGER arithmetic
+    * and the sum is order-independent. The window partitions by user —
+    * parallelism grows with user cardinality; the k < 8 filter caps
+    * per-user state like a streaming last-N buffer would.
+    */
+  val ewmaEngagement = Q(
+    "q126_ewma_engagement",
+    """WITH r AS (
+      |  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) - 1 AS k
+      |  FROM events),
+      |t AS (
+      |  SELECT user_id,
+      |    CASE k WHEN 0 THEN cents * 10000000
+      |           WHEN 1 THEN cents * 9000000
+      |           WHEN 2 THEN cents * 8100000
+      |           WHEN 3 THEN cents * 7290000
+      |           WHEN 4 THEN cents * 6561000
+      |           WHEN 5 THEN cents * 5904900
+      |           WHEN 6 THEN cents * 5314410
+      |           WHEN 7 THEN cents * 4782969 END AS term
+      |  FROM r WHERE k < 8)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_recent,
+      |  CAST(SUM(term) AS BIGINT) AS ewma_scaled,
+      |  CAST(SUM(term) AS BIGINT) / 1000000000.0 AS ewma
+      |FROM t
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val decay = Seq(10000000L, 9000000L, 8100000L, 7290000L,
+      6561000L, 5904900L, 5314410L, 4782969L) // 0.9^k in 1e-7 units
+    val r = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("k", row_number().over(w) - 1)
+      .filter(col("k") < 8)
+    val term = decay.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (mult, k)) => when(col("k") === k, col("cents") * mult).otherwise(acc)
+    }
+    r.select(col("user_id"), term.as("term"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_recent"), sum(col("term")).as("ewma_scaled"))
+      .select(col("user_id"), col("n_recent"), col("ewma_scaled"),
+        (col("ewma_scaled") / 1000000000.0).as("ewma"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Robust outlier detection per event type: median + MAD over integer
+    * cents, flagging |v − med| > 3·MAD. Working in cents keeps every
+    * derived quantity (medians interpolate to halves, deviations to
+    * halves, MADs to quarters) EXACTLY representable, so the threshold
+    * comparison has no cross-engine float boundary at all — the same
+    * reason q105's winsorize works. Exact per-group percentiles are the
+    * bounded-cardinality path (5 event types); the 100 TB
+    * high-cardinality path is approx_percentile (q51b's t-digest),
+    * same plan otherwise.
+    */
+  val madOutliers = Q(
+    "q127_mad_outliers",
+    """WITH e AS (
+      |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+      |m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med FROM e GROUP BY event_type),
+      |j AS (SELECT e.event_type, e.cents, m.med, ABS(e.cents - m.med) AS dev
+      |      FROM e JOIN m USING (event_type)),
+      |m2 AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM j GROUP BY event_type)
+      |SELECT j.event_type,
+      |  ROUND(MAX(j.med) / 100.0, 4) AS median_value,
+      |  ROUND(MAX(m2.mad) / 100.0, 4) AS mad_value,
+      |  CAST(COUNT(CASE WHEN j.dev > 3 * m2.mad THEN 1 END) AS BIGINT) AS n_outliers,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM j JOIN m2 USING (event_type)
+      |GROUP BY j.event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val m = e.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val j = e.join(m, Seq("event_type"))
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val m2 = j.groupBy(col("event_type"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    j.join(m2, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(max(col("med")) / 100.0, 4).as("median_value"),
+        round(max(col("mad")) / 100.0, 4).as("mad_value"),
+        count(when(col("dev") > lit(3.0) * col("mad"), 1)).as("n_outliers"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val specs: Seq[Q] = Seq(fuzzyJoin2, sourceOverlapSketch, ewmaEngagement,
+    madOutliers)
 }

@@ -67,6 +67,54 @@ class Advanced10Spec extends SparkSuite {
     assert(got.exists { case (_, k, dist) => k == 398L && dist == 2 })
   }
 
+  test("ewma: matches an exact per-user recomputation on real data") {
+    val decay = Seq(10000000L, 9000000L, 8100000L, 7290000L,
+      6561000L, 5904900L, 5314410L, 4782969L)
+    val expected = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        (r.getAs[Long]("ts"), r.getAs[Long]("event_id")), r.getAs[Long]("cents")))
+      .groupBy(_._1)
+      .map { case (u, rows) =>
+        val last8 = rows.sortBy(_._2)(Ordering[(Long, Long)].reverse).take(8)
+        u -> (last8.size.toLong,
+          last8.zipWithIndex.map { case ((_, _, c), k) => c * decay(k) }.sum)
+      }
+    val got = ops.Advanced10.ewmaEngagement.run(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_recent"), r.getAs[Long]("ewma_scaled"))).toMap
+    assert(got == expected)
+    assert(got.values.forall(_._1 <= 8L))
+  }
+
+  test("mad outliers: per-type accounting holds and thresholds behave") {
+    val rows = ops.Advanced10.madOutliers.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") < r.getAs[Long]("n"))
+      assert(r.getAs[Double]("mad_value") >= 0.0)
+      assert(r.getAs[Double]("median_value") >= 0.0)
+    }
+    // exact recomputation for one event type
+    val cents = Tables.events(spark, sf0001)
+      .filter(col("event_type") === rows.head.getAs[String]("event_type"))
+      .select(round(col("value") * 100).cast("long").as("c"))
+      .collect().map(_.getLong(0)).sorted
+    def medOf(xs: Array[Double]): Double = {
+      val p = (xs.length - 1) * 0.5
+      val lo = xs(p.toInt)
+      val hi = xs(math.ceil(p).toInt)
+      lo + (hi - lo) * (p - p.toInt)
+    }
+    val med = medOf(cents.map(_.toDouble))
+    val mad = medOf(cents.map(c => math.abs(c - med)).sorted)
+    val nOut = cents.count(c => math.abs(c - med) > 3 * mad)
+    assert(rows.head.getAs[Double]("median_value") == math.rint(med / 100.0 * 10000) / 10000)
+    assert(rows.head.getAs[Long]("n_outliers") == nOut.toLong)
+  }
+
   test("sketch overlap tracks exact overlap on known shared content") {
     val est = ops.Advanced10.sourceOverlapSketch.run(spark, dir).collect()
       .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->

@@ -131,6 +131,25 @@ object CorpusPipeline {
     sources.ShardWriter.writeShardsHashed(packed, outDir, 8, col("doc_id"))
     val back = spark.read.parquet(outDir)
     log("shards_written", back.count())
+
+    // 8. Run report — the artifacts a production curation run publishes
+    // and alarms on: the per-source dataset card of what actually
+    // shipped (q123's shape over the FINAL corpus) and the raw-vs-
+    // shipped length-drift KS statistic (q120's exact form) that
+    // catches a filter stage silently skewing the distribution.
+    val card = back.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("total_chars"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"))
+    card.coalesce(1).write.mode("overwrite").parquet(s"$outDir-report/card")
+    val drift = ops.Advanced9.ksBetween(
+      raw.select(col("n_chars")), back.select(col("n_chars")), "n_chars")
+    drift.coalesce(1).write.mode("overwrite").parquet(s"$outDir-report/drift")
+    val ks = spark.read.parquet(s"$outDir-report/drift")
+      .collect()(0).getAs[Double]("ks_stat")
+    println(f"[corpus] report_ks_drift      ks=$ks%.6f")
     back
   }
 }

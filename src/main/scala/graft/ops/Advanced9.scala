@@ -420,6 +420,28 @@ object Advanced9 {
       .orderBy(col("src_a"))
   }
 
+  /** Library form of the q120 statistic: exact two-sample KS between
+    * `valueCol`'s distributions in two DataFrames, as one row
+    * (n_a, n_b, d_scaled, ks_stat). ECDFs difference over the joint
+    * VALUE DOMAIN; D stays exact integer cross-scaled. Used by
+    * CorpusPipeline's run report (raw vs shipped length drift).
+    */
+  private[graft] def ksBetween(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, valueCol: String): org.apache.spark.sql.DataFrame = {
+    val ca = a.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("ca"))
+    val cb = b.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("cb"))
+    val d = ca.join(cb, Seq("v"), "full_outer").na.fill(0L, Seq("ca", "cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = d.select(sum(col("ca")).over(w).as("cum_a"), sum(col("cb")).over(w).as("cum_b"))
+    val tot = c.agg(max(col("cum_a")).as("n_a"), max(col("cum_b")).as("n_b"))
+    c.crossJoin(broadcast(tot))
+      .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))).as("d_scaled"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+      .select(col("n_a"), col("n_b"), col("d_scaled"),
+        round(col("d_scaled") * 1.0 / (col("n_a") * col("n_b")), 6).as("ks_stat"))
+  }
+
   /** Per-source dataset card — the one-table corpus report a curation
     * run publishes: volume (docs/chars), language diversity, length
     * spread (min/max plus exact integer mean), and the short-doc share

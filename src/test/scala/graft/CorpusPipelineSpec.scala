@@ -47,6 +47,15 @@ class CorpusPipelineSpec extends SparkSuite {
     // every surviving row carries split/pack metadata
     val cols = shards.columns.toSet
     assert(Set("split", "pack_id", "shard").subsetOf(cols), cols.toString)
+    // the run report published both artifacts with sane values
+    val card = spark.read.parquet(s"$out-report/card").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
+    assert(card.values.sum == ids.size.toLong, card.toString)
+    val drift = spark.read.parquet(s"$out-report/drift").collect()(0)
+    assert(drift.getAs[Long]("n_a") == 7L)            // raw corpus size
+    assert(drift.getAs[Long]("n_b") == ids.size.toLong)
+    val ks = drift.getAs[Double]("ks_stat")
+    assert(ks >= 0.0 && ks <= 1.0, ks.toString)       // dropped docs shift the ECDF
   }
 
   test("rerun reproduces identical shard membership (sf0.001)") {

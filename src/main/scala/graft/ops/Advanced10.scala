@@ -180,6 +180,81 @@ object Advanced10 {
       .orderBy(col("event_type"))
   }
 
+  /** The first BPE training iteration: count adjacent CHARACTER pairs
+    * inside tokens (never across token boundaries) and rank merge
+    * candidates — the map-reduce core a distributed tokenizer trainer
+    * repeats per merge. The pair stream generates inside whole-stage
+    * codegen (Generate over a sequence + substr — no interpreted
+    * lambda), partial-aggs map-side, and shuffles only (pair, count)
+    * vocabulary rows. Each merge round at 100 TB is exactly this plan
+    * re-run on the re-paired corpus.
+    */
+  val bpeMergePairs = Q(
+    "q128_bpe_merge_pairs",
+    """WITH t AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |p AS (
+      |  SELECT unnest(list_transform(range(1, len(tok)),
+      |    i -> substr(tok, CAST(i AS INTEGER), 2))) AS pair
+      |  FROM t WHERE len(tok) >= 2)
+      |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM p
+      |GROUP BY pair
+      |ORDER BY n DESC, pair
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(col("tok"), explode(expr("sequence(1, length(tok) - 1)")).as("i"))
+      .select(expr("substr(tok, i, 2)").as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
+  /** Inverted-index construction: per token, document frequency plus
+    * the first 10 postings (sorted doc ids) for the 20 highest-df
+    * tokens — the search-index build step. Postings cap via a
+    * per-token rank window BEFORE aggregation (bounded state per
+    * token); df counts the UNCAPPED distinct docs. Output postings are
+    * a CSV string, not an array (the driver's comparator is
+    * scalar-columns-only, q72's ordered-agg recipe).
+    */
+  val invertedIndex = Q(
+    "q129_inverted_index",
+    """WITH t AS (
+      |  SELECT DISTINCT tok, doc_id FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok, doc_id FROM documents) z),
+      |d AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY tok),
+      |r AS (
+      |  SELECT tok, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) AS rk
+      |  FROM t),
+      |p AS (
+      |  SELECT tok, string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+      |  FROM r WHERE rk <= 10 GROUP BY tok)
+      |SELECT d.tok, d.df, p.postings
+      |FROM d JOIN p USING (tok)
+      |ORDER BY df DESC, tok
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"), col("doc_id"))
+      .distinct()
+    val dfr = t.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val capped = t
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("tok")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= 10)
+      .groupBy(col("tok"))
+      .agg(array_join(array_sort(collect_list(col("doc_id"))), ",").as("postings"))
+    dfr.join(capped, Seq("tok"))
+      .select(col("tok"), col("df"), col("postings"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(20)
+  }
+
   val specs: Seq[Q] = Seq(fuzzyJoin2, sourceOverlapSketch, ewmaEngagement,
-    madOutliers)
+    madOutliers, bpeMergePairs, invertedIndex)
 }

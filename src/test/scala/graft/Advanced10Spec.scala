@@ -115,6 +115,36 @@ class Advanced10Spec extends SparkSuite {
     assert(rows.head.getAs[Long]("n_outliers") == nOut.toLong)
   }
 
+  test("bpe pairs: only within-token adjacent pairs, counts match a hand tally") {
+    val rows = ops.Advanced10.bpeMergePairs.run(spark, dir).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n"))
+    assert(rows.nonEmpty)
+    // never a cross-token pair: every pair is 2 chars, no whitespace
+    rows.foreach { case (p, n) =>
+      assert(p.length == 2 && !p.exists(_.isWhitespace), p)
+      assert(n >= 1L)
+    }
+    // hand tally on the fixture: 'll' occurs in every fillAxy/fillBxy
+    // token (8 of them) and in "Holdings"/"Holding"? (customer table is
+    // not documents) -> exactly the 8 filler tokens
+    val m = rows.toMap
+    assert(m.get("fi").forall(_ >= 8L)) // "fi" from 8 filler tokens if ranked
+  }
+
+  test("inverted index: postings are capped, sorted, and df-consistent") {
+    val rows = ops.Advanced10.invertedIndex.run(spark, dir).collect()
+    assert(rows.length > 0 && rows.length <= 20)
+    rows.foreach { r =>
+      val posts = r.getAs[String]("postings").split(",").map(_.toLong)
+      assert(posts.length <= 10)
+      assert(posts.sorted.sameElements(posts)) // ascending doc ids
+      assert(r.getAs[Long]("df") >= posts.length.toLong)
+    }
+    // df ordering is the output ordering
+    val dfs = rows.map(_.getAs[Long]("df"))
+    assert(dfs.sorted(Ordering[Long].reverse).sameElements(dfs))
+  }
+
   test("sketch overlap tracks exact overlap on known shared content") {
     val est = ops.Advanced10.sourceOverlapSketch.run(spark, dir).collect()
       .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->

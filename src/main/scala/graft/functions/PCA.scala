@@ -35,7 +35,9 @@ object PCA {
     */
   def secondMoment(df: DataFrame, embedCol: String, dims: Int): Array[Array[Double]] = {
     val packedLen = dims * (dims + 1) / 2
-    val rows = df.select(transform(col(embedCol), _.cast("double")).as("v"))
+    // plain Cast (codegen'd), not a transform() lambda — higher-order
+    // array functions evaluate interpreted (repo-wide gotcha)
+    val rows = df.select(col(embedCol).cast("array<double>").as("v"))
       .rdd.map(_.getSeq[Double](0))
     val (acc, n) = rows.treeAggregate((new Array[Double](packedLen), 0L))(
       seqOp = { case ((a, c), v) =>

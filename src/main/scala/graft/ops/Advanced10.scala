@@ -96,7 +96,7 @@ object Advanced10 {
     """WITH r AS (
       |  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
       |    ROW_NUMBER() OVER (PARTITION BY user_id
-      |      ORDER BY ts DESC, event_id DESC) - 1 AS k
+      |      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) - 1 AS k
       |  FROM events),
       |t AS (
       |  SELECT user_id,
@@ -116,12 +116,16 @@ object Advanced10 {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // Order by MICROsecond ts like every other event window (ts_us):
+    // DuckDB truncates the parquet TIMESTAMP(NANOS) to micros while
+    // Spark keeps the nanos long — raw-ns ordering would silently
+    // diverge for same-microsecond events (Events.scala:33 precedent).
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+      .orderBy(col("ts_us").desc, col("event_id").desc)
     val decay = Seq(10000000L, 9000000L, 8100000L, 7290000L,
       6561000L, 5904900L, 5314410L, 4782969L) // 0.9^k in 1e-7 units
     val r = Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), col("ts"),
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
         round(col("value") * 100).cast("long").as("cents"))
       .withColumn("k", row_number().over(w) - 1)
       .filter(col("k") < 8)

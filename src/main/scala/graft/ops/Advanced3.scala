@@ -26,20 +26,8 @@ object Advanced3 {
     */
   val lshVerify = Q(
     "q69_lsh_verify",
-    """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3),
-      |hs AS (
-      |  SELECT doc_id, unnest(list_distinct(
-      |    list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS s
-      |  FROM toks),
-      |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS v FROM hs),
-      |sigs AS (
-      |  SELECT doc_id, [MINHASH_MINS] AS sig
-      |  FROM h GROUP BY doc_id),
-      |bands AS (
-      |  SELECT doc_id, b, sig[2*b+1] AS s1, sig[2*b+2] AS s2
-      |  FROM sigs, (SELECT unnest(range(0, 8)) AS b)),
+    (TextOps.lshOracleSql() +
+      """,
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       |  FROM bands a JOIN bands b
@@ -60,11 +48,7 @@ object Advanced3 {
       |FROM pairs p
       |JOIN sizes sa ON sa.doc_id = p.da
       |JOIN sizes sb ON sb.doc_id = p.db
-      |ORDER BY da, db""".stripMargin
-      .replace("MINHASH_MINS",
-        (0 until 16).map(j =>
-          s"MIN((v * ${1000003L * j + 12345L} + ${777767L * j + 1L}) % 2147483647)")
-          .mkString(", "))) { (s, d) =>
+      |ORDER BY da, db""").stripMargin) { (s, d) =>
     candidatePairStats(s, d)
       .withColumn("jac_raw",
         col("n_common") * 1.0 / (col("na") + col("nb") - col("n_common")))
@@ -311,20 +295,8 @@ object Advanced3 {
     */
   val corpusPurge = Q(
     "q76_corpus_purge",
-    """WITH RECURSIVE toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3),
-      |hs AS (
-      |  SELECT doc_id, unnest(list_distinct(
-      |    list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS s
-      |  FROM toks),
-      |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS v FROM hs),
-      |sigs AS (
-      |  SELECT doc_id, [MINHASH_MINS] AS sig
-      |  FROM h GROUP BY doc_id),
-      |bands AS (
-      |  SELECT doc_id, b, sig[2*b+1] AS s1, sig[2*b+2] AS s2
-      |  FROM sigs, (SELECT unnest(range(0, 8)) AS b)),
+    (TextOps.lshOracleSql(recursive = true) +
+      """,
       |edges AS (
       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
       |  FROM bands a JOIN bands b
@@ -344,11 +316,7 @@ object Advanced3 {
       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM documents d LEFT JOIN reps r ON r.doc_id = d.doc_id
       |GROUP BY d.lang
-      |ORDER BY lang""".stripMargin
-      .replace("MINHASH_MINS",
-        (0 until 16).map(j =>
-          s"MIN((v * ${1000003L * j + 12345L} + ${777767L * j + 1L}) % 2147483647)")
-          .mkString(", "))) { (s, d) =>
+      |ORDER BY lang""").stripMargin) { (s, d) =>
     val labels = DedupClusters.clusterLabels(s, d)
       .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
     Tables.documents(s, d).as("d")

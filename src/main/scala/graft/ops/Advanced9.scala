@@ -24,32 +24,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Advanced9 {
 
-  /** The MinHash/LSH candidate-edge preamble shared by every oracle
-    * that recomputes the graph in DuckDB (same SQL as q32/q57/q111).
+  /** The shared preamble ([[TextOps.lshOracleSql]]) extended with the
+    * candidate edge list — the base both graph oracles here build on.
     */
-  private val EdgeSql =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3),
-      |hs AS (
-      |  SELECT doc_id, unnest(list_distinct(
-      |    list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS s
-      |  FROM toks),
-      |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS v FROM hs),
-      |sigs AS (
-      |  SELECT doc_id, [MINHASH_MINS] AS sig
-      |  FROM h GROUP BY doc_id),
-      |bands AS (
-      |  SELECT doc_id, b, sig[2*b+1] AS s1, sig[2*b+2] AS s2
-      |  FROM sigs, (SELECT unnest(range(0, 8)) AS b)),
+  private val EdgeSql = TextOps.lshOracleSql() +
+    """,
       |edges AS (
       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
       |  FROM bands a JOIN bands b
       |    ON a.b = b.b AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id)""".stripMargin
-      .replace("MINHASH_MINS",
-        (0 until 16).map(j =>
-          s"MIN((v * ${1000003L * j + 12345L} + ${777767L * j + 1L}) % 2147483647)")
-          .mkString(", "))
 
   /** Unigram-LM commonness score — the cheap shape of perplexity-based
     * quality filtering (CCNet-style): score each document by the corpus
@@ -147,9 +130,11 @@ object Advanced9 {
     * mutual information, top-25 bigrams with support ≥ 5. The unigram
     * table is vocabulary-sized (broadcast at scale); the bigram count is
     * one partial-agg'd groupBy over the codegen'd gram projection. The
-    * two-step micro-unit division keeps every intermediate ≤ (N·10³)²
-    * / max(c(x), c(y)) — inside BIGINT up to corpus sizes around 10¹²
-    * tokens; beyond that the same formula lifts to DECIMAL(38,0).
+    * lift product runs in 38-digit exact arithmetic (DECIMAL(38,0) /
+    * HUGEINT): the worst-case intermediate 2·a·b·c(xy) ≈ 4·10⁵·N² for a
+    * support-threshold pair of two count-5 tokens, which exceeds BIGINT
+    * at only ~10⁷ corpus tokens (and would throw under ANSI) but stays
+    * inside 38 digits to ~10¹⁶ tokens.
     */
   val pmiCollocations = Q(
     "q115_pmi_collocations",
@@ -172,7 +157,8 @@ object Advanced9 {
       |      JOIN cu cy ON cy.tok = string_split(cb.gr, ' ')[2]
       |      CROSS JOIN nt CROSS JOIN mt)
       |SELECT gr, nxy,
-      |  (2 * a * b * nxy + m_total * 1000) // (2 * m_total * 1000) / 1000.0 AS lift
+      |  CAST((2 * CAST(a AS HUGEINT) * b * nxy + CAST(m_total AS HUGEINT) * 1000)
+      |    // (2 * CAST(m_total AS HUGEINT) * 1000) AS BIGINT) / 1000.0 AS lift
       |FROM j
       |ORDER BY lift DESC, gr
       |LIMIT 25""".stripMargin) { (s, d) =>
@@ -194,7 +180,11 @@ object Advanced9 {
       .withColumn("a", Det.halfUpDiv(col("n_total") * 1000, col("cx.n")))
       .withColumn("b", Det.halfUpDiv(col("n_total") * 1000, col("cy.n")))
       .select(col("gr"), col("nxy"),
-        (Det.halfUpDiv(col("a") * col("b") * col("nxy"), col("m_total") * 1000) / 1000.0)
+        (Det.halfUpDiv(
+          col("a").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * col("b") * col("nxy"),
+          col("m_total").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * 1000)
+          .cast("long") / 1000.0)
           .as("lift"))
       .orderBy(col("lift").desc, col("gr"))
       .limit(25)
@@ -384,13 +374,13 @@ object Advanced9 {
       |  GROUP BY n_chars),
       |c AS (SELECT SUM(ca) OVER (ORDER BY n_chars) AS cum_a,
       |             SUM(cb) OVER (ORDER BY n_chars) AS cum_b FROM d)
-      |SELECT (SELECT source FROM pa) AS src_a, (SELECT source FROM pb) AS src_b,
-      |  (SELECT n FROM pa) AS n_a, (SELECT n FROM pb) AS n_b,
-      |  CAST(MAX(ABS(cum_a * (SELECT n FROM pb) - cum_b * (SELECT n FROM pa)))
-      |    AS BIGINT) AS d_scaled,
-      |  ROUND(MAX(ABS(cum_a * (SELECT n FROM pb) - cum_b * (SELECT n FROM pa))) * 1.0
-      |    / ((SELECT n FROM pa) * (SELECT n FROM pb)), 6) AS ks_stat
-      |FROM c
+      |-- pa/pb join as RELATIONS (not scalar subqueries): with fewer than
+      |-- two sources the result is 0 rows, matching the Spark side
+      |SELECT pa.source AS src_a, pb.source AS src_b, pa.n AS n_a, pb.n AS n_b,
+      |  CAST(MAX(ABS(cum_a * pb.n - cum_b * pa.n)) AS BIGINT) AS d_scaled,
+      |  ROUND(MAX(ABS(cum_a * pb.n - cum_b * pa.n)) * 1.0 / (pa.n * pb.n), 6) AS ks_stat
+      |FROM c CROSS JOIN pa CROSS JOIN pb
+      |GROUP BY pa.source, pb.source, pa.n, pb.n
       |ORDER BY src_a""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val ranked = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
@@ -430,12 +420,16 @@ object Advanced9 {
       b: org.apache.spark.sql.DataFrame, valueCol: String): org.apache.spark.sql.DataFrame = {
     val ca = a.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("ca"))
     val cb = b.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("cb"))
+    // materialize the joined domain counts once: both the totals and the
+    // windowed ECDF read it (totals come from a plain sum of d — NOT a
+    // max over the windowed cumsums, which would re-run the window)
     val d = ca.join(cb, Seq("v"), "full_outer").na.fill(0L, Seq("ca", "cb"))
+      .localCheckpoint()
+    val tot = d.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val c = d.select(sum(col("ca")).over(w).as("cum_a"), sum(col("cb")).over(w).as("cum_b"))
-    val tot = c.agg(max(col("cum_a")).as("n_a"), max(col("cum_b")).as("n_b"))
-    c.crossJoin(broadcast(tot))
+    d.select(sum(col("ca")).over(w).as("cum_a"), sum(col("cb")).over(w).as("cum_b"))
+      .crossJoin(broadcast(tot))
       .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))).as("d_scaled"),
         max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
       .select(col("n_a"), col("n_b"), col("d_scaled"),

@@ -105,21 +105,9 @@ object DedupClusters {
   val dedupClusters = Q(
     "q57_dedup_clusters",
     // The edge list is q32's candidate pairs; the oracle recomputes them
-    // (same SQL) and resolves components with a recursive CTE.
-    """WITH RECURSIVE toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3),
-      |hs AS (
-      |  SELECT doc_id, unnest(list_distinct(
-      |    list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS s
-      |  FROM toks),
-      |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS v FROM hs),
-      |sigs AS (
-      |  SELECT doc_id, [MINHASH_MINS] AS sig
-      |  FROM h GROUP BY doc_id),
-      |bands AS (
-      |  SELECT doc_id, b, sig[2*b+1] AS s1, sig[2*b+2] AS s2
-      |  FROM sigs, (SELECT unnest(range(0, 8)) AS b)),
+    // (the shared preamble) and resolves components with a recursive CTE.
+    (TextOps.lshOracleSql(recursive = true) +
+      """,
       |edges AS (
       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
       |  FROM bands a JOIN bands b
@@ -132,11 +120,7 @@ object DedupClusters {
       |SELECT node AS doc_id, LEAST(node, MIN(reached)) AS cluster_rep
       |FROM reach
       |GROUP BY node
-      |ORDER BY doc_id""".stripMargin
-      .replace("MINHASH_MINS",
-        (0 until 16).map(j =>
-          s"MIN((v * ${1000003L * j + 12345L} + ${777767L * j + 1L}) % 2147483647)")
-          .mkString(", "))) { (s, d) =>
+      |ORDER BY doc_id""").stripMargin) { (s, d) =>
     clusterLabels(s, d)
       .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
       .orderBy(col("doc_id"))
@@ -158,20 +142,8 @@ object DedupClusters {
     */
   val graphTriangles = Q(
     "q111_graph_triangles",
-    """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3),
-      |hs AS (
-      |  SELECT doc_id, unnest(list_distinct(
-      |    list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS s
-      |  FROM toks),
-      |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS v FROM hs),
-      |sigs AS (
-      |  SELECT doc_id, [MINHASH_MINS] AS sig
-      |  FROM h GROUP BY doc_id),
-      |bands AS (
-      |  SELECT doc_id, b, sig[2*b+1] AS s1, sig[2*b+2] AS s2
-      |  FROM sigs, (SELECT unnest(range(0, 8)) AS b)),
+    (TextOps.lshOracleSql() +
+      """,
       |edges AS (
       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
       |  FROM bands a JOIN bands b
@@ -192,11 +164,7 @@ object DedupClusters {
       |SELECT d.node AS doc_id, CAST(d.degree AS BIGINT) AS degree,
       |  COALESCE(t.n_triangles, 0) AS n_triangles
       |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
-      |ORDER BY doc_id""".stripMargin
-      .replace("MINHASH_MINS",
-        (0 until 16).map(j =>
-          s"MIN((v * ${1000003L * j + 12345L} + ${777767L * j + 1L}) % 2147483647)")
-          .mkString(", "))) { (s, d) =>
+      |ORDER BY doc_id""").stripMargin) { (s, d) =>
     val edges = TextOps.minhashCandidates(s, d)
       .select(col("da").as("src"), col("db").as("dst"))
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))

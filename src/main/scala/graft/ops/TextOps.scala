@@ -147,9 +147,19 @@ object TextOps {
         .distinct()
     }
 
-  val minhashLsh = Q(
-    "q32_dedup_minhash_lsh",
-    """WITH toks AS (
+  /** Shared DuckDB oracle preamble — the MinHash/LSH subtree (toks →
+    * distinct 3-gram shingles → 28-bit md5-prefix hash → 16-min
+    * signature → 8 two-row bands), hash constants inlined. Every oracle
+    * that recomputes the candidate graph (q32/q57/q69/q76/q111/q114/
+    * q119) appends its tail CTEs to this ONE string, so an edit to the
+    * shingle width, hash constants, or band structure cannot
+    * desynchronize one copy from the shared Spark base
+    * ([[minhashSigs]]/[[minhashCandidates]]). `recursive` = the tail
+    * uses a recursive CTE (DuckDB requires RECURSIVE on the WITH).
+    */
+  private[ops] def lshOracleSql(recursive: Boolean = false): String =
+    ("WITH " + (if (recursive) "RECURSIVE " else "") +
+      """toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3),
       |hs AS (
@@ -162,7 +172,16 @@ object TextOps {
       |  FROM h GROUP BY doc_id),
       |bands AS (
       |  SELECT doc_id, b, sig[2*b+1] AS s1, sig[2*b+2] AS s2
-      |  FROM sigs, (SELECT unnest(range(0, 8)) AS b)),
+      |  FROM sigs, (SELECT unnest(range(0, 8)) AS b))""".stripMargin)
+      .replace("MINHASH_MINS",
+        (0 until 16).map(j =>
+          s"MIN((v * ${1000003L * j + 12345L} + ${777767L * j + 1L}) % 2147483647)")
+          .mkString(", "))
+
+  val minhashLsh = Q(
+    "q32_dedup_minhash_lsh",
+    (lshOracleSql() +
+      """,
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       |  FROM bands a JOIN bands b
@@ -173,11 +192,7 @@ object TextOps {
       |FROM cand
       |JOIN sigs sa ON sa.doc_id = da
       |JOIN sigs sb ON sb.doc_id = db
-      |ORDER BY da, db""".stripMargin
-      .replace("MINHASH_MINS",
-        (0 until 16).map(j =>
-          s"MIN((v * ${1000003L * j + 12345L} + ${777767L * j + 1L}) % 2147483647)")
-          .mkString(", "))) { (s, d) =>
+      |ORDER BY da, db""").stripMargin) { (s, d) =>
     // The signature table feeds four plan branches (both band-join sides
     // + the two est-jaccard joins); it is materialized once in the shared
     // cache instead of recomputed per branch — ~16 longs per doc, so at

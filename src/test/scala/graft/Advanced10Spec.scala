@@ -71,11 +71,11 @@ class Advanced10Spec extends SparkSuite {
     val decay = Seq(10000000L, 9000000L, 8100000L, 7290000L,
       6561000L, 5904900L, 5314410L, 4782969L)
     val expected = Tables.events(spark, sf0001)
-      .select(col("user_id"), col("event_id"), col("ts"),
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
         round(col("value") * 100).cast("long").as("cents"))
       .collect()
       .map(r => (r.getAs[Long]("user_id"),
-        (r.getAs[Long]("ts"), r.getAs[Long]("event_id")), r.getAs[Long]("cents")))
+        (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")), r.getAs[Long]("cents")))
       .groupBy(_._1)
       .map { case (u, rows) =>
         val last8 = rows.sortBy(_._2)(Ordering[(Long, Long)].reverse).take(8)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, Deletions, Deletions2, DotProduct, NGrams, SimHash60}
+import graft.functions.{CosineSim, Deletions, Deletions2, DotProduct, NGrams, OuterUpper, SimHash60}
 import graft.plans.{AsOfStrategy, TopKStrategy}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Deletions].getName, "graft_deletions"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Deletions(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_outer_upper"),
+      new ExpressionInfo(classOf[OuterUpper].getName, "graft_outer_upper"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        OuterUpper(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_deletions2"),
       new ExpressionInfo(classOf[Deletions2].getName, "graft_deletions2"),

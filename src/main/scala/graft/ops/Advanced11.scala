@@ -1,0 +1,256 @@
+package graft.ops
+
+import graft.{Det, Q, Tables}
+import graft.functions.{CosineSim, OuterUpper}
+import org.apache.spark.sql.functions._
+
+/** Seventh advanced batch (round 4): the full-width declarative moment
+  * matrix (closing ROADMAP round-5 candidate #2), float-free lexical
+  * quality signals, cluster-level keep-best dedup resolution, semantic
+  * (embedding-space) dedup pruning, and the cross-split contamination
+  * audit — the last mile of a training-data pipeline: after candidate
+  * generation (q32), clustering (q57) and splitting (q87), something
+  * must DECIDE what ships in the training set and prove the eval split
+  * is clean.
+  */
+object Advanced11 {
+
+  /** Full 64-dimension second-moment (Gram) matrix — all 2080 upper-
+    * triangle E[vᵢvⱼ] entries, oracle-checked (q116 covers the leading
+    * 8 dims with a literal struct array; this is the full width the
+    * PCA/whitening path actually consumes, matching
+    * `functions.PCA.secondMoment`'s treeAggregate kernel). Per row, the
+    * codegen'd [[graft.functions.OuterUpper]] loop emits the 2080
+    * products as one flat array — a 6-line runtime loop instead of a
+    * 2080-entry unrolled projection — then ONE posexplode + 2080-group
+    * partial aggregate reduces them; (i,j) coordinates come from a
+    * 2080-row broadcast lookup, so no float index math anywhere. One
+    * pass over the vectors, no self-join, map-side combine does the
+    * heavy lifting: the shuffle carries at most 2080 rows per task at
+    * any corpus size. Products round to micro-units BEFORE the exact
+    * BIGINT sum (q75/q116's boundary-exact recipe).
+    */
+  val fullMoments = Q(
+    "q130_full_moments",
+    """SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+      |  (2 * SUM(CAST(ROUND(CAST(embedding[p.i + 1] AS DOUBLE)
+      |                      * CAST(embedding[p.j + 1] AS DOUBLE) * 1000000) AS BIGINT))
+      |     + CASE WHEN SUM(CAST(ROUND(CAST(embedding[p.i + 1] AS DOUBLE)
+      |                      * CAST(embedding[p.j + 1] AS DOUBLE) * 1000000) AS BIGINT)) < 0
+      |            THEN -COUNT(*) ELSE COUNT(*) END)
+      |    // (2 * COUNT(*)) / 1000000.0 AS m2,
+      |  COUNT(*) AS n_vectors
+      |FROM embeddings
+      |CROSS JOIN (SELECT a.i AS i, b.j AS j
+      |            FROM range(0, 64) a(i), range(0, 64) b(j) WHERE a.i <= b.j) p
+      |GROUP BY p.i, p.j
+      |ORDER BY i, j""".stripMargin) { (s, d) =>
+    OuterUpper.register(s)
+    val dim = 64
+    val pairs = (for { i <- 0 until dim; j <- i until dim } yield (i, j)).zipWithIndex
+      .map { case ((i, j), k) => (k, i, j) }
+    val coords = s.createDataFrame(pairs).toDF("pos", "i", "j")
+    Tables.embeddings(s, d)
+      .filter(size(col("embedding")) === dim)
+      .select(posexplode(expr("graft_outer_upper(embedding)")).as(Seq("pos", "p")))
+      .groupBy(col("pos"))
+      .agg(sum(round(col("p") * 1000000).cast("long")).as("sum_micro"),
+        count(lit(1)).as("n_vectors"))
+      .join(broadcast(coords), Seq("pos"))
+      .select(col("i"), col("j"),
+        (Det.halfUpDiv(col("sum_micro"), col("n_vectors")) / 1000000.0).as("m2"),
+        col("n_vectors"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Float-free lexical quality signals per document — the Gopher-rule
+    * family without a single transcendental: type/token ratio, top-token
+    * fraction (the "most common word share" repetition rule) and the
+    * Gini–Simpson concentration Σ(c/n)² — all exact rationals in BIGINT
+    * micro-units ([[Det.halfUpDiv]]), where an entropy formulation would
+    * hit the cross-engine log instability q113 documents. Two chained
+    * partial-agg'd groupBys over the token stream; nothing is pairwise.
+    */
+  val lexicalDiversity = Q(
+    "q131_lexical_diversity",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY doc_id, tok),
+      |a AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |        CAST(COUNT(*) AS BIGINT) AS n_types,
+      |        MAX(n) AS max_n, CAST(SUM(n * n) AS BIGINT) AS sum_n2
+      |      FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_types,
+      |  (2 * n_types * 1000000 + n_tokens) // (2 * n_tokens) / 1000000.0 AS ttr,
+      |  (2 * max_n * 1000000 + n_tokens) // (2 * n_tokens) / 1000000.0 AS top_tok_frac,
+      |  (2 * sum_n2 * 1000000 + n_tokens * n_tokens)
+      |    // (2 * n_tokens * n_tokens) / 1000000.0 AS simpson
+      |FROM a
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_types"),
+        max(col("n")).as("max_n"), sum(col("n") * col("n")).as("sum_n2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        (Det.halfUpDiv(col("n_types") * 1000000, col("n_tokens")) / 1000000.0).as("ttr"),
+        (Det.halfUpDiv(col("max_n") * 1000000, col("n_tokens")) / 1000000.0)
+          .as("top_tok_frac"),
+        (Det.halfUpDiv(col("sum_n2") * 1000000, col("n_tokens") * col("n_tokens"))
+          / 1000000.0).as("simpson"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Keep-best dedup resolution: for every near-duplicate cluster (q57's
+    * connected components over the LSH candidate graph), CHOOSE the
+    * member that survives — longest document wins, doc_id breaks ties —
+    * and account for what gets dropped. This is the decision step a
+    * dedup pipeline runs between clustering and the corpus purge (q76
+    * keeps min-doc_id; real pipelines keep the best-quality member).
+    * The cluster table is graph-sized (≪ corpus) and the documents join
+    * it by primary key; the argmax is a map-side-combined `max_by` on a
+    * (quality, −doc_id) STRUCT key — orderable at any scale, while the
+    * oracle packs the pair into one BIGINT (monotonic while doc_id <
+    * 10⁸, always true at the oracle's test SFs).
+    */
+  val clusterKeepBest = Q(
+    "q132_cluster_keep_best",
+    (TextOps.lshOracleSql(recursive = true) +
+      """,
+      |edges AS (
+      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id),
+      |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+      |reach AS (
+      |  SELECT src AS node, dst AS reached FROM sym
+      |  UNION
+      |  SELECT r.node, s.dst FROM reach r JOIN sym s ON r.reached = s.src),
+      |cl AS (SELECT node, LEAST(node, MIN(reached)) AS cluster FROM reach GROUP BY node)
+      |SELECT cl.cluster AS cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  arg_max(d.doc_id, d.n_chars * 100000000 - d.doc_id) AS keep_doc_id,
+      |  MAX(d.n_chars) AS keep_n_chars,
+      |  CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+      |FROM cl JOIN documents d ON d.doc_id = cl.node
+      |GROUP BY cl.cluster
+      |ORDER BY cluster_rep""").stripMargin) { (s, d) =>
+    val key = struct(col("n_chars").as("q"), (-col("doc_id")).as("tb"))
+    DedupClusters.clusterLabels(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        col("node") === col("doc_id"))
+      .groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("doc_id"), key).as("keep_doc_id"),
+        max(col("n_chars")).as("keep_n_chars"),
+        (count(lit(1)) - 1).as("n_dropped"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  /** SemDeDup-style semantic pruning: inside each embedding cluster
+    * (the `label` column — at production scale the k-means/IVF
+    * assignment q80/q49 compute), drop every vector that has a LOWER-id
+    * clustermate with cosine ≥ 0.35, keep the rest; report the per-
+    * cluster keep/drop ledger. The pairwise work is CLUSTER-CONFINED —
+    * the whole point of SemDeDup: compare within lists of bounded size,
+    * never corpus × corpus. Cosines come from the codegen'd fused
+    * `graft_cosine` over natively-cast `array<double>` inputs (Spark's
+    * Cast is codegen'd elementwise — no interpreted `transform` pass)
+    * and the threshold compares the RAW double on both engines —
+    * bit-identical arithmetic, the q42-proven recipe.
+    */
+  val semdedupPrune = Q(
+    "q133_semdedup_prune",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |drops AS (
+      |  SELECT DISTINCT b.label, b.vec_id
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.v, b.v)
+      |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      |    >= 0.35)
+      |SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(COUNT(dr.vec_id) AS BIGINT) AS n_dropped,
+      |  CAST(COUNT(*) - COUNT(dr.vec_id) AS BIGINT) AS n_kept
+      |FROM e LEFT JOIN drops dr ON dr.label = e.label AND dr.vec_id = e.vec_id
+      |GROUP BY e.label
+      |ORDER BY e.label""".stripMargin) { (s, d) =>
+    CosineSim.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("label").as("la"), col("vec_id").as("ida"), col("v").as("va"))
+    val b = e.select(col("label").as("lb"), col("vec_id").as("idb"), col("v").as("vb"))
+    val drops = a.join(b, col("la") === col("lb") && col("ida") < col("idb"))
+      .filter(expr("graft_cosine(va, vb)") >= 0.35)
+      .select(col("lb").as("label"), col("idb").as("vec_id"))
+      .distinct()
+    e.select(col("label"), col("vec_id"))
+      .join(drops.withColumn("hit", lit(1)), Seq("label", "vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), count(col("hit")).as("n_dropped"),
+        (count(lit(1)) - count(col("hit"))).as("n_kept"))
+      .orderBy(col("label"))
+  }
+
+  /** Cross-split contamination audit: after q87's hash split, does the
+    * eval side share verbatim 5-gram spans with train? (Exact-fingerprint
+    * leakage is the easy case — span-level overlap is what actually
+    * inflates eval scores, the q97 decontamination semantics turned
+    * inward on the pipeline's own split.) Spans hash to 60-bit BIGINTs
+    * (q117's recipe); the train span vocabulary is corpus-vocabulary-
+    * sized and at 100 TB the probe side joins against it directly (or
+    * its q90-style Bloom projection) — never doc × doc. Output: per
+    * (source, split) eval-doc counts and how many are contaminated.
+    */
+  val splitContamination = Q(
+    "q134_split_contamination",
+    """WITH d AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 AS bucket
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      |s AS (SELECT doc_id, source, t,
+      |        CASE WHEN bucket < 90 THEN 'train'
+      |             WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+      |      FROM d),
+      |g AS (SELECT DISTINCT doc_id, source, split,
+      |        ('0x' || substr(md5(gr), 1, 15))::BIGINT AS gh FROM (
+      |  SELECT doc_id, source, split, unnest(list_transform(range(1, len(t) - 3),
+      |    i -> array_to_string(t[i:i+4], ' '))) AS gr FROM s) q),
+      |tr AS (SELECT DISTINCT gh FROM g WHERE split = 'train'),
+      |ev AS (SELECT doc_id, source, split,
+      |         COUNT(*) FILTER (WHERE gh IN (SELECT gh FROM tr)) AS n_hit
+      |       FROM g WHERE split <> 'train' GROUP BY doc_id, source, split)
+      |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) FILTER (WHERE n_hit > 0) AS BIGINT) AS n_contaminated
+      |FROM ev GROUP BY source, split
+      |ORDER BY source, split""".stripMargin) { (s, d) =>
+    val bucket =
+      expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 100")
+    val toks = Tables.documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), col("source"),
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"),
+        col("t"))
+    val grams = toks
+      .select(col("doc_id"), col("source"), col("split"),
+        explode(graft.functions.NGrams.ngrams(col("t"), 5)).as("gr"))
+      .select(col("doc_id"), col("source"), col("split"),
+        expr("CAST(conv(substr(md5(gr), 1, 15), 16, 10) AS BIGINT)").as("gh"))
+      .distinct()
+      // Consumed twice (train vocabulary + eval probe side): materialize
+      // the scan→ngrams→hash→distinct corpus pass once (q117's idiom).
+      .localCheckpoint()
+    val trainSpans = grams.filter(col("split") === "train").select(col("gh")).distinct()
+    grams.filter(col("split") =!= "train")
+      .join(trainSpans.withColumn("hit", lit(1)), Seq("gh"), "left")
+      .groupBy(col("doc_id"), col("source"), col("split"))
+      .agg(count(col("hit")).as("n_hit"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_hit") > 0, 1)).as("n_contaminated"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val specs: Seq[Q] = Seq(fullMoments, lexicalDiversity, clusterKeepBest,
+    semdedupPrune, splitContamination)
+}

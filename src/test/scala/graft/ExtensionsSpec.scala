@@ -43,6 +43,9 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row2.getSeq[String](0) == Seq("a b", "b c"))
       assert(row2.getLong(1) != 0L)
       assert(row2.getSeq[String](2) == Seq("ab", "b", "a"))
+      val row3 = spark.sql(
+        "SELECT graft_outer_upper(array(2.0d, 3.0d)) AS o").collect().head
+      assert(row3.getSeq[Double](0) == Seq(4.0, 6.0, 9.0))
       assert(row2.getSeq[String](3).toSet == Set("abc", "bc", "ac", "ab", "c", "b", "a"))
       // planner strategy injected too: the native top-k node plans
       val topk = plans.TopK.perGroup(

@@ -88,6 +88,15 @@ class PlanSpec extends SparkSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2000))
   }
 
+  test("q130: full moment matrix is one scan + one aggregate; coords arrive broadcast") {
+    val p = planOf("q130_full_moments")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the kernel runs inside whole-stage codegen, not interpreted
+    assert(p.contains("graft_outer_upper"), p.take(2000))
+  }
+
   test("q118: the capped vocabulary arrives broadcast at the token stream") {
     val p = planOf("q118_oov_rate")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

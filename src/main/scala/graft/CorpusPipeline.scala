@@ -10,7 +10,8 @@ import org.apache.spark.sql.expressions.Window
   * shards on disk.
   *
   *   raw → quality gate (q78's repetition metrics) → exact dedup (q30)
-  *       → near-dup purge via shared MinHash/LSH cluster labels (q32/q57/q76)
+  *       → near-dup keep-best purge via shared MinHash/LSH cluster
+  *         labels (q32/q57) and q132's longest-member election
   *       → weighted source mixture (q91) → train/val/test split (q87)
   *       → benchmark decontamination (q97: train docs sharing any
   *         5-token window with the held-out val/test docs are dropped)
@@ -64,18 +65,30 @@ object CorpusPipeline {
     log("quality_gate", quality.count())
 
     // 2. Exact dedup — keep the smallest doc_id per content hash.
+    // localCheckpoint: feeds the keeper election AND the purge below.
     val wDup = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     val exact = quality.withColumn("__rn", row_number().over(wDup))
       .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
     log("exact_dedup", exact.count())
 
     // 3. Near-dup purge — shared LSH cluster labels (cached across
-    // queries): survivors are cluster representatives or unclustered.
+    // queries) resolved with q132's keep-BEST rule: among the cluster
+    // members still alive after the quality/exact gates, the longest
+    // document survives (doc_id breaks ties) — unlike q132's whole-
+    // corpus report, the election here runs over SURVIVORS, so a
+    // cluster whose best member already failed quality still keeps its
+    // best remaining one. Unclustered docs pass untouched.
     val labels = ops.DedupClusters.clusterLabels(spark, sfDir)
+    val keepers = labels
+      .join(exact.select(col("doc_id").as("node"), col("n_chars")), Seq("node"))
+      .groupBy(col("label"))
+      .agg(max_by(col("node"), struct(col("n_chars"), -col("node"))).as("keeper"))
     val purged = exact.join(labels, exact("doc_id") === labels("node"), "left_outer")
-      .filter(col("label").isNull || col("label") === col("doc_id"))
+      .join(keepers, Seq("label"), "left_outer")
+      .filter(col("label").isNull || col("doc_id") === col("keeper"))
       .select(exact.columns.map(col): _*)
-    log("neardup_purge", purged.count())
+    log("neardup_keepbest", purged.count())
 
     // 4. Weighted source mixture (md5 chars 9-15, independent of the
     // split bucket below).

@@ -16,6 +16,7 @@ class CorpusPipelineSpec extends SparkSuite {
     val d = Files.createTempDirectory("graft_corpus_fixture").toString
     val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val leak = "shared secret benchmark answer phrase"
+    val rainbow = "red orange yellow green blue indigo violet pink brown white"
     val docs = Seq(
       (0L, good, "en", "src0", 60L),
       (1L, good, "en", "src1", 60L),                                     // exact dup of 0
@@ -23,7 +24,12 @@ class CorpusPipelineSpec extends SparkSuite {
       (3L, "uno dos tres cuatro cinco seis siete ocho nueve diez", "es", "src2", 52L),
       (4L, "one two three four five six seven eight nine ten", "en", "src3", 49L),
       (5L, s"$leak plus unique train padding words here", "en", "src0", 75L), // leaks doc 8's gram
-      (8L, s"$leak with other held out eval context tokens", "en", "src0", 80L)) // val-split doc
+      (8L, s"$leak with other held out eval context tokens", "en", "src0", 80L), // val-split doc
+      // near-dup pair where the LONGER member has the HIGHER doc_id:
+      // doc 10 is doc 9 repeated (9/10 shared shingles -> LSH candidates),
+      // so keep-best must invert the old min-id rule and keep 10.
+      (9L, rainbow, "en", "src4", 60L),
+      (10L, s"$rainbow $rainbow", "en", "src4", 121L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.coalesce(1).write.parquet(s"$d/documents.parquet")
     d
@@ -41,6 +47,9 @@ class CorpusPipelineSpec extends SparkSuite {
     // its 5-gram -> decontamination drops 5, keeps 8
     assert(ids.contains(8L), "held-out doc should survive")
     assert(!ids.contains(5L), "contaminated train doc survived decontamination")
+    // keep-best purge: the LONGER near-dup survives even with the higher id
+    assert(ids.contains(10L), "keep-best should keep the longer near-dup")
+    assert(!ids.contains(9L), "shorter near-dup member survived the purge")
     val splits = shards.select($"doc_id", $"split").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(splits(8L) == "val", splits.toString)
@@ -52,7 +61,7 @@ class CorpusPipelineSpec extends SparkSuite {
       .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
     assert(card.values.sum == ids.size.toLong, card.toString)
     val drift = spark.read.parquet(s"$out-report/drift").collect()(0)
-    assert(drift.getAs[Long]("n_a") == 7L)            // raw corpus size
+    assert(drift.getAs[Long]("n_a") == 9L)            // raw corpus size
     assert(drift.getAs[Long]("n_b") == ids.size.toLong)
     val ks = drift.getAs[Double]("ks_stat")
     assert(ks >= 0.0 && ks <= 1.0, ks.toString)       // dropped docs shift the ECDF

@@ -195,11 +195,13 @@ object Advanced11 {
     * eval side share verbatim 5-gram spans with train? (Exact-fingerprint
     * leakage is the easy case — span-level overlap is what actually
     * inflates eval scores, the q97 decontamination semantics turned
-    * inward on the pipeline's own split.) Spans hash to 60-bit BIGINTs
-    * (q117's recipe); the train span vocabulary is corpus-vocabulary-
-    * sized and at 100 TB the probe side joins against it directly (or
-    * its q90-style Bloom projection) — never doc × doc. Output: per
-    * (source, split) eval-doc counts and how many are contaminated.
+    * inward on the pipeline's own split.) The span table is the SHARED
+    * session artifact q117 also consumes (one corpus pass for both
+    * span-level analyses); split and source attach by doc_id primary
+    * key. The train span vocabulary is corpus-vocabulary-sized and at
+    * 100 TB the probe side joins against it directly (or its q90-style
+    * Bloom projection) — never doc × doc. Output: per (source, split)
+    * eval-doc counts and how many are contaminated.
     */
   val splitContamination = Q(
     "q134_split_contamination",
@@ -225,21 +227,10 @@ object Advanced11 {
       |ORDER BY source, split""".stripMargin) { (s, d) =>
     val bucket =
       expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 100")
-    val toks = Tables.documents(s, d)
-      .withColumn("t", split(col("text"), " "))
-      .filter(size(col("t")) >= 5)
+    val meta = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"),
-        col("t"))
-    val grams = toks
-      .select(col("doc_id"), col("source"), col("split"),
-        explode(graft.functions.NGrams.ngrams(col("t"), 5)).as("gr"))
-      .select(col("doc_id"), col("source"), col("split"),
-        expr("CAST(conv(substr(md5(gr), 1, 15), 16, 10) AS BIGINT)").as("gh"))
-      .distinct()
-      // Consumed twice (train vocabulary + eval probe side): materialize
-      // the scan→ngrams→hash→distinct corpus pass once (q117's idiom).
-      .localCheckpoint()
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
+    val grams = Advanced9.spanTable(s, d).join(meta, Seq("doc_id"))
     val trainSpans = grams.filter(col("split") === "train").select(col("gh")).distinct()
     grams.filter(col("split") =!= "train")
       .join(trainSpans.withColumn("hit", lit(1)), Seq("gh"), "left")

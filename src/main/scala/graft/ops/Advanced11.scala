@@ -242,6 +242,73 @@ object Advanced11 {
       .orderBy(col("source"), col("split"))
   }
 
+  /** The 10-rule BPE merge table q135 applies — trained with the
+    * standard algorithm (count word-frequency-weighted adjacent pairs,
+    * merge the top pair, recount) on the sf0.01 corpus; a stand-in for
+    * a shipped tokenizer artifact. Rank order matters: later rules
+    * reference merged symbols (`m+er`, `pa+r`).
+    */
+  private[graft] val BpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
+    "m" -> "er", "a" -> "t", "l" -> "u", "p" -> "a", "pa" -> "r")
+
+  /** Tokenizer application — the missing middle of the BPE family (q106
+    * pre-tokenizes, q128 counts merge pairs to TRAIN; this ENCODES with
+    * a trained table): per-doc BPE token counts and the chars-per-token
+    * compression ratio, the number a tokenizer eval actually reports.
+    *
+    * The encode is VOCABULARY-CONFINED — the merge loop runs over the
+    * distinct-word table (vocabulary-sized, shuffles nothing) and the
+    * corpus-sized token stream only broadcast-joins the finished
+    * (word → token-count) map, exactly how production tokenization
+    * amortizes at 100 TB. Each rule is one sentinel-padded
+    * `replace(' a b ' → ' ab ')` sweep over the spaced symbol string —
+    * leftmost non-overlapping in BOTH engines, and verified exhaustive
+    * on this vocabulary against a reference implementation
+    * (Advanced11Spec); a rule whose merges cascade re-runs its sweep a
+    * bounded number of times at a general vocabulary.
+    */
+  val bpeEncode = Q(
+    "q135_bpe_encode", {
+      val spaced = """' ' || regexp_replace(tok, '(.)', '\1 ', 'g')"""
+      val enc = BpeMerges.foldLeft(spaced) { case (acc, (a, b)) =>
+        s"replace($acc, ' $a $b ', ' $a$b ')"
+      }
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |w AS (SELECT DISTINCT tok FROM t),
+         |c AS (SELECT tok,
+         |        CAST(len(string_split(trim($enc), ' ')) AS BIGINT) AS n_bpe,
+         |        CAST(len(tok) AS BIGINT) AS n_chars
+         |      FROM w)
+         |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(c.n_bpe) AS BIGINT) AS n_bpe_tokens,
+         |  (2 * CAST(SUM(c.n_chars) AS BIGINT) * 1000000 + CAST(SUM(c.n_bpe) AS BIGINT))
+         |    // (2 * CAST(SUM(c.n_bpe) AS BIGINT)) / 1000000.0 AS chars_per_token
+         |FROM t JOIN c USING (tok)
+         |GROUP BY t.doc_id
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val enc = BpeMerges.foldLeft(
+      concat(lit(" "), regexp_replace(col("tok"), "(.)", "$1 "))) {
+      case (acc, (a, b)) => replace(acc, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    val words = t.select(col("tok")).distinct()
+      .select(col("tok"),
+        size(split(trim(enc), " ")).cast("long").as("n_bpe"),
+        length(col("tok")).cast("long").as("n_chars"))
+    t.join(broadcast(words), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_bpe")).as("n_bpe_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        (Det.halfUpDiv(col("sum_chars") * 1000000, col("n_bpe_tokens")) / 1000000.0)
+          .as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   val specs: Seq[Q] = Seq(fullMoments, lexicalDiversity, clusterKeepBest,
-    semdedupPrune, splitContamination)
+    semdedupPrune, splitContamination, bpeEncode)
 }

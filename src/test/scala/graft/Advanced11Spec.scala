@@ -104,6 +104,44 @@ class Advanced11Spec extends SparkSuite {
     assert(got(1) == ((2L, 1L, 1L))) // vec 4 dropped; 3 kept despite matching 0
   }
 
+  test("q135 token counts match an exhaustive reference BPE encoder") {
+    // reference: apply each merge rule TO FIXPOINT in rank order
+    def encode(w: String): Seq[String] = {
+      var seq: Seq[String] = w.map(_.toString)
+      for ((a, b) <- ops.Advanced11.BpeMerges) {
+        var changed = true
+        while (changed) {
+          changed = false
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < seq.length) {
+            if (i + 1 < seq.length && seq(i) == a && seq(i + 1) == b) {
+              out += (a + b); i += 2; changed = true
+            } else { out += seq(i); i += 1 }
+          }
+          seq = out.toSeq
+        }
+      }
+      seq
+    }
+    // the table's hierarchy actually fires on real words
+    assert(encode("customer") == Seq("c", "u", "st", "o", "mer"))
+    assert(encode("spark") == Seq("s", "par", "k"))
+    val want = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getAs[String]("text").split(" ")
+        r.getAs[Long]("doc_id") ->
+          (toks.length.toLong, toks.map(encode(_).length.toLong).sum)
+      }.toMap
+    val got = ops.Advanced11.bpeEncode.run(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"))).toMap
+    assert(got == want)
+    // compression: merges strictly shrink the char-level token count
+    assert(got.values.forall { case (w, b) => b >= w && b < want.values.map(_._2).sum })
+  }
+
   test("q134 agrees with a pure-Scala recomputation of the audit") {
     def md5hex(s: String): String =
       MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

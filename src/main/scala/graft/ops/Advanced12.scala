@@ -1,0 +1,174 @@
+package graft.ops
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Eighth advanced batch (round 4): the training-run PLANNING ops — the
+  * numbers a data-mixture owner computes before launching: how much of
+  * each source fits a token budget (water-filling allocation), what a
+  * batching strategy wastes on padding, and where each source's
+  * adaptive quality bar sits. All exact integer arithmetic; nothing
+  * corpus-pairwise.
+  */
+object Advanced12 {
+
+  /** Token-budget allocation across sources — the data-mixture
+    * water-filling problem: a budget of half the corpus' tokens, an
+    * equal target share per source, and two allocation rounds: round 1
+    * gives each source min(its tokens, budget/K); round 2 redistributes
+    * the leftover equally across the sources that still have headroom.
+    * (Production allocators iterate to fixpoint; two unrolled rounds
+    * exhibit the saturation/redistribution mechanics that make uniform
+    * rate × budget WRONG when sources are skewed.) Everything is
+    * BIGINT division — bit-identical across engines — and the only
+    * data-bearing aggregate is one per-source token count; the
+    * allocation itself runs on the K-row source table.
+    */
+  val tokenBudget = Q(
+    "q136_token_budget",
+    """WITH s AS (
+      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS total,
+      |               CAST(COUNT(*) AS BIGINT) AS k,
+      |               CAST(SUM(n_toks) AS BIGINT) // 2 AS budget FROM s),
+      |r1 AS (SELECT s.source, s.n_toks, tot.budget,
+      |         LEAST(s.n_toks, tot.budget // tot.k) AS a1
+      |       FROM s CROSS JOIN tot),
+      |l1 AS (SELECT CAST(SUM(a1) AS BIGINT) AS spent,
+      |         CAST(COUNT(*) FILTER (WHERE a1 < n_toks) AS BIGINT) AS unsat
+      |       FROM r1),
+      |r2 AS (SELECT r1.source, r1.n_toks,
+      |         LEAST(r1.n_toks, r1.a1 + CASE WHEN r1.a1 < r1.n_toks
+      |           THEN (r1.budget - l1.spent) // GREATEST(l1.unsat, 1) ELSE 0 END)
+      |           AS allocated
+      |       FROM r1 CROSS JOIN l1)
+      |SELECT source, n_toks, allocated,
+      |  (2 * allocated * 1000 + n_toks) // (2 * n_toks) / 1000.0 AS rate
+      |FROM r2
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_toks"))
+    val tot = src.agg(sum(col("n_toks")).as("total"), count(lit(1)).as("k"))
+      .withColumn("budget", expr("total DIV 2"))
+    val r1 = src.crossJoin(broadcast(tot))
+      .withColumn("a1", least(col("n_toks"), expr("budget DIV k")))
+    val l1 = r1.agg(sum(col("a1")).as("spent"),
+      count(when(col("a1") < col("n_toks"), 1)).as("unsat"))
+    r1.crossJoin(broadcast(l1))
+      .withColumn("allocated", least(col("n_toks"),
+        col("a1") + when(col("a1") < col("n_toks"),
+          expr("(budget - spent) DIV GREATEST(unsat, 1L)")).otherwise(0L)))
+      .select(col("source"), col("n_toks"), col("allocated"),
+        (Det.halfUpDiv(col("allocated") * 1000, col("n_toks")) / 1000.0).as("rate"))
+      .orderBy(col("source"))
+  }
+
+  /** Padding-waste report: what fixed-size batches of 8 docs pay in pad
+    * tokens under doc_id-order batching versus length-sorted batching —
+    * the measurement behind the length-bucketing trick every training
+    * stack uses. Batches form per LANGUAGE (the window key is the
+    * bucketing key — at corpus scale the same windows run per shard,
+    * q68's packing layout); waste per batch is
+    * `count·max(len) − sum(len)`. Exact integers end to end; ties in
+    * the sorted order break on doc_id so both engines batch
+    * identically.
+    */
+  val paddingWaste = Q(
+    "q137_padding_waste",
+    """WITH d AS (SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |nb AS (SELECT doc_id, lang, n_toks,
+      |    (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1) // 8 AS b
+      |  FROM d),
+      |sb AS (SELECT doc_id, lang, n_toks,
+      |    (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_toks, doc_id) - 1) // 8 AS b
+      |  FROM d),
+      |nw AS (SELECT lang, CAST(SUM(cnt * mx - sm) AS BIGINT) AS pad FROM (
+      |    SELECT lang, b, COUNT(*) AS cnt, MAX(n_toks) AS mx,
+      |      CAST(SUM(n_toks) AS BIGINT) AS sm FROM nb GROUP BY lang, b) q GROUP BY lang),
+      |sw AS (SELECT lang, CAST(SUM(cnt * mx - sm) AS BIGINT) AS pad FROM (
+      |    SELECT lang, b, COUNT(*) AS cnt, MAX(n_toks) AS mx,
+      |      CAST(SUM(n_toks) AS BIGINT) AS sm FROM sb GROUP BY lang, b) q GROUP BY lang),
+      |t AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_toks) AS BIGINT) AS n_toks FROM d GROUP BY lang)
+      |SELECT t.lang, t.n_docs, t.n_toks,
+      |  nw.pad AS pad_naive, sw.pad AS pad_sorted,
+      |  (2 * (nw.pad - sw.pad) * 1000 + GREATEST(nw.pad, 1))
+      |    // (2 * GREATEST(nw.pad, 1)) / 1000.0 AS saving
+      |FROM t JOIN nw USING (lang) JOIN sw USING (lang)
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    def waste(order: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame =
+      docs.withColumn("rn",
+          row_number().over(Window.partitionBy(col("lang")).orderBy(order: _*)))
+        .withColumn("b", expr("CAST(rn - 1 AS BIGINT) DIV 8"))
+        .groupBy(col("lang"), col("b"))
+        .agg(count(lit(1)).as("cnt"), max(col("n_toks")).as("mx"),
+          sum(col("n_toks")).as("sm"))
+        .groupBy(col("lang"))
+        .agg(sum(col("cnt") * col("mx") - col("sm")).as("pad"))
+    val naive = waste(Seq(col("doc_id"))).withColumnRenamed("pad", "pad_naive")
+    val sorted = waste(Seq(col("n_toks"), col("doc_id")))
+      .withColumnRenamed("pad", "pad_sorted")
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+      .join(naive, Seq("lang")).join(sorted, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_toks"),
+        col("pad_naive"), col("pad_sorted"),
+        (Det.halfUpDiv((col("pad_naive") - col("pad_sorted")) * 1000,
+          greatest(col("pad_naive"), lit(1L))) / 1000.0).as("saving"))
+      .orderBy(col("lang"))
+  }
+
+  /** Per-source adaptive quality gate: each source's own 10th-percentile
+    * length is its bar (position-based — the value at sorted rank
+    * ⌈n/10⌉, ties broken by doc_id, so NO interpolation and no float
+    * percentile semantics to reconcile across engines); docs strictly
+    * above the bar pass. This is the per-domain adaptive filter
+    * (fixed global thresholds over-prune clean sources and under-prune
+    * noisy ones). One rank window per source + a K-row broadcast of the
+    * bars back to the stream.
+    */
+  val adaptiveQualityGate = Q(
+    "q138_adaptive_quality_gate",
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |r AS (SELECT source, n_chars,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+      |        COUNT(*) OVER (PARTITION BY source) AS n
+      |      FROM d),
+      |thr AS (SELECT source, n_chars AS threshold_chars FROM r
+      |        WHERE rn = (n + 9) // 10)
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  thr.threshold_chars,
+      |  CAST(COUNT(*) FILTER (WHERE d.n_chars > thr.threshold_chars) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(COUNT(*) FILTER (WHERE d.n_chars <= thr.threshold_chars) AS BIGINT)
+      |    AS n_dropped
+      |FROM d JOIN thr USING (source)
+      |GROUP BY d.source, thr.threshold_chars
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+    val w = Window.partitionBy(col("source"))
+    val thr = docs
+      .withColumn("rn", row_number().over(w.orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("rn") === expr("(n + 9) DIV 10"))
+      .select(col("source"), col("n_chars").as("threshold_chars"))
+    docs.join(broadcast(thr), Seq("source"))
+      .groupBy(col("source"), col("threshold_chars"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_chars") > col("threshold_chars"), 1)).as("n_kept"),
+        count(when(col("n_chars") <= col("threshold_chars"), 1)).as("n_dropped"))
+      .select(col("source"), col("n_docs"), col("threshold_chars"),
+        col("n_kept"), col("n_dropped"))
+      .orderBy(col("source"))
+  }
+
+  val specs: Seq[Q] = Seq(tokenBudget, paddingWaste, adaptiveQualityGate)
+}

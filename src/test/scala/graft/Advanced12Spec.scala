@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Training-run planning ops: budget conservation and redistribution
+  * mechanics on a skewed crafted roster, padding waste against a brute
+  * Scala recomputation, and the adaptive gate's positional percentile
+  * against a hand sort.
+  */
+class Advanced12Spec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val skewDir: String = {
+    val d = Files.createTempDirectory("graft_adv12_fixture").toString
+    // source A: 100 docs x 10 tokens = 1000; B and C: 1 doc x 10 each.
+    val mk = (i: Long, src: String) =>
+      (i, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", "en", src, 30L)
+    val docs = ((0L until 100L).map(mk(_, "srcA")) :+ mk(100L, "srcB") :+ mk(101L, "srcC"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q136 conserves the budget and redistributes saturated shares") {
+    val rows = ops.Advanced12.tokenBudget.run(spark, skewDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("allocated"), r.getAs[Double]("rate")))
+      .toMap
+    // budget = 1020/2 = 510; round 1: each source min(n, 170) -> A 170,
+    // B 10, C 10 (saturated); leftover 320 goes entirely to A.
+    assert(rows("srcA") == ((1000L, 490L, 0.49)))
+    assert(rows("srcB") == ((10L, 10L, 1.0)))
+    assert(rows("srcC") == ((10L, 10L, 1.0)))
+    // exact conservation: nothing over-allocated, leftover fully spent
+    assert(rows.values.map(_._2).sum == 510L)
+    rows.values.foreach { case (n, a, _) => assert(a <= n) }
+  }
+
+  test("q137 padding matches a brute recomputation; sorting never loses") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def pad(ordered: Seq[Long]): Long =
+      ordered.grouped(8).map(b => b.max * b.length - b.sum).sum
+    val want = docs.groupBy(_._2).map { case (lang, ds) =>
+      lang -> (
+        pad(ds.sortBy(_._1).map(_._3).toSeq),
+        pad(ds.sortBy(d => (d._3, d._1)).map(_._3).toSeq))
+    }
+    val got = ops.Advanced12.paddingWaste.run(spark, sf0001).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("pad_naive"), r.getAs[Long]("pad_sorted"))).toMap
+    assert(got == want)
+    got.values.foreach { case (n, s) => assert(s <= n, s"sorted $s > naive $n") }
+    assert(got.values.exists { case (n, s) => s < n }, "sorting saved nothing anywhere")
+  }
+
+  test("q138 threshold is the value at sorted rank ceil(n/10)") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = docs.groupBy(_._2).map { case (src, ds) =>
+      val sorted = ds.sortBy(d => (d._3, d._1)).map(_._3)
+      val thr = sorted((ds.length + 9) / 10 - 1)
+      src -> (ds.length.toLong, thr, ds.count(_._3 > thr).toLong)
+    }
+    val got = ops.Advanced12.adaptiveQualityGate.run(spark, sf0001).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("threshold_chars"),
+          r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped")))
+      .toMap
+    got.foreach { case (src, (n, thr, kept, dropped)) =>
+      assert((n, thr, kept) == want(src), src)
+      assert(kept + dropped == n, src)
+    }
+    assert(got.keySet == want.keySet)
+  }
+}

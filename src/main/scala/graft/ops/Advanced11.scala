@@ -40,7 +40,7 @@ object Advanced11 {
       |            THEN -COUNT(*) ELSE COUNT(*) END)
       |    // (2 * COUNT(*)) / 1000000.0 AS m2,
       |  COUNT(*) AS n_vectors
-      |FROM embeddings
+      |FROM (SELECT embedding FROM embeddings WHERE len(embedding) = 64) embeddings
       |CROSS JOIN (SELECT a.i AS i, b.j AS j
       |            FROM range(0, 64) a(i), range(0, 64) b(j) WHERE a.i <= b.j) p
       |GROUP BY p.i, p.j
@@ -116,18 +116,8 @@ object Advanced11 {
     */
   val clusterKeepBest = Q(
     "q132_cluster_keep_best",
-    (TextOps.lshOracleSql(recursive = true) +
-      """,
-      |edges AS (
-      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-      |  FROM bands a JOIN bands b
-      |    ON a.b = b.b AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id),
-      |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-      |reach AS (
-      |  SELECT src AS node, dst AS reached FROM sym
-      |  UNION
-      |  SELECT r.node, s.dst FROM reach r JOIN sym s ON r.reached = s.src),
-      |cl AS (SELECT node, LEAST(node, MIN(reached)) AS cluster FROM reach GROUP BY node)
+    (TextOps.ccOracleSql +
+      """
       |SELECT cl.cluster AS cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_members,
       |  arg_max(d.doc_id, d.n_chars * 100000000 - d.doc_id) AS keep_doc_id,
       |  MAX(d.n_chars) AS keep_n_chars,
@@ -261,18 +251,26 @@ object Advanced11 {
     * distinct-word table (vocabulary-sized, shuffles nothing) and the
     * corpus-sized token stream only broadcast-joins the finished
     * (word → token-count) map, exactly how production tokenization
-    * amortizes at 100 TB. Each rule is one sentinel-padded
-    * `replace(' a b ' → ' ab ')` sweep over the spaced symbol string —
-    * leftmost non-overlapping in BOTH engines, and verified exhaustive
-    * on this vocabulary against a reference implementation
-    * (Advanced11Spec); a rule whose merges cascade re-runs its sweep a
-    * bounded number of times at a general vocabulary.
+    * amortizes at 100 TB. Each rule is a sentinel-padded
+    * `replace(' a b ' → ' ab ')` sweep over the spaced symbol string,
+    * run THREE times per rule: a single leftmost-non-overlapping sweep
+    * under-merges immediately-adjacent repeats (the first match
+    * consumes the shared boundary space — "papa" with rule p+a), and
+    * three sweeps reach the per-rule fixpoint for every word up to
+    * twice the corpus' max token length (the FunctionLaws property
+    * generates adversarial repeat words and checks 3-sweep ≡ fixpoint;
+    * Advanced11Spec checks the full corpus against a reference
+    * encoder). Both engines share the replace semantics, so oracle
+    * parity holds at ANY sweep count — the sweeps buy fidelity to real
+    * BPE, not determinism.
     */
   val bpeEncode = Q(
     "q135_bpe_encode", {
       val spaced = """' ' || regexp_replace(tok, '(.)', '\1 ', 'g')"""
       val enc = BpeMerges.foldLeft(spaced) { case (acc, (a, b)) =>
-        s"replace($acc, ' $a $b ', ' $a$b ')"
+        val once = s"replace($acc, ' $a $b ', ' $a$b ')"
+        val twice = s"replace($once, ' $a $b ', ' $a$b ')"
+        s"replace($twice, ' $a $b ', ' $a$b ')"
       }
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |w AS (SELECT DISTINCT tok FROM t),
@@ -292,7 +290,9 @@ object Advanced11 {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val enc = BpeMerges.foldLeft(
       concat(lit(" "), regexp_replace(col("tok"), "(.)", "$1 "))) {
-      case (acc, (a, b)) => replace(acc, lit(s" $a $b "), lit(s" $a$b "))
+      case (acc, (a, b)) =>
+        val pat = lit(s" $a $b "); val to = lit(s" $a$b ")
+        replace(replace(replace(acc, pat, to), pat, to), pat, to)
     }
     val words = t.select(col("tok")).distinct()
       .select(col("tok"),

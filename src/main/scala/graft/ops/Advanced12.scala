@@ -74,7 +74,10 @@ object Advanced12 {
     * q68's packing layout); waste per batch is
     * `count·max(len) − sum(len)`. Exact integers end to end; ties in
     * the sorted order break on doc_id so both engines batch
-    * identically.
+    * identically. `saving` CAN be negative — sorted batching loses
+    * when a heavy tail straddles the final partial batch — so the
+    * oracle spells [[Det.halfUpDiv]]'s sign term (the Tables.scala
+    * negative-capable rule).
     */
   val paddingWaste = Q(
     "q137_padding_waste",
@@ -97,7 +100,9 @@ object Advanced12 {
       |    CAST(SUM(n_toks) AS BIGINT) AS n_toks FROM d GROUP BY lang)
       |SELECT t.lang, t.n_docs, t.n_toks,
       |  nw.pad AS pad_naive, sw.pad AS pad_sorted,
-      |  (2 * (nw.pad - sw.pad) * 1000 + GREATEST(nw.pad, 1))
+      |  (2 * (nw.pad - sw.pad) * 1000
+      |     + CASE WHEN nw.pad < sw.pad THEN -GREATEST(nw.pad, 1)
+      |            ELSE GREATEST(nw.pad, 1) END)
       |    // (2 * GREATEST(nw.pad, 1)) / 1000.0 AS saving
       |FROM t JOIN nw USING (lang) JOIN sw USING (lang)
       |ORDER BY lang""".stripMargin) { (s, d) =>

@@ -295,20 +295,9 @@ object Advanced3 {
     */
   val corpusPurge = Q(
     "q76_corpus_purge",
-    (TextOps.lshOracleSql(recursive = true) +
+    (TextOps.ccOracleSql +
       """,
-      |edges AS (
-      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-      |  FROM bands a JOIN bands b
-      |    ON a.b = b.b AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id),
-      |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-      |reach AS (
-      |  SELECT src AS node, dst AS reached FROM sym
-      |  UNION
-      |  SELECT r.node, s.dst FROM reach r JOIN sym s ON r.reached = s.src),
-      |reps AS (
-      |  SELECT node AS doc_id, LEAST(node, MIN(reached)) AS cluster_rep
-      |  FROM reach GROUP BY node)
+      |reps AS (SELECT node AS doc_id, cluster AS cluster_rep FROM cl)
       |SELECT d.lang, COUNT(*) AS n_docs,
       |  CAST(SUM(CASE WHEN r.cluster_rep IS NOT NULL AND r.cluster_rep <> d.doc_id
       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,

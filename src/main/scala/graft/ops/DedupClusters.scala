@@ -105,21 +105,11 @@ object DedupClusters {
   val dedupClusters = Q(
     "q57_dedup_clusters",
     // The edge list is q32's candidate pairs; the oracle recomputes them
-    // (the shared preamble) and resolves components with a recursive CTE.
-    (TextOps.lshOracleSql(recursive = true) +
-      """,
-      |edges AS (
-      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-      |  FROM bands a JOIN bands b
-      |    ON a.b = b.b AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id),
-      |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-      |reach AS (
-      |  SELECT src AS node, dst AS reached FROM sym
-      |  UNION
-      |  SELECT r.node, s.dst FROM reach r JOIN sym s ON r.reached = s.src)
-      |SELECT node AS doc_id, LEAST(node, MIN(reached)) AS cluster_rep
-      |FROM reach
-      |GROUP BY node
+    // and resolves components with the shared recursive-CTE preamble.
+    (TextOps.ccOracleSql +
+      """
+      |SELECT node AS doc_id, cluster AS cluster_rep
+      |FROM cl
       |ORDER BY doc_id""").stripMargin) { (s, d) =>
     clusterLabels(s, d)
       .select(col("node").as("doc_id"), col("label").as("cluster_rep"))

@@ -178,6 +178,27 @@ object TextOps {
           s"MIN((v * ${1000003L * j + 12345L} + ${777767L * j + 1L}) % 2147483647)")
           .mkString(", "))
 
+  /** The LSH preamble extended with candidate edges and recursive
+    * connected-component resolution — ONE definition of the cluster
+    * oracle (`cl(node, cluster)`, cluster = min doc_id reachable) shared
+    * by every component-consuming oracle (q57 report, q76 purge, q132
+    * keep-best), so the component semantics can't drift between copies.
+    * Mirrors [[graft.ops.DedupClusters.connectedComponents]].
+    */
+  private[ops] def ccOracleSql: String =
+    lshOracleSql(recursive = true) +
+      """,
+      |edges AS (
+      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id),
+      |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+      |reach AS (
+      |  SELECT src AS node, dst AS reached FROM sym
+      |  UNION
+      |  SELECT r.node, s.dst FROM reach r JOIN sym s ON r.reached = s.src),
+      |cl AS (SELECT node, LEAST(node, MIN(reached)) AS cluster FROM reach GROUP BY node)""".stripMargin
+
   val minhashLsh = Q(
     "q32_dedup_minhash_lsh",
     (lshOracleSql() +

@@ -127,19 +127,21 @@ class Advanced11Spec extends SparkSuite {
     // the table's hierarchy actually fires on real words
     assert(encode("customer") == Seq("c", "u", "st", "o", "mer"))
     assert(encode("spark") == Seq("s", "par", "k"))
-    val want = Tables.documents(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text")).collect()
-      .map { r =>
-        val toks = r.getAs[String]("text").split(" ")
-        r.getAs[Long]("doc_id") ->
-          (toks.length.toLong, toks.map(encode(_).length.toLong).sum)
-      }.toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" "))
+    val want = docs.map { case (id, toks) =>
+      id -> (toks.length.toLong, toks.map(encode(_).length.toLong).sum)
+    }.toMap
+    val chars = docs.map { case (id, toks) => id -> toks.map(_.length.toLong).sum }.toMap
     val got = ops.Advanced11.bpeEncode.run(spark, sf0001).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"))).toMap
     assert(got == want)
-    // compression: merges strictly shrink the char-level token count
-    assert(got.values.forall { case (w, b) => b >= w && b < want.values.map(_._2).sum })
+    // compression brackets, PER DOC: at least one token per word, never
+    // more tokens than characters; and merges actually fire corpus-wide
+    got.foreach { case (id, (w, b)) => assert(b >= w && b <= chars(id), id) }
+    assert(got.values.map(_._2).sum < chars.values.sum, "no merge fired anywhere")
   }
 
   test("q134 agrees with a pure-Scala recomputation of the audit") {

@@ -37,7 +37,7 @@ class Advanced12Spec extends SparkSuite {
     rows.values.foreach { case (n, a, _) => assert(a <= n) }
   }
 
-  test("q137 padding matches a brute recomputation; sorting never loses") {
+  test("q137 padding matches a brute recomputation per ordering") {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).cast("long"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
@@ -52,8 +52,26 @@ class Advanced12Spec extends SparkSuite {
       .map(r => r.getAs[String]("lang") ->
         (r.getAs[Long]("pad_naive"), r.getAs[Long]("pad_sorted"))).toMap
     assert(got == want)
-    got.values.foreach { case (n, s) => assert(s <= n, s"sorted $s > naive $n") }
+    // NOT asserting sorted <= naive: a heavy tail straddling the final
+    // partial batch can make sorting lose (which is exactly what the
+    // report exists to surface). On this corpus it does save somewhere:
     assert(got.values.exists { case (n, s) => s < n }, "sorting saved nothing anywhere")
+  }
+
+  test("q137 survives a NEGATIVE saving (heavy tail on the partial batch)") {
+    // lengths in doc_id order: [1,1,1,1,1,1,100,100,1] -> naive batches
+    // {6x1,100,100}=594 pad + {1}=0; sorted batches {7x1,100}=693 + {100}=0.
+    // Sorting LOSES; saving = halfUpDiv(-99000, 594)/1000 = -0.167.
+    val d = Files.createTempDirectory("graft_adv12_neg").toString
+    val lens = Seq(1, 1, 1, 1, 1, 1, 100, 100, 1)
+    lens.zipWithIndex.map { case (k, i) =>
+      (i.toLong, Seq.fill(k)("w").mkString(" "), "zz", "s0", k.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val r = ops.Advanced12.paddingWaste.run(spark, d).collect().head
+    assert(r.getAs[Long]("pad_naive") == 594L)
+    assert(r.getAs[Long]("pad_sorted") == 693L)
+    assert(r.getAs[Double]("saving") == -0.167)
   }
 
   test("q138 threshold is the value at sorted rank ceil(n/10)") {

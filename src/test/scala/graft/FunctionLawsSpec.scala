@@ -79,6 +79,35 @@ class FunctionLawsSpec extends SparkSuite {
     }
   }
 
+  test("law: three replace-sweeps per BPE rule reach the per-rule fixpoint") {
+    // q135's engine applies each merge rule as 3 sentinel-padded replace
+    // sweeps; the law: for adversarial repeat-heavy words (the case a
+    // single sweep under-merges, e.g. "papa" with rule p+a), 3 sweeps
+    // equal the run-to-fixpoint reference for every rule in the table.
+    def sweep(s: String, a: String, b: String): String =
+      s.replace(s" $a $b ", s" ${a + b} ")
+    def threeSweeps(w: String): String =
+      ops.Advanced11.BpeMerges.foldLeft(" " + w.map(_.toString).mkString(" ") + " ") {
+        case (s, (a, b)) => sweep(sweep(sweep(s, a, b), a, b), a, b)
+      }
+    def fixpoint(w: String): String =
+      ops.Advanced11.BpeMerges.foldLeft(" " + w.map(_.toString).mkString(" ") + " ") {
+        case (s, (a, b)) =>
+          Iterator.iterate(s)(sweep(_, a, b)).sliding(2)
+            .collectFirst { case Seq(x, y) if x == y => x }.get
+      }
+    // alphabet restricted to the table's symbols so rules actually fire
+    val wordGen = for {
+      n <- Gen.choose(1, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf('p', 'a', 'e', 'r', 'i', 'n', 't', 's', 'm'))
+    } yield cs.mkString
+    val words = seeded(Gen.listOfN(500, wordGen)) ++
+      Seq("papa", "erer", "atat", "aaaa", "pppaaa", "merer", "parpar")
+    words.foreach { w =>
+      assert(threeSweeps(w) == fixpoint(w), s"word '$w' needs more sweeps")
+    }
+  }
+
   test("law: graft_dot equals the sequential reference fold exactly") {
     val vecGen = Gen.listOfN(16, Gen.choose(-10.0, 10.0)).map(_.toArray)
     val pairs = seeded(Gen.listOfN(100, Gen.zip(vecGen, vecGen)))

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-shard export — the last stage of a corpus pipeline: emit the
@@ -38,6 +39,64 @@ object ShardWriter {
       .sortWithinPartitions(key)
       .write
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  /** Range mode with EXACT deterministic boundaries — both guarantees at
+    * once: bit-stable membership (rerun-identical shard content, unlike
+    * [[writeShards]] whose sampled bounds shift with the RDD id) AND
+    * global key order across shard directories (unlike
+    * [[writeShardsHashed]]).
+    *
+    * Boundaries are exact quantile cuts computed from the key's ECDF
+    * over its VALUE DOMAIN (distinct keys + counts, the q120 pattern):
+    * cut i = the smallest key whose cumulative count reaches ⌈i·n/N⌉. A
+    * row's shard is the number of cuts strictly below its key — a pure
+    * function of the key value, so equal keys always co-shard and a
+    * rerun (or a different cluster) reproduces identical content. The
+    * ECDF window sorts the DISTINCT-key domain in one partition: exact
+    * boundaries are the right trade when the key domain is far smaller
+    * than the corpus (doc lengths, dates, bucketed scores); for
+    * continuous high-cardinality keys use the sampling mode and accept
+    * boundary drift. Balance granularity is one key-group: a single key
+    * holding more than n/N rows overflows its shard by construction
+    * (same as any range partitioner without key-splitting).
+    */
+  def writeShardsRangeExact(
+      df: DataFrame,
+      path: String,
+      numShards: Int,
+      keyName: String,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val dom = df.groupBy(col(keyName)).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.orderBy(col(keyName)).rowsBetween(Window.unboundedPreceding, 0)))
+    val n = df.count()
+    val targets = (1 until numShards)
+      .map(i => (n * i + numShards - 1) / numShards) // ceil(i*n/N)
+      .zipWithIndex
+    val cuts: Seq[Any] =
+      if (targets.isEmpty) Nil
+      else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val tDf = targets.map { case (t, i) => (t, i) }.toDF("__t", "__i")
+        dom.join(broadcast(tDf), col("__cum") >= col("__t"))
+          .groupBy(col("__i"))
+          .agg(min(col(keyName)).as("__cut"))
+          .collect().sortBy(_.getAs[Int]("__i")).map(_.get(1)).toSeq
+      }
+    val shard = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col(keyName) > lit(c), 1).otherwise(0)
+    }
+    df.withColumn("shard", shard)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(keyName))
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
       .mode(SaveMode.Overwrite)
       .parquet(path)
   }

@@ -95,6 +95,47 @@ class IngestSpec extends SparkSuite {
     assert(rerun.sorted == snapshot.sorted, "rerun changed hashed shard membership")
   }
 
+  test("shard writer (range-exact): deterministic bounds, global order, balance") {
+    val out = s"$dir/shards_exact"
+    ShardWriter.writeShardsRangeExact(orders, out, 4, "o_orderkey")
+    val back = spark.read.parquet(out)
+    assert(back.count() == orders.count())
+    assert(back.select(col("shard")).distinct().count() == 4L)
+    // shard directories in shard order concatenate to the global key order
+    var prevMax = Long.MinValue
+    (0 until 4).foreach { s =>
+      val keys = back.filter(col("shard") === s)
+        .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
+      assert(keys.head > prevMax, s"shard $s overlaps previous range")
+      prevMax = keys.last
+    }
+    // exact quantile cuts keep shards balanced (unique keys here, so
+    // each shard holds ceil/floor of n/4 exactly)
+    val counts = (0 until 4).map(s => back.filter(col("shard") === s).count())
+    assert(counts.max - counts.min <= 1, s"shards unbalanced: $counts")
+    // bit-stable membership: a rerun reproduces identical shard content
+    val snapshot = back.filter(col("shard") === 1)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq.sorted
+    ShardWriter.writeShardsRangeExact(orders, out, 4, "o_orderkey")
+    val rerun = spark.read.parquet(out).filter(col("shard") === 1)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(rerun == snapshot, "rerun changed range-exact shard membership")
+  }
+
+  test("shard writer (range-exact): equal keys co-shard (skewed key)") {
+    import spark.implicits._
+    val out = s"$dir/shards_exact_skew"
+    // one key holds half the rows: it must land in ONE shard intact
+    val df = ((1 to 50).map(_ => 7L) ++ (51 to 100).map(_.toLong))
+      .toDF("k")
+    ShardWriter.writeShardsRangeExact(df, out, 4, "k")
+    val back = spark.read.parquet(out)
+    val shardsOf7 = back.filter(col("k") === 7L)
+      .select(col("shard")).distinct().count()
+    assert(shardsOf7 == 1L, "a single key split across shards")
+    assert(back.count() == 100L)
+  }
+
   test("shard writer: maxRecordsPerFile rolls files inside a shard task") {
     val out = s"$dir/shards_rolled"
     ShardWriter.writeShards(orders, out, 2, col("o_orderkey"), maxRecordsPerFile = 200L)

@@ -13,6 +13,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    plans.TopKRewriteInstall.ensureInstalled(spark) // window top-k -> heap
     // Warm the JVM (parquet reader, codegen, shuffle paths) on the smallest
     // scale factor so the first timed query doesn't absorb ~5s of JIT cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

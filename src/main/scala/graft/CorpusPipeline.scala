@@ -38,6 +38,7 @@ object CorpusPipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    plans.TopKRewriteInstall.ensureInstalled(spark) // exact-dedup keep-first -> heap
     try run(spark, sfDir, outDir)
     finally spark.stop()
   }

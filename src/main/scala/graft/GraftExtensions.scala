@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{CosineSim, Deletions, Deletions2, DotProduct, NGrams, OuterUpper, SimHash60}
-import graft.plans.{AsOfStrategy, TopKStrategy}
+import graft.plans.{AsOfStrategy, TopKRewrite, TopKStrategy}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -57,5 +57,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Deletions2(exprs.head)))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
+    // rank-filter window idiom -> native bounded-heap top-k (the
+    // strategy above plans the node the rewrite introduces)
+    ext.injectOptimizerRule(_ => TopKRewrite)
   }
 }

@@ -17,6 +17,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // rank-filter window idiom -> native bounded-heap top-k, the same
+    // rewrite a GraftExtensions-built session gets at build time
+    plans.TopKRewriteInstall.ensureInstalled(spark)
     dump(spark, sfDir, outDir)
     spark.stop()
   }

@@ -44,4 +44,65 @@ class TopKSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  // --- TopKRewrite: the optimizer swaps the window idiom for the native op ---
+
+  private lazy val rewriteSession = {
+    val s = spark.newSession() // shared context, isolated optimizer state
+    graft.plans.TopKRewriteInstall.ensureInstalled(s)
+    s
+  }
+
+  private def liOn(s: org.apache.spark.sql.SparkSession) =
+    Tables.lineitem(s, sf0001)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+
+  test("rewrite: the rank-filter idiom plans as TopKPerGroupExec, windows gone") {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val df = liOn(rewriteSession).withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan.take(1200))
+    assert(!plan.contains("Window"), plan.take(1200)) // no WindowExec/GroupLimit left
+    // ...and the rewritten plan returns exactly the window form's rows
+    val got = df.orderBy(col("l_suppkey"), col("l_extendedprice").desc,
+      col("l_orderkey"), col("l_linenumber")).collect().toSeq
+    val want = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .orderBy(col("l_suppkey"), col("l_extendedprice").desc,
+        col("l_orderkey"), col("l_linenumber")).collect().toSeq
+    assert(got == want)
+  }
+
+  test("rewrite guards: rank in output, compound filter, rank()") {
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_orderkey"))
+    val base = liOn(rewriteSession)
+    // rank kept in the output -> the native op can't serve it
+    val keepsRank = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_suppkey"), col("rn"))
+    assert(!keepsRank.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    // compound condition -> left alone
+    val compound = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("l_linenumber") === 1).drop("rn")
+    assert(!compound.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    // rank() admits ties -> different semantics, not rewritten
+    val rk = base.withColumn("rn", rank().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(!rk.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+  }
+
+  test("rewrite: rn = 1 dedup idiom becomes a k=1 heap") {
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_orderkey"), col("l_linenumber"))
+    val df = liOn(rewriteSession).withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    val got = df.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_suppkey")).collect().toSeq
+    val want = li.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_suppkey")).collect().toSeq
+    assert(got == want)
+  }
 }

@@ -54,6 +54,17 @@ class ExtensionsSpec extends AnyFunSuite {
             org.apache.spark.sql.functions.col("l_quantity")),
         k = 2, Seq("l_returnflag"), Seq(("l_quantity", false)))
       assert(topk.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+      // optimizer rule injected too: the declarative rank-filter idiom
+      // plans as the native heap operator without any explicit call
+      import org.apache.spark.sql.functions.{col, row_number}
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("l_quantity"), col("l_orderkey"))
+      val idiom = Tables.lineitem(spark, "/root/testdata/sf0.001")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+      val idiomPlan = idiom.queryExecution.executedPlan.toString
+      assert(idiomPlan.contains("TopKPerGroup"), idiomPlan.take(1200))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

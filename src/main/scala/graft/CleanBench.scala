@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object CleanBench {
   def main(args: Array[String]): Unit = {
-    val staged = args.headOption.getOrElse("/tmp/refrun/data/staged")
+    // default: the reference's own staged data (read-only input; a
+    // /tmp copy is only needed when running the REFERENCE scripts,
+    // which write next to their inputs)
+    val staged = args.headOption.getOrElse("/root/reference/data/staged")
     val out = if (args.length > 1) args(1) else "/tmp/graft_clean"
     val spark = SparkSession.builder()
       .master("local[32]")

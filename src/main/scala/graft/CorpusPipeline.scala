@@ -101,15 +101,13 @@ object CorpusPipeline {
     val mixed = purged.filter(mixBucket < mixRate * 1000)
     log("source_mixture", mixed.count())
 
-    // 5. Train/val/test split (md5 chars 1-7), 90/5/5.
-    val splitBucket =
-      expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 100")
+    // 5. Train/val/test split — the shared q87 assignment (one
+    // definition, so the pipeline and the reporting query can't drift).
     // localCheckpoint: `assigned` feeds THREE consumers below (bench grams,
     // train grams, the anti-join's left side) — without materialization the
     // whole quality→dedup→purge→mixture chain would replan and re-execute
     // per consumer (the q77/q103 multiple-subtree lesson).
-    val assigned = mixed.withColumn("split",
-      when(splitBucket < 90, "train").when(splitBucket < 95, "val").otherwise("test"))
+    val assigned = mixed.withColumn("split", ops.Advanced5.splitLabel)
       .localCheckpoint()
 
     // 5b. Benchmark decontamination — q97's gram-hash overlap, applied

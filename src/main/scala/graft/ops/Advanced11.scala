@@ -215,11 +215,8 @@ object Advanced11 {
       |  CAST(COUNT(*) FILTER (WHERE n_hit > 0) AS BIGINT) AS n_contaminated
       |FROM ev GROUP BY source, split
       |ORDER BY source, split""".stripMargin) { (s, d) =>
-    val bucket =
-      expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 100")
     val meta = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
+      .select(col("doc_id"), col("source"), Advanced5.splitLabel.as("split"))
     val grams = Advanced9.spanTable(s, d).join(meta, Seq("doc_id"))
     val trainSpans = grams.filter(col("split") === "train").select(col("gh")).distinct()
     grams.filter(col("split") =!= "train")
@@ -268,9 +265,7 @@ object Advanced11 {
     "q135_bpe_encode", {
       val spaced = """' ' || regexp_replace(tok, '(.)', '\1 ', 'g')"""
       val enc = BpeMerges.foldLeft(spaced) { case (acc, (a, b)) =>
-        val once = s"replace($acc, ' $a $b ', ' $a$b ')"
-        val twice = s"replace($once, ' $a $b ', ' $a$b ')"
-        s"replace($twice, ' $a $b ', ' $a$b ')"
+        (1 to 3).foldLeft(acc)((c, _) => s"replace($c, ' $a $b ', ' $a$b ')")
       }
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |w AS (SELECT DISTINCT tok FROM t),
@@ -291,8 +286,7 @@ object Advanced11 {
     val enc = BpeMerges.foldLeft(
       concat(lit(" "), regexp_replace(col("tok"), "(.)", "$1 "))) {
       case (acc, (a, b)) =>
-        val pat = lit(s" $a $b "); val to = lit(s" $a$b ")
-        replace(replace(replace(acc, pat, to), pat, to), pat, to)
+        (1 to 3).foldLeft(acc)((c, _) => replace(c, lit(s" $a $b "), lit(s" $a$b ")))
     }
     val words = t.select(col("tok")).distinct()
       .select(col("tok"),

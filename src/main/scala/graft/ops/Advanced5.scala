@@ -141,6 +141,19 @@ object Advanced5 {
     * in the same split forever. Narrow projection + partial-agg'd
     * groupBy; one scan at any scale.
     */
+  /** The canonical train/val/test assignment (90/5/5 by md5(doc_id)
+    * chars 1-7) — ONE definition shared by q87, q134's contamination
+    * audit, and CorpusPipeline, so the split a doc lands in can never
+    * drift between the query that reports it and the pipeline that
+    * materializes it. DuckDB twin:
+    * `('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,7))::BIGINT % 100`.
+    */
+  private[graft] def splitLabel: org.apache.spark.sql.Column = {
+    val bucket =
+      expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 100")
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+  }
+
   val datasetSplit = Q(
     "q87_dataset_split",
     """WITH h AS (
@@ -156,11 +169,8 @@ object Advanced5 {
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM s GROUP BY source, split
       |ORDER BY source, split""".stripMargin) { (s, d) =>
-    val bucket =
-      expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 100")
     Tables.documents(s, d)
-      .select(col("source"), col("n_chars"),
-        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
+      .select(col("source"), col("n_chars"), splitLabel.as("split"))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("source"), col("split"))

@@ -70,10 +70,16 @@ object ShardWriter {
       keyName: String,
       maxRecordsPerFile: Long = 0L): Unit = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
+    // domain-sized; materialized once — it supplies the total count AND
+    // the cut lookup, so the corpus scans exactly once
     val dom = df.groupBy(col(keyName)).agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(
         Window.orderBy(col(keyName)).rowsBetween(Window.unboundedPreceding, 0)))
-    val n = df.count()
+      .localCheckpoint()
+    val n = {
+      val row = dom.agg(max(col("__cum"))).collect()(0)
+      if (row.isNullAt(0)) 0L else row.getLong(0) // null max = empty input
+    }
     val targets = (1 until numShards)
       .map(i => (n * i + numShards - 1) / numShards) // ceil(i*n/N)
       .zipWithIndex

@@ -49,9 +49,20 @@ object CorpusPipeline {
     val raw = Tables.documents(spark, sfDir)
     log("raw", raw.count())
 
+    // 0. PII gate + scrub (ops.Redact): docs above the PII budget drop,
+    // survivors ship the scrubbed text. One codegen'd projection; on the
+    // synthetic corpus (digit-free text) this is a proven no-op
+    // (RedactSpec) — the stage is here because the SHAPE is what a real
+    // corpus run needs, same as the multimodal stub plumbing.
+    val scrubbed = ops.Redact.stage(raw, "text")
+      .filter(col("n_emails") + col("n_ips") + col("n_phones") <= 2)
+      .withColumn("text", col("text_scrubbed"))
+      .drop("text_scrubbed", "n_emails", "n_ips", "n_phones")
+    log("pii_scrub", scrubbed.count())
+
     // 1. Quality gate — q78's Gopher-style repetition signals, computed
     // in one two-level partial aggregate, joined back semi-style.
-    val toks = raw.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val toks = scrubbed.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val perTok = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
     val metrics = perTok.groupBy(col("doc_id")).agg(
       sum(col("cnt")).as("n_tokens"),
@@ -62,7 +73,7 @@ object CorpusPipeline {
       col("n_distinct") * 1.0 / col("n_tokens") >= 0.25 &&
       col("top_cnt") * 1.0 / col("n_tokens") <= 0.5)
       .select(col("doc_id"))
-    val quality = raw.join(passing, Seq("doc_id"), "left_semi")
+    val quality = scrubbed.join(passing, Seq("doc_id"), "left_semi")
     log("quality_gate", quality.count())
 
     // 2. Exact dedup — keep the smallest doc_id per content hash.

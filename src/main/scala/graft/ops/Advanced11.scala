@@ -261,28 +261,31 @@ object Advanced11 {
     * parity holds at ANY sweep count — the sweeps buy fidelity to real
     * BPE, not determinism.
     */
-  val bpeEncode = Q(
-    "q135_bpe_encode", {
-      val spaced = """' ' || regexp_replace(tok, '(.)', '\1 ', 'g')"""
-      val enc = BpeMerges.foldLeft(spaced) { case (acc, (a, b)) =>
-        (1 to 3).foldLeft(acc)((c, _) => s"replace($c, ' $a $b ', ' $a$b ')")
-      }
-      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |w AS (SELECT DISTINCT tok FROM t),
-         |c AS (SELECT tok,
-         |        CAST(len(string_split(trim($enc), ' ')) AS BIGINT) AS n_bpe,
-         |        CAST(len(tok) AS BIGINT) AS n_chars
-         |      FROM w)
-         |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-         |  CAST(SUM(c.n_bpe) AS BIGINT) AS n_bpe_tokens,
-         |  (2 * CAST(SUM(c.n_chars) AS BIGINT) * 1000000 + CAST(SUM(c.n_bpe) AS BIGINT))
-         |    // (2 * CAST(SUM(c.n_bpe) AS BIGINT)) / 1000000.0 AS chars_per_token
-         |FROM t JOIN c USING (tok)
-         |GROUP BY t.doc_id
-         |ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
+  /** The shared encode CTEs (`t` token stream with lang, `w` distinct
+    * words, `c` per-word BPE token + char counts) — ONE definition for
+    * q135 (reporting) and q139 (packing), mirroring [[bpeWordCounts]].
+    */
+  private def bpeCteSql: String = {
+    val spaced = """' ' || regexp_replace(tok, '(.)', '\1 ', 'g')"""
+    val enc = BpeMerges.foldLeft(spaced) { case (acc, (a, b)) =>
+      (1 to 3).foldLeft(acc)((c, _) => s"replace($c, ' $a $b ', ' $a$b ')")
+    }
+    s"""WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |           FROM documents),
+       |w AS (SELECT DISTINCT tok FROM t),
+       |c AS (SELECT tok,
+       |        CAST(len(string_split(trim($enc), ' ')) AS BIGINT) AS n_bpe,
+       |        CAST(len(tok) AS BIGINT) AS n_chars
+       |      FROM w)""".stripMargin
+  }
+
+  /** Spark twin of [[bpeCteSql]]: the corpus token stream and the
+    * broadcast-able per-word (n_bpe, n_chars) table.
+    */
+  private def bpeWordCounts(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val t = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
     val enc = BpeMerges.foldLeft(
       concat(lit(" "), regexp_replace(col("tok"), "(.)", "$1 "))) {
       case (acc, (a, b)) =>
@@ -292,6 +295,21 @@ object Advanced11 {
       .select(col("tok"),
         size(split(trim(enc), " ")).cast("long").as("n_bpe"),
         length(col("tok")).cast("long").as("n_chars"))
+    (t, words)
+  }
+
+  val bpeEncode = Q(
+    "q135_bpe_encode",
+    (bpeCteSql +
+      s"""
+         |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(c.n_bpe) AS BIGINT) AS n_bpe_tokens,
+         |  (2 * CAST(SUM(c.n_chars) AS BIGINT) * 1000000 + CAST(SUM(c.n_bpe) AS BIGINT))
+         |    // (2 * CAST(SUM(c.n_bpe) AS BIGINT)) / 1000000.0 AS chars_per_token
+         |FROM t JOIN c USING (tok)
+         |GROUP BY t.doc_id
+         |ORDER BY doc_id""").stripMargin) { (s, d) =>
+    val (t, words) = bpeWordCounts(s, d)
     t.join(broadcast(words), Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
@@ -303,6 +321,52 @@ object Advanced11 {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-aware sequence packing — q68's greedy cumsum binning driven
+    * by REAL tokenizer counts instead of whitespace words (what the
+    * trainer actually pays for context): per-(lang, pack) document and
+    * BPE-token totals plus the exact fill ratio against a 1024-token
+    * budget. The per-doc counts come from the shared vocabulary-
+    * confined encode ([[bpeWordCounts]]); the packing itself is one
+    * rank window per language (the shard key at scale, q68's layout).
+    * A document longer than the budget overfills its pack rather than
+    * splitting (greedy packing's contract — chunk first via q67 if
+    * splitting is wanted), so `fill` can exceed 1.
+    */
+  val bpePacking = Q(
+    "q139_bpe_packing",
+    (bpeCteSql +
+      """,
+      |docs AS (
+      |  SELECT t.doc_id, t.lang, CAST(SUM(c.n_bpe) AS BIGINT) AS n_bpe
+      |  FROM t JOIN c USING (tok) GROUP BY t.doc_id, t.lang),
+      |packed AS (
+      |  SELECT lang, doc_id, n_bpe,
+      |    CAST((SUM(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id
+      |       ROWS UNBOUNDED PRECEDING) - n_bpe) // 1024 AS BIGINT) AS pack_id
+      |  FROM docs)
+      |SELECT lang, pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+      |  (2 * CAST(SUM(n_bpe) AS BIGINT) * 1000 + 1024) // 2048 / 1000.0 AS fill
+      |FROM packed
+      |GROUP BY lang, pack_id
+      |ORDER BY lang, pack_id""").stripMargin) { (s, d) =>
+    val (t, words) = bpeWordCounts(s, d)
+    val docs = t.join(broadcast(words), Seq("tok"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("n_bpe")).as("n_bpe"))
+    val wPack = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .withColumn("cum", sum(col("n_bpe")).over(wPack))
+      .withColumn("pack_id", expr("(cum - n_bpe) DIV 1024"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("n_bpe_tokens"))
+      .select(col("lang"), col("pack_id"), col("n_docs"), col("n_bpe_tokens"),
+        (Det.halfUpDiv(col("n_bpe_tokens") * 1000, lit(1024L)) / 1000.0).as("fill"))
+      .orderBy(col("lang"), col("pack_id"))
+  }
+
   val specs: Seq[Q] = Seq(fullMoments, lexicalDiversity, clusterKeepBest,
-    semdedupPrune, splitContamination, bpeEncode)
+    semdedupPrune, splitContamination, bpeEncode, bpePacking)
 }

@@ -144,6 +144,49 @@ class Advanced11Spec extends SparkSuite {
     assert(got.values.map(_._2).sum < chars.values.sum, "no merge fired anywhere")
   }
 
+  test("q139 packs by recomputed BPE counts with the greedy cumsum rule") {
+    def encode(w: String): Long = {
+      var seq: Seq[String] = w.map(_.toString)
+      for ((a, b) <- ops.Advanced11.BpeMerges) {
+        var changed = true
+        while (changed) {
+          changed = false
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < seq.length) {
+            if (i + 1 < seq.length && seq(i) == a && seq(i + 1) == b) {
+              out += (a + b); i += 2; changed = true
+            } else { out += seq(i); i += 1 }
+          }
+          seq = out.toSeq
+        }
+      }
+      seq.length.toLong
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[String]("text").split(" ").map(encode).sum))
+    val want: Map[(String, Long), (Long, Long)] =
+      docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).toSeq.map { case (_, _, n) =>
+          val pack = cum / 1024; cum += n; ((lang, pack), n)
+        }
+      }.groupBy(_._1).map { case (k, xs) =>
+        (k, (xs.size.toLong, xs.map(_._2).sum))
+      }
+    val got = ops.Advanced11.bpePacking.run(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("pack_id")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_bpe_tokens"))).toMap
+    assert(got == want)
+    // consecutive pack ids per lang, starting at zero
+    got.keys.groupBy(_._1).foreach { case (lang, ks) =>
+      val ids = ks.map(_._2).toSeq.sorted
+      assert(ids == (0L until ids.length).toSeq, lang)
+    }
+  }
+
   test("q134 agrees with a pure-Scala recomputation of the audit") {
     def md5hex(s: String): String =
       MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions._
   * not redaction semantics. Known accepted trades, documented here
   * rather than hidden: dotted version strings with four numeric fields
   * ("10.1.2.3") are indistinguishable from IPv4 and redact; phone
-  * matching requires ≥ 9 digits-ish characters so ordinary integers
-  * and years survive.
+  * matching counts DIGITS (9–15, the E.164 range, separators free), so
+  * years, ISO dates (8 digits) and ordinary integers survive, while a
+  * digit-dense span like a 5+5-digit numeric range or a date glued to
+  * a clock time reaches 9+ digits and redacts — conservative in the
+  * privacy direction. Corpora heavy in timestamps should normalize
+  * dates before this stage.
   */
 object Redact {
 
@@ -33,12 +37,19 @@ object Redact {
   /** Four dot-separated 1-3 digit octets, word-bounded. */
   val Ipv4Pattern = "\\b(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)(?:\\d{1,3}\\.)\\d{1,3}\\b"
 
-  /** Phone-like: optional +, then ≥ 9 chars of digits/space/()/-,
-    * ending in a digit (no dots — disjoint from IPv4 by construction).
+  /** Phone-like: optional +, then 9–15 DIGITS with up to two separator
+    * chars (space/()/-) after each — "1 (415)" needs two — so the
+    * quantifier bounds the DIGIT count, not the span length. No dots:
+    * disjoint from IPv4 by construction; an 8-digit ISO date cannot
+    * reach the 9-digit floor.
     */
-  val PhonePattern = "\\+?\\d[\\d()\\s-]{7,}\\d"
+  val PhonePattern = "\\+?(?:\\d[\\s()-]{0,2}){8,14}\\d"
 
-  /** Scrub a text column: PII spans become `<EMAIL>` / `<IP>` / `<PHONE>`. */
+  /** Scrub a text column: PII spans become `<EMAIL>` / `<IP>` / `<PHONE>`.
+    * Order matters and matches [[stage]]'s counting order: emails first
+    * (their digit-dense local parts must not be eaten as phones), then
+    * IPs, then phones.
+    */
   def scrub(text: Column): Column =
     regexp_replace(
       regexp_replace(
@@ -46,23 +57,25 @@ object Redact {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
-  /** Per-row PII hit counts, for gating (count BEFORE scrubbing). */
-  def hitCounts(text: Column): (Column, Column, Column) = (
-    regexp_count(text, lit(EmailPattern)),
-    regexp_count(text, lit(Ipv4Pattern)),
-    regexp_count(text, lit(PhonePattern)))
-
   /** The full gate+scrub stage: adds `n_emails`/`n_ips`/`n_phones` and a
     * scrubbed text column; callers drop rows above their PII budget and
     * ship `text_scrubbed` (CorpusPipeline-shaped: one narrow projection,
     * then an ordinary filter).
+    *
+    * Counts are taken SEQUENTIALLY on the progressively-scrubbed text —
+    * each count sees the previous classes already replaced — so one
+    * span can never double-count across classes and the counts always
+    * equal the placeholder tokens actually emitted (a digit-dense email
+    * local part counted on raw text would also match the phone
+    * pattern).
     */
   def stage(df: org.apache.spark.sql.DataFrame, textCol: String)
       : org.apache.spark.sql.DataFrame = {
-    val (e, i, p) = hitCounts(col(textCol))
-    df.withColumn("n_emails", e)
-      .withColumn("n_ips", i)
-      .withColumn("n_phones", p)
-      .withColumn("text_scrubbed", scrub(col(textCol)))
+    val afterEmail = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Pattern, "<IP>")
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailPattern)))
+      .withColumn("n_ips", regexp_count(afterEmail, lit(Ipv4Pattern)))
+      .withColumn("n_phones", regexp_count(afterIp, lit(PhonePattern)))
+      .withColumn("text_scrubbed", regexp_replace(afterIp, PhonePattern, "<PHONE>"))
   }
 }

@@ -47,11 +47,11 @@ object TopKRewrite extends Rule[LogicalPlan] {
     case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
       if a.semanticEquals(rn) => Some(k)
     case LessThan(a: Attribute, Literal(k: Int, IntegerType))
-      if a.semanticEquals(rn) => Some(k - 1)
+      if a.semanticEquals(rn) && k > Int.MinValue => Some(k - 1) // no underflow
     case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute)
       if a.semanticEquals(rn) => Some(k)
     case GreaterThan(Literal(k: Int, IntegerType), a: Attribute)
-      if a.semanticEquals(rn) => Some(k - 1)
+      if a.semanticEquals(rn) && k > Int.MinValue => Some(k - 1)
     case EqualTo(a: Attribute, Literal(1, IntegerType))
       if a.semanticEquals(rn) => Some(1)
     case EqualTo(Literal(1, IntegerType), a: Attribute)

@@ -61,7 +61,15 @@ object ShardWriter {
     * continuous high-cardinality keys use the sampling mode and accept
     * boundary drift. Balance granularity is one key-group: a single key
     * holding more than n/N rows overflows its shard by construction
-    * (same as any range partitioner without key-splitting).
+    * (same as any range partitioner without key-splitting) — and when
+    * one key spans SEVERAL quantile targets, the duplicate cuts
+    * collapse, so the writer emits FEWER than `numShards` shards with
+    * CONTIGUOUS ids 0..m-1 (never a gap: a trainer can still enumerate
+    * by listing or by contiguous range). `numShards` is therefore an
+    * upper bound under key skew. The shard assignment is an
+    * O(numShards)-deep conditional chain per row — fine to the low
+    * thousands (Spark splits the generated code); beyond that use
+    * hashed mode, or swap in a binary-search expression.
     */
   def writeShardsRangeExact(
       df: DataFrame,
@@ -70,6 +78,9 @@ object ShardWriter {
       keyName: String,
       maxRecordsPerFile: Long = 0L): Unit = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
+    require(numShards <= 4096,
+      s"range-exact mode caps at 4096 shards (O(numShards) assignment " +
+        s"expression); use writeShardsHashed for $numShards")
     // domain-sized; materialized once — it supplies the total count AND
     // the cut lookup, so the corpus scans exactly once
     val dom = df.groupBy(col(keyName)).agg(count(lit(1)).as("__c"))
@@ -93,6 +104,10 @@ object ShardWriter {
           .groupBy(col("__i"))
           .agg(min(col(keyName)).as("__cut"))
           .collect().sortBy(_.getAs[Int]("__i")).map(_.get(1)).toSeq
+          // a key spanning several quantile targets yields the same cut
+          // repeatedly; collapse so shard ids stay CONTIGUOUS (no id is
+          // skipped and no directory goes missing under key skew)
+          .distinct
       }
     val shard = cuts.foldLeft(lit(0)) { (acc, c) =>
       acc + when(col(keyName) > lit(c), 1).otherwise(0)

@@ -134,6 +134,12 @@ class IngestSpec extends SparkSuite {
       .select(col("shard")).distinct().count()
     assert(shardsOf7 == 1L, "a single key split across shards")
     assert(back.count() == 100L)
+    // the hot key spans several quantile targets -> duplicate cuts
+    // collapse; shard ids must stay CONTIGUOUS (no missing directory)
+    val ids = back.select(col("shard").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until ids.length), s"non-contiguous shard ids: $ids")
+    assert(ids.length <= 4 && ids.length >= 2, ids.toString)
   }
 
   test("shard writer: maxRecordsPerFile rolls files inside a shard task") {

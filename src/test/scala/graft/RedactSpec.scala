@@ -30,12 +30,24 @@ class RedactSpec extends SparkSuite {
     assert((e, i, p) == ((1, 1, 1)))
   }
 
-  test("look-alikes survive: short numbers, years, two-part versions") {
+  test("look-alikes survive: short numbers, years, dates, versions") {
     assert(scrubOne("spark 4.1.2 shipped in 2026")._1 ==
       "spark 4.1.2 shipped in 2026")
     assert(scrubOne("room 12345678 floor 9")._1 == "room 12345678 floor 9")
+    // ISO dates are 8 digits — below the 9-digit phone floor
+    assert(scrubOne("deployed 2026-08-13 as planned")._1 ==
+      "deployed 2026-08-13 as planned")
+    assert(scrubOne("between 1000-2000 units")._1 == "between 1000-2000 units")
     // documented trade: a 4-field dotted version IS redacted as an IP
     assert(scrubOne("build 10.1.2.3 tagged")._1 == "build <IP> tagged")
+    // documented trade: 9+ digits of dashed numbers redact (conservative)
+    assert(scrubOne("range 10000-20000 units")._1 == "range <PHONE> units")
+  }
+
+  test("counts equal emitted tokens: digit-dense emails never double-count") {
+    val (t, e, i, p) = scrubOne("contact 1234567890@mail.com soon")
+    assert(t == "contact <EMAIL> soon")
+    assert((e, i, p) == ((1, 0, 0)), "email local part must not count as a phone")
   }
 
   test("counts gate: a mostly-PII doc is identifiable before scrubbing") {

@@ -229,15 +229,15 @@ object Advanced11 {
       .orderBy(col("source"), col("split"))
   }
 
-  /** The 10-rule BPE merge table q135 applies — trained with the
-    * standard algorithm (count word-frequency-weighted adjacent pairs,
-    * merge the top pair, recount) on the sf0.01 corpus; a stand-in for
-    * a shipped tokenizer artifact. Rank order matters: later rules
-    * reference merged symbols (`m+er`, `pa+r`).
+  /** The 10-rule BPE merge table q135 applies — EXACTLY what
+    * [[graft.functions.BpeTrainer]] learns on the sf0.01 corpus
+    * (provenance locked in BpeTrainerSpec; ties break (count desc, pair
+    * asc), the trainer's deterministic order). Rank order matters:
+    * later rules reference merged symbols (`m+er`, `p+ar`).
     */
   private[graft] val BpeMerges: Seq[(String, String)] = Seq(
     "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
-    "m" -> "er", "a" -> "t", "l" -> "u", "p" -> "a", "pa" -> "r")
+    "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar")
 
   /** Tokenizer application — the missing middle of the BPE family (q106
     * pre-tokenizes, q128 counts merge pairs to TRAIN; this ENCODES with

@@ -160,12 +160,22 @@ object CorpusPipeline {
     // shipped (q123's shape over the FINAL corpus) and the raw-vs-
     // shipped length-drift KS statistic (q120's exact form) that
     // catches a filter stage silently skewing the distribution.
+    // Tokens shipped per source — THE number a training-data owner
+    // budgets against: the shipped corpus' token stream joins the
+    // broadcast vocabulary encode table (q135's trained-tokenizer
+    // counts, provenance-locked to BpeTrainer).
+    val shippedToks = back.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val bpeTokens = shippedToks
+      .join(broadcast(ops.Advanced11.bpeVocabCounts(shippedToks)), Seq("tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_bpe")).as("bpe_tokens"))
     val card = back.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       countDistinct(col("lang")).as("n_langs"),
       sum(col("n_chars")).as("total_chars"),
       min(col("n_chars")).as("min_chars"),
       max(col("n_chars")).as("max_chars"))
+      .join(bpeTokens, Seq("source"))
     card.coalesce(1).write.mode("overwrite").parquet(s"$outDir-report/card")
     val drift = ops.Advanced9.ksBetween(
       raw.select(col("n_chars")), back.select(col("n_chars")), "n_chars")

@@ -279,23 +279,32 @@ object Advanced11 {
        |      FROM w)""".stripMargin
   }
 
-  /** Spark twin of [[bpeCteSql]]: the corpus token stream and the
-    * broadcast-able per-word (n_bpe, n_chars) table.
+  /** The broadcast-able per-word (tok, n_bpe, n_chars) encode table for
+    * ANY token stream with a `tok` column — the vocabulary-confined half
+    * of tokenizer application, reused by q135/q139 and the
+    * CorpusPipeline run report.
     */
-  private def bpeWordCounts(s: org.apache.spark.sql.SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val t = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+  private[graft] def bpeVocabCounts(toks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val enc = BpeMerges.foldLeft(
       concat(lit(" "), regexp_replace(col("tok"), "(.)", "$1 "))) {
       case (acc, (a, b)) =>
         (1 to 3).foldLeft(acc)((c, _) => replace(c, lit(s" $a $b "), lit(s" $a$b ")))
     }
-    val words = t.select(col("tok")).distinct()
+    toks.select(col("tok")).distinct()
       .select(col("tok"),
         size(split(trim(enc), " ")).cast("long").as("n_bpe"),
         length(col("tok")).cast("long").as("n_chars"))
-    (t, words)
+  }
+
+  /** Spark twin of [[bpeCteSql]]: the corpus token stream and its
+    * vocabulary encode table.
+    */
+  private def bpeWordCounts(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    (t, bpeVocabCounts(t))
   }
 
   val bpeEncode = Q(

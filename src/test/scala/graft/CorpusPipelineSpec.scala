@@ -58,8 +58,11 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(Set("split", "pack_id", "shard").subsetOf(cols), cols.toString)
     // the run report published both artifacts with sane values
     val card = spark.read.parquet(s"$out-report/card").collect()
-      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
-    assert(card.values.sum == ids.size.toLong, card.toString)
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("bpe_tokens"))).toMap
+    assert(card.values.map(_._1).sum == ids.size.toLong, card.toString)
+    // every shipped doc has at least one token per word under the table
+    assert(card.values.forall(_._2 > 0L), card.toString)
     val drift = spark.read.parquet(s"$out-report/drift").collect()(0)
     assert(drift.getAs[Long]("n_a") == 9L)            // raw corpus size
     assert(drift.getAs[Long]("n_b") == ids.size.toLong)

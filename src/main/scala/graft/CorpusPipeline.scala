@@ -175,7 +175,11 @@ object CorpusPipeline {
       sum(col("n_chars")).as("total_chars"),
       min(col("n_chars")).as("min_chars"),
       max(col("n_chars")).as("max_chars"))
-      .join(bpeTokens, Seq("source"))
+      // left + 0-fill: a shipped source must keep its card row even if
+      // its docs yield no explodable tokens (the card is an alarm
+      // surface — a source silently vanishing IS the failure mode)
+      .join(bpeTokens, Seq("source"), "left")
+      .na.fill(0L, Seq("bpe_tokens"))
     card.coalesce(1).write.mode("overwrite").parquet(s"$outDir-report/card")
     val drift = ops.Advanced9.ksBetween(
       raw.select(col("n_chars")), back.select(col("n_chars")), "n_chars")

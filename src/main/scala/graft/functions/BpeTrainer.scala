@@ -16,12 +16,19 @@ import org.apache.spark.sql.functions._
   * segmentation as a spaced-symbol string. Per iteration: one
   * Generate+element_at pair expansion (codegen'd — no interpreted
   * lambdas) feeding a freq-weighted pair count, a 1-row argmax to the
-  * driver, and one 3-sweep merge application (q135's fixpoint recipe,
-  * FunctionLawsSpec). State is localCheckpoint'ed per iteration so the
-  * lineage stays flat across many merges.
+  * driver, and one merge application via the SHARED sweep kernel
+  * ([[graft.ops.Advanced11.mergeSweeps]] — trainer and encoder apply
+  * rules through one definition, so the provenance lock is structural;
+  * see its scaladoc for the sweep-vs-token-greedy semantics note).
+  * State localCheckpoints every 8 iterations: between checkpoints the
+  * lineage is a handful of stacked narrow projections, and batching
+  * bounds how many materialized copies exist before the ContextCleaner
+  * reclaims dropped ones.
   *
-  * Ties in pair counts break deterministically on (pair) ascending, so
-  * the trained table is reproducible across partitionings and engines.
+  * Ties in pair counts break deterministically on (pair) ascending —
+  * Spark's binary UTF-8 string order, which equals Java's UTF-16 order
+  * on ASCII symbol alphabets (non-BMP symbols would order differently;
+  * tokenizer symbol tables are ASCII-safe in practice).
   */
 object BpeTrainer {
 
@@ -33,10 +40,10 @@ object BpeTrainer {
     var vocab = df
       .select(explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      .select(concat(lit(" "), regexp_replace(col("tok"), "(.)", "$1 ")).as("seq"),
-        col("freq"))
+      .select(graft.ops.Advanced11.spacedSymbols(col("tok")).as("seq"), col("freq"))
       .localCheckpoint()
     val merges = mutable.Buffer.empty[(String, String)]
+    var sinceCheckpoint = 0
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {
       val top = vocab
@@ -57,9 +64,13 @@ object BpeTrainer {
       else {
         val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
         merges += ((a, b))
-        val applied = (1 to 3).foldLeft(col("seq"))((c, _) =>
-          replace(c, lit(s" $a $b "), lit(s" $a$b "))) // literal, q135's sweeps
-        vocab = vocab.select(applied.as("seq"), col("freq")).localCheckpoint()
+        val applied = graft.ops.Advanced11.mergeSweeps(col("seq"), a, b)
+        vocab = vocab.select(applied.as("seq"), col("freq"))
+        sinceCheckpoint += 1
+        if (sinceCheckpoint == 8) { // flat lineage, bounded live copies
+          vocab = vocab.localCheckpoint()
+          sinceCheckpoint = 0
+        }
       }
     }
     merges.toSeq

@@ -266,7 +266,9 @@ object Advanced11 {
     * q135 (reporting) and q139 (packing), mirroring [[bpeWordCounts]].
     */
   private def bpeCteSql: String = {
-    val spaced = """' ' || regexp_replace(tok, '(.)', '\1 ', 'g')"""
+    // (?s) matches the Spark side's spacedSymbols: a line terminator
+    // inside a token is its own symbol in BOTH engines
+    val spaced = """' ' || regexp_replace(tok, '(?s)(.)', '\1 ', 'g')"""
     val enc = BpeMerges.foldLeft(spaced) { case (acc, (a, b)) =>
       (1 to 3).foldLeft(acc)((c, _) => s"replace($c, ' $a $b ', ' $a$b ')")
     }
@@ -279,6 +281,34 @@ object Advanced11 {
        |      FROM w)""".stripMargin
   }
 
+  /** ONE merge rule applied as three sentinel-padded literal-replace
+    * sweeps — the shared kernel of the encoder (here), the trainer
+    * ([[graft.functions.BpeTrainer]]) and the oracle SQL ([[bpeCteSql]]),
+    * so "what a rule does to a segmentation" has a single definition
+    * and the trainer/encoder provenance lock is structural.
+    *
+    * SEMANTICS NOTE: a replace sweep is leftmost-non-overlapping WITH
+    * BOUNDARY CONSUMPTION — after a merge, the immediately following
+    * pair cannot start a match in the same sweep (its leading sentinel
+    * was consumed). On self-pair runs ≥ 4 symbols this segments
+    * differently from per-token greedy BPE ("aaaaa" → [aa,a,aa], HF
+    * greedy gives [aa,aa,a]); natural trained tables essentially never
+    * merge a symbol with itself over long runs, and every consumer in
+    * this repo (trainer, encoder, oracle) shares the sweep definition,
+    * so the engine is self-consistent and oracle-exact by construction.
+    */
+  private[graft] def mergeSweeps(seqCol: org.apache.spark.sql.Column,
+      a: String, b: String): org.apache.spark.sql.Column =
+    (1 to 3).foldLeft(seqCol)((c, _) => replace(c, lit(s" $a $b "), lit(s" $a$b ")))
+
+  /** Sentinel-padded single-symbol segmentation of a token column:
+    * `"ab"` → `" a b "`. `(?s)` so a line terminator inside a token is
+    * its own symbol too.
+    */
+  private[graft] def spacedSymbols(tok: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat(lit(" "), regexp_replace(tok, "(?s)(.)", "$1 "))
+
   /** The broadcast-able per-word (tok, n_bpe, n_chars) encode table for
     * ANY token stream with a `tok` column — the vocabulary-confined half
     * of tokenizer application, reused by q135/q139 and the
@@ -286,10 +316,8 @@ object Advanced11 {
     */
   private[graft] def bpeVocabCounts(toks: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val enc = BpeMerges.foldLeft(
-      concat(lit(" "), regexp_replace(col("tok"), "(.)", "$1 "))) {
-      case (acc, (a, b)) =>
-        (1 to 3).foldLeft(acc)((c, _) => replace(c, lit(s" $a $b "), lit(s" $a$b ")))
+    val enc = BpeMerges.foldLeft(spacedSymbols(col("tok"))) {
+      case (acc, (a, b)) => mergeSweeps(acc, a, b)
     }
     toks.select(col("tok")).distinct()
       .select(col("tok"),

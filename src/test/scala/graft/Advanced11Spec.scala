@@ -105,25 +105,11 @@ class Advanced11Spec extends SparkSuite {
   }
 
   test("q135 token counts match an exhaustive reference BPE encoder") {
-    // reference: apply each merge rule TO FIXPOINT in rank order
-    def encode(w: String): Seq[String] = {
-      var seq: Seq[String] = w.map(_.toString)
-      for ((a, b) <- ops.Advanced11.BpeMerges) {
-        var changed = true
-        while (changed) {
-          changed = false
-          val out = scala.collection.mutable.ArrayBuffer[String]()
-          var i = 0
-          while (i < seq.length) {
-            if (i + 1 < seq.length && seq(i) == a && seq(i + 1) == b) {
-              out += (a + b); i += 2; changed = true
-            } else { out += seq(i); i += 1 }
-          }
-          seq = out.toSeq
-        }
-      }
-      seq
-    }
+    // reference: the shared SWEEP contract (SweepBpe), each rule to
+    // fixpoint in rank order — the same semantics the engine's 3-sweep
+    // replace chain implements (FunctionLaws proves 3 sweeps reach the
+    // fixpoint on this alphabet)
+    def encode(w: String): Seq[String] = SweepBpe.encode(w, ops.Advanced11.BpeMerges)
     // the table's hierarchy actually fires on real words
     assert(encode("customer") == Seq("c", "u", "st", "o", "mer"))
     assert(encode("spark") == Seq("s", "par", "k"))
@@ -145,24 +131,8 @@ class Advanced11Spec extends SparkSuite {
   }
 
   test("q139 packs by recomputed BPE counts with the greedy cumsum rule") {
-    def encode(w: String): Long = {
-      var seq: Seq[String] = w.map(_.toString)
-      for ((a, b) <- ops.Advanced11.BpeMerges) {
-        var changed = true
-        while (changed) {
-          changed = false
-          val out = scala.collection.mutable.ArrayBuffer[String]()
-          var i = 0
-          while (i < seq.length) {
-            if (i + 1 < seq.length && seq(i) == a && seq(i + 1) == b) {
-              out += (a + b); i += 2; changed = true
-            } else { out += seq(i); i += 1 }
-          }
-          seq = out.toSeq
-        }
-      }
-      seq.length.toLong
-    }
+    def encode(w: String): Long =
+      SweepBpe.encode(w, ops.Advanced11.BpeMerges).length.toLong
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("lang"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1),

@@ -3,21 +3,54 @@ package graft
 import graft.functions.BpeTrainer
 import org.apache.spark.sql.functions._
 
+/** Single-machine reference implementation of the engine's SWEEP merge
+  * semantics (see `Advanced11.mergeSweeps`' scaladoc): one pass merges
+  * leftmost-non-overlapping occurrences WITH boundary consumption — a
+  * merge bars the immediately following pair from starting a match in
+  * the same pass (its leading sentinel was consumed by the replacement);
+  * a rule applies passes to fixpoint. Shared by BpeTrainerSpec and
+  * Advanced11Spec so both reference tests pin the same contract.
+  */
+private[graft] object SweepBpe {
+  def onePass(s: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    var barred = false
+    while (i < s.length) {
+      if (!barred && i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+        out += (a + b); i += 2; barred = true
+      } else { out += s(i); i += 1; barred = false }
+    }
+    out.toSeq
+  }
+
+  def applyRule(s: Seq[String], a: String, b: String): Seq[String] =
+    Iterator.iterate(s)(onePass(_, a, b)).sliding(2)
+      .collectFirst { case Seq(x, y) if x == y => x }.get
+
+  /** Code-point symbols (a surrogate pair is one symbol, like regex `.`). */
+  def symbols(w: String): Seq[String] =
+    w.codePoints().toArray.toSeq.map(cp => new String(Character.toChars(cp)))
+
+  def encode(w: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(symbols(w)) { case (s, (a, b)) => applyRule(s, a, b) }
+}
+
 /** Distributed BPE training against an exhaustive single-machine
-  * reference (same algorithm, same tie-break, independent code), plus
-  * the provenance lock: q135's applied merge table IS what training on
-  * its corpus produces.
+  * reference (same sweep contract, same tie-break, independent code),
+  * plus the provenance lock: q135's applied merge table IS what
+  * training on its corpus produces.
   */
 class BpeTrainerSpec extends SparkSuite {
   import spark.implicits._
 
   /** Reference trainer: exact frequency-weighted pair counting over
-    * in-memory segmentations, merges applied to fixpoint, ties broken
-    * (count desc, pair asc) like the distributed trainer.
+    * in-memory segmentations, merges applied with the sweep contract,
+    * ties broken (count desc, pair asc) like the distributed trainer.
     */
   private def referenceTrain(words: Map[String, Long], k: Int): Seq[(String, String)] = {
     var seqs: Map[String, (Seq[String], Long)] =
-      words.map { case (w, f) => w -> (w.map(_.toString): Seq[String], f) }
+      words.map { case (w, f) => w -> (SweepBpe.symbols(w), f) }
     val out = scala.collection.mutable.Buffer.empty[(String, String)]
     var done = false
     while (out.size < k && !done) {
@@ -32,24 +65,17 @@ class BpeTrainerSpec extends SparkSuite {
         out += pair
         val (a, b) = pair
         seqs = seqs.map { case (w, (seq, f)) =>
-          var s = seq
-          var changed = true
-          while (changed) {
-            changed = false
-            val nxt = scala.collection.mutable.ArrayBuffer.empty[String]
-            var i = 0
-            while (i < s.length) {
-              if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
-                nxt += (a + b); i += 2; changed = true
-              } else { nxt += s(i); i += 1 }
-            }
-            s = nxt.toSeq
-          }
-          w -> (s, f)
+          w -> (SweepBpe.applyRule(seq, a, b), f)
         }
       }
     }
     out.toSeq
+  }
+
+  test("sweep reference matches the documented boundary-consumption cases") {
+    assert(SweepBpe.applyRule("aaaaa".map(_.toString), "a", "a") ==
+      Seq("aa", "a", "aa")) // NOT token-greedy's [aa, aa, a]
+    assert(SweepBpe.applyRule("abab".map(_.toString), "a", "b") == Seq("ab", "ab"))
   }
 
   test("distributed training equals the exhaustive reference on real data") {
@@ -67,7 +93,8 @@ class BpeTrainerSpec extends SparkSuite {
     val trained = BpeTrainer.train(
       Tables.documents(spark, "/root/testdata/sf0.01"), "text", 10)
     assert(trained == ops.Advanced11.BpeMerges,
-      s"q135 applies $trained-incompatible table ${ops.Advanced11.BpeMerges}")
+      s"q135 applies ${ops.Advanced11.BpeMerges} but training its corpus " +
+        s"produces $trained — update BpeMerges to the trained table")
   }
 
   test("training stops early when nothing repeats") {

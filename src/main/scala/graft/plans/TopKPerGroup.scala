@@ -28,17 +28,31 @@ case class TopKPerGroup(
     k: Int,
     groupExprs: Seq[Expression],
     orderExprs: Seq[SortOrder],
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    withTies: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
     copy(child = newChild)
 }
 
+/** Per-group bounded-heap top-k.
+  *
+  * `withTies = false` is `row_number() <= k` semantics (exactly k rows
+  * per group, arbitrary tie resolution at the boundary — same contract
+  * as the window form, whose tie order is partition-layout-dependent).
+  *
+  * `withTies = true` is `rank() <= k` semantics: every row tying the
+  * k-th position survives. State per group is the k-heap PLUS a buffer
+  * of rows comparing equal to the current boundary — bounded by the
+  * boundary's tie multiplicity (inherent to rank(): the result itself
+  * is unbounded under ties), and reset whenever the boundary improves.
+  */
 case class TopKPerGroupExec(
     k: Int,
     groupExprs: Seq[Expression],
     orderExprs: Seq[SortOrder],
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    withTies: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -50,25 +64,47 @@ case class TopKPerGroupExec(
     val kLocal = k
     val groupLocal = groupExprs
     val orderLocal = orderExprs
+    val tiesLocal = withTies
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupLocal, childOutput)
       // ascending "rank" ordering: the first k rows in this order survive
       val ord = RowOrdering.create(orderLocal, childOutput)
       // max-heap by rank: head = current worst survivor, evicted first
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      final class GroupState {
+        val heap = mutable.PriorityQueue.empty[InternalRow](ord)
+        // rows comparing EQUAL to heap.head once the heap is full
+        // (withTies only) — they share the k-th rank, so they survive
+        // unless the boundary improves past them
+        val tieBuf = mutable.ArrayBuffer.empty[InternalRow]
+      }
+      val groups = mutable.LinkedHashMap.empty[UnsafeRow, GroupState]
       iter.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          mutable.PriorityQueue.empty[InternalRow](ord))
+        val st = groups.getOrElseUpdate(keyProj(row).copy(), new GroupState)
+        val heap = st.heap
         if (heap.size < kLocal) {
           heap += row.copy()
-        } else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap += row.copy()
+        } else {
+          val c = ord.compare(row, heap.head)
+          if (c < 0) {
+            val evicted = heap.dequeue()
+            heap += row.copy()
+            if (tiesLocal) {
+              if (ord.compare(evicted, heap.head) == 0) {
+                // boundary value unchanged: the evicted copy still ties
+                st.tieBuf += evicted
+              } else {
+                // boundary improved past the old value: its ties are
+                // now rank > k
+                st.tieBuf.clear()
+              }
+            }
+          } else if (c == 0 && tiesLocal) {
+            st.tieBuf += row.copy()
+          }
         }
       }
-      heaps.iterator.flatMap { case (_, heap) =>
-        heap.dequeueAll.reverseIterator // dequeueAll yields worst-first
+      groups.iterator.flatMap { case (_, st) =>
+        st.heap.dequeueAll.reverseIterator ++ st.tieBuf.iterator
       }
     }, preservesPartitioning = true)
   }
@@ -79,8 +115,8 @@ case class TopKPerGroupExec(
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(k, g, o, child) =>
-      TopKPerGroupExec(k, g, o, planLater(child)) :: Nil
+    case TopKPerGroup(k, g, o, child, ties) =>
+      TopKPerGroupExec(k, g, o, planLater(child), ties) :: Nil
     case _ => Nil
   }
 }
@@ -93,7 +129,7 @@ object TopK {
     * an order spec flips that key.
     */
   def perGroup(df: DataFrame, k: Int, groupCols: Seq[String],
-      orderCols: Seq[(String, Boolean)]): DataFrame = {
+      orderCols: Seq[(String, Boolean)], withTies: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     Strategies.ensureInstalled(spark, TopKStrategy)
     val child = df.queryExecution.analyzed
@@ -104,6 +140,6 @@ object TopK {
       SortOrder(attr(name), if (desc) Descending else Ascending)
     }
     GraftPlanBridge.ofRows(spark,
-      TopKPerGroup(k, groupCols.map(attr), sortOrders, child))
+      TopKPerGroup(k, groupCols.map(attr), sortOrders, child, withTies))
   }
 }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Rank, RowNumber, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -21,8 +21,10 @@ import org.apache.spark.sql.types.IntegerType
   *
   * The match is deliberately STRICT — all of:
   *  - exactly one window expression in the Window node, and it is
-  *    `row_number()` (rank/dense_rank admit ties with different
-  *    semantics than a k-bounded heap, so they are NOT rewritten);
+  *    `row_number()` (→ the plain k-heap) or `rank()` (→ the heap's
+  *    tie-preserving mode: every row tying the k-th position survives;
+  *    `dense_rank` counts DISTINCT positions and stays on the window
+  *    path);
   *  - non-empty partition spec (the global case is
   *    TakeOrderedAndProject's job) and non-empty order spec;
   *  - the filter is a sole rank predicate with an integer literal
@@ -69,12 +71,14 @@ object TopKRewrite extends Rule[LogicalPlan] {
         if w.windowExpressions.size == 1 &&
           w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
       w.windowExpressions.head match {
-        case a @ Alias(WindowExpression(_: RowNumber, _), _) =>
+        case a @ Alias(WindowExpression(fn, _), _)
+            if fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank] =>
           val rn = a.toAttribute
           rankLimit(cond, rn) match {
             case Some(k) if k >= 1 && !projectList.exists(_.references.contains(rn)) =>
               Project(projectList,
-                TopKPerGroup(k, w.partitionSpec, w.orderSpec, stripGroupLimit(w.child)))
+                TopKPerGroup(k, w.partitionSpec, w.orderSpec, stripGroupLimit(w.child),
+                  withTies = fn.isInstanceOf[Rank]))
             case _ => p
           }
         case _ => p

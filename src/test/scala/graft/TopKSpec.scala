@@ -75,7 +75,7 @@ class TopKSpec extends SparkSuite {
     assert(got == want)
   }
 
-  test("rewrite guards: rank in output, compound filter, rank()") {
+  test("rewrite guards: rank in output, compound filter, dense_rank()") {
     val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_orderkey"))
     val base = liOn(rewriteSession)
     // rank kept in the output -> the native op can't serve it
@@ -87,10 +87,41 @@ class TopKSpec extends SparkSuite {
     val compound = base.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3 && col("l_linenumber") === 1).drop("rn")
     assert(!compound.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
-    // rank() admits ties -> different semantics, not rewritten
-    val rk = base.withColumn("rn", rank().over(w))
+    // dense_rank counts DISTINCT positions -> different semantics, kept
+    val dr = base.withColumn("rn", dense_rank().over(w))
       .filter(col("rn") <= 3).drop("rn")
-    assert(!rk.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    assert(!dr.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+  }
+
+  test("rewrite: rank() idiom becomes the tie-preserving heap, results equal") {
+    // deliberately NON-total order (price only) so boundary ties exist
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_extendedprice"))
+    def idiom(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rk", rank().over(w)).filter(col("rk") <= 3).drop("rk")
+    val rewritten = idiom(liOn(rewriteSession))
+    assert(rewritten.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(canon(rewritten) == canon(idiom(li))) // tie sets agree exactly
+  }
+
+  test("tie mode keeps every boundary tie and drops cleared ones (crafted)") {
+    import rewriteSession.implicits._
+    // group A: k=2 boundary value 5 has three copies arriving AFTER the
+    // heap is full, plus a later better row that must NOT clear them;
+    // group B: the boundary improves past the old value -> ties drop.
+    val df = Seq(
+      ("A", 5, 1), ("A", 5, 2), ("A", 4, 3), ("A", 5, 4), ("A", 5, 5),
+      ("B", 9, 1), ("B", 9, 2), ("B", 3, 3), ("B", 2, 4))
+      .toDF("g", "v", "id")
+    val got = TopK.perGroup(df, 2, Seq("g"), Seq(("v", false)), withTies = true)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    // A: sorted v = [4,5,5,5,5]; rank<=2 keeps 4 and ALL four 5s
+    // B: sorted v = [2,3,9,9]; rank<=2 keeps 2 and 3, the 9s cleared
+    val wantA = Set(("A", 4, 3), ("A", 5, 1), ("A", 5, 2), ("A", 5, 4), ("A", 5, 5))
+    val wantB = Set(("B", 2, 4), ("B", 3, 3))
+    assert(got == wantA ++ wantB, got.toString)
   }
 
   test("rewrite: rn = 1 dedup idiom becomes a k=1 heap") {

@@ -6,24 +6,68 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE TRAINING — the full iterative loop (count adjacent
-  * pairs → merge the argmax → recount on the updated segmentation),
-  * closing the tokenizer family: q106 pre-tokenizes, q128 is exactly ONE
-  * iteration of this loop, q135/q139 APPLY a trained table.
+  * pairs → merge → recount on the updated segmentation), closing the
+  * tokenizer family: q106 pre-tokenizes, q128 is exactly ONE iteration
+  * of this loop, q135/q139 APPLY a trained table.
   *
   * Scale shape: the corpus is touched ONCE (word-frequency aggregation,
-  * map-side combined); every iteration after that runs on the
+  * map-side combined); every pass after that runs on the
   * VOCABULARY-sized table, which carries each word's current
-  * segmentation as a spaced-symbol string. Per iteration: one
+  * segmentation as a spaced-symbol string. Per pass: one
   * Generate+element_at pair expansion (codegen'd — no interpreted
-  * lambdas) feeding a freq-weighted pair count, a 1-row argmax to the
-  * driver, and one merge application via the SHARED sweep kernel
-  * ([[graft.ops.Advanced11.mergeSweeps]] — trainer and encoder apply
-  * rules through one definition, so the provenance lock is structural;
-  * see its scaladoc for the sweep-vs-token-greedy semantics note).
-  * State localCheckpoints every 8 iterations: between checkpoints the
-  * lineage is a handful of stacked narrow projections, and batching
-  * bounds how many materialized copies exist before the ContextCleaner
-  * reclaims dropped ones.
+  * lambdas) feeding a freq-weighted pair count, a top-window collect to
+  * the driver, and one merge application per selected rule via the
+  * SHARED sweep kernel ([[graft.ops.Advanced11.mergeSweeps]] — trainer
+  * and encoder apply rules through one definition, so the provenance
+  * lock is structural; see its scaladoc for the sweep-vs-token-greedy
+  * semantics note). State localCheckpoints every 8 applied merges:
+  * between checkpoints the lineage is a handful of stacked narrow
+  * projections, and batching bounds how many materialized copies exist
+  * before the ContextCleaner reclaims dropped ones.
+  *
+  * BATCHED MERGES (the 100 TB fix): a naive trainer runs one Spark job
+  * per merge — a production 32k-merge vocabulary would be 32k
+  * sequential jobs of pure scheduler overhead. Instead each pass
+  * selects up to `maxBatch` rules from ONE pair-count table via
+  * [[selectBatch]], whose rules are chosen so the batched trainer is
+  * PROVABLY identical to the one-merge-per-job trainer:
+  *
+  *  1. the batch is a PREFIX of the (count desc, pair asc)-sorted pair
+  *     list — never a "skip and keep scanning" greedy subset. Skipping
+  *     breaks equivalence: a skipped higher-count pair sharing a symbol
+  *     with an earlier pick can survive the merge with its count intact
+  *     and out-rank the next batch member in the sequential order.
+  *  2. the prefix stops at the first pair sharing a symbol with an
+  *     earlier pick, and every kept member (beyond the argmax) must
+  *     have count STRICTLY above the stopping pair's count and above
+  *     the collected window's tail count. Strictness matters: a merge
+  *     of (a,b) creates pairs (x,ab) with count ≤ count(x,a) — bounded
+  *     by a CONFLICTING pair's count — and on a tie the new pair could
+  *     still win the (count, pair) tie-break lexicographically.
+  *  3. a pair whose concatenation already exists as a vocabulary symbol
+  *     (two merge paths reaching the same string — rare but real in
+  *     BPE) closes the batch after itself: merging into a pre-existing
+  *     symbol can RAISE other pairs' counts, which invalidates the
+  *     decreasing-counts argument for anything selected after it. The
+  *     symbol alphabet is tracked driver-side exactly (initial distinct
+  *     symbols + every applied merge), so this check costs no jobs.
+  *  4. a SELF-pair (a,a) also closes the batch after itself: merging a
+  *     run "a a a" creates pairs like (aa,a) whose count is bounded
+  *     only by the self-pair's OWN count — not by any conflicting
+  *     pair's — so the strict-threshold argument does not cover picks
+  *     after it (found by the BpeTrainerSpec adversarial property:
+  *     "cbcbcb"×4 makes (cbcb,cb) out-rank the would-be next pick).
+  *     For every non-self pair the bound does hold: (x,ab) ≤
+  *     count(x,a) and (ab,y) ≤ count(b,y), and symbol-disjointness
+  *     means (x,a)/(b,y) is never itself a batch member.
+  *
+  * With those rules, at sequential step i the pair p_i still has its
+  * original count (disjoint from every earlier merge), every surviving
+  * competitor either kept a rank below it or decreased, and every
+  * NEWLY-CREATED pair is bounded strictly below it — so the sequential
+  * argmax at step i is exactly p_i. BpeTrainerSpec pins this with a
+  * driver-side property over adversarial corpora (batched ≡ sequential
+  * ≡ exhaustive reference) and the q135 provenance lock.
   *
   * Ties in pair counts break deterministically on (pair) ascending —
   * Spark's binary UTF-8 string order, which equals Java's UTF-16 order
@@ -35,17 +79,37 @@ object BpeTrainer {
   /** Learn `numMerges` merge rules from a text column; returns them in
     * rank order (the order [[graft.ops.Advanced11.BpeMerges]]-style
     * apply tables consume). Stops early if no pair occurs twice.
+    * `maxBatch` = 1 recovers the one-merge-per-job trainer exactly (the
+    * batched result is identical either way; 1 is for A/B tests).
     */
-  def train(df: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      maxBatch: Int = 16): Seq[(String, String)] =
+    trainWithPasses(df, textCol, numMerges, maxBatch)._1
+
+  /** [[train]] plus the number of count→select→apply passes executed —
+    * the scheduler-overhead metric batching exists to shrink.
+    */
+  private[graft] def trainWithPasses(df: DataFrame, textCol: String,
+      numMerges: Int, maxBatch: Int = 16): (Seq[(String, String)], Int) = {
+    require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
     var vocab = df
       .select(explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       .select(graft.ops.Advanced11.spacedSymbols(col("tok")).as("seq"), col("freq"))
       .localCheckpoint()
+    // Exact driver-side symbol alphabet: initial distinct symbols once
+    // (alphabet-sized — tiny), then every applied merge string.
+    val knownSymbols = mutable.Set.empty[String]
+    knownSymbols ++= vocab
+      .select(explode(split(trim(col("seq")), " ")).as("s"))
+      .distinct().collect().map(_.getString(0))
     val merges = mutable.Buffer.empty[(String, String)]
     var sinceCheckpoint = 0
+    var passes = 0
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {
+      val want = numMerges - merges.size
+      val window = math.max(4 * math.min(maxBatch, want), 64)
       val top = vocab
         .select(col("freq"), split(trim(col("seq")), " ").as("syms"))
         .filter(size(col("syms")) >= 2)
@@ -58,21 +122,75 @@ object BpeTrainer {
         .agg(sum(col("freq")).as("n"))
         .filter(col("n") >= 2) // a pair seen once compresses nothing
         .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1)
+        .limit(window)
         .collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("n")))
+      passes += 1
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
-        merges += ((a, b))
-        val applied = graft.ops.Advanced11.mergeSweeps(col("seq"), a, b)
+        val batch = selectBatch(top.toIndexedSeq, knownSymbols,
+          math.min(maxBatch, want), windowFull = top.length == window)
+        val applied = batch.foldLeft(col("seq")) { case (c, (a, b)) =>
+          graft.ops.Advanced11.mergeSweeps(c, a, b)
+        }
         vocab = vocab.select(applied.as("seq"), col("freq"))
-        sinceCheckpoint += 1
-        if (sinceCheckpoint == 8) { // flat lineage, bounded live copies
+        merges ++= batch
+        knownSymbols ++= batch.map { case (a, b) => a + b }
+        sinceCheckpoint += batch.size
+        if (sinceCheckpoint >= 8) { // flat lineage, bounded live copies
           vocab = vocab.localCheckpoint()
           sinceCheckpoint = 0
         }
       }
     }
-    merges.toSeq
+    (merges.toSeq, passes)
+  }
+
+  /** Pure batch selection over the collected (a, b, count) window,
+    * already sorted by (count desc, a asc, b asc). Returns the rules to
+    * apply this pass, in rank order. See the object scaladoc for why
+    * each rule is required for batched ≡ sequential; property-tested
+    * driver-side in BpeTrainerSpec against the exhaustive reference.
+    *
+    * `windowFull` = the collect hit its limit, so pairs beyond the
+    * window exist with counts ≤ the tail count; members then need
+    * counts strictly above the tail (an unseen pair could conflict).
+    */
+  private[graft] def selectBatch(rows: IndexedSeq[(String, String, Long)],
+      known: collection.Set[String], maxBatch: Int,
+      windowFull: Boolean): Seq[(String, String)] = {
+    val picked = mutable.Buffer.empty[(String, String, Long)]
+    val inBatch = mutable.Set.empty[String]
+    var i = 0
+    var open = true
+    while (open && i < rows.length && picked.size < maxBatch) {
+      val (a, b, n) = rows(i)
+      if (inBatch(a) || inBatch(b)) open = false // prefix ends here
+      else {
+        picked += rows(i)
+        inBatch += a
+        inBatch += b
+        // Batch-closing picks: merging into a pre-existing symbol can
+        // raise other pairs' counts; a self-pair creates pairs bounded
+        // only by its own count. Either way nothing after is provable.
+        if (known(a + b) || a == b) open = false
+        i += 1
+      }
+    }
+    // Strict-count threshold: the first remaining row that conflicts
+    // with the batch bounds every conflicting pair (rows are sorted
+    // desc) and every pair a batch merge can create; window tail bounds
+    // anything uncollected. Ties lose to lexicographic tie-break, so
+    // members at the threshold are unsafe. The argmax (head) is always
+    // safe — it wins step 1 outright.
+    val conflictN = rows.drop(i)
+      .collectFirst { case (a, b, n) if inBatch(a) || inBatch(b) => n }
+      .getOrElse(0L)
+    val tailN = if (windowFull && rows.nonEmpty) rows.last._3 else 0L
+    val threshold = math.max(conflictN, tailN)
+    val kept = picked.head +: picked.tail.filter(_._3 > threshold)
+    // Re-assert prefix shape: tail filtering by a single threshold on a
+    // desc-sorted buffer removes a suffix, so kept is still a prefix.
+    kept.map { case (a, b, _) => (a, b) }.toSeq
   }
 }

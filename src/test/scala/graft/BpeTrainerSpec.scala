@@ -72,10 +72,73 @@ class BpeTrainerSpec extends SparkSuite {
     out.toSeq
   }
 
+  /** Driver-side mirror of the BATCHED trainer loop: exact full pair
+    * counts (optionally truncated to a window, to exercise the tail
+    * threshold), `BpeTrainer.selectBatch` for the picks, fixpoint rule
+    * application, driver-tracked symbol alphabet — so the selection
+    * rules can be property-tested against [[referenceTrain]] over many
+    * adversarial corpora without a Spark job per corpus.
+    */
+  private def simulateBatched(words: Map[String, Long], k: Int,
+      maxBatch: Int, window: Int = Int.MaxValue): Seq[(String, String)] = {
+    var seqs: Map[String, (Seq[String], Long)] =
+      words.map { case (w, f) => w -> (SweepBpe.symbols(w), f) }
+    val known = scala.collection.mutable.Set.empty[String]
+    known ++= seqs.values.flatMap(_._1)
+    val out = scala.collection.mutable.Buffer.empty[(String, String)]
+    var done = false
+    while (out.size < k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      seqs.values.foreach { case (seq, f) =>
+        seq.zip(seq.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val sorted = counts.toSeq.collect { case ((a, b), n) if n >= 2L => (a, b, n) }
+        .sortBy { case (a, b, n) => (-n, a, b) }
+      val rows = sorted.take(window).toIndexedSeq
+      if (rows.isEmpty) done = true
+      else {
+        val batch = BpeTrainer.selectBatch(rows, known,
+          math.min(maxBatch, k - out.size), windowFull = sorted.length > window)
+        out ++= batch
+        known ++= batch.map { case (a, b) => a + b }
+        batch.foreach { case (a, b) =>
+          seqs = seqs.map { case (w, (seq, f)) =>
+            w -> (SweepBpe.applyRule(seq, a, b), f)
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
   test("sweep reference matches the documented boundary-consumption cases") {
     assert(SweepBpe.applyRule("aaaaa".map(_.toString), "a", "a") ==
       Seq("aa", "a", "aa")) // NOT token-greedy's [aa, aa, a]
     assert(SweepBpe.applyRule("abab".map(_.toString), "a", "b") == Seq("ab", "ab"))
+  }
+
+  test("batched selection ≡ sequential over adversarial random corpora") {
+    // Tiny alphabets force the hard cases: shared-symbol conflicts,
+    // count ties resolved lexicographically, merge strings colliding
+    // with existing symbols ("ab"+"c" vs "a"+"bc" → "abc"). Any
+    // violation of the prefix / strict-threshold / collision rules in
+    // selectBatch diverges from the reference within a few corpora.
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 300) {
+      val alphabet = Seq("ab", "abc", "abcd")(trial % 3)
+      val words = (0 until (2 + rnd.nextInt(7))).map { _ =>
+        val len = 1 + rnd.nextInt(9)
+        val w = Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+        w -> (1L + rnd.nextInt(6))
+      }.toMap
+      val want = referenceTrain(words, 12)
+      for (batchSize <- Seq(2, 4, 16); win <- Seq(Int.MaxValue, 3)) {
+        val got = simulateBatched(words, 12, batchSize, win)
+        assert(got == want,
+          s"trial=$trial batch=$batchSize window=$win words=$words: " +
+            s"batched $got != sequential $want")
+      }
+    }
   }
 
   test("distributed training equals the exhaustive reference on real data") {
@@ -83,10 +146,14 @@ class BpeTrainerSpec extends SparkSuite {
     val words = docs.select(explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val got = BpeTrainer.train(docs, "text", 10)
     val want = referenceTrain(words, 10)
+    val (got, passes) = BpeTrainer.trainWithPasses(docs, "text", 10)
     assert(got == want)
     assert(got.size == 10)
+    // the point of batching: 10 rules in far fewer than 10 Spark passes
+    assert(passes < 10, s"batched trainer still ran $passes passes for 10 rules")
+    // one-merge-per-pass mode is the same trainer, just slower
+    assert(BpeTrainer.train(docs, "text", 10, maxBatch = 1) == want)
   }
 
   test("q135's applied table is what training on its corpus produces") {

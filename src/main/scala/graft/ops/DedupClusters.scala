@@ -116,19 +116,86 @@ object DedupClusters {
       .orderBy(col("doc_id"))
   }
 
+  /** Degree-orient an id-oriented (src < dst) distinct edge list: each
+    * edge points from its lower-(degree, id) endpoint to the higher —
+    * the classical trick that bounds every node's OUT-degree by
+    * O(sqrt(m)) on any graph, because a node of degree d only keeps
+    * out-edges to neighbors of degree ≥ d, and there can be at most
+    * 2m/d such neighbors (so out-degree ≤ min(d, 2m/d) ≤ sqrt(2m)).
+    * Output carries (src, dst, ddeg = dst's degree) so wedge
+    * enumeration can order its two endpoints in orientation order
+    * without re-joining degrees.
+    */
+  private[graft] def orientEdges(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    edges
+      .join(deg.select(col("node"), col("degree").as("sdeg")),
+        col("src") === col("node")).drop("node")
+      .join(deg.select(col("node").as("n2"), col("degree").as("tdeg")),
+        col("dst") === col("n2")).drop("n2")
+      // src < dst by id, so a degree tie keeps the id orientation
+      .select(
+        when(col("sdeg") <= col("tdeg"), col("src")).otherwise(col("dst")).as("src"),
+        when(col("sdeg") <= col("tdeg"), col("dst")).otherwise(col("src")).as("dst"),
+        when(col("sdeg") <= col("tdeg"), col("tdeg")).otherwise(col("sdeg")).as("ddeg"))
+  }
+
+  /** Open wedges of a degree-oriented edge list: pairs of out-edges
+    * from one center, with the two endpoints in orientation order
+    * ((deg, id) lexicographic — id ties broken the same way
+    * [[orientEdges]] breaks them). Each triangle yields exactly ONE
+    * wedge (at its lowest-(deg, id) corner) whose closing edge is
+    * itself oriented, so the census closes wedges with one more
+    * equi-join. Per-key fan-out of the self-join is C(out-degree, 2) —
+    * sqrt(m)-bounded by orientation, where the unoriented form is
+    * quadratic in the HOT node's full degree (one viral template
+    * duplicated n times would fan n²).
+    */
+  private[graft] def wedges(oriented: DataFrame): DataFrame =
+    oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e2.src") === col("e1.src") &&
+          (col("e1.ddeg") < col("e2.ddeg") ||
+            (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+
+  /** Per-node (doc_id, degree, n_triangles) census of an id-oriented
+    * edge list, via degree-oriented wedge closing.
+    */
+  private[graft] def triangleCounts(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    val oriented = orientEdges(edges)
+    val tri = wedges(oriented)
+      .join(oriented.select(col("src").as("b2"), col("dst").as("c2")),
+        col("b2") === col("b") && col("c2") === col("c"))
+      .select(col("a"), col("b"), col("c"))
+    val tcnt = tri.select(col("a").as("node"))
+      .union(tri.select(col("b").as("node")))
+      .union(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(tcnt, Seq("node"), "left_outer")
+      .select(col("node").as("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** Triangle census of the LSH candidate graph — the graph-analytics
     * signal the CC labels don't give: a triangle is a MUTUALLY-similar
     * triple (dense near-dup group), while a high-degree node without
     * triangles is the chain/hub shape LSH false positives produce.
-    * Implementation is the standard distributed triangle join on
-    * id-oriented edges (src < dst everywhere, so each triangle counts
-    * exactly once): edges ⋈ edges on the middle vertex, closed by a
-    * third edge join — every step an equi-join on edge keys, no
-    * enumeration of neighborhoods in one task. At web scale the one
-    * refinement is degree-based orientation (point low→high degree) to
-    * bound the wedge fan-out of hot vertices; id-orientation is the
-    * same plan shape. Edges come from the SHARED candidate table
-    * (q32/q57's base — computed once per session).
+    * Implementation is the distributed triangle join on DEGREE-ORIENTED
+    * edges ([[orientEdges]]/[[wedges]]): wedge fan-out at every node is
+    * bounded by its min-side out-degree (≤ sqrt(2m)) instead of the
+    * hot node's full degree — the refinement that survives one viral
+    * template duplicated n times (id-orientation would fan n² wedges
+    * on that key; DedupClustersSpec pins the bound on a star graph).
+    * Every step stays an equi-join on edge keys — no neighborhood
+    * enumeration in one task. Edges come from the SHARED candidate
+    * table (q32/q57's base — computed once per session).
     */
   val graphTriangles = Q(
     "q111_graph_triangles",
@@ -155,23 +222,9 @@ object DedupClusters {
       |  COALESCE(t.n_triangles, 0) AS n_triangles
       |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
       |ORDER BY doc_id""").stripMargin) { (s, d) =>
-    val edges = TextOps.minhashCandidates(s, d)
-      .select(col("da").as("src"), col("db").as("dst"))
-    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
-    val tri = edges.as("e1")
-      .join(edges.as("e2"), col("e2.src") === col("e1.dst"))
-      .join(edges.as("e3"),
-        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-    val tcnt = tri.select(col("a").as("node"))
-      .union(tri.select(col("b").as("node")))
-      .union(tri.select(col("c").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
-    deg.join(tcnt, Seq("node"), "left_outer")
-      .select(col("node").as("doc_id"), col("degree"),
-        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+    triangleCounts(
+      TextOps.minhashCandidates(s, d)
+        .select(col("da").as("src"), col("db").as("dst")))
       .orderBy(col("doc_id"))
   }
 

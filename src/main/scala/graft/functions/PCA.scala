@@ -29,15 +29,22 @@ import org.apache.spark.sql.functions._
 object PCA {
 
   /** Mean-uncentered second-moment matrix M[i][j] = Σ vᵢ·vⱼ / n over an
-    * embedding column, as a dense symmetric d×d matrix. For covariance,
-    * subtract the outer product of the mean vector (means via q75's
-    * exact recipe).
+    * embedding column, as a dense symmetric d×d matrix. Rows whose
+    * embedding is null or shorter than `dims` are ignored (and excluded
+    * from n). For covariance, subtract the outer product of the mean
+    * vector (means via q75's exact recipe).
     */
   def secondMoment(df: DataFrame, embedCol: String, dims: Int): Array[Array[Double]] = {
     val packedLen = dims * (dims + 1) / 2
     // plain Cast (codegen'd), not a transform() lambda — higher-order
-    // array functions evaluate interpreted (repo-wide gotcha)
-    val rows = df.select(col(embedCol).cast("array<double>").as("v"))
+    // array functions evaluate interpreted (repo-wide gotcha).
+    // Null / short rows are excluded up front: without the filter they
+    // surface as an opaque NullPointerException inside treeAggregate
+    // executors (q116/q130 pre-filter their inputs; this library entry
+    // point cannot assume its caller did).
+    val rows = df
+      .filter(col(embedCol).isNotNull && size(col(embedCol)) >= dims)
+      .select(col(embedCol).cast("array<double>").as("v"))
       .rdd.map(_.getSeq[Double](0))
     val (acc, n) = rows.treeAggregate((new Array[Double](packedLen), 0L))(
       seqOp = { case ((a, c), v) =>

@@ -423,7 +423,12 @@ object Advanced9 {
   /** Library form of the q120 statistic: exact two-sample KS between
     * `valueCol`'s distributions in two DataFrames, as one row
     * (n_a, n_b, d_scaled, ks_stat). ECDFs difference over the joint
-    * VALUE DOMAIN; D stays exact integer cross-scaled. Used by
+    * VALUE DOMAIN; D stays exact integer cross-scaled — in
+    * DECIMAL(38,0), because the cross-scaled products (cum·n) and the
+    * n_a·n_b denominator overflow BIGINT once per-side counts pass
+    * ~3e9, exactly the corpus sizes the scaladocs pitch. An empty side
+    * yields ks_stat = 0.0 by convention (no data → no drift evidence),
+    * never a null that NPEs the run report's getAs[Double]. Used by
     * CorpusPipeline's run report (raw vs shipped length drift).
     */
   private[graft] def ksBetween(a: org.apache.spark.sql.DataFrame,
@@ -438,12 +443,21 @@ object Advanced9 {
     val tot = d.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     d.select(sum(col("ca")).over(w).as("cum_a"), sum(col("cb")).over(w).as("cum_b"))
       .crossJoin(broadcast(tot))
-      .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))).as("d_scaled"),
+      .agg(
+        max(abs(dec(col("cum_a")) * dec(col("n_b")) -
+          dec(col("cum_b")) * dec(col("n_a")))).as("d_scaled"),
         max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
-      .select(col("n_a"), col("n_b"), col("d_scaled"),
-        round(col("d_scaled") * 1.0 / (col("n_a") * col("n_b")), 6).as("ks_stat"))
+      .select(
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("d_scaled"), dec(lit(0))).as("d_scaled"),
+        when(coalesce(col("n_a"), lit(0L)) > 0 && coalesce(col("n_b"), lit(0L)) > 0,
+          round((dec(col("d_scaled")) / (dec(col("n_a")) * dec(col("n_b"))))
+            .cast("double"), 6))
+          .otherwise(lit(0.0)).as("ks_stat"))
   }
 
   /** Per-source dataset card — the one-table corpus report a curation

@@ -45,6 +45,16 @@ object Redact {
     */
   val PhonePattern = "\\+?(?:\\d[\\s()-]{0,2}){8,14}\\d"
 
+  /** Digit remnants left when a run exceeds 15 digits: the phone
+    * pattern consumes digits in chunks of 9–15, so a 16-digit card
+    * number would otherwise survive as `<PHONE>6` — a privacy leak.
+    * Collapsing any separator-joined digits that directly abut an
+    * emitted placeholder redacts the whole run; runs of 24+ digits
+    * emit one placeholder per full 15-digit chunk (each a real
+    * pattern match, so hit counts still equal placeholders emitted).
+    */
+  val PhoneRemnantPattern = "(<PHONE>)(?:[\\s()-]{0,2}\\d)+"
+
   /** Scrub a text column: PII spans become `<EMAIL>` / `<IP>` / `<PHONE>`.
     * Order matters and matches [[stage]]'s counting order: emails first
     * (their digit-dense local parts must not be eaten as phones), then
@@ -53,9 +63,11 @@ object Redact {
   def scrub(text: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(text, EmailPattern, "<EMAIL>"),
-        Ipv4Pattern, "<IP>"),
-      PhonePattern, "<PHONE>")
+        regexp_replace(
+          regexp_replace(text, EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        PhonePattern, "<PHONE>"),
+      PhoneRemnantPattern, "$1")
 
   /** The full gate+scrub stage: adds `n_emails`/`n_ips`/`n_phones` and a
     * scrubbed text column; callers drop rows above their PII budget and
@@ -76,6 +88,9 @@ object Redact {
     df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailPattern)))
       .withColumn("n_ips", regexp_count(afterEmail, lit(Ipv4Pattern)))
       .withColumn("n_phones", regexp_count(afterIp, lit(PhonePattern)))
-      .withColumn("text_scrubbed", regexp_replace(afterIp, PhonePattern, "<PHONE>"))
+      .withColumn("text_scrubbed",
+        regexp_replace(
+          regexp_replace(afterIp, PhonePattern, "<PHONE>"),
+          PhoneRemnantPattern, "$1"))
   }
 }

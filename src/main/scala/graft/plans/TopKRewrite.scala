@@ -42,8 +42,18 @@ import org.apache.spark.sql.types.IntegerType
   * A Spark-inserted [[WindowGroupLimit]] below the Window (its own
   * rank-limit optimization) is stripped — the native operator subsumes
   * it.
+  *
+  * Opt-out without rebuilding the session:
+  * `spark.conf.set("spark.graft.topkRewrite.enabled", "false")` — the
+  * rule stays installed but passes plans through untouched, restoring
+  * the window form's within-partition emission order for callers that
+  * relied on it without a trailing orderBy. Read per plan via SQLConf,
+  * so flipping it affects the next query, not just new sessions.
   */
 object TopKRewrite extends Rule[LogicalPlan] {
+
+  /** Session conf key gating the rewrite (default on). */
+  val EnabledKey = "spark.graft.topkRewrite.enabled"
 
   private def rankLimit(cond: Expression, rn: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
@@ -66,7 +76,9 @@ object TopKRewrite extends Rule[LogicalPlan] {
     case other => other
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = if (
+    !conf.getConfString(EnabledKey, "true").toBoolean) plan
+  else plan.transformUp {
     case p @ Project(projectList, Filter(cond, w: Window))
         if w.windowExpressions.size == 1 &&
           w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>

@@ -147,4 +147,18 @@ class Advanced9Spec extends SparkSuite {
     assert(r.head.getAs[Long]("d_scaled") == 16L)
     assert(r.head.getAs[Double]("ks_stat") == 1.0)
   }
+
+  test("ksBetween: decimal-exact stat; an empty side yields 0.0, not null") {
+    val a = Seq(1L, 2L, 3L, 4L).toDF("n_chars")
+    val b = Seq(3L, 4L, 5L, 6L).toDF("n_chars")
+    val r = ops.Advanced9.ksBetween(a, b, "n_chars").collect().head
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) == ((4L, 4L)))
+    assert(r.getAs[Double]("ks_stat") == 0.5) // D = max|ECDF diff| = 2/4
+    // one side empty: D is vacuously 0 and the stat must be a real 0.0
+    // (a null here NPEs CorpusPipeline's run-report getAs[Double])
+    val e1 = ops.Advanced9.ksBetween(a.limit(0), b, "n_chars").collect().head
+    assert((e1.getAs[Long]("n_a"), e1.getAs[Double]("ks_stat")) == ((0L, 0.0)))
+    val e2 = ops.Advanced9.ksBetween(a.limit(0), b.limit(0), "n_chars").collect().head
+    assert((e2.getAs[Long]("n_b"), e2.getAs[Double]("ks_stat")) == ((0L, 0.0)))
+  }
 }

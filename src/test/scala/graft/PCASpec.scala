@@ -30,6 +30,22 @@ class PCASpec extends SparkSuite {
     assert(math.abs(m(1)(1) - 24.0225) < 1e-6)
   }
 
+  test("secondMoment ignores null and short rows instead of NPEing executors") {
+    val dirty = df.union(Seq(
+      (4L, null.asInstanceOf[Array[Float]]),
+      (5L, Array(1.0f))) // shorter than dims
+      .toDF("vec_id", "embedding"))
+    val m = PCA.secondMoment(dirty, "embedding", 2)
+    assert(math.abs(m(0)(0) - 13.54) < 1e-6) // same n=4 result as clean df
+    assert(math.abs(m(1)(1) - 24.0225) < 1e-6)
+    // all rows invalid -> the named empty-set error, not an executor NPE
+    val allBad = Seq((0L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      PCA.secondMoment(allBad, "embedding", 2)
+    }
+    assert(e.getMessage.contains("empty embedding set"))
+  }
+
   test("topComponent finds the dominant direction with positive-lead sign") {
     val (v, lambda) = PCA.topComponent(PCA.secondMoment(df, "embedding", 2))
     assert(math.abs(v(0) - 0.6) < 1e-3)

@@ -44,6 +44,22 @@ class RedactSpec extends SparkSuite {
     assert(scrubOne("range 10000-20000 units")._1 == "range <PHONE> units")
   }
 
+  test("long digit runs redact completely — no trailing-digit leak") {
+    // 16-digit card number: the phone pattern consumes 15 digits, the
+    // remnant collapse eats the 16th instead of leaking "<PHONE>6"
+    assert(scrubOne("card 4532015112830366 end") ==
+      (("card <PHONE> end", 0, 0, 1)))
+    // separators inside the overlong run collapse with it
+    assert(scrubOne("acct 1234-5678-9012-3456-78 end")._1 == "acct <PHONE> end")
+    // 38 digits = two full 15-digit matches + an 8-digit remnant (below
+    // the 9-digit floor) folded into the second placeholder
+    assert(scrubOne("id " + "9" * 38 + " end") ==
+      (("id <PHONE><PHONE> end", 0, 0, 2)))
+    // 40 digits = 15 + 15 + 10, all real matches: counts equal tokens
+    assert(scrubOne("id " + "9" * 40 + " end") ==
+      (("id <PHONE><PHONE><PHONE> end", 0, 0, 3)))
+  }
+
   test("counts equal emitted tokens: digit-dense emails never double-count") {
     val (t, e, i, p) = scrubOne("contact 1234567890@mail.com soon")
     assert(t == "contact <EMAIL> soon")

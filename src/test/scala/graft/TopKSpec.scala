@@ -75,6 +75,23 @@ class TopKSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("rewrite opt-out: the session conf flag restores the window plan") {
+    val s = rewriteSession
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    def planOf() = liOn(s).withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .queryExecution.executedPlan.toString
+    s.conf.set(graft.plans.TopKRewrite.EnabledKey, "false")
+    try {
+      val off = planOf()
+      assert(!off.contains("TopKPerGroup"), off.take(1200))
+      assert(off.contains("Window"), off.take(1200))
+    } finally s.conf.unset(graft.plans.TopKRewrite.EnabledKey)
+    // flipping back re-enables on the NEXT plan, same session
+    assert(planOf().contains("TopKPerGroup"))
+  }
+
   test("rewrite guards: rank in output, compound filter, dense_rank()") {
     val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_orderkey"))
     val base = liOn(rewriteSession)

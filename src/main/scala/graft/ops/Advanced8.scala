@@ -520,6 +520,115 @@ object Advanced8 {
     }
   }
 
+  /** The PRODUCTION ANN read path: IVF coarse probing composed with ADC
+    * scanning — q49 (probe the nprobe nearest inverted lists) feeding
+    * q109 (rank candidates by table-lookup distance over 4-byte PQ
+    * codes). Neither half alone is the real shape: IVF with exact
+    * re-rank still reads raw vectors for every candidate; ADC without
+    * IVF scans every code in the fleet. Composed, a query touches
+    * nprobe/nlists of the corpus AND only its codes — the scan is
+    * (probed candidates) × (4 byte lookups), no vector I/O after the
+    * assignment passes. Both assignment passes are one broadcast join
+    * each over the corpus; the PQ code table is the SAME session-shared
+    * [[pqAssign]] q108/q109 use, and distances stay in integer
+    * micro-units so ranking ties break identically in both engines.
+    * Recall vs the exact q34 baseline is asserted in Advanced8Spec;
+    * PLANS.md carries the plan showing the code scan joins the
+    * candidate list, never the full corpus.
+    */
+  val ivfAdcSearch = {
+    def dtabSql(b: Int): String =
+      s"SELECT qid, cid, $b AS b, " +
+        blockDistMicroSql(b, "qv", "cv", "list_dot_product") + " AS dm FROM q CROSS JOIN c"
+    Q(
+      "q140_ivf_adc_search",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS c_id, v AS centv FROM e WHERE vec_id < 16),
+         |aff AS (
+         |  SELECT e.vec_id, c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ROUND(list_dot_product(v, centv)
+         |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centv, centv))), 6)
+         |        DESC, c_id) AS crank
+         |  FROM e, cent),
+         |assigned AS (SELECT vec_id, c_id FROM aff WHERE crank = 1),
+         |probes AS (SELECT vec_id AS qid, c_id FROM aff WHERE crank <= 2 AND vec_id < 5),
+         |candp AS (
+         |  SELECT DISTINCT p.qid, a.vec_id AS cand
+         |  FROM probes p JOIN assigned a ON p.c_id = a.c_id AND a.vec_id <> p.qid),
+         |c AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |p AS (
+         |  SELECT e.vec_id, ${(0 until 4).map(b =>
+              blockDistMicroSql(b, "v", "cv", "list_dot_product") + s" * 100 + cid AS p$b")
+              .mkString(",\n")}
+         |  FROM e CROSS JOIN c),
+         |m AS (SELECT vec_id, MIN(p0) AS m0, MIN(p1) AS m1, MIN(p2) AS m2, MIN(p3) AS m3
+         |      FROM p GROUP BY vec_id),
+         |codes AS (
+         |  SELECT vec_id, 0 AS b, CAST(m0 % 100 AS INTEGER) AS code FROM m
+         |  UNION ALL SELECT vec_id, 1, CAST(m1 % 100 AS INTEGER) FROM m
+         |  UNION ALL SELECT vec_id, 2, CAST(m2 % 100 AS INTEGER) FROM m
+         |  UNION ALL SELECT vec_id, 3, CAST(m3 % 100 AS INTEGER) FROM m),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |dtab AS (${(0 until 4).map(dtabSql).mkString("\n  UNION ALL ")}),
+         |ad AS (
+         |  SELECT x.qid, x.cand, CAST(SUM(d.dm) AS BIGINT) AS adist_micro
+         |  FROM candp x
+         |  JOIN codes cd ON cd.vec_id = x.cand
+         |  JOIN dtab d ON d.qid = x.qid AND d.b = cd.b AND d.cid = cd.code
+         |  GROUP BY x.qid, x.cand),
+         |r AS (
+         |  SELECT qid, cand, adist_micro,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY adist_micro, cand) AS INTEGER) AS rnk
+         |  FROM ad QUALIFY rnk <= 3)
+         |SELECT qid, rnk, cand, adist_micro / 1000000.0 AS approx_dist
+         |FROM r ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      graft.functions.CosineSim.register(s)
+      val (e, c) = pqBase(s, d)
+      // IVF half (q49's shape): coarse assignment + 2-probe per query
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("centv"))
+      val wAff = Window.partitionBy(col("vec_id")).orderBy(col("ca").desc, col("c_id"))
+      val aff = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("c_id"),
+          round(expr("graft_cosine(v, centv)"), 6).as("ca"))
+        .withColumn("crank", row_number().over(wAff))
+      val assigned = aff.filter(col("crank") === 1).select(col("vec_id"), col("c_id"))
+      val probes = aff.filter(col("crank") <= 2 && col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("c_id").as("probe_c_id"))
+      val candp = broadcast(probes)
+        .join(assigned.as("a"),
+          col("probe_c_id") === col("a.c_id") && col("a.vec_id") =!= col("qid"))
+        .select(col("qid"), col("a.vec_id").as("cand")).distinct()
+      // ADC half (q109's shape) — but the code scan joins the CANDIDATE
+      // list first, so only probed lists' codes reach the lookup join
+      val m = pqAssign(s, d)((e, c))
+      val codes = (0 until 4).map(b =>
+        m.select(col("vec_id"), lit(b).as("b"),
+          (col(s"m$b") % 100).cast("int").as("code"))).reduce(_ union _)
+      val joined = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("dqid"), col("v").as("qv"))
+        .crossJoin(broadcast(c))
+      val dtab = (0 until 4).map(b =>
+        joined.select(col("dqid"), col("cid"), lit(b).as("db"),
+          expr(blockDistMicroSql(b, "qv", "cv", "graft_dot")).as("dm"))).reduce(_ union _)
+      val ad = candp.as("x")
+        .join(codes.as("cd"), col("cd.vec_id") === col("x.cand"))
+        .join(broadcast(dtab),
+          col("dqid") === col("x.qid") && col("db") === col("cd.b") &&
+            col("cid") === col("cd.code"))
+        .groupBy(col("x.qid").as("qid"), col("x.cand").as("cand"))
+        .agg(sum(col("dm")).as("adist_micro"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("adist_micro"), col("cand"))
+      ad.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("cand"),
+          (col("adist_micro") / 1000000.0).as("approx_dist"))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
   /** Fuzzy join via SYMMETRIC-DELETE blocking (the SymSpell shape):
     * match a probe list against customer names at Levenshtein distance
     * ≤ 1 WITHOUT the O(n·m) cross join — both sides explode into their
@@ -607,6 +716,6 @@ object Advanced8 {
 
   def specs: Seq[Q] = Seq(scd2Intervals, windowDedup, forwardFill,
     mixtureReweight, vocabPrune, sourceOverlap, textNormalize, winsorize,
-    bpePretokenize, cmsHeavyHitters, pqEncode, pqAdcSearch, fuzzyJoin,
-    mergeUpsert)
+    bpePretokenize, cmsHeavyHitters, pqEncode, pqAdcSearch, ivfAdcSearch,
+    fuzzyJoin, mergeUpsert)
 }

@@ -29,6 +29,20 @@ object Bench {
     // Full per-query detail on separate lines (human log / BENCH.md).
     results.foreach { case (n, s) => println(s"BENCHQ ${n.padTo(28, ' ')} ${d3(s)} s") }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // STEADY-STATE medians for the slowest queries: the one-shot total
+    // swings 1.5x with host load (round 4: 64-102 s across a session,
+    // which nearly masked a 10x per-query win), so regression grading
+    // uses post-JIT medians-of-3 — the Probe methodology, emitted here
+    // so every BENCH_r{N}.json carries both views.
+    val steady = results.sortBy(-_._2).take(15).map(_._1).sorted.map { name =>
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> ts(1)
+    }
+    steady.foreach { case (n, s) => println(s"STEADYQ ${n.padTo(28, ' ')} ${d3(s)} s") }
     // The driver captures only the LAST ~2000 chars of output and parses the
     // JSON line out of that window — round-1 full-precision doubles pushed the
     // line to ~3k chars and its head was truncated, so the driver recorded
@@ -37,8 +51,9 @@ object Bench {
     // (the total is what BASELINE.md grades; per-query is informative).
     def render(kept: Seq[(String, Double)], dropped: Int): String = {
       val qs = kept.map { case (k, v) => s""""$k":${d3(v)}""" }.mkString("{", ",", "}")
+      val st = steady.map { case (k, v) => s""""$k":${d3(v)}""" }.mkString("{", ",", "}")
       val trunc = if (dropped > 0) s""","queries_omitted":$dropped""" else ""
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs$trunc,"sf":"$sfDir","n":${results.size}}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"steady":$st$trunc,"sf":"$sfDir","n":${results.size}}"""
     }
     val bySlowest = results.sortBy(-_._2)
     var kept = bySlowest

@@ -12,6 +12,8 @@ import org.apache.spark.sql.expressions.Window
   *   raw → quality gate (q78's repetition metrics) → exact dedup (q30)
   *       → near-dup keep-best purge via shared MinHash/LSH cluster
   *         labels (q32/q57) and q132's longest-member election
+  *       → semantic dedup (q133's cluster-confined SemDeDup; skipped
+  *         with a log line when the corpus ships no embeddings table)
   *       → weighted source mixture (q91) → train/val/test split (q87)
   *       → benchmark decontamination (q97: train docs sharing any
   *         5-token window with the held-out val/test docs are dropped)
@@ -102,6 +104,35 @@ object CorpusPipeline {
       .select(exact.columns.map(col): _*)
     log("neardup_keepbest", purged.count())
 
+    // 3b. SEMANTIC dedup (SemDeDup, q133's cluster-confined shape):
+    // among SURVIVORS sharing an embedding cluster, a doc with a
+    // lower-id clustermate at cosine >= 0.35 drops — catches the
+    // paraphrase/translation duplicates lexical shingles can't see.
+    // Pairwise work stays inside clusters (the k-means/IVF assignment
+    // at production scale); docs without an embedding row pass
+    // untouched, and a corpus shipped without an embeddings table
+    // skips the stage (logged) instead of failing the build.
+    val embPath = new java.io.File(s"$sfDir/embeddings.parquet")
+    val semantic = if (!embPath.exists) {
+      println("[corpus] semantic_dedup        skipped (no embeddings table)")
+      purged
+    } else {
+      functions.CosineSim.register(spark)
+      val alive = purged.select(col("doc_id").as("vec_id"))
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .join(alive, Seq("vec_id")) // confine pairs to surviving docs
+      val drops = e.select(col("label").as("la"), col("vec_id").as("ida"), col("v").as("va"))
+        .join(e.select(col("label").as("lb"), col("vec_id").as("idb"), col("v").as("vb")),
+          col("la") === col("lb") && col("ida") < col("idb"))
+        .filter(expr("graft_cosine(va, vb)") >= 0.35)
+        .select(col("idb").as("doc_id"))
+        .distinct()
+      purged.join(drops, Seq("doc_id"), "left_anti")
+    }
+    log("semantic_dedup", semantic.count())
+
     // 4. Weighted source mixture (md5 chars 9-15, independent of the
     // split bucket below).
     val mixRate = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1.0)
@@ -109,7 +140,7 @@ object CorpusPipeline {
       .otherwise(0.25)
     val mixBucket =
       expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 9, 7), 16, 10) AS BIGINT) % 1000")
-    val mixed = purged.filter(mixBucket < mixRate * 1000)
+    val mixed = semantic.filter(mixBucket < mixRate * 1000)
     log("source_mixture", mixed.count())
 
     // 5. Train/val/test split — the shared q87 assignment (one

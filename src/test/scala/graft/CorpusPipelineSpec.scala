@@ -29,9 +29,21 @@ class CorpusPipelineSpec extends SparkSuite {
       // doc 10 is doc 9 repeated (9/10 shared shingles -> LSH candidates),
       // so keep-best must invert the old min-id rule and keep 10.
       (9L, rainbow, "en", "src4", 60L),
-      (10L, s"$rainbow $rainbow", "en", "src4", 121L))
+      (10L, s"$rainbow $rainbow", "en", "src4", 121L),
+      // SEMANTIC duplicates: zero lexical overlap (no shared tokens or
+      // shingles, so exact dedup and MinHash both pass them), but their
+      // embeddings below are parallel vectors in one cluster — only the
+      // semantic stage can catch the pair; q133 semantics keep doc 11.
+      (11L, "lunar orbit transfer requires patient staging maneuvers always", "en", "src0", 62L),
+      (12L, "cats quietly dominate suburban households through strategic napping", "en", "src0", 67L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.coalesce(1).write.parquet(s"$d/documents.parquet")
+    Seq(
+      (11L, Array(0.6f, 0.8f, 0.0f, 0.0f), 7),
+      (12L, Array(0.6f, 0.8f, 0.0f, 0.0f), 7),  // cosine 1.0 with doc 11
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f), 7))   // same cluster, orthogonal: survives
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
     d
   }
 
@@ -50,6 +62,12 @@ class CorpusPipelineSpec extends SparkSuite {
     // keep-best purge: the LONGER near-dup survives even with the higher id
     assert(ids.contains(10L), "keep-best should keep the longer near-dup")
     assert(!ids.contains(9L), "shorter near-dup member survived the purge")
+    // semantic dedup: docs 11/12 share no tokens (lexical stages blind)
+    // but have parallel embeddings in one cluster — 12 drops, 11 stays,
+    // and the orthogonal clustermate (doc 4) is untouched
+    assert(ids.contains(11L), "semantic keeper should survive")
+    assert(!ids.contains(12L), "semantic duplicate survived the embedding stage")
+    assert(ids.contains(4L), "orthogonal clustermate wrongly dropped")
     val splits = shards.select($"doc_id", $"split").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(splits(8L) == "val", splits.toString)
@@ -64,7 +82,7 @@ class CorpusPipelineSpec extends SparkSuite {
     // every shipped doc has at least one token per word under the table
     assert(card.values.forall(_._2 > 0L), card.toString)
     val drift = spark.read.parquet(s"$out-report/drift").collect()(0)
-    assert(drift.getAs[Long]("n_a") == 9L)            // raw corpus size
+    assert(drift.getAs[Long]("n_a") == 11L)           // raw corpus size
     assert(drift.getAs[Long]("n_b") == ids.size.toLong)
     val ks = drift.getAs[Double]("ks_stat")
     assert(ks >= 0.0 && ks <= 1.0, ks.toString)       // dropped docs shift the ECDF

@@ -31,7 +31,13 @@ import org.apache.spark.sql.types.IntegerType
   *    (`rn <= k`, `rn < k`, `k >= rn`, `k > rn`, `rn = 1`) — compound
   *    conditions are left alone;
   *  - a Project sits directly above and does NOT reference the rank
-  *    (a query that outputs the rank needs the window form).
+  *    (a query that outputs the rank needs the window form) — EXCEPT
+  *    the keep-first case: a bare `filter(rn = 1)` with no Project
+  *    above (the dedup idiom feeding straight into a join/agg, or one
+  *    that keeps the rn column) also rewrites, because every surviving
+  *    row's rank is the CONSTANT 1 — the rank column is re-emitted as
+  *    a literal over the heap, preserving the schema and the original
+  *    attribute id for upstream references.
   *
   * Row ORDER within a group differs from the window form (heap emission
   * vs sorted scan) — identical row SETS; rank ties at the boundary are
@@ -78,23 +84,48 @@ object TopKRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = if (
     !conf.getConfString(EnabledKey, "true").toBoolean) plan
-  else plan.transformUp {
-    case p @ Project(projectList, Filter(cond, w: Window))
-        if w.windowExpressions.size == 1 &&
-          w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
-      w.windowExpressions.head match {
-        case a @ Alias(WindowExpression(fn, _), _)
-            if fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank] =>
-          val rn = a.toAttribute
-          rankLimit(cond, rn) match {
-            case Some(k) if k >= 1 && !projectList.exists(_.references.contains(rn)) =>
-              Project(projectList,
-                TopKPerGroup(k, w.partitionSpec, w.orderSpec, stripGroupLimit(w.child),
-                  withTies = fn.isInstanceOf[Rank]))
-            case _ => p
-          }
-        case _ => p
-      }
+  else {
+    // Pass 1: the Project(Filter(Window)) idiom — rank dropped above.
+    val afterProjected = plan.transformUp {
+      case p @ Project(projectList, Filter(cond, w: Window))
+          if w.windowExpressions.size == 1 &&
+            w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
+        w.windowExpressions.head match {
+          case a @ Alias(WindowExpression(fn, _), _)
+              if fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank] =>
+            val rn = a.toAttribute
+            rankLimit(cond, rn) match {
+              case Some(k) if k >= 1 && !projectList.exists(_.references.contains(rn)) =>
+                Project(projectList,
+                  TopKPerGroup(k, w.partitionSpec, w.orderSpec, stripGroupLimit(w.child),
+                    withTies = fn.isInstanceOf[Rank]))
+              case _ => p
+            }
+          case _ => p
+        }
+    }
+    // Pass 2: bare keep-first filters the first pass left behind (no
+    // Project above, or the rank column is kept). Only k = 1 is
+    // expressible without the window: the surviving rank is literally
+    // 1, re-emitted under the original attribute id.
+    afterProjected.transformUp {
+      case f @ Filter(cond, w: Window)
+          if w.windowExpressions.size == 1 &&
+            w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
+        w.windowExpressions.head match {
+          case a @ Alias(WindowExpression(fn, _), _)
+              if fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank] =>
+            rankLimit(cond, a.toAttribute) match {
+              case Some(1) =>
+                Project(
+                  w.child.output :+ Alias(Literal(1, IntegerType), a.name)(exprId = a.exprId),
+                  TopKPerGroup(1, w.partitionSpec, w.orderSpec, stripGroupLimit(w.child),
+                    withTies = fn.isInstanceOf[Rank]))
+              case _ => f
+            }
+          case _ => f
+        }
+    }
   }
 }
 

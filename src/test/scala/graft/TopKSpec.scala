@@ -141,6 +141,27 @@ class TopKSpec extends SparkSuite {
     assert(got == wantA ++ wantB, got.toString)
   }
 
+  test("rewrite: bare keep-first filter (rn kept, no Project) becomes a heap") {
+    val s = rewriteSession
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    // the dedup idiom WITHOUT dropping rn — reaches the rule as a bare
+    // Filter(Window); the rank re-emits as the constant 1
+    val df = liOn(s).withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan.take(1200))
+    assert(!plan.contains("Window"), plan.take(1200))
+    val got = df.orderBy(col("l_suppkey")).collect().toSeq
+    val want = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).orderBy(col("l_suppkey")).collect().toSeq
+    assert(got == want) // includes the rn column, constant 1
+    // k > 1 with the rank kept has no constant value — stays a window
+    val wide = liOn(s).withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    assert(wide.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("rewrite: rn = 1 dedup idiom becomes a k=1 heap") {
     val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_orderkey"), col("l_linenumber"))
     val df = liOn(rewriteSession).withColumn("rn", row_number().over(w))

@@ -52,12 +52,36 @@ object Advanced2 {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Shared coarse-quantizer affinity table — (vec_id, c_id, ca,
+    * crank): every vector × the 16 seed centroids, cosine-ranked per
+    * vector. ONE broadcast join + window over the fleet, materialized
+    * per session ([[graft.Shared]]): q49 probes it for IVF search and
+    * q140 reuses it for the composed IVF+ADC read path — the same
+    * reuse seam as the MinHash base (q32/q57) and pqAssign (q108/q109).
+    */
+  private[ops] def ivfAffinity(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Shared.materialized(s, s"ivf-aff@$d") {
+      DotProduct.register(s)
+      CosineSim.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val wAff = Window.partitionBy(col("vec_id")).orderBy(col("ca").desc, col("c_id"))
+      e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("c_id"),
+          round(expr("graft_cosine(v, cv)"), 6).as("ca"))
+        .withColumn("crank", row_number().over(wAff))
+    }
+
   /** IVF-style ANN: 16 coarse centroids (first 16 embeddings as a
     * deterministic stand-in for trained centroids), every vector assigned
     * to its nearest centroid (inverted lists), queries probe their 2
     * nearest lists only, exact cosine re-rank inside the probed lists.
     * At 100 TB the candidate scan shrinks by ~centroids/nprobe; the
-    * assignment pass is one broadcast join over the fleet.
+    * assignment pass is one broadcast join over the fleet (session-
+    * shared [[ivfAffinity]]).
     */
   val annIvf = Q(
     "q49_ann_ivf",
@@ -91,12 +115,7 @@ object Advanced2 {
     CosineSim.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
-    val cent = e.filter(col("vec_id") < 16).select(col("vec_id").as("c_id"), col("v").as("cv"))
-    val cos = round(expr("graft_cosine(v, cv)"), 6)
-    val wAff = Window.partitionBy(col("vec_id")).orderBy(col("ca").desc, col("c_id"))
-    val aff = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("c_id"), cos.as("ca"))
-      .withColumn("crank", row_number().over(wAff))
+    val aff = ivfAffinity(s, d)
     val assigned = aff.filter(col("crank") === 1).select(col("vec_id"), col("c_id"))
     val probes = aff.filter(col("crank") <= 2 && col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("c_id").as("probe_c_id"))

@@ -586,14 +586,8 @@ object Advanced8 {
          |FROM r ORDER BY qid, rnk""".stripMargin) { (s, d) =>
       graft.functions.CosineSim.register(s)
       val (e, c) = pqBase(s, d)
-      // IVF half (q49's shape): coarse assignment + 2-probe per query
-      val cent = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("v").as("centv"))
-      val wAff = Window.partitionBy(col("vec_id")).orderBy(col("ca").desc, col("c_id"))
-      val aff = e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("c_id"),
-          round(expr("graft_cosine(v, centv)"), 6).as("ca"))
-        .withColumn("crank", row_number().over(wAff))
+      // IVF half: the session-shared coarse affinity (q49's base)
+      val aff = Advanced2.ivfAffinity(s, d)
       val assigned = aff.filter(col("crank") === 1).select(col("vec_id"), col("c_id"))
       val probes = aff.filter(col("crank") <= 2 && col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("c_id").as("probe_c_id"))

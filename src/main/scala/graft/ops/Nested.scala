@@ -71,7 +71,13 @@ object Nested {
 
   /** Edit-distance near-dup: Levenshtein over document prefixes inside
     * language buckets (blocking keeps the pairwise work bounded — the
-    * same confinement principle as LSH bands).
+    * same confinement principle as LSH bands). The doc_id bound marks
+    * this as the exact ground-truth harness, like q31/q42: language
+    * buckets alone grow quadratically with the corpus. The unbounded
+    * scale paths for edit distance are q110/q124's symmetric-delete
+    * blocking (EXACT for radius ≤ 1/≤ 2 — the radii dedup actually
+    * uses); a radius-20 prefix scan like this one has no sub-quadratic
+    * exact blocking and stays an oracle-domain query by design.
     */
   val editDistance = Q(
     "q62_edit_distance",

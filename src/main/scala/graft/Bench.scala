@@ -34,13 +34,17 @@ object Bench {
     // which nearly masked a 10x per-query win), so regression grading
     // uses post-JIT medians-of-3 — the Probe methodology, emitted here
     // so every BENCH_r{N}.json carries both views.
+    // A run that THROWS records -1, never its time-to-throw: steady is
+    // the regression-grading metric, and a query broken by a change
+    // must not read as a performance win.
     val steady = results.sortBy(-_._2).take(15).map(_._1).sorted.map { name =>
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { SparkEntry.queries(name)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
       }.sorted
-      name -> ts(1)
+      name -> (if (ts.head < 0) -1.0 else ts(1))
     }
     steady.foreach { case (n, s) => println(s"STEADYQ ${n.padTo(28, ' ')} ${d3(s)} s") }
     // The driver captures only the LAST ~2000 chars of output and parses the

@@ -112,8 +112,13 @@ object CorpusPipeline {
     // at production scale); docs without an embedding row pass
     // untouched, and a corpus shipped without an embeddings table
     // skips the stage (logged) instead of failing the build.
-    val embPath = new java.io.File(s"$sfDir/embeddings.parquet")
-    val semantic = if (!embPath.exists) {
+    // Hadoop FileSystem probe, not java.io.File: the corpus dir can be
+    // hdfs:// or s3a:// — a local-only check would silently skip the
+    // stage on exactly the deployments that need it.
+    val embPath = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
+    val embExists = embPath
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(embPath)
+    val semantic = if (!embExists) {
       println("[corpus] semantic_dedup        skipped (no embeddings table)")
       purged
     } else {

@@ -45,12 +45,16 @@ import org.apache.spark.sql.functions._
   *     by a CONFLICTING pair's count — and on a tie the new pair could
   *     still win the (count, pair) tie-break lexicographically.
   *  3. a pair whose concatenation already exists as a vocabulary symbol
+  *     — OR matches an EARLIER pick's concatenation in this same batch
   *     (two merge paths reaching the same string — rare but real in
-  *     BPE) closes the batch after itself: merging into a pre-existing
-  *     symbol can RAISE other pairs' counts, which invalidates the
-  *     decreasing-counts argument for anything selected after it. The
-  *     symbol alphabet is tracked driver-side exactly (initial distinct
-  *     symbols + every applied merge), so this check costs no jobs.
+  *     BPE) — closes the batch after itself: merging into a symbol that
+  *     exists (or that the batch itself just created) can RAISE other
+  *     pairs' counts — in the same-batch case the two paths' created
+  *     pairs are the SAME pair, so their counts add past any single
+  *     conflicting-pair bound — which invalidates the decreasing-counts
+  *     argument for anything selected after it. The symbol alphabet is
+  *     tracked driver-side exactly (initial distinct symbols + every
+  *     applied merge), so these checks cost no jobs.
   *  4. a SELF-pair (a,a) also closes the batch after itself: merging a
   *     run "a a a" creates pairs like (aa,a) whose count is bounded
   *     only by the self-pair's OWN count — not by any conflicting
@@ -161,6 +165,7 @@ object BpeTrainer {
       windowFull: Boolean): Seq[(String, String)] = {
     val picked = mutable.Buffer.empty[(String, String, Long)]
     val inBatch = mutable.Set.empty[String]
+    val batchConcats = mutable.Set.empty[String]
     var i = 0
     var open = true
     while (open && i < rows.length && picked.size < maxBatch) {
@@ -172,8 +177,14 @@ object BpeTrainer {
         inBatch += b
         // Batch-closing picks: merging into a pre-existing symbol can
         // raise other pairs' counts; a self-pair creates pairs bounded
-        // only by its own count. Either way nothing after is provable.
-        if (known(a + b) || a == b) open = false
+        // only by its own count; and a concatenation an EARLIER pick in
+        // this batch also produces (two merge paths to one string, e.g.
+        // ("a","bc") then ("ab","c") → "abc") makes created-pair counts
+        // ADD across the paths — count(x,abc) can reach the sum of two
+        // conflicting-pair bounds and out-rank the next pick. Each case
+        // closes the batch after the current (still-provable) pick.
+        if (known(a + b) || batchConcats(a + b) || a == b) open = false
+        batchConcats += a + b
         i += 1
       }
     }

@@ -130,7 +130,15 @@ object DedupClusters {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    orientEdges(edges,
+      sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree")))
+  }
+
+  /** [[orientEdges]] with the degree table supplied — so a caller that
+    * already computed it (triangleCounts needs degrees in its output
+    * too) doesn't pay the symmetrize+distinct+groupBy shuffle twice.
+    */
+  private[graft] def orientEdges(edges: DataFrame, deg: DataFrame): DataFrame = {
     edges
       .join(deg.select(col("node"), col("degree").as("sdeg")),
         col("src") === col("node")).drop("node")
@@ -169,7 +177,7 @@ object DedupClusters {
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
-    val oriented = orientEdges(edges)
+    val oriented = orientEdges(edges, deg)
     val tri = wedges(oriented)
       .join(oriented.select(col("src").as("b2"), col("dst").as("c2")),
         col("b2") === col("b") && col("c2") === col("c"))

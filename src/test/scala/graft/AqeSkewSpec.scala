@@ -76,11 +76,16 @@ class AqeSkewSpec extends SparkSuite {
       assert(ops.Advanced9.dupSpanFraction.run(s, skewDir).count() > 0)
       s.sparkContext.clearJobGroup()
       // drain the listener bus (no public waitUntilEmpty): poll until
-      // the metric count is stable
+      // the metric count holds steady for SEVERAL consecutive windows —
+      // one stable 250 ms sample can be a momentarily stalled bus, and
+      // an under-collected metric set would audit a subset of stages
       var last = -1
+      var stable = 0
       var tries = 0
-      while (recs.size != last && tries < 20) {
-        last = recs.size; tries += 1; Thread.sleep(250)
+      while (stable < 4 && tries < 60) {
+        if (recs.size == last) stable += 1 else { stable = 0; last = recs.size }
+        tries += 1
+        Thread.sleep(250)
       }
     } finally s.sparkContext.removeSparkListener(listener)
     import scala.jdk.CollectionConverters._

@@ -141,6 +141,22 @@ class BpeTrainerSpec extends SparkSuite {
     }
   }
 
+  test("selectBatch closes on a same-batch concatenation collision") {
+    // ("a","bc") and ("ab","c") both concatenate to "abc": after BOTH
+    // merges, pairs (x,abc) from the two paths are the SAME pair, so
+    // its count is the SUM of the two conflicting-pair bounds (here
+    // 10 + 10 = 20) and sequentially out-ranks (d,e)=11 at step 3. The
+    // batch must therefore close after ("ab","c") — including (d,e)
+    // would diverge from the sequential trainer.
+    val rows = IndexedSeq(
+      ("a", "bc", 20L), ("ab", "c", 15L), ("d", "e", 11L),
+      ("x", "a", 10L), ("x", "ab", 10L))
+    val known = Set("a", "bc", "ab", "c", "d", "e", "x")
+    val batch = BpeTrainer.selectBatch(rows, known, maxBatch = 16,
+      windowFull = false)
+    assert(batch == Seq(("a", "bc"), ("ab", "c")), batch.toString)
+  }
+
   test("distributed training equals the exhaustive reference on real data") {
     val docs = Tables.documents(spark, sf0001)
     val words = docs.select(explode(split(col("text"), " ")).as("tok"))

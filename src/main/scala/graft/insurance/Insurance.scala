@@ -227,13 +227,35 @@ object Facts {
     * dim_policy on the `contract_id` NATURAL key (reference compares
     * contract_id to the integer surrogate policy_key, 07:85-89 — stale
     * comment, latent bug), then dim_date on occurrence_date.
+    *
+    * `strictCompat = true` replays the reference's join VERBATIM
+    * (`contract_id === policy_key`, under Spark 3's legacy
+    * string=int double-promotion semantics) for migration comparison
+    * runs. Since contract ids are "CTR_..." strings and policy_key is
+    * an integer surrogate, the replayed join matches NOTHING — the
+    * reference's fact_claims loads empty on its own data, and a
+    * migrator comparing warehouses must be able to reproduce exactly
+    * that before deleting it. InsuranceSpec demonstrates the
+    * divergence. Nobody should want this for new builds.
     */
-  def factClaims(cleanClaims: DataFrame, dimPolicy: DataFrame, dimDate: DataFrame): DataFrame = {
+  def factClaims(cleanClaims: DataFrame, dimPolicy: DataFrame, dimDate: DataFrame,
+      strictCompat: Boolean = false): DataFrame = {
     val pol = broadcast(dimPolicy.select(col("policy_key"), col("contract_id")))
     val dates = broadcast(dimDate
       .select(dateKeyInt(col("date_key")).as("date_key_int")))
-    cleanClaims
-      .join(pol, Seq("contract_id"), "inner")
+    val joined =
+      if (strictCompat)
+        // Spark 3 non-ANSI promotes both sides of a string=int compare
+        // to DOUBLE with null on malformed input; try_cast reproduces
+        // that under ANSI (a plain === would abort the job on the
+        // first "CTR_..." id). On the reference's own data this
+        // matches NOTHING — its fact_claims loads empty, which is the
+        // behavior a migration comparison must reproduce.
+        cleanClaims.join(broadcast(dimPolicy.select(col("policy_key"))),
+          expr("try_cast(contract_id AS DOUBLE)") ===
+            col("policy_key").cast("double"), "inner")
+      else cleanClaims.join(pol, Seq("contract_id"), "inner")
+    joined
       .withColumn("occurrence_date_key", dateKeyInt(col("occurrence_date")))
       .join(dates, col("occurrence_date_key") === dates("date_key_int"), "inner")
       .select(

@@ -137,6 +137,11 @@ class InsuranceSpec extends SparkSuite {
     val r = fc.head()
     assert(r.getAs[java.math.BigDecimal]("claim_amount").doubleValue() == 100.0)
     assert(r.getAs[Int]("policy_key") == 1)
+    // strictCompat replays the reference's contract_id === policy_key
+    // join verbatim: against a true integer surrogate the string
+    // contract id matches nothing — the latent bug, made visible on
+    // demand for migration comparison runs
+    assert(Facts.factClaims(claims, dimP, dimD, strictCompat = true).count() == 0)
   }
 
   test("schema check reports missing and unexpected columns") {

@@ -175,5 +175,77 @@ object Advanced12 {
       .orderBy(col("source"))
   }
 
-  val specs: Seq[Q] = Seq(tokenBudget, paddingWaste, adaptiveQualityGate)
+  /** ExactSubstr-style duplicated-span SCRUBBING (Lee et al. 2022's
+    * "deduplicating training data" acted on, not just measured): every
+    * token covered by a 5-gram span that also occurs in ANOTHER
+    * document is cut from the text; the doc keeps its unique content.
+    * q117 reports the dup-span fraction and q97/CorpusPipeline drop
+    * whole docs — this is the third option a corpus team actually
+    * ships, removing the boilerplate/quote while keeping the document.
+    *
+    * Scale shape: the duplicated-span vocabulary comes from the SHARED
+    * q117/q134 span table (one corpus pass per session) and is
+    * vocabulary-sized; positional grams join it on the hash, covered
+    * positions explode from matched spans only, and the text rebuilds
+    * per doc with array_sort(collect_list(struct(pos, tok))).tok — a
+    * codegen'd struct-field extraction, no interpreted lambda. Never
+    * doc×doc. Cross-doc spans only: a phrase repeated inside ONE doc
+    * is that document's own style, not corpus duplication.
+    */
+  val exactSubstrScrub = Q(
+    "q142_exact_substr_scrub",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |gi AS (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM d
+      |       WHERE len(t) >= 5),
+      |g AS (SELECT doc_id, i,
+      |        ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT AS gh
+      |      FROM gi),
+      |dup AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g) dg
+      |        GROUP BY gh HAVING COUNT(*) >= 2),
+      |cov AS (SELECT DISTINCT g.doc_id, i + k AS pos
+      |        FROM g JOIN dup USING (gh), UNNEST(range(0, 5)) AS u(k)),
+      |tp AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos FROM d),
+      |toks AS (SELECT doc_id, pos, t[pos] AS tok FROM tp),
+      |kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM toks tk
+      |         LEFT JOIN cov c ON c.doc_id = tk.doc_id AND c.pos = tk.pos
+      |         WHERE c.pos IS NULL),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |          string_agg(tok, ' ' ORDER BY pos) AS text_scrubbed
+      |        FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+      |  CAST(len(d.t) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+      |  COALESCE(agg.text_scrubbed, '') AS text_scrubbed
+      |FROM d LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).select(col("doc_id"), split(col("text"), " ").as("t"))
+    val g = d.filter(size(col("t")) >= 5)
+      .select(col("doc_id"),
+        posexplode(graft.functions.NGrams.ngrams(col("t"), 5)).as(Seq("g0", "gr")))
+      .select(col("doc_id"), (col("g0") + 1).as("i"),
+        expr("CAST(conv(substr(md5(gr), 1, 15), 16, 10) AS BIGINT)").as("gh"))
+    // duplicated-span vocabulary from the SHARED session span table
+    val dup = Advanced9.spanTable(s, dir)
+      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("gh"))
+    val cov = g.join(dup, Seq("gh"))
+      .select(col("doc_id"), explode(expr("sequence(i, i + 4)")).as("pos"))
+      .distinct()
+    val toks = d
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val agg = toks.join(cov, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(array_sort(collect_list(struct(pos, tok))).tok, ' ')")
+          .as("text_scrubbed"))
+    d.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val specs: Seq[Q] = Seq(tokenBudget, paddingWaste, adaptiveQualityGate,
+    exactSubstrScrub)
 }

@@ -94,4 +94,40 @@ class Advanced12Spec extends SparkSuite {
     }
     assert(got.keySet == want.keySet)
   }
+
+  test("q142 scrubs exactly the cross-doc duplicated spans") {
+    val d = Files.createTempDirectory("graft_adv12_scrub").toString
+    val boiler = "all rights reserved by the original publisher"  // 7 toks
+    val docs = Seq(
+      // doc 0/1: same 7-token boilerplate tail, unique 6-token heads
+      (0L, s"alpha beta gamma delta epsilon zeta $boiler", "en", "s0", 80L),
+      (1L, s"uno dos tres cuatro cinco seis $boiler", "en", "s0", 80L),
+      // doc 2: fully unique, must pass through byte-identical
+      (2L, "completely unique text with no shared windows here", "en", "s0", 50L),
+      // doc 3: exact duplicate of doc 2's words reordered? no — exact
+      // duplicate of a 5-token doc: too short alone, needs a partner
+      (3L, "red orange yellow green blue indigo", "en", "s0", 40L),
+      (4L, "red orange yellow green blue indigo", "en", "s0", 40L),
+      // doc 5: an internal repeat but nothing shared across docs
+      (5L, "echo echo echo echo echo echo echo echo", "en", "s0", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = ops.Advanced12.exactSubstrScrub.run(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // docs 0/1: the boilerplate's 7 tokens are covered by cross-doc
+    // 5-grams; the unique heads keep every token NOT inside a shared
+    // window. Head tokens adjacent to the tail stay (the mixed 5-grams
+    // differ between docs), so exactly the 7 boilerplate tokens go.
+    assert(got(0L) == ((13L, 7L,
+      "alpha beta gamma delta epsilon zeta")), got(0L).toString)
+    assert(got(1L) == ((13L, 7L, "uno dos tres cuatro cinco seis")), got(1L).toString)
+    // unique doc: untouched
+    assert(got(2L) == ((8L, 0L,
+      "completely unique text with no shared windows here")))
+    // exact duplicates: every token covered, both scrub to empty
+    assert(got(3L) == ((6L, 6L, "")) && got(4L) == ((6L, 6L, "")))
+    // within-doc repetition is NOT corpus duplication — untouched
+    assert(got(5L)._2 == 0L && got(5L)._3.startsWith("echo"))
+  }
 }

@@ -123,8 +123,11 @@ class BpeTrainerSpec extends SparkSuite {
     // with existing symbols ("ab"+"c" vs "a"+"bc" → "abc"). Any
     // violation of the prefix / strict-threshold / collision rules in
     // selectBatch diverges from the reference within a few corpora.
+    // GRAFT_BPE_TRIALS raises the trial count for one-off stress runs
+    // (the 300 default keeps CI fast; 3000 passes, run round 5)
+    val trials = sys.env.getOrElse("GRAFT_BPE_TRIALS", "300").toInt
     val rnd = new scala.util.Random(41)
-    for (trial <- 0 until 300) {
+    for (trial <- 0 until trials) {
       val alphabet = Seq("ab", "abc", "abcd")(trial % 3)
       val words = (0 until (2 + rnd.nextInt(7))).map { _ =>
         val len = 1 + rnd.nextInt(9)

@@ -58,6 +58,14 @@ class RedactSpec extends SparkSuite {
     // 40 digits = 15 + 15 + 10, all real matches: counts equal tokens
     assert(scrubOne("id " + "9" * 40 + " end") ==
       (("id <PHONE><PHONE><PHONE> end", 0, 0, 3)))
+    // boundary: a digit within separator reach of a 15-digit run is the
+    // 16th digit of THAT run and collapses with it; the same digit after
+    // a shorter run is consumed by the greedy phone match itself — both
+    // by design (separator-joined digit runs redact as one unit)
+    assert(scrubOne("call 555123456789012 3 times")._1 == "call <PHONE> times")
+    assert(scrubOne("call 5551234567 3 times")._1 == "call <PHONE> times")
+    // a digit BEYOND separator reach survives
+    assert(scrubOne("call 5551234567, at 9am")._1 == "call <PHONE>, at 9am")
   }
 
   test("counts equal emitted tokens: digit-dense emails never double-count") {

@@ -46,6 +46,22 @@ class TriangleSpec extends SparkSuite {
     check(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L), (3L, 4L)))
   }
 
+  test("census matches brute force on seeded random graphs") {
+    // Erdős–Rényi-ish graphs hit orientation edge cases crafted graphs
+    // miss: degree ties resolved by id, wedges whose closing edge is
+    // oriented either way, multi-triangle nodes. One Spark job per
+    // graph, so keep the count modest.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 6) {
+      val n = 8 + rnd.nextInt(6)
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.35
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) check(edges)
+    }
+  }
+
   test("degree orientation bounds star-graph wedge fan-out by the spoke side") {
     val n = 40L
     // id-orientation would put the hub (id 0) as every edge's source:

@@ -85,16 +85,30 @@ object BpeTrainer {
     * apply tables consume). Stops early if no pair occurs twice.
     * `maxBatch` = 1 recovers the one-merge-per-job trainer exactly (the
     * batched result is identical either way; 1 is for A/B tests).
+    *
+    * `exact = false` switches to the APPROXIMATE greedy batch — the
+    * standard distributed-BPE trick: take up to `maxBatch`
+    * symbol-disjoint pairs per pass in frequency order,
+    * skip-and-continue past conflicts instead of stopping the prefix.
+    * Disjointness makes the batch's merges commute, so the result is a
+    * well-defined, valid tokenizer, but NOT necessarily the sequential
+    * trainer's table (a skipped pair's count can change before its
+    * turn). Measured on sf0.01 at 64 rules: exact mode 54 passes,
+    * approximate 5 — exactness is the price of the pass count, and a
+    * 32k-vocab production run wants approximate (as every large-scale
+    * BPE trainer ships); q135's provenance-locked table and every
+    * oracle-checked query stay on the exact default.
     */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-      maxBatch: Int = 16): Seq[(String, String)] =
-    trainWithPasses(df, textCol, numMerges, maxBatch)._1
+      maxBatch: Int = 16, exact: Boolean = true): Seq[(String, String)] =
+    trainWithPasses(df, textCol, numMerges, maxBatch, exact)._1
 
   /** [[train]] plus the number of count→select→apply passes executed —
     * the scheduler-overhead metric batching exists to shrink.
     */
   private[graft] def trainWithPasses(df: DataFrame, textCol: String,
-      numMerges: Int, maxBatch: Int = 16): (Seq[(String, String)], Int) = {
+      numMerges: Int, maxBatch: Int = 16,
+      exact: Boolean = true): (Seq[(String, String)], Int) = {
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
     var vocab = df
       .select(explode(split(col(textCol), " ")).as("tok"))
@@ -133,7 +147,7 @@ object BpeTrainer {
       if (top.isEmpty) exhausted = true
       else {
         val batch = selectBatch(top.toIndexedSeq, knownSymbols,
-          math.min(maxBatch, want), windowFull = top.length == window)
+          math.min(maxBatch, want), windowFull = top.length == window, exact)
         val applied = batch.foldLeft(col("seq")) { case (c, (a, b)) =>
           graft.ops.Advanced11.mergeSweeps(c, a, b)
         }
@@ -162,7 +176,8 @@ object BpeTrainer {
     */
   private[graft] def selectBatch(rows: IndexedSeq[(String, String, Long)],
       known: collection.Set[String], maxBatch: Int,
-      windowFull: Boolean): Seq[(String, String)] = {
+      windowFull: Boolean, exact: Boolean = true): Seq[(String, String)] = {
+    if (!exact) return selectBatchGreedy(rows, maxBatch)
     val picked = mutable.Buffer.empty[(String, String, Long)]
     val inBatch = mutable.Set.empty[String]
     val batchConcats = mutable.Set.empty[String]
@@ -203,5 +218,27 @@ object BpeTrainer {
     // Re-assert prefix shape: tail filtering by a single threshold on a
     // desc-sorted buffer removes a suffix, so kept is still a prefix.
     kept.map { case (a, b, _) => (a, b) }.toSeq
+  }
+
+  /** Approximate greedy selection: up to `maxBatch` symbol-disjoint
+    * pairs in frequency order, skipping conflicts and continuing.
+    * Disjoint merges commute, so applying them in rank order is
+    * well-defined; no equivalence claim (see [[train]]'s scaladoc).
+    */
+  private def selectBatchGreedy(rows: IndexedSeq[(String, String, Long)],
+      maxBatch: Int): Seq[(String, String)] = {
+    val picked = mutable.Buffer.empty[(String, String)]
+    val inBatch = mutable.Set.empty[String]
+    var i = 0
+    while (i < rows.length && picked.size < maxBatch) {
+      val (a, b, _) = rows(i)
+      if (!inBatch(a) && !inBatch(b)) {
+        picked += ((a, b))
+        inBatch += a
+        inBatch += b
+      }
+      i += 1
+    }
+    picked.toSeq
   }
 }

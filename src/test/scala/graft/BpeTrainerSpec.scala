@@ -183,6 +183,31 @@ class BpeTrainerSpec extends SparkSuite {
         s"produces $trained — update BpeMerges to the trained table")
   }
 
+  test("approximate greedy mode: skip-and-continue, big batches, sane table") {
+    // selection: conflicts are skipped, not batch-closing
+    val rows = IndexedSeq(
+      ("a", "b", 20L), ("b", "c", 15L), ("d", "e", 11L), ("e", "f", 10L),
+      ("x", "y", 9L))
+    assert(BpeTrainer.selectBatch(rows, Set("a", "b", "c", "d", "e", "f", "x", "y"),
+      maxBatch = 16, windowFull = false, exact = false) ==
+      Seq(("a", "b"), ("d", "e"), ("x", "y")))
+    // maxBatch = 1 degenerates to the exact argmax in either mode
+    val docs = Tables.documents(spark, sf0001)
+    assert(BpeTrainer.train(docs, "text", 5, maxBatch = 1, exact = false) ==
+      BpeTrainer.train(docs, "text", 5, maxBatch = 1))
+    // big batches: far fewer passes, and the learned table stays close
+    // to the exact one (approximation shows up deep in the table, not
+    // at the high-frequency head)
+    val (approx, passes) = BpeTrainer.trainWithPasses(
+      docs, "text", 20, maxBatch = 16, exact = false)
+    val exactRules = BpeTrainer.train(docs, "text", 20)
+    assert(passes <= 4, s"approximate mode still ran $passes passes")
+    assert(approx.size == 20 && approx.distinct.size == 20)
+    val overlap = approx.toSet.intersect(exactRules.toSet).size / 20.0
+    info(f"approximate/exact rule overlap at 20 rules: $overlap%.2f")
+    assert(overlap >= 0.5, s"approximate table diverged too far: $overlap")
+  }
+
   test("training stops early when nothing repeats") {
     // every adjacent pair occurs exactly once -> no mergeable pair
     val df = Seq("ab", "cd", "ef").toDF("text")

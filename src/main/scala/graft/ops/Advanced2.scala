@@ -53,11 +53,13 @@ object Advanced2 {
   }
 
   /** Shared coarse-quantizer affinity table — (vec_id, c_id, ca,
-    * crank): every vector × the 16 seed centroids, cosine-ranked per
-    * vector. ONE broadcast join + window over the fleet, materialized
-    * per session ([[graft.Shared]]): q49 probes it for IVF search and
-    * q140 reuses it for the composed IVF+ADC read path — the same
-    * reuse seam as the MinHash base (q32/q57) and pqAssign (q108/q109).
+    * crank): every vector × the 16 TRAINED coarse centroids
+    * ([[Quantizer.ivfCentroids]]: Lloyd-trained from the first-16 seeds,
+    * decimal-exact, oracle-replayed), cosine-ranked per vector. ONE
+    * broadcast join + window over the fleet, materialized per session
+    * ([[graft.Shared]]): q49 probes it for IVF search and q140 reuses it
+    * for the composed IVF+ADC read path — the same reuse seam as the
+    * MinHash base (q32/q57) and pqAssign (q108/q109).
     */
   private[ops] def ivfAffinity(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
@@ -66,8 +68,8 @@ object Advanced2 {
       CosineSim.register(s)
       val e = Tables.embeddings(s, d).select(col("vec_id"),
         graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
-      val cent = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val cent = Quantizer.ivfCentroids(s, d)
+        .select(col("cid").as("c_id"), col("cv"))
       val wAff = Window.partitionBy(col("vec_id")).orderBy(col("ca").desc, col("c_id"))
       e.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("c_id"),
@@ -75,18 +77,19 @@ object Advanced2 {
         .withColumn("crank", row_number().over(wAff))
     }
 
-  /** IVF-style ANN: 16 coarse centroids (first 16 embeddings as a
-    * deterministic stand-in for trained centroids), every vector assigned
-    * to its nearest centroid (inverted lists), queries probe their 2
-    * nearest lists only, exact cosine re-rank inside the probed lists.
-    * At 100 TB the candidate scan shrinks by ~centroids/nprobe; the
-    * assignment pass is one broadcast join over the fleet (session-
-    * shared [[ivfAffinity]]).
+  /** IVF-style ANN: 16 TRAINED coarse centroids (Lloyd over the fleet,
+    * seeded from the first 16 embeddings — [[Quantizer.ivfCentroids]]),
+    * every vector assigned to its nearest centroid (inverted lists),
+    * queries probe their 2 nearest lists only, exact cosine re-rank
+    * inside the probed lists. At 100 TB the candidate scan shrinks by
+    * ~centroids/nprobe; the assignment pass is one broadcast join over
+    * the fleet (session-shared [[ivfAffinity]]).
     */
   val annIvf = Q(
     "q49_ann_ivf",
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |${Quantizer.centroidTrainCtes(16)},
+      |cent AS (SELECT cid AS c_id, cv FROM ${Quantizer.centFinal}),
       |aff AS (
       |  SELECT e.vec_id, c_id,
       |    ROUND(list_dot_product(v, cv)

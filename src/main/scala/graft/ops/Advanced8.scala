@@ -373,157 +373,143 @@ object Advanced8 {
       .orderBy(col("event_type"))
   }
 
+  /** Micro-unit sub-block distance ||x - c||² as a BIGINT — `x`/`c` name
+    * 16-dim array<double> columns (a vector block and its trained
+    * sub-centroid from [[Quantizer.pqCodebook]]). Identical text on both
+    * engines modulo the dot product spelling (graft_dot /
+    * list_dot_product — both sequential folds, parity proven by q80).
+    */
+  private def distMicroSql(x: String, c: String, dot: String): String =
+    s"CAST(ROUND(($dot($x, $x) - 2 * $dot($x, $c) + $dot($c, $c)) * 1000000) AS BIGINT)"
+
+  private def embV(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    Tables.embeddings(s, d).select(col("vec_id"),
+      graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+  }
+
+  /** Per-(vector, block) packed minima mk = dist_micro·100 + cid over the
+    * TRAINED sub-codebooks (the PQ assignment table) — computed once per
+    * session via [[graft.Shared]] (q108 reports it, q109/q140 search over
+    * it; one corpus encode feeds all three, the same reuse seam as the
+    * q32/q57 MinHash base). Packing (micro-dist, cid) into one BIGINT
+    * (cid < 100 by construction) makes MIN() the lexicographic winner —
+    * bit-identical in both engines, no struct aggregate needed.
+    */
+  private def pqAssign(s: SparkSession, d: String): DataFrame =
+    graft.Shared.materialized(s, s"pq-assign@$d") {
+      val sub = Quantizer.subBlocks(embV(s, d))
+      sub.join(broadcast(Quantizer.pqCodebook(s, d)), Seq("b"))
+        .select(col("vec_id"), col("b"),
+          (expr(distMicroSql("sv", "cv", "graft_dot")) * 100 + col("cid")).as("pk"))
+        .groupBy(col("vec_id"), col("b"))
+        .agg(min(col("pk")).as("mk"))
+    }
+
+  /** Shared oracle CTE: packed per-(vector, block) candidate distances
+    * over the trained codebook — expects `sub` and [[Quantizer.pqFinal]]
+    * from [[Quantizer.pqTrainCtes]] upstream.
+    */
+  private def pqPkCteSql: String =
+    s"""pk AS (
+       |  SELECT s.vec_id, s.b, ${distMicroSql("sv", "cv", "list_dot_product")} * 100 + cid AS pk
+       |  FROM sub s JOIN ${Quantizer.pqFinal} USING (b))""".stripMargin
+
   /** Product-quantization encoding — the ANN compression layer between
     * q49's IVF partitioner and q34's exact scan: the 64-dim space splits
     * into 4 sub-blocks of 16, each block quantizes independently against
-    * an 8-entry codebook (first-8 seed vectors, as in q80/q49), and every
-    * vector reduces to 4 one-byte codes + its quantization error. One
-    * broadcast of the codebook, one scan, map-side argmin — at fleet
-    * scale the encoded corpus is 4 bytes/vector instead of 256, which is
-    * what makes in-memory ADC scans possible. Per-block argmin packs
-    * (micro-dist, cid) into one BIGINT (cid < 100 by construction) so
-    * MIN() is the lexicographic winner — bit-identical in both engines,
-    * no struct aggregate needed.
+    * its TRAINED 8-entry sub-codebook ([[Quantizer.pqCodebook]]: Lloyd-
+    * trained from the first-8 seeds, decimal-exact and oracle-replayed),
+    * and every vector reduces to 4 one-byte codes + its quantization
+    * error. One broadcast of the codebook, one scan, map-side argmin — at
+    * fleet scale the encoded corpus is 4 bytes/vector instead of 256,
+    * which is what makes in-memory ADC scans possible.
     */
-  /** Micro-unit block distance ||x_b - c_b||² as a BIGINT, shared by the
-    * PQ queries: `x`/`c` name array<double> columns, block b spans dims
-    * [16b+1, 16b+16]. Identical text on both engines modulo the dot
-    * product spelling (graft_dot / list_dot_product — both sequential
-    * folds, parity proven by q80).
-    */
-  private def blockDistMicroSql(b: Int, x: String, c: String, dot: String): String = {
-    val lo = 16 * b + 1
-    val sliceX = if (dot == "list_dot_product") s"$x[$lo:${lo + 15}]" else s"slice($x, $lo, 16)"
-    val sliceC = if (dot == "list_dot_product") s"$c[$lo:${lo + 15}]" else s"slice($c, $lo, 16)"
-    s"CAST(ROUND(($dot($sliceX, $sliceX) - 2 * $dot($sliceX, $sliceC)" +
-      s" + $dot($sliceC, $sliceC)) * 1000000) AS BIGINT)"
-  }
-
-  /** Embeddings as double vectors + the first-8 seed codebook. */
-  private def pqBase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    graft.functions.DotProduct.register(s)
-    val e = Tables.embeddings(s, d)
+  val pqEncode = Q(
+    "q108_pq_encode",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${Quantizer.pqTrainCtes(8)},
+       |$pqPkCteSql,
+       |mk AS (SELECT vec_id, b, MIN(pk) AS mk FROM pk GROUP BY vec_id, b),
+       |m AS (
+       |  SELECT vec_id,
+       |    MIN(CASE WHEN b = 0 THEN mk END) AS m0, MIN(CASE WHEN b = 1 THEN mk END) AS m1,
+       |    MIN(CASE WHEN b = 2 THEN mk END) AS m2, MIN(CASE WHEN b = 3 THEN mk END) AS m3
+       |  FROM mk GROUP BY vec_id)
+       |SELECT vec_id,
+       |  CAST(m0 % 100 AS INTEGER) AS c0, CAST(m1 % 100 AS INTEGER) AS c1,
+       |  CAST(m2 % 100 AS INTEGER) AS c2, CAST(m3 % 100 AS INTEGER) AS c3,
+       |  (m0 // 100 + m1 // 100 + m2 // 100 + m3 // 100) / 1000000.0 AS err
+       |FROM m ORDER BY vec_id""".stripMargin) { (s, d) =>
+    pqAssign(s, d)
+      .groupBy(col("vec_id"))
+      .agg(min(when(col("b") === 0, col("mk"))).as("m0"),
+        min(when(col("b") === 1, col("mk"))).as("m1"),
+        min(when(col("b") === 2, col("mk"))).as("m2"),
+        min(when(col("b") === 3, col("mk"))).as("m3"))
       .select(col("vec_id"),
-        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
-    val c = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
-    (e, c)
-  }
-
-  /** Per-vector packed block minima m0..m3 (the PQ assignment table) —
-    * computed once per session via [[graft.Shared]] (q108 reports it,
-    * q109 searches over it; one corpus encode feeds both, the same reuse
-    * seam as the q32/q57 MinHash base).
-    */
-  private def pqAssign(s: SparkSession, d: String)(
-      base: => (DataFrame, DataFrame)): DataFrame =
-    graft.Shared.materialized(s, s"pq-assign@$d") {
-      val (e, c) = base
-      def packed(b: Int): Column =
-        expr(blockDistMicroSql(b, "v", "cv", "graft_dot")) * 100 + col("cid")
-      e.crossJoin(broadcast(c))
-        .groupBy(col("vec_id"))
-        .agg(min(packed(0)).as("m0"), min(packed(1)).as("m1"),
-          min(packed(2)).as("m2"), min(packed(3)).as("m3"))
-    }
-
-  val pqEncode = {
-    def sql(b: Int): String =
-      blockDistMicroSql(b, "v", "cv", "list_dot_product") + s" * 100 + cid AS p$b"
-    Q(
-      "q108_pq_encode",
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < 8),
-         |p AS (
-         |  SELECT e.vec_id, ${(0 until 4).map(sql).mkString(",\n")}
-         |  FROM e CROSS JOIN c),
-         |m AS (SELECT vec_id, MIN(p0) AS m0, MIN(p1) AS m1, MIN(p2) AS m2, MIN(p3) AS m3
-         |      FROM p GROUP BY vec_id)
-         |SELECT vec_id,
-         |  CAST(m0 % 100 AS INTEGER) AS c0, CAST(m1 % 100 AS INTEGER) AS c1,
-         |  CAST(m2 % 100 AS INTEGER) AS c2, CAST(m3 % 100 AS INTEGER) AS c3,
-         |  (m0 // 100 + m1 // 100 + m2 // 100 + m3 // 100) / 1000000.0 AS err
-         |FROM m ORDER BY vec_id""".stripMargin) { (s, d) =>
-      pqAssign(s, d)(pqBase(s, d))
-        .select(col("vec_id"),
-          (col("m0") % 100).cast("int").as("c0"), (col("m1") % 100).cast("int").as("c1"),
-          (col("m2") % 100).cast("int").as("c2"), (col("m3") % 100).cast("int").as("c3"),
-          (expr("m0 DIV 100 + m1 DIV 100 + m2 DIV 100 + m3 DIV 100") / 1000000.0).as("err"))
-        .orderBy(col("vec_id"))
-    }
+        (col("m0") % 100).cast("int").as("c0"), (col("m1") % 100).cast("int").as("c1"),
+        (col("m2") % 100).cast("int").as("c2"), (col("m3") % 100).cast("int").as("c3"),
+        (expr("m0 DIV 100 + m1 DIV 100 + m2 DIV 100 + m3 DIV 100") / 1000000.0).as("err"))
+      .orderBy(col("vec_id"))
   }
 
   /** ADC (asymmetric-distance) top-k over the PQ codes — the search that
     * makes q108's compression useful: each query precomputes its 8×4
-    * block-distance table to the codebook (a tiny broadcast), and every
-    * candidate's approximate distance is FOUR table lookups summed over
-    * its codes — the scan never touches raw vectors. Distances stay in
-    * integer micro-units end to end, so ranking ties break identically
+    * block-distance table to the trained codebook (a tiny broadcast), and
+    * every candidate's approximate distance is FOUR table lookups summed
+    * over its codes — the scan never touches raw vectors. Distances stay
+    * in integer micro-units end to end, so ranking ties break identically
     * in both engines. At fleet scale: codes are 4 bytes/vector, the
     * distance table is queries×8×4 longs, and the whole search is one
     * broadcast-join + partial-agg'd top-k — no vector I/O at all.
     */
-  val pqAdcSearch = {
-    def dtabSql(b: Int): String =
-      s"SELECT qid, cid, $b AS b, " +
-        blockDistMicroSql(b, "qv", "cv", "list_dot_product") + " AS dm FROM q CROSS JOIN c"
-    Q(
-      "q109_pq_adc_search",
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < 8),
-         |p AS (
-         |  SELECT e.vec_id, ${(0 until 4).map(b =>
-              blockDistMicroSql(b, "v", "cv", "list_dot_product") + s" * 100 + cid AS p$b")
-              .mkString(",\n")}
-         |  FROM e CROSS JOIN c),
-         |m AS (SELECT vec_id, MIN(p0) AS m0, MIN(p1) AS m1, MIN(p2) AS m2, MIN(p3) AS m3
-         |      FROM p GROUP BY vec_id),
-         |codes AS (
-         |  SELECT vec_id, 0 AS b, CAST(m0 % 100 AS INTEGER) AS code FROM m
-         |  UNION ALL SELECT vec_id, 1, CAST(m1 % 100 AS INTEGER) FROM m
-         |  UNION ALL SELECT vec_id, 2, CAST(m2 % 100 AS INTEGER) FROM m
-         |  UNION ALL SELECT vec_id, 3, CAST(m3 % 100 AS INTEGER) FROM m),
-         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
-         |dtab AS (${(0 until 4).map(dtabSql).mkString("\n  UNION ALL ")}),
-         |ad AS (
-         |  SELECT d.qid, cd.vec_id AS cand, CAST(SUM(d.dm) AS BIGINT) AS adist_micro
-         |  FROM codes cd JOIN dtab d ON d.b = cd.b AND d.cid = cd.code
-         |  GROUP BY d.qid, cd.vec_id),
-         |r AS (
-         |  SELECT qid, cand, adist_micro,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
-         |      ORDER BY adist_micro, cand) AS INTEGER) AS rnk
-         |  FROM ad QUALIFY rnk <= 3)
-         |SELECT qid, rnk, cand, adist_micro / 1000000.0 AS approx_dist
-         |FROM r ORDER BY qid, rnk""".stripMargin) { (s, d) =>
-      val (e, c) = pqBase(s, d)
-      val m = pqAssign(s, d)((e, c))
-      val codes = (0 until 4).map(b =>
-        m.select(col("vec_id"), lit(b).as("b"),
-          (col(s"m$b") % 100).cast("int").as("code"))).reduce(_ union _)
-      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
-      val joined = q.crossJoin(broadcast(c))
-      val dtab = (0 until 4).map(b =>
-        joined.select(col("qid"), col("cid"), lit(b).as("b"),
-          expr(blockDistMicroSql(b, "qv", "cv", "graft_dot")).as("dm"))).reduce(_ union _)
-      val ad = codes.as("cd")
-        .join(broadcast(dtab.as("dt")),
-          col("cd.b") === col("dt.b") && col("cd.code") === col("dt.cid"))
-        .groupBy(col("dt.qid").as("qid"), col("cd.vec_id").as("cand"))
-        .agg(sum(col("dt.dm")).as("adist_micro"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("adist_micro"), col("cand"))
-      ad.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("qid"), col("rnk"), col("cand"),
-          (col("adist_micro") / 1000000.0).as("approx_dist"))
-        .orderBy(col("qid"), col("rnk"))
-    }
+  val pqAdcSearch = Q(
+    "q109_pq_adc_search",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${Quantizer.pqTrainCtes(8)},
+       |$pqPkCteSql,
+       |codes AS (SELECT vec_id, b, CAST(MIN(pk) % 100 AS INTEGER) AS code
+       |          FROM pk GROUP BY vec_id, b),
+       |dtab AS (
+       |  SELECT s.vec_id AS qid, b, cid,
+       |    ${distMicroSql("sv", "cv", "list_dot_product")} AS dm
+       |  FROM sub s JOIN ${Quantizer.pqFinal} USING (b) WHERE s.vec_id < 5),
+       |ad AS (
+       |  SELECT d.qid, cd.vec_id AS cand, CAST(SUM(d.dm) AS BIGINT) AS adist_micro
+       |  FROM codes cd JOIN dtab d ON d.b = cd.b AND d.cid = cd.code
+       |  GROUP BY d.qid, cd.vec_id),
+       |r AS (
+       |  SELECT qid, cand, adist_micro,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY adist_micro, cand) AS INTEGER) AS rnk
+       |  FROM ad QUALIFY rnk <= 3)
+       |SELECT qid, rnk, cand, adist_micro / 1000000.0 AS approx_dist
+       |FROM r ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    val codes = pqAssign(s, d)
+      .select(col("vec_id"), col("b"), (col("mk") % 100).cast("int").as("code"))
+    val dtab = Quantizer.subBlocks(embV(s, d)).filter(col("vec_id") < 5)
+      .join(broadcast(Quantizer.pqCodebook(s, d)), Seq("b"))
+      .select(col("vec_id").as("qid"), col("b"), col("cid"),
+        expr(distMicroSql("sv", "cv", "graft_dot")).as("dm"))
+    val ad = codes.as("cd")
+      .join(broadcast(dtab.as("dt")),
+        col("cd.b") === col("dt.b") && col("cd.code") === col("dt.cid"))
+      .groupBy(col("dt.qid").as("qid"), col("cd.vec_id").as("cand"))
+      .agg(sum(col("dt.dm")).as("adist_micro"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist_micro"), col("cand"))
+    ad.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("cand"),
+        (col("adist_micro") / 1000000.0).as("approx_dist"))
+      .orderBy(col("qid"), col("rnk"))
   }
 
   /** The PRODUCTION ANN read path: IVF coarse probing composed with ADC
-    * scanning — q49 (probe the nprobe nearest inverted lists) feeding
-    * q109 (rank candidates by table-lookup distance over 4-byte PQ
-    * codes). Neither half alone is the real shape: IVF with exact
+    * scanning — q49 (probe the nprobe nearest inverted lists, over the
+    * TRAINED coarse centroids) feeding q109 (rank candidates by
+    * table-lookup distance over 4-byte PQ codes from the TRAINED
+    * sub-codebooks). Neither half alone is the real shape: IVF with exact
     * re-rank still reads raw vectors for every candidate; ADC without
     * IVF scans every code in the fleet. Composed, a query touches
     * nprobe/nlists of the corpus AND only its codes — the scan is
@@ -536,91 +522,76 @@ object Advanced8 {
     * PLANS.md carries the plan showing the code scan joins the
     * candidate list, never the full corpus.
     */
-  val ivfAdcSearch = {
-    def dtabSql(b: Int): String =
-      s"SELECT qid, cid, $b AS b, " +
-        blockDistMicroSql(b, "qv", "cv", "list_dot_product") + " AS dm FROM q CROSS JOIN c"
-    Q(
-      "q140_ivf_adc_search",
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS c_id, v AS centv FROM e WHERE vec_id < 16),
-         |aff AS (
-         |  SELECT e.vec_id, c_id,
-         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ROUND(list_dot_product(v, centv)
-         |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centv, centv))), 6)
-         |        DESC, c_id) AS crank
-         |  FROM e, cent),
-         |assigned AS (SELECT vec_id, c_id FROM aff WHERE crank = 1),
-         |probes AS (SELECT vec_id AS qid, c_id FROM aff WHERE crank <= 2 AND vec_id < 5),
-         |candp AS (
-         |  SELECT DISTINCT p.qid, a.vec_id AS cand
-         |  FROM probes p JOIN assigned a ON p.c_id = a.c_id AND a.vec_id <> p.qid),
-         |c AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < 8),
-         |p AS (
-         |  SELECT e.vec_id, ${(0 until 4).map(b =>
-              blockDistMicroSql(b, "v", "cv", "list_dot_product") + s" * 100 + cid AS p$b")
-              .mkString(",\n")}
-         |  FROM e CROSS JOIN c),
-         |m AS (SELECT vec_id, MIN(p0) AS m0, MIN(p1) AS m1, MIN(p2) AS m2, MIN(p3) AS m3
-         |      FROM p GROUP BY vec_id),
-         |codes AS (
-         |  SELECT vec_id, 0 AS b, CAST(m0 % 100 AS INTEGER) AS code FROM m
-         |  UNION ALL SELECT vec_id, 1, CAST(m1 % 100 AS INTEGER) FROM m
-         |  UNION ALL SELECT vec_id, 2, CAST(m2 % 100 AS INTEGER) FROM m
-         |  UNION ALL SELECT vec_id, 3, CAST(m3 % 100 AS INTEGER) FROM m),
-         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
-         |dtab AS (${(0 until 4).map(dtabSql).mkString("\n  UNION ALL ")}),
-         |ad AS (
-         |  SELECT x.qid, x.cand, CAST(SUM(d.dm) AS BIGINT) AS adist_micro
-         |  FROM candp x
-         |  JOIN codes cd ON cd.vec_id = x.cand
-         |  JOIN dtab d ON d.qid = x.qid AND d.b = cd.b AND d.cid = cd.code
-         |  GROUP BY x.qid, x.cand),
-         |r AS (
-         |  SELECT qid, cand, adist_micro,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
-         |      ORDER BY adist_micro, cand) AS INTEGER) AS rnk
-         |  FROM ad QUALIFY rnk <= 3)
-         |SELECT qid, rnk, cand, adist_micro / 1000000.0 AS approx_dist
-         |FROM r ORDER BY qid, rnk""".stripMargin) { (s, d) =>
-      graft.functions.CosineSim.register(s)
-      val (e, c) = pqBase(s, d)
-      // IVF half: the session-shared coarse affinity (q49's base)
-      val aff = Advanced2.ivfAffinity(s, d)
-      val assigned = aff.filter(col("crank") === 1).select(col("vec_id"), col("c_id"))
-      val probes = aff.filter(col("crank") <= 2 && col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("c_id").as("probe_c_id"))
-      val candp = broadcast(probes)
-        .join(assigned.as("a"),
-          col("probe_c_id") === col("a.c_id") && col("a.vec_id") =!= col("qid"))
-        .select(col("qid"), col("a.vec_id").as("cand")).distinct()
-      // ADC half (q109's shape) — but the code scan joins the CANDIDATE
-      // list first, so only probed lists' codes reach the lookup join
-      val m = pqAssign(s, d)((e, c))
-      val codes = (0 until 4).map(b =>
-        m.select(col("vec_id"), lit(b).as("b"),
-          (col(s"m$b") % 100).cast("int").as("code"))).reduce(_ union _)
-      val joined = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("dqid"), col("v").as("qv"))
-        .crossJoin(broadcast(c))
-      val dtab = (0 until 4).map(b =>
-        joined.select(col("dqid"), col("cid"), lit(b).as("db"),
-          expr(blockDistMicroSql(b, "qv", "cv", "graft_dot")).as("dm"))).reduce(_ union _)
-      val ad = candp.as("x")
-        .join(codes.as("cd"), col("cd.vec_id") === col("x.cand"))
-        .join(broadcast(dtab),
-          col("dqid") === col("x.qid") && col("db") === col("cd.b") &&
-            col("cid") === col("cd.code"))
-        .groupBy(col("x.qid").as("qid"), col("x.cand").as("cand"))
-        .agg(sum(col("dm")).as("adist_micro"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("adist_micro"), col("cand"))
-      ad.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("qid"), col("rnk"), col("cand"),
-          (col("adist_micro") / 1000000.0).as("approx_dist"))
-        .orderBy(col("qid"), col("rnk"))
-    }
+  val ivfAdcSearch = Q(
+    "q140_ivf_adc_search",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${Quantizer.centroidTrainCtes(16)},
+       |cent AS (SELECT cid AS c_id, cv AS centv FROM ${Quantizer.centFinal}),
+       |aff AS (
+       |  SELECT e.vec_id, c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(list_dot_product(v, centv)
+       |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centv, centv))), 6)
+       |        DESC, c_id) AS crank
+       |  FROM e, cent),
+       |assigned AS (SELECT vec_id, c_id FROM aff WHERE crank = 1),
+       |probes AS (SELECT vec_id AS qid, c_id FROM aff WHERE crank <= 2 AND vec_id < 5),
+       |candp AS (
+       |  SELECT DISTINCT p.qid, a.vec_id AS cand
+       |  FROM probes p JOIN assigned a ON p.c_id = a.c_id AND a.vec_id <> p.qid),
+       |${Quantizer.pqTrainCtes(8)},
+       |$pqPkCteSql,
+       |codes AS (SELECT vec_id, b, CAST(MIN(pk) % 100 AS INTEGER) AS code
+       |          FROM pk GROUP BY vec_id, b),
+       |dtab AS (
+       |  SELECT s.vec_id AS qid, b, cid,
+       |    ${distMicroSql("sv", "cv", "list_dot_product")} AS dm
+       |  FROM sub s JOIN ${Quantizer.pqFinal} USING (b) WHERE s.vec_id < 5),
+       |ad AS (
+       |  SELECT x.qid, x.cand, CAST(SUM(d.dm) AS BIGINT) AS adist_micro
+       |  FROM candp x
+       |  JOIN codes cd ON cd.vec_id = x.cand
+       |  JOIN dtab d ON d.qid = x.qid AND d.b = cd.b AND d.cid = cd.code
+       |  GROUP BY x.qid, x.cand),
+       |r AS (
+       |  SELECT qid, cand, adist_micro,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY adist_micro, cand) AS INTEGER) AS rnk
+       |  FROM ad QUALIFY rnk <= 3)
+       |SELECT qid, rnk, cand, adist_micro / 1000000.0 AS approx_dist
+       |FROM r ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    graft.functions.CosineSim.register(s)
+    // IVF half: the session-shared coarse affinity over trained centroids
+    // (q49's base)
+    val aff = Advanced2.ivfAffinity(s, d)
+    val assigned = aff.filter(col("crank") === 1).select(col("vec_id"), col("c_id"))
+    val probes = aff.filter(col("crank") <= 2 && col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("c_id").as("probe_c_id"))
+    val candp = broadcast(probes)
+      .join(assigned.as("a"),
+        col("probe_c_id") === col("a.c_id") && col("a.vec_id") =!= col("qid"))
+      .select(col("qid"), col("a.vec_id").as("cand")).distinct()
+    // ADC half (q109's shape) — but the code scan joins the CANDIDATE
+    // list first, so only probed lists' codes reach the lookup join
+    val codes = pqAssign(s, d)
+      .select(col("vec_id"), col("b"), (col("mk") % 100).cast("int").as("code"))
+    val dtab = Quantizer.subBlocks(embV(s, d)).filter(col("vec_id") < 5)
+      .join(broadcast(Quantizer.pqCodebook(s, d)), Seq("b"))
+      .select(col("vec_id").as("dqid"), col("b").as("db"), col("cid"),
+        expr(distMicroSql("sv", "cv", "graft_dot")).as("dm"))
+    val ad = candp.as("x")
+      .join(codes.as("cd"), col("cd.vec_id") === col("x.cand"))
+      .join(broadcast(dtab),
+        col("dqid") === col("x.qid") && col("db") === col("cd.b") &&
+          col("cid") === col("cd.code"))
+      .groupBy(col("x.qid").as("qid"), col("x.cand").as("cand"))
+      .agg(sum(col("dm")).as("adist_micro"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist_micro"), col("cand"))
+    ad.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("cand"),
+        (col("adist_micro") / 1000000.0).as("approx_dist"))
+      .orderBy(col("qid"), col("rnk"))
   }
 
   /** Fuzzy join via SYMMETRIC-DELETE blocking (the SymSpell shape):

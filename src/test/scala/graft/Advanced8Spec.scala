@@ -73,8 +73,8 @@ class Advanced8Spec extends SparkSuite {
       .select($"qid", $"cand").collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val recalls = exact.map { case (qid, ex) => adc(qid).intersect(ex).size / 3.0 }
-    // every query finds at least one true neighbor through 4-byte codes;
-    // measured mean 0.53 at sf0.001 (0.47 at sf0.01) with the 8-entry codebook
+    info(f"q109 mean recall@3: ${recalls.sum / recalls.size}%.3f")
+    // every query finds at least one true neighbor through 4-byte codes
     assert(recalls.forall(_ >= 1.0 / 3), recalls.toString)
     assert(recalls.sum / recalls.size >= 0.4, s"mean recall ${recalls.sum / recalls.size}")
   }
@@ -88,8 +88,10 @@ class Advanced8Spec extends SparkSuite {
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val e = Tables.embeddings(spark, sf0001)
       .select($"vec_id", VectorFunctions.asDouble($"embedding").as("v"))
-    // recompute the coarse quantizer the way q49/q140 define it
-    val cent = e.filter($"vec_id" < 16).select($"vec_id".as("c_id"), $"v".as("cv"))
+    // recompute the coarse quantizer the way q49/q140 define it — over
+    // the TRAINED centroids (Quantizer.ivfCentroids, Lloyd from 16 seeds)
+    val cent = graft.ops.Quantizer.ivfCentroids(spark, sf0001)
+      .select($"cid".cast("long").as("c_id"), $"cv")
     val wAff = org.apache.spark.sql.expressions.Window
       .partitionBy($"vec_id").orderBy($"ca".desc, $"c_id")
     val aff = e.crossJoin(cent)
@@ -119,15 +121,25 @@ class Advanced8Spec extends SparkSuite {
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val recalls = exact.map { case (qid, ex) =>
       res.getOrElse(qid, Set.empty).intersect(ex).size / 3.0 }
-    info(f"q140 mean recall@3: ${recalls.sum / recalls.size}%.3f")
-    // measured 0.267 at sf0.001 (49-vector corpus, 16 seed centroids, 2
-    // probes, 8-entry codebook): both approximations stack, and one
-    // query's true neighbors all live outside its probed lists at this
-    // toy scale. The guard is against DEGENERATION (a broken join would
-    // score 0 everywhere), not a quality bar — production tables tune
-    // nlist/nprobe/codebook to the corpus.
-    assert(recalls.sum / recalls.size >= 0.25,
-      s"IVF+ADC recall degenerate: $recalls")
+    // the PROBE CEILING: what exact re-rank inside the probed lists could
+    // recover — the IVF confinement's own recall cap, which no codebook
+    // can exceed. The ADC bar below is relative to this ceiling, so it
+    // measures code quality, not probe luck.
+    val ceilings = exact.map { case (qid, ex) =>
+      ex.count(c => probes(qid).contains(assigned(c))) / 3.0 }
+    val meanR = recalls.sum / recalls.size
+    val meanC = ceilings.sum / ceilings.size
+    info(f"q140 mean recall@3: $meanR%.3f (probe ceiling $meanC%.3f)")
+    // Measured 0.333 vs ceiling 0.800 with the trained quantizers
+    // (round 6; 0.267 with the seed stand-ins). The testdata embeddings
+    // are ISOTROPIC unit vectors (no cluster structure — verified: per-dim
+    // σ≈1/√64, unit norms), so code discrimination is bounded by distance
+    // concentration no matter the codebook; QuantizerSpec demonstrates the
+    // training lift on a corpus that HAS structure. The bars here guard
+    // degeneration, absolutely and relative to the probe ceiling.
+    assert(meanR >= 0.3, s"IVF+ADC recall degenerate: $recalls")
+    assert(meanR >= 0.3 * meanC,
+      f"ADC ranking recovers too little of the probe ceiling: $meanR%.3f vs $meanC%.3f")
   }
 
   test("graft_deletions: neighborhood contents and the distance-1 blocking guarantee") {

@@ -124,10 +124,15 @@ object CorpusPipeline {
     } else {
       functions.CosineSim.register(spark)
       val alive = purged.select(col("doc_id").as("vec_id"))
-      val e = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v"))
-        .join(alive, Seq("vec_id")) // confine pairs to surviving docs
+      // hot-cluster guard (same shape as the LSH band joins): one huge
+      // embedding cluster would fan O(n²) cosine pairs — cap membership
+      // per cluster label before the self-join; drops are observed+logged
+      val e = ops.LshGuard.capBuckets(spark,
+        Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+          .join(alive, Seq("vec_id")), // confine pairs to surviving docs
+        Seq("label"), "vec_id", tag = "semdedup")
       val drops = e.select(col("label").as("la"), col("vec_id").as("ida"), col("v").as("va"))
         .join(e.select(col("label").as("lb"), col("vec_id").as("idb"), col("v").as("vb")),
           col("la") === col("lb") && col("ida") < col("idb"))

@@ -30,7 +30,7 @@ object Advanced3 {
       """,
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-      |  FROM bands a JOIN bands b
+      |  FROM bcap a JOIN bcap b
       |    ON a.b = b.b AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
       |inter AS (

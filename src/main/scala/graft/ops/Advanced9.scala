@@ -31,7 +31,7 @@ object Advanced9 {
     """,
       |edges AS (
       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-      |  FROM bands a JOIN bands b
+      |  FROM bcap a JOIN bcap b
       |    ON a.b = b.b AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id)""".stripMargin
 
   /** Unigram-LM commonness score — the cheap shape of perplexity-based

@@ -211,7 +211,7 @@ object DedupClusters {
       """,
       |edges AS (
       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-      |  FROM bands a JOIN bands b
+      |  FROM bcap a JOIN bcap b
       |    ON a.b = b.b AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id),
       |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
       |deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY src),

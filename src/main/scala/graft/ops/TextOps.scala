@@ -139,8 +139,13 @@ object TextOps {
           element_at(col("sig"), 2 * b + 2).as("s2"))): _*)
       val bands = sigs.select(col("doc_id"), posexplode(bandStructs).as(Seq("b", "bs")))
         .select(col("doc_id"), col("b"), col("bs.s1").as("s1"), col("bs.s2").as("s2"))
-      bands.as("a")
-        .join(bands.as("b"),
+      // hot-bucket guard: a degenerate band signature (boilerplate
+      // template shared corpus-wide) would make this self-join quadratic
+      // inside its bucket — cap membership, with observed drop counts
+      val capped = LshGuard.capBuckets(s, bands, Seq("b", "s1", "s2"),
+        "doc_id", tag = "minhash")
+      capped.as("a")
+        .join(capped.as("b"),
           col("a.b") === col("b.b") && col("a.s1") === col("b.s1") &&
             col("a.s2") === col("b.s2") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -172,7 +177,10 @@ object TextOps {
       |  FROM h GROUP BY doc_id),
       |bands AS (
       |  SELECT doc_id, b, sig[2*b+1] AS s1, sig[2*b+2] AS s2
-      |  FROM sigs, (SELECT unnest(range(0, 8)) AS b))""".stripMargin)
+      |  FROM sigs, (SELECT unnest(range(0, 8)) AS b)),
+      |BCAP_CTE""".stripMargin)
+      .replace("BCAP_CTE", LshGuard.capCteSql("bcap", "bands",
+        Seq("doc_id", "b", "s1", "s2"), Seq("b", "s1", "s2"), "doc_id"))
       .replace("MINHASH_MINS",
         (0 until 16).map(j =>
           s"MIN((v * ${1000003L * j + 12345L} + ${777767L * j + 1L}) % 2147483647)")
@@ -190,7 +198,7 @@ object TextOps {
       """,
       |edges AS (
       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-      |  FROM bands a JOIN bands b
+      |  FROM bcap a JOIN bcap b
       |    ON a.b = b.b AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id),
       |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
       |reach AS (
@@ -205,7 +213,7 @@ object TextOps {
       """,
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-      |  FROM bands a JOIN bands b
+      |  FROM bcap a JOIN bcap b
       |    ON a.b = b.b AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id)
       |SELECT da, db,
       |  ROUND(list_sum(list_transform(range(1, 17),

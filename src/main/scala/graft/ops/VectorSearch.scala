@@ -78,7 +78,7 @@ object VectorSearch {
     */
   val annLsh = Q(
     "q35_ann_lsh_bucketed",
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |planes AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 8),
       |bits AS (
       |  SELECT e.vec_id, p_id,
@@ -88,9 +88,10 @@ object VectorSearch {
       |  SELECT vec_id, CAST(p_id // 2 AS BIGINT) AS b,
       |    CAST(SUM(bit << CAST(p_id % 2 AS INTEGER)) AS BIGINT) AS bsig
       |  FROM bits GROUP BY vec_id, p_id // 2),
+      |${LshGuard.capCteSql("bcap", "bands", Seq("vec_id", "b", "bsig"), Seq("b", "bsig"), "vec_id")},
       |cand AS (
       |  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS c_id
-      |  FROM bands qb JOIN bands cb
+      |  FROM bands qb JOIN bcap cb
       |    ON qb.b = cb.b AND qb.bsig = cb.bsig AND cb.vec_id <> qb.vec_id
       |  WHERE qb.vec_id < 10),
       |sims AS (
@@ -116,8 +117,12 @@ object VectorSearch {
       .agg(sum(expr("shiftleft(bit, CAST(p_id % 2 AS INT))")).as("bsig"))
     val qBands = bands.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("b").as("qb"), col("bsig").as("qsig"))
+    // hot-bucket guard on the corpus side (queries keep all their bands):
+    // a dominant-direction bucket can't flood every query's candidate set
+    val capped = LshGuard.capBuckets(s, bands, Seq("b", "bsig"), "vec_id",
+      tag = "annlsh")
     // OR-amplification: a pair qualifies if ANY band collides → distinct.
-    val cand = broadcast(qBands).join(bands.as("c"),
+    val cand = broadcast(qBands).join(capped.as("c"),
         col("qb") === col("c.b") && col("qsig") === col("c.bsig") &&
           col("c.vec_id") =!= col("q_id"))
       .select(col("q_id"), col("c.vec_id").as("c_id"))
@@ -151,13 +156,18 @@ object VectorSearch {
     * candidate-confined verify — q32's MinHash shape on sign bits.
     */
   def nearDupPairs(e: DataFrame, planes: DataFrame, bandBits: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, bucketCap: Int = LshGuard.BucketCap): DataFrame = {
     val bands = e.crossJoin(broadcast(planes))
       .select(col("vec_id"), col("p_id"),
         when(expr("graft_dot(v, pv)") > 0, 1).otherwise(0).as("bit"))
       .groupBy(col("vec_id"), expr(s"p_id div $bandBits").cast("long").as("b"))
       .agg(sum(expr(s"shiftleft(bit, CAST(p_id % $bandBits AS INT))")).as("bsig"))
-    val cand = bands.as("qb").join(bands.as("cb"),
+    // hot-bucket guard: embeddings clustered around a dominant direction
+    // share one (b, bsig) bucket — cap membership before the self-join so
+    // a degenerate bucket can't go quadratic (drops are observed+logged)
+    val capped = LshGuard.capBuckets(e.sparkSession, bands,
+      Seq("b", "bsig"), "vec_id", bucketCap, tag = "neardup")
+    val cand = capped.as("qb").join(capped.as("cb"),
         col("qb.b") === col("cb.b") && col("qb.bsig") === col("cb.bsig") &&
           col("qb.vec_id") < col("cb.vec_id"))
       .select(col("qb.vec_id").as("da"), col("cb.vec_id").as("db"))
@@ -178,7 +188,7 @@ object VectorSearch {
     */
   val nearDupBucketed = Q(
     "q141_neardup_bucketed",
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |planes AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 16),
       |bits AS (
       |  SELECT e.vec_id, p_id,
@@ -188,9 +198,10 @@ object VectorSearch {
       |  SELECT vec_id, CAST(p_id // 4 AS BIGINT) AS b,
       |    CAST(SUM(bit << CAST(p_id % 4 AS INTEGER)) AS BIGINT) AS bsig
       |  FROM bits GROUP BY vec_id, p_id // 4),
+      |${LshGuard.capCteSql("bcap", "bands", Seq("vec_id", "b", "bsig"), Seq("b", "bsig"), "vec_id")},
       |cand AS (
       |  SELECT DISTINCT qb.vec_id AS da, cb.vec_id AS db
-      |  FROM bands qb JOIN bands cb
+      |  FROM bcap qb JOIN bcap cb
       |    ON qb.b = cb.b AND qb.bsig = cb.bsig AND qb.vec_id < cb.vec_id)
       |SELECT da, db,
       |  ROUND(list_dot_product(a.v, b.v)

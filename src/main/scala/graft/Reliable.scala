@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage truncation for ITERATIVE operators (connected components,
+  * PageRank, BPE training), with a resilience escape hatch.
+  *
+  * `localCheckpoint(true)` stores blocks on executors — fast, but
+  * non-resilient: on a real cluster a lost executor loses blocks that
+  * have no lineage left to recompute, killing the job. Long iterative
+  * jobs are exactly where executor loss happens, so these operators
+  * honor `spark.graft.checkpointDir`: when the conf is set, batches
+  * write RELIABLE `checkpoint()`s to that (HDFS/S3) directory instead,
+  * and a lost executor re-reads from storage. Unset (the default, and
+  * every test/bench path), behavior is unchanged executor-local blocks.
+  *
+  * The SparkContext checkpoint dir is initialized lazily from the conf
+  * on first use; an explicit `sc.setCheckpointDir` made by the caller
+  * beforehand wins. (Session-lifetime caches — [[Shared]] — stay
+  * executor-local on purpose: they are rebuildable per session, and
+  * reliable checkpoint files are not reclaimed until application end.)
+  */
+object Reliable {
+
+  val ConfKey = "spark.graft.checkpointDir"
+
+  /** Truncate `df`'s lineage eagerly: reliably when [[ConfKey]] is set,
+    * executor-locally otherwise.
+    */
+  def checkpoint(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption(ConfKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(true)
+      case None =>
+        df.localCheckpoint(true)
+    }
+  }
+}

@@ -114,7 +114,7 @@ object BpeTrainer {
       .select(explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       .select(graft.ops.Advanced11.spacedSymbols(col("tok")).as("seq"), col("freq"))
-      .localCheckpoint()
+      .transform(graft.Reliable.checkpoint)
     // Exact driver-side symbol alphabet: initial distinct symbols once
     // (alphabet-sized — tiny), then every applied merge string.
     val knownSymbols = mutable.Set.empty[String]
@@ -156,7 +156,7 @@ object BpeTrainer {
         knownSymbols ++= batch.map { case (a, b) => a + b }
         sinceCheckpoint += batch.size
         if (sinceCheckpoint >= 8) { // flat lineage, bounded live copies
-          vocab = vocab.localCheckpoint()
+          vocab = graft.Reliable.checkpoint(vocab)
           sinceCheckpoint = 0
         }
       }

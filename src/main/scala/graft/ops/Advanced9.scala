@@ -107,7 +107,7 @@ object Advanced9 {
     // materialize once; leaving it lazy re-aggregates the EDGE list
     // (a shuffle of the graph) once per hop at any scale.
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
-      .localCheckpoint()
+      .transform(graft.Reliable.checkpoint)
     var ranks = deg.select(col("node"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
       ranks = sym.as("e")

@@ -24,8 +24,10 @@ object DedupClusters {
     * Per-round materialization + convergence checks would pay one Spark
     * job of fixed overhead per hop; instead `roundsPerBatch` propagation
     * hops chain LAZILY into one job, then the batch materializes
-    * (localCheckpoint truncates the iterative lineage) and convergence is
-    * checked once. Covers components of diameter roundsPerBatch×maxBatches.
+    * ([[graft.Reliable.checkpoint]] truncates the iterative lineage —
+    * executor-local blocks by default, reliable `checkpoint()` when
+    * `spark.graft.checkpointDir` is set) and convergence is checked
+    * once. Covers components of diameter roundsPerBatch×maxBatches.
     *
     * Two scale-aware choices:
     *  - The candidate-pair graph is orders of magnitude smaller than the
@@ -45,7 +47,7 @@ object DedupClusters {
     val spark = edges.sparkSession
     val symWide = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .transform(graft.Reliable.checkpoint)
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = math.max(1, math.min(defaultParts.toLong,
       symWide.count() / 2000000L + 1L)).toInt
@@ -57,7 +59,7 @@ object DedupClusters {
     // partition count satisfies the clustered distribution → no extra
     // exchange); each round's only shuffle is the one repartition feeding
     // the min-label aggregate.
-    val sym = symWide.repartition(parts, col("src")).localCheckpoint(true)
+    val sym = symWide.repartition(parts, col("src")).transform(graft.Reliable.checkpoint)
     val nodes = sym.select(col("src").as("node")).distinct()
     def flow(l: DataFrame): DataFrame = sym
       .join(l, sym("src") === l("node"))
@@ -67,13 +69,13 @@ object DedupClusters {
       .groupBy(col("node"))
       .agg(min(col("label")).as("label"))
     var labels = nodes.withColumn("label", col("node"))
-      .repartition(parts, col("node")).localCheckpoint(true)
+      .repartition(parts, col("node")).transform(graft.Reliable.checkpoint)
     var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
     var i = 0
     while (!converged && i < maxBatches) {
       val batch = (1 to roundsPerBatch).foldLeft(labels)((l, _) => flow(l))
-        .localCheckpoint(true)
+        .transform(graft.Reliable.checkpoint)
       val labelSum = batch.agg(sum(col("label").cast("decimal(38,0)")))
         .collect()(0).getDecimal(0)
       converged = prevSum.contains(labelSum)

@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.DedupClusters
+
+/** The `spark.graft.checkpointDir` resilience escape hatch (round-5
+  * verdict item 3): iterative operators truncate lineage with
+  * executor-local blocks by default, but on a real cluster a lost
+  * executor cannot recompute a localCheckpoint — setting the conf
+  * switches them to RELIABLE `checkpoint()`s. Results must be identical
+  * in both modes, and the reliable mode must actually put a
+  * ReliableCheckpointRDD in the lineage.
+  */
+class ReliableCheckpointSpec extends SparkSuite {
+  import spark.implicits._
+
+  // two chains + one star + a self-contained triangle: multi-batch
+  // propagation with distinct component minima
+  private def edges = Seq(
+    (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+    (10L, 11L), (11L, 12L),
+    (20L, 21L), (20L, 22L), (20L, 23L),
+    (30L, 31L), (31L, 32L), (30L, 32L)
+  ).toDF("src", "dst")
+
+  test("connectedComponents: identical labels under reliable checkpointing") {
+    val base = DedupClusters.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.conf.set(Reliable.ConfKey, dir.toString)
+    try {
+      val rel = DedupClusters.connectedComponents(edges)
+      val lineage = rel.rdd.toDebugString
+      assert(lineage.contains("ReliableCheckpointRDD"),
+        s"no reliable checkpoint in lineage:\n$lineage")
+      val got = rel.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(got.sameElements(base),
+        s"labels diverged: ${got.toSeq} vs ${base.toSeq}")
+      // checkpoint files actually landed in the configured directory
+      val wrote = java.nio.file.Files.walk(dir).count() > 1
+      assert(wrote, s"no checkpoint files under $dir")
+    } finally spark.conf.unset(Reliable.ConfKey)
+  }
+
+  test("default mode unchanged: executor-local blocks, no reliable RDD") {
+    val lineage = DedupClusters.connectedComponents(edges).rdd.toDebugString
+    assert(lineage.contains("LocalCheckpointRDD") ||
+      lineage.contains("CachedPartitions"),
+      s"expected executor-local checkpoint lineage:\n$lineage")
+    assert(!lineage.contains("ReliableCheckpointRDD"), lineage)
+  }
+}

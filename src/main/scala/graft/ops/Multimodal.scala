@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads modeled as
   * opaque `binary` columns with typed metadata, per the north-star brief.
   *
-  * The decode step is STUBBED (no media libraries in this environment):
-  * `fakeDecodeMeta` derives deterministic pseudo-metadata (width/height/
-  * frame count) from payload statistics the way a real decoder would
-  * derive it from the codec headers. Everything around the stub — binary
-  * column handling, byte-length vs char-length, content digests, batch
+  * IMAGE decode/resize are REAL (round 6): [[imageCodec]] and
+  * [[imageResizeCodec]] run the JDK's `javax.imageio` PNG/JPEG/GIF/BMP
+  * readers — no external dependency — with the deterministic stubs as
+  * the fallback for modalities the JDK can't decode (video/audio: no
+  * codec libraries in this environment). `fakeDecodeMeta` keeps the
+  * stub statistics for the oracle-checked q41 (payloads there are text
+  * blobs, not images). Everything around the codecs — binary column
+  * handling, byte-length vs char-length, content digests, batch
   * schema — is real Spark plumbing and oracle-checked.
   *
   * Scale note: payloads stay opaque bytes end to end; nothing here
@@ -65,6 +68,27 @@ object Multimodal {
     () => (id, bytes) => DecodedMeta(id, bytes.length,
       64 + bytes.length % 512, 64 + (bytes.length * 7) % 512,
       1 + bytes.length % 8)
+
+  /** REAL image codec (no external dependency — the JDK ships
+    * `javax.imageio` with PNG/JPEG/GIF/BMP readers): decodes the payload
+    * and reports its true width/height. Payloads ImageIO cannot decode
+    * (video containers, audio, arbitrary bytes) fall back to the
+    * deterministic [[stubCodec]] statistics, so mixed-modality batches
+    * decode in one pass. Built per partition via the
+    * [[decodePartitions]] codecFactory contract, so the fallback codec
+    * and any reader state are initialized once per task, not per row.
+    */
+  def imageCodec: () => (Long, Array[Byte]) => DecodedMeta =
+    () => {
+      val fallback = stubCodec()
+      (id, bytes) => {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException | _: RuntimeException => null }
+        if (img != null) DecodedMeta(id, bytes.length, img.getWidth, img.getHeight, 1)
+        else fallback(id, bytes)
+      }
+    }
 
   /** One sampled frame of a (video-ish) payload. */
   case class SampledFrame(doc_id: Long, frame_idx: Int, byte_offset: Long,
@@ -139,6 +163,34 @@ object Multimodal {
     () => (bytes, w, h) => {
       val n = math.max(1, (w * h) / 64)
       Array.tabulate[Byte](n)(i => if (bytes.isEmpty) 0 else bytes(i % bytes.length))
+    }
+
+  /** REAL image resizer on `javax.imageio` + headless AWT: decode →
+    * Graphics2D bilinear scale to (w, h) → re-encode as PNG bytes.
+    * Non-image payloads fall back to [[stubResizeCodec]] so video rows
+    * pass through the same stage untouched by the image path.
+    */
+  def imageResizeCodec: () => (Array[Byte], Int, Int) => Array[Byte] =
+    () => {
+      val fallback = stubResizeCodec()
+      (bytes, w, h) => {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException | _: RuntimeException => null }
+        if (img == null) fallback(bytes, w, h)
+        else {
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        }
+      }
     }
 
   /** Per-payload embedding extraction — the feature-extract shape that

@@ -42,7 +42,7 @@ object Bench {
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => -1.0 }
+        } catch { case scala.util.control.NonFatal(_) => -1.0 }
       }.sorted
       name -> (if (ts.head < 0) -1.0 else ts(1))
     }

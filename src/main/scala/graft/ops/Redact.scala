@@ -48,12 +48,20 @@ object Redact {
   /** Digit remnants left when a run exceeds 15 digits: the phone
     * pattern consumes digits in chunks of 9–15, so a 16-digit card
     * number would otherwise survive as `<PHONE>6` — a privacy leak.
-    * Collapsing any separator-joined digits that directly abut an
-    * emitted placeholder redacts the whole run; runs of 24+ digits
-    * emit one placeholder per full 15-digit chunk (each a real
-    * pattern match, so hit counts still equal placeholders emitted).
+    * The remnant must START with a digit directly abutting the
+    * placeholder (the 15-digit match always ends ON a digit, so an
+    * overlong contiguous run's tail is directly attached); once
+    * anchored, separator-joined digits continue the collapse. Requiring
+    * the direct-abut anchor keeps standalone numbers that merely FOLLOW
+    * a redacted phone ("call 555123456789012 3 times" keeps its "3") —
+    * the round-5 advice fix. Accepted residual trade: an overlong run
+    * with a separator exactly at the 15-digit boundary ("555 … 012 345")
+    * leaves its ≤8-digit tail unredacted — preferable to eating
+    * arbitrary following numbers. Runs of 24+ digits emit one
+    * placeholder per full 15-digit chunk (each a real pattern match, so
+    * hit counts still equal placeholders emitted).
     */
-  val PhoneRemnantPattern = "(<PHONE>)(?:[\\s()-]{0,2}\\d)+"
+  val PhoneRemnantPattern = "(<PHONE>)\\d(?:[\\s()-]{0,2}\\d)*"
 
   /** Scrub a text column: PII spans become `<EMAIL>` / `<IP>` / `<PHONE>`.
     * Order matters and matches [[stage]]'s counting order: emails first

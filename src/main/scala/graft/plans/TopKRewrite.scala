@@ -82,8 +82,11 @@ object TopKRewrite extends Rule[LogicalPlan] {
     case other => other
   }
 
+  // Boolean.parseBoolean never throws (anything but "true" is false), so
+  // a user setting the flag to garbage disables the rewrite instead of
+  // failing the planning of every query in the session.
   override def apply(plan: LogicalPlan): LogicalPlan = if (
-    !conf.getConfString(EnabledKey, "true").toBoolean) plan
+    !java.lang.Boolean.parseBoolean(conf.getConfString(EnabledKey, "true"))) plan
   else {
     // Pass 1: the Project(Filter(Window)) idiom — rank dropped above.
     val afterProjected = plan.transformUp {

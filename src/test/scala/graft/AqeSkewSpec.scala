@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -58,11 +58,17 @@ class AqeSkewSpec extends SparkSuite {
     val group = "aqe-skew-rehearsal"
     val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val recs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    val started = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val ended = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         if (Option(j.properties).exists(
-            p => group == p.getProperty("spark.jobGroup.id")))
+            p => group == p.getProperty("spark.jobGroup.id"))) {
+          started.add(j.jobId)
           j.stageIds.foreach(id => stages.add(id))
+        }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        if (started.contains(j.jobId)) ended.add(j.jobId)
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         if (stages.contains(t.stageId) && t.taskMetrics != null)
           recs.add((t.stageId, t.taskMetrics.shuffleReadMetrics.recordsRead))
@@ -75,43 +81,47 @@ class AqeSkewSpec extends SparkSuite {
       assert(ops.Advanced8.sourceOverlap.run(s, skewDir).count() > 0)
       assert(ops.Advanced9.dupSpanFraction.run(s, skewDir).count() > 0)
       s.sparkContext.clearJobGroup()
-      // drain the listener bus (no public waitUntilEmpty): poll until
-      // the metric count holds steady for SEVERAL consecutive windows —
-      // one stable 250 ms sample can be a momentarily stalled bus, and
-      // an under-collected metric set would audit a subset of stages
-      var last = -1
-      var stable = 0
-      var tries = 0
-      while (stable < 4 && tries < 60) {
-        if (recs.size == last) stable += 1 else { stable = 0; last = recs.size }
-        tries += 1
-        Thread.sleep(250)
-      }
+      // DETERMINISTIC drain (round-6 advice fix — the old "recs.size
+      // stable for 4 polls" heuristic could under-collect on a slow
+      // bus): the listener bus is FIFO, and SparkListenerJobEnd is
+      // posted after every TaskEnd of its job, so once each started job
+      // in the group has its end event, every task metric is collected.
+      val deadline = System.currentTimeMillis() + 60000
+      while (ended.size < started.size && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(ended.size == started.size,
+        s"listener bus never drained: ${ended.size}/${started.size} jobs ended")
     } finally s.sparkContext.removeSparkListener(listener)
     import scala.jdk.CollectionConverters._
     val byStage = recs.asScala.toSeq.groupBy(_._1).view
       .mapValues(_.map(_._2).sorted).toMap
-    // The straggler bar: a task fails only if it is BOTH relatively
-    // outsized (> 4x its stage's median — the round-4 verdict's bar)
-    // AND absolutely large (> 128k records ≈ several MB). The absolute
-    // floor is what lets the engine's own data-proportional choices
-    // stand: connectedComponents deliberately pins a 90k-edge graph to
-    // ONE partition (2M-edges-per-partition rule), and a 90k-record
-    // task is not a straggler — while a corpus×corpus or hot-degree²
-    // blowup lands millions of records on one task and fails either
-    // way.
-    val floor = 131072L
+    // Thresholds DERIVED from the fixture (round-6 advice fix — no
+    // magic absolutes): 300 hot docs collide in all 8 bands, so the
+    // band join must move at least hotPairs·(a few bands) of candidate
+    // rows, and the biggest legitimate single task is the CC edge list
+    // (~2·organic+hot pairs, deliberately one partition) — the floor
+    // sits at 3·hotPairs, above that and below any quadratic blowup
+    // (hot-degree² or corpus×corpus lands millions of records).
+    val hotN = 300L
+    val hotPairs = hotN * (hotN - 1) / 2 // 44850 candidate pairs
+    val floor = 3L * hotPairs
     byStage.foreach { case (stage, rs) =>
       val median = rs(rs.size / 2)
+      // a task fails only if BOTH relatively outsized (> 4x its stage's
+      // median — the round-4 verdict's bar) AND absolutely large
       assert(rs.max <= math.max(4L * median, floor),
         s"stage $stage skewed: max=${rs.max} median=$median tasks=${rs.size}")
     }
     // ...and the rehearsal's main event must actually have happened:
     // the LSH band join on the hot template (its 8 band keys all carry
     // 300 colliding docs) ran WIDE and balanced — skew splitting broke
-    // the hot partitions instead of leaving one straggler task.
+    // the hot partitions instead of leaving one straggler task. The
+    // band join is identifiable by construction: all 8 bands collide,
+    // so it moves ≥ 8·hotPairs candidate rows — while the largest other
+    // stage (CC's symmetric edge list, deliberately one partition) moves
+    // ~4·hotPairs. 6·hotPairs separates them from first principles.
     val bandJoin = byStage.filter { case (_, rs) =>
-      rs.size >= 32 && rs.sum >= 200000L }
+      rs.size >= 32 && rs.sum >= 6L * hotPairs }
     assert(bandJoin.nonEmpty,
       s"band join never ran wide: ${byStage.view.mapValues(rs => (rs.size, rs.sum)).toMap}")
     bandJoin.foreach { case (stage, rs) =>

@@ -58,11 +58,13 @@ class RedactSpec extends SparkSuite {
     // 40 digits = 15 + 15 + 10, all real matches: counts equal tokens
     assert(scrubOne("id " + "9" * 40 + " end") ==
       (("id <PHONE><PHONE><PHONE> end", 0, 0, 3)))
-    // boundary: a digit within separator reach of a 15-digit run is the
-    // 16th digit of THAT run and collapses with it; the same digit after
-    // a shorter run is consumed by the greedy phone match itself — both
-    // by design (separator-joined digit runs redact as one unit)
-    assert(scrubOne("call 555123456789012 3 times")._1 == "call <PHONE> times")
+    // boundary (round-6 advice fix): a standalone number that merely
+    // FOLLOWS a full 15-digit match is NOT part of the run — the remnant
+    // collapse requires its first digit to abut the placeholder directly
+    assert(scrubOne("call 555123456789012 3 times")._1 == "call <PHONE> 3 times")
+    // …but a digit within separator reach of a SHORTER run is consumed
+    // by the greedy phone match itself (separator-joined runs are one
+    // unit by the phone pattern's own definition)
     assert(scrubOne("call 5551234567 3 times")._1 == "call <PHONE> times")
     // a digit BEYOND separator reach survives
     assert(scrubOne("call 5551234567, at 9am")._1 == "call <PHONE>, at 9am")

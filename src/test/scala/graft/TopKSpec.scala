@@ -90,6 +90,14 @@ class TopKSpec extends SparkSuite {
     } finally s.conf.unset(graft.plans.TopKRewrite.EnabledKey)
     // flipping back re-enables on the NEXT plan, same session
     assert(planOf().contains("TopKPerGroup"))
+    // an unparseable value must not fail planning (round-6 advice fix):
+    // it reads as false — rewrite off, query still plans and runs
+    s.conf.set(graft.plans.TopKRewrite.EnabledKey, "banana")
+    try {
+      val garbage = planOf()
+      assert(!garbage.contains("TopKPerGroup"), garbage.take(1200))
+      assert(garbage.contains("Window"), garbage.take(1200))
+    } finally s.conf.unset(graft.plans.TopKRewrite.EnabledKey)
   }
 
   test("rewrite guards: rank in output, compound filter, dense_rank()") {

@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Steady-vs-steady bench regression gate (round-5 verdict item 5).
+
+Compares the post-JIT median-of-3 `steady` maps of two bench runs and
+flags per-query regressions beyond a ratio threshold. One-shot times on
+a loaded host swing ±40% uniformly (the round-4/5 lesson); the steady
+medians are the numbers stable enough to gate on.
+
+Usage:
+    python3 tools/steady_compare.py OLD.json NEW.json [--threshold 1.3]
+                                    [--floor 0.15]
+
+A query only FAILS the gate when its ratio exceeds the threshold AND its
+new steady time exceeds the floor — sub-150 ms medians are scheduler
+noise, not plans. A flagged query is a candidate, not a verdict: confirm
+with a same-window A/B (probe the query on the old commit in a worktree,
+contemporaneously) before treating it as a code regression — steady
+medians still drift with host load, just far less than one-shots.
+
+Accepts either the driver's BENCH_r{N}.json wrapper (reads .parsed) or a
+raw one-line bench JSON (as printed by graft.Bench, possibly embedded in
+captured stdout — the last '{"metric":...}' line wins).
+
+Exit code 1 if any shared query's steady time regressed beyond the
+threshold, 0 otherwise (new/missing queries are reported, not failed).
+"""
+import json
+import re
+import sys
+
+
+def load_bench(path):
+    text = open(path).read()
+    try:
+        doc = json.loads(text)
+        if isinstance(doc, dict) and "parsed" in doc:
+            return doc["parsed"] or {}
+        if isinstance(doc, dict):
+            return doc
+    except json.JSONDecodeError:
+        pass
+    # captured stdout: find the last metric line
+    lines = [l for l in text.splitlines() if l.lstrip().startswith('{"metric"')]
+    if not lines:
+        raise SystemExit(f"{path}: no bench JSON found")
+    return json.loads(lines[-1].strip())
+
+
+def main():
+    argv = sys.argv[1:]
+    thr, floor = 1.3, 0.15
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1] if "=" in a else argv[(i := i + 1)])
+        elif a.startswith("--floor"):
+            floor = float(a.split("=", 1)[1] if "=" in a else argv[(i := i + 1)])
+        else:
+            args.append(a)
+        i += 1
+    if len(args) != 2:
+        raise SystemExit(__doc__)
+    old, new = (load_bench(p) for p in args)
+    so, sn = old.get("steady", {}), new.get("steady", {})
+    shared = sorted(set(so) & set(sn))
+    regressions = []
+    print(f"{'query':<30} {'old':>8} {'new':>8} {'ratio':>7}")
+    for q in shared:
+        a, b = so[q], sn[q]
+        if a <= 0 or b <= 0:
+            flag = " (errored run)"
+            ratio = float("nan")
+        else:
+            ratio = b / a
+            bad = ratio > thr and b > floor
+            flag = ("  <-- REGRESSION" if bad
+                    else "  (over threshold, under floor)" if ratio > thr else "")
+            if bad:
+                regressions.append((q, a, b, ratio))
+        print(f"{q:<30} {a:>8.3f} {b:>8.3f} {ratio:>7.2f}{flag}")
+    only_old = sorted(set(so) - set(sn))
+    only_new = sorted(set(sn) - set(so))
+    if only_old:
+        print(f"left steady top-15 (old only): {', '.join(only_old)}")
+    if only_new:
+        print(f"entered steady top-15 (new only): {', '.join(only_new)}")
+    tot_o, tot_n = old.get("value"), new.get("value")
+    if tot_o and tot_n:
+        print(f"one-shot totals (host-noise-sensitive): {tot_o:.1f}s -> {tot_n:.1f}s "
+              f"({old.get('queries') and len(old['queries'])}/{new.get('queries') and len(new['queries'])} slow queries reported)")
+    if regressions:
+        print(f"\n{len(regressions)} steady regression(s) beyond {thr}x")
+        return 1
+    print(f"\nno steady regression beyond {thr}x across {len(shared)} shared queries")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

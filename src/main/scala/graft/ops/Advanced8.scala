@@ -560,9 +560,24 @@ object Advanced8 {
        |  FROM ad QUALIFY rnk <= 3)
        |SELECT qid, rnk, cand, adist_micro / 1000000.0 AS approx_dist
        |FROM r ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    val ad = ivfAdcDistances(s, d)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist_micro"), col("cand"))
+    ad.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("cand"),
+        (col("adist_micro") / 1000000.0).as("approx_dist"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Composed IVF→ADC candidate distances (qid, cand, adist_micro) for
+    * queries vec_id < 5 — the shortlist source shared by q140 (raw ADC
+    * top-k) and q143 (shortlist → exact re-rank): session-shared coarse
+    * affinity over trained centroids (q49's base), candidate list built
+    * FIRST so only probed lists' codes reach the lookup join, broadcast
+    * per-query distance table.
+    */
+  private def ivfAdcDistances(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
-    // IVF half: the session-shared coarse affinity over trained centroids
-    // (q49's base)
     val aff = Advanced2.ivfAffinity(s, d)
     val assigned = aff.filter(col("crank") === 1).select(col("vec_id"), col("c_id"))
     val probes = aff.filter(col("crank") <= 2 && col("vec_id") < 5)
@@ -571,26 +586,97 @@ object Advanced8 {
       .join(assigned.as("a"),
         col("probe_c_id") === col("a.c_id") && col("a.vec_id") =!= col("qid"))
       .select(col("qid"), col("a.vec_id").as("cand")).distinct()
-    // ADC half (q109's shape) — but the code scan joins the CANDIDATE
-    // list first, so only probed lists' codes reach the lookup join
     val codes = pqAssign(s, d)
       .select(col("vec_id"), col("b"), (col("mk") % 100).cast("int").as("code"))
     val dtab = Quantizer.subBlocks(embV(s, d)).filter(col("vec_id") < 5)
       .join(broadcast(Quantizer.pqCodebook(s, d)), Seq("b"))
       .select(col("vec_id").as("dqid"), col("b").as("db"), col("cid"),
         expr(distMicroSql("sv", "cv", "graft_dot")).as("dm"))
-    val ad = candp.as("x")
+    candp.as("x")
       .join(codes.as("cd"), col("cd.vec_id") === col("x.cand"))
       .join(broadcast(dtab),
         col("dqid") === col("x.qid") && col("db") === col("cd.b") &&
           col("cid") === col("cd.code"))
       .groupBy(col("x.qid").as("qid"), col("x.cand").as("cand"))
       .agg(sum(col("dm")).as("adist_micro"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("adist_micro"), col("cand"))
-    ad.withColumn("rnk", row_number().over(w))
+  }
+
+  /** The COMPLETE two-stage ANN read path: q140's IVF→ADC scan produces
+    * a SHORTLIST (top-32 by 4-byte-code distance), and only the
+    * shortlist's raw vectors are fetched for an exact re-rank — the
+    * standard production retrieval shape (shortlist-then-rerank). This
+    * is what closes the accuracy gap code quantization opens: ADC
+    * ranking errors INSIDE the shortlist are repaired by the exact
+    * distance, so recall approaches the IVF probe ceiling (Advanced8Spec
+    * asserts it) while the corpus scan still touches only codes — raw
+    * vectors are read for shortlist_size rows per query, not per
+    * candidate. At 100 TB: the rerank join is a point-lookup-sized
+    * broadcast (queries × 32 ids) against the vector store; everything
+    * upstream is q140's no-vector-I/O plan.
+    */
+  val ivfAdcRerank = Q(
+    "q143_ivf_adc_rerank",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${Quantizer.centroidTrainCtes(16)},
+       |cent AS (SELECT cid AS c_id, cv AS centv FROM ${Quantizer.centFinal}),
+       |aff AS (
+       |  SELECT e.vec_id, c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(list_dot_product(v, centv)
+       |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centv, centv))), 6)
+       |        DESC, c_id) AS crank
+       |  FROM e, cent),
+       |assigned AS (SELECT vec_id, c_id FROM aff WHERE crank = 1),
+       |probes AS (SELECT vec_id AS qid, c_id FROM aff WHERE crank <= 2 AND vec_id < 5),
+       |candp AS (
+       |  SELECT DISTINCT p.qid, a.vec_id AS cand
+       |  FROM probes p JOIN assigned a ON p.c_id = a.c_id AND a.vec_id <> p.qid),
+       |${Quantizer.pqTrainCtes(8)},
+       |$pqPkCteSql,
+       |codes AS (SELECT vec_id, b, CAST(MIN(pk) % 100 AS INTEGER) AS code
+       |          FROM pk GROUP BY vec_id, b),
+       |dtab AS (
+       |  SELECT s.vec_id AS qid, b, cid,
+       |    ${distMicroSql("sv", "cv", "list_dot_product")} AS dm
+       |  FROM sub s JOIN ${Quantizer.pqFinal} USING (b) WHERE s.vec_id < 5),
+       |ad AS (
+       |  SELECT x.qid, x.cand, CAST(SUM(d.dm) AS BIGINT) AS adist_micro
+       |  FROM candp x
+       |  JOIN codes cd ON cd.vec_id = x.cand
+       |  JOIN dtab d ON d.qid = x.qid AND d.b = cd.b AND d.cid = cd.code
+       |  GROUP BY x.qid, x.cand),
+       |short AS (
+       |  SELECT qid, cand,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY adist_micro, cand) AS INTEGER) AS srnk
+       |  FROM ad QUALIFY srnk <= 32),
+       |er AS (
+       |  SELECT sh.qid, sh.cand,
+       |    ${distMicroSql("q.v", "c.v", "list_dot_product")} AS edist_micro
+       |  FROM short sh JOIN e q ON q.vec_id = sh.qid JOIN e c ON c.vec_id = sh.cand),
+       |r AS (
+       |  SELECT qid, cand, edist_micro,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY edist_micro, cand) AS INTEGER) AS rnk
+       |  FROM er QUALIFY rnk <= 3)
+       |SELECT qid, rnk, cand, edist_micro / 1000000.0 AS exact_dist
+       |FROM r ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    val ad = ivfAdcDistances(s, d)
+    val wS = Window.partitionBy(col("qid")).orderBy(col("adist_micro"), col("cand"))
+    val short = ad.withColumn("srnk", row_number().over(wS))
+      .filter(col("srnk") <= 32)
+      .select(col("qid"), col("cand"))
+    val e = embV(s, d)
+    val er = broadcast(short)
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv2")), Seq("qid"))
+      .join(e.select(col("vec_id").as("cand"), col("v").as("cv3")), Seq("cand"))
+      .select(col("qid"), col("cand"),
+        expr(distMicroSql("qv2", "cv3", "graft_dot")).as("edist_micro"))
+    val wR = Window.partitionBy(col("qid")).orderBy(col("edist_micro"), col("cand"))
+    er.withColumn("rnk", row_number().over(wR))
       .filter(col("rnk") <= 3)
       .select(col("qid"), col("rnk"), col("cand"),
-        (col("adist_micro") / 1000000.0).as("approx_dist"))
+        (col("edist_micro") / 1000000.0).as("exact_dist"))
       .orderBy(col("qid"), col("rnk"))
   }
 
@@ -682,5 +768,5 @@ object Advanced8 {
   def specs: Seq[Q] = Seq(scd2Intervals, windowDedup, forwardFill,
     mixtureReweight, vocabPrune, sourceOverlap, textNormalize, winsorize,
     bpePretokenize, cmsHeavyHitters, pqEncode, pqAdcSearch, ivfAdcSearch,
-    fuzzyJoin, mergeUpsert)
+    ivfAdcRerank, fuzzyJoin, mergeUpsert)
 }

@@ -140,6 +140,20 @@ class Advanced8Spec extends SparkSuite {
     assert(meanR >= 0.3, s"IVF+ADC recall degenerate: $recalls")
     assert(meanR >= 0.3 * meanC,
       f"ADC ranking recovers too little of the probe ceiling: $meanR%.3f vs $meanC%.3f")
+    // …and the COMPLETE read path (q143: ADC shortlist-16 → exact
+    // re-rank) must repair ADC's in-shortlist ranking errors and land at
+    // the probe ceiling: every true neighbor inside a probed list that
+    // ADC shortlists is recovered exactly.
+    val rr = Advanced8.ivfAdcRerank.run(spark, sf0001)
+      .select($"qid", $"cand").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rerank = exact.map { case (qid, ex) =>
+      rr.getOrElse(qid, Set.empty).intersect(ex).size / 3.0 }
+    val meanRR = rerank.sum / rerank.size
+    info(f"q143 rerank mean recall@3: $meanRR%.3f (probe ceiling $meanC%.3f)")
+    assert(meanRR >= 0.9 * meanC,
+      f"rerank failed to reach the probe ceiling: $meanRR%.3f vs $meanC%.3f")
+    assert(meanRR >= meanR, "exact re-rank must not lose recall vs raw ADC")
   }
 
   test("graft_deletions: neighborhood contents and the distance-1 blocking guarantee") {

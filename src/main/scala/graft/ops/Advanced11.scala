@@ -151,10 +151,11 @@ object Advanced11 {
     */
   val semdedupPrune = Q(
     "q133_semdedup_prune",
-    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |${LshGuard.capCteSql("ecap", "e", Seq("vec_id", "label", "v"), Seq("label"), "vec_id")},
       |drops AS (
       |  SELECT DISTINCT b.label, b.vec_id
-      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  FROM ecap a JOIN ecap b ON a.label = b.label AND a.vec_id < b.vec_id
       |  WHERE list_dot_product(a.v, b.v)
       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
       |    >= 0.35)
@@ -167,8 +168,12 @@ object Advanced11 {
     CosineSim.register(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
-    val a = e.select(col("label").as("la"), col("vec_id").as("ida"), col("v").as("va"))
-    val b = e.select(col("label").as("lb"), col("vec_id").as("idb"), col("v").as("vb"))
+    // hot-cluster guard (CorpusPipeline stage 3b's shape): cap membership
+    // per cluster before the pairwise join — the uncapped e still counts
+    // n_vecs, so the cap only bounds the comparison fan-out
+    val ec = LshGuard.capBuckets(s, e, Seq("label"), "vec_id", tag = "semdedup-q133")
+    val a = ec.select(col("label").as("la"), col("vec_id").as("ida"), col("v").as("va"))
+    val b = ec.select(col("label").as("lb"), col("vec_id").as("idb"), col("v").as("vb"))
     val drops = a.join(b, col("la") === col("lb") && col("ida") < col("idb"))
       .filter(expr("graft_cosine(va, vb)") >= 0.35)
       .select(col("lb").as("label"), col("idb").as("vec_id"))

@@ -52,6 +52,9 @@ object LshGuard {
           if (name.startsWith("graft.lsh.drops.")) {
             val dropped = row.getAs[Long]("dropped")
             val maxBucket = row.getAs[Long]("max_bucket")
+            // test seam only — bound it so a long-lived service planning
+            // unbounded queries doesn't accrete per-serial entries
+            if (lastObserved.size > 1024) lastObserved.clear()
             lastObserved.put(name, (dropped, maxBucket))
             if (dropped > 0)
               System.err.println(

@@ -39,11 +39,14 @@ object LshGuard {
     */
   val BucketCap = 4096
 
-  private val hooked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  // weakly-keyed: a stopped session's listenerManager dies with it, and
+  // this set must not be what keeps the session reachable
+  private val hooked = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Log observed bucket-drop metrics after each query; idempotent per
-    * session. Visible-for-tests seam: [[drainObserved]].
+    * session. [[lastObserved]] is the matching test seam.
     */
   private def ensureListener(s: SparkSession): Unit =
     if (hooked.add(s)) s.listenerManager.register(new QueryExecutionListener {

@@ -21,7 +21,8 @@ object SparkEntry {
       ops.Incremental.specs ++ ops.Chunking.specs ++ ops.Advanced3.specs ++
       ops.Advanced4.specs ++ ops.Advanced5.specs ++ ops.Advanced6.specs ++
       ops.Advanced7.specs ++ ops.Advanced8.specs ++ ops.Advanced9.specs ++
-      ops.Advanced10.specs ++ ops.Advanced11.specs ++ ops.Advanced12.specs
+      ops.Advanced10.specs ++ ops.Advanced11.specs ++ ops.Advanced12.specs ++
+      ops.ResidualPQ.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -379,7 +379,7 @@ object Advanced8 {
     * engines modulo the dot product spelling (graft_dot /
     * list_dot_product — both sequential folds, parity proven by q80).
     */
-  private def distMicroSql(x: String, c: String, dot: String): String =
+  private[ops] def distMicroSql(x: String, c: String, dot: String): String =
     s"CAST(ROUND(($dot($x, $x) - 2 * $dot($x, $c) + $dot($c, $c)) * 1000000) AS BIGINT)"
 
   private def embV(s: SparkSession, d: String): DataFrame = {
@@ -410,7 +410,7 @@ object Advanced8 {
     * over the trained codebook — expects `sub` and [[Quantizer.pqFinal]]
     * from [[Quantizer.pqTrainCtes]] upstream.
     */
-  private def pqPkCteSql: String =
+  private[ops] def pqPkCteSql: String =
     s"""pk AS (
        |  SELECT s.vec_id, s.b, ${distMicroSql("sv", "cv", "list_dot_product")} * 100 + cid AS pk
        |  FROM sub s JOIN ${Quantizer.pqFinal} USING (b))""".stripMargin

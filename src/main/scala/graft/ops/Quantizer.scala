@@ -39,13 +39,15 @@ object Quantizer {
       graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
   }
 
-  /** (vec_id, b, sv): each vector split into 4 contiguous 16-dim blocks —
-    * one codegen'd projection, 4 rows per vector.
+  /** (keys…, b, sv): each vector split into 4 contiguous 16-dim blocks —
+    * one codegen'd projection, 4 rows per vector. `keys` are carried
+    * through (vec_id for corpus encoding; (qid, c_id) for q144's
+    * per-probe query residuals).
     */
-  def subBlocks(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), explode(array((0 until 4).map(b =>
-        struct(lit(b).as("b"), expr(s"slice(v, ${16 * b + 1}, 16)").as("sv"))): _*)).as("x"))
-      .select(col("vec_id"), col("x.b").as("b"), col("x.sv").as("sv"))
+  def subBlocks(e: DataFrame, keys: Seq[String] = Seq("vec_id")): DataFrame =
+    e.select(keys.map(col) :+ explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"), expr(s"slice(v, ${16 * b + 1}, 16)").as("sv"))): _*)).as("x"): _*)
+      .select(keys.map(col) :+ col("x.b").as("b") :+ col("x.sv").as("sv"): _*)
 
   /** One assignment pass, full vectors: nearest centroid per vector by
     * rounded L2² with cid tie-break. Struct-min argmin → the partial
@@ -165,16 +167,18 @@ object Quantizer {
   /** Name of the trained-centroid CTE emitted by [[centroidTrainCtes]]. */
   val centFinal: String = s"ic$Iters"
 
-  /** DuckDB CTE chain training the per-block PQ sub-codebooks from `e`.
-    * Emits `sub` (the block table — reusable downstream) and `pc0 …
-    * pc$Iters`; the trained table is `pc$Iters(b, cid, cv)`. Same dataflow
-    * as [[pqCodebook]].
+  /** DuckDB CTE chain training the per-block PQ sub-codebooks from
+    * `source.$vecCol` (default: the raw `e.v`; q144 trains on residual
+    * vectors instead). Emits `sub` (the block table — reusable
+    * downstream) and `pc0 … pc$Iters`; the trained table is
+    * `pc$Iters(b, cid, cv)`. Same dataflow as [[pqCodebook]] /
+    * [[trainPqBlocks]].
     */
-  def pqTrainCtes(k: Int): String = {
+  def pqTrainCtes(k: Int, source: String = "e", vecCol: String = "v"): String = {
     val sub =
-      """sub AS (
-        |  SELECT vec_id, bb.b AS b, list_slice(v, 16*bb.b+1, 16*bb.b+16) AS sv
-        |  FROM e CROSS JOIN (VALUES (0),(1),(2),(3)) bb(b))""".stripMargin
+      s"""sub AS (
+        |  SELECT vec_id, bb.b AS b, list_slice($vecCol, 16*bb.b+1, 16*bb.b+16) AS sv
+        |  FROM $source CROSS JOIN (VALUES (0),(1),(2),(3)) bb(b))""".stripMargin
     val seed = s"pc0 AS (SELECT b, CAST(vec_id AS INTEGER) AS cid, sv AS cv FROM sub WHERE vec_id < $k)"
     val iters = (1 to Iters).map { i =>
       s"""pa$i AS (

@@ -17,10 +17,15 @@ object Bench {
     // Warm the JVM (parquet reader, codegen, shuffle paths) on the smallest
     // scale factor so the first timed query doesn't absorb ~5s of JIT cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // A query that THROWS records -1, never its time-to-throw: a broken
+    // query must not contribute a fake timing to the graded total or
+    // occupy a slowest-15 steady slot.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case scala.util.control.NonFatal(_) => -1.0 }
+      name -> elapsed
     }
     // %.3f via the f-interpolator is locale-sensitive (comma decimals under
     // e.g. de_DE would corrupt the JSON), so format explicitly with ROOT.
@@ -28,7 +33,9 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Full per-query detail on separate lines (human log / BENCH.md).
     results.foreach { case (n, s) => println(s"BENCHQ ${n.padTo(28, ' ')} ${d3(s)} s") }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // -1 failure sentinels are excluded from the graded total (they'd
+    // *reduce* it); the per-query map still carries them as markers.
+    val total = results.map(_._2).filter(_ >= 0).sum
     // STEADY-STATE medians for the slowest queries: the one-shot total
     // swings 1.5x with host load (round 4: 64-102 s across a session,
     // which nearly masked a 10x per-query win), so regression grading

@@ -33,7 +33,15 @@ object Reliable {
       case Some(dir) =>
         if (s.sparkContext.getCheckpointDir.isEmpty)
           s.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(true)
+        // persist first: RDD.checkpoint's write job otherwise RECOMPUTES
+        // the whole lineage after the eager count (the standard
+        // checkpoint caveat) — every iterative batch would run twice.
+        // The cache is dropped as soon as the checkpoint files exist.
+        val persisted = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = persisted.checkpoint(true)
+        persisted.unpersist()
+        out
       case None =>
         df.localCheckpoint(true)
     }

@@ -526,19 +526,8 @@ object Advanced8 {
     "q140_ivf_adc_search",
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |${Quantizer.centroidTrainCtes(16)},
-       |cent AS (SELECT cid AS c_id, cv AS centv FROM ${Quantizer.centFinal}),
-       |aff AS (
-       |  SELECT e.vec_id, c_id,
-       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ROUND(list_dot_product(v, centv)
-       |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centv, centv))), 6)
-       |        DESC, c_id) AS crank
-       |  FROM e, cent),
-       |assigned AS (SELECT vec_id, c_id FROM aff WHERE crank = 1),
-       |probes AS (SELECT vec_id AS qid, c_id FROM aff WHERE crank <= 2 AND vec_id < 5),
-       |candp AS (
-       |  SELECT DISTINCT p.qid, a.vec_id AS cand
-       |  FROM probes p JOIN assigned a ON p.c_id = a.c_id AND a.vec_id <> p.qid),
+       |${Quantizer.ivfProbeCtes(2, 5)},
+       |${Quantizer.ivfCandCte(keepListId = false)},
        |${Quantizer.pqTrainCtes(8)},
        |$pqPkCteSql,
        |codes AS (SELECT vec_id, b, CAST(MIN(pk) % 100 AS INTEGER) AS code
@@ -618,19 +607,8 @@ object Advanced8 {
     "q143_ivf_adc_rerank",
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |${Quantizer.centroidTrainCtes(16)},
-       |cent AS (SELECT cid AS c_id, cv AS centv FROM ${Quantizer.centFinal}),
-       |aff AS (
-       |  SELECT e.vec_id, c_id,
-       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ROUND(list_dot_product(v, centv)
-       |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centv, centv))), 6)
-       |        DESC, c_id) AS crank
-       |  FROM e, cent),
-       |assigned AS (SELECT vec_id, c_id FROM aff WHERE crank = 1),
-       |probes AS (SELECT vec_id AS qid, c_id FROM aff WHERE crank <= 2 AND vec_id < 5),
-       |candp AS (
-       |  SELECT DISTINCT p.qid, a.vec_id AS cand
-       |  FROM probes p JOIN assigned a ON p.c_id = a.c_id AND a.vec_id <> p.qid),
+       |${Quantizer.ivfProbeCtes(2, 5)},
+       |${Quantizer.ivfCandCte(keepListId = false)},
        |${Quantizer.pqTrainCtes(8)},
        |$pqPkCteSql,
        |codes AS (SELECT vec_id, b, CAST(MIN(pk) % 100 AS INTEGER) AS code
@@ -667,8 +645,12 @@ object Advanced8 {
       .filter(col("srnk") <= 32)
       .select(col("qid"), col("cand"))
     val e = embV(s, d)
-    val er = broadcast(short)
-      .join(e.select(col("vec_id").as("qid"), col("v").as("qv2")), Seq("qid"))
+    // BOTH rerank joins broadcast the shortlist side: the post-join
+    // intermediate loses the hint otherwise, and a planner estimate
+    // could shuffle the whole vector store for a queries×32-row lookup
+    val withQ = broadcast(broadcast(short)
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv2")), Seq("qid")))
+    val er = withQ
       .join(e.select(col("vec_id").as("cand"), col("v").as("cv3")), Seq("cand"))
       .select(col("qid"), col("cand"),
         expr(distMicroSql("qv2", "cv3", "graft_dot")).as("edist_micro"))

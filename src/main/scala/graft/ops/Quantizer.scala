@@ -197,4 +197,35 @@ object Quantizer {
 
   /** Name of the trained-codebook CTE emitted by [[pqTrainCtes]]. */
   val pqFinal: String = s"pc$Iters"
+
+  /** DuckDB CTEs for trained-centroid IVF probing — `cent`/`aff`/
+    * `assigned`/`probes` for queries vec_id < `nq` probing their
+    * `nprobe` nearest lists. Requires `e` and [[centroidTrainCtes]]
+    * upstream. ONE definition for the q140/q143/q144 oracles (q49 keeps
+    * its own — it also surfaces the `ca` affinity value), so a change to
+    * the probe rule cannot desynchronize the composed read paths.
+    */
+  def ivfProbeCtes(nprobe: Int, nq: Int): String =
+    s"""cent AS (SELECT cid AS c_id, cv AS centv FROM $centFinal),
+       |aff AS (
+       |  SELECT e.vec_id, c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(list_dot_product(v, centv)
+       |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centv, centv))), 6)
+       |        DESC, c_id) AS crank
+       |  FROM e, cent),
+       |assigned AS (SELECT vec_id, c_id FROM aff WHERE crank = 1),
+       |probes AS (SELECT vec_id AS qid, c_id FROM aff WHERE crank <= $nprobe AND vec_id < $nq)""".stripMargin
+
+  /** The probed-candidate CTE over [[ivfProbeCtes]]'s tables: every
+    * vector assigned to one of the query's probed lists, self excluded.
+    * `keepListId` carries the list id through (q144 needs it — residual
+    * distances are per-list).
+    */
+  def ivfCandCte(keepListId: Boolean): String = {
+    val listCol = if (keepListId) "p.c_id, " else ""
+    s"""candp AS (
+       |  SELECT DISTINCT p.qid, ${listCol}a.vec_id AS cand
+       |  FROM probes p JOIN assigned a ON p.c_id = a.c_id AND a.vec_id <> p.qid)""".stripMargin
+  }
 }

@@ -82,19 +82,8 @@ object ResidualPQ {
     "q144_ivfpq_residual_search",
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |${Quantizer.centroidTrainCtes(16)},
-       |cent AS (SELECT cid AS c_id, cv AS centv FROM ${Quantizer.centFinal}),
-       |aff AS (
-       |  SELECT e.vec_id, c_id,
-       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ROUND(list_dot_product(v, centv)
-       |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centv, centv))), 6)
-       |        DESC, c_id) AS crank
-       |  FROM e, cent),
-       |assigned AS (SELECT vec_id, c_id FROM aff WHERE crank = 1),
-       |probes AS (SELECT vec_id AS qid, c_id FROM aff WHERE crank <= 2 AND vec_id < 5),
-       |candp AS (
-       |  SELECT DISTINCT p.qid, p.c_id, a.vec_id AS cand
-       |  FROM probes p JOIN assigned a ON p.c_id = a.c_id AND a.vec_id <> p.qid),
+       |${Quantizer.ivfProbeCtes(2, 5)},
+       |${Quantizer.ivfCandCte(keepListId = true)},
        |res AS (
        |  SELECT e.vec_id, list_transform(range(1, 65), i -> v[i] - centv[i]) AS rv
        |  FROM e JOIN assigned a ON a.vec_id = e.vec_id JOIN cent c ON c.c_id = a.c_id),

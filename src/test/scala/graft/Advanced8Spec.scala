@@ -140,7 +140,7 @@ class Advanced8Spec extends SparkSuite {
     assert(meanR >= 0.3, s"IVF+ADC recall degenerate: $recalls")
     assert(meanR >= 0.3 * meanC,
       f"ADC ranking recovers too little of the probe ceiling: $meanR%.3f vs $meanC%.3f")
-    // …and the COMPLETE read path (q143: ADC shortlist-16 → exact
+    // …and the COMPLETE read path (q143: ADC shortlist-32 → exact
     // re-rank) must repair ADC's in-shortlist ranking errors and land at
     // the probe ceiling: every true neighbor inside a probed list that
     // ADC shortlists is recovered exactly.

@@ -81,16 +81,26 @@ class AqeSkewSpec extends SparkSuite {
       assert(ops.Advanced8.sourceOverlap.run(s, skewDir).count() > 0)
       assert(ops.Advanced9.dupSpanFraction.run(s, skewDir).count() > 0)
       s.sparkContext.clearJobGroup()
-      // DETERMINISTIC drain (round-6 advice fix — the old "recs.size
-      // stable for 4 polls" heuristic could under-collect on a slow
-      // bus): the listener bus is FIFO, and SparkListenerJobEnd is
-      // posted after every TaskEnd of its job, so once each started job
-      // in the group has its end event, every task metric is collected.
+      // Drain (round-6 advice fix — the old "recs.size stable for 4
+      // polls" heuristic could under-collect on a slow bus): the bus is
+      // FIFO and SparkListenerJobEnd is posted after every TaskEnd of
+      // its job, so started==ended ⇒ those jobs' metrics are complete.
+      // Equality alone can still be observed BETWEEN jobs (including
+      // the 0==0 prefix before any group event processes), so require
+      // non-empty equality that stays stable across several polls — the
+      // FIFO condition does the correctness work, the stability window
+      // only guards the between-jobs snapshot.
       val deadline = System.currentTimeMillis() + 60000
-      while (ended.size < started.size && System.currentTimeMillis() < deadline)
-        Thread.sleep(50)
-      assert(ended.size == started.size,
-        s"listener bus never drained: ${ended.size}/${started.size} jobs ended")
+      var stable = 0
+      var snap = (-1, -1)
+      while (stable < 4 && System.currentTimeMillis() < deadline) {
+        val cur = (started.size, ended.size)
+        if (cur == snap && cur._1 > 0 && cur._1 == cur._2) stable += 1
+        else { stable = 0; snap = cur }
+        Thread.sleep(100)
+      }
+      assert(snap._1 > 0 && snap._1 == snap._2,
+        s"listener bus never drained: ${snap._2}/${snap._1} jobs ended")
     } finally s.sparkContext.removeSparkListener(listener)
     import scala.jdk.CollectionConverters._
     val byStage = recs.asScala.toSeq.groupBy(_._1).view

@@ -53,10 +53,22 @@ def main():
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1] if "=" in a else argv[(i := i + 1)])
-        elif a.startswith("--floor"):
-            floor = float(a.split("=", 1)[1] if "=" in a else argv[(i := i + 1)])
+        if a == "--threshold" or a.startswith("--threshold="):
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            elif i + 1 < len(argv):
+                thr = float(argv[(i := i + 1)])
+            else:
+                raise SystemExit("--threshold needs a value\n" + __doc__)
+        elif a == "--floor" or a.startswith("--floor="):
+            if "=" in a:
+                floor = float(a.split("=", 1)[1])
+            elif i + 1 < len(argv):
+                floor = float(argv[(i := i + 1)])
+            else:
+                raise SystemExit("--floor needs a value\n" + __doc__)
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag {a}\n" + __doc__)
         else:
             args.append(a)
         i += 1

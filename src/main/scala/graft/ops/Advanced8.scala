@@ -396,7 +396,7 @@ object Advanced8 {
     * (cid < 100 by construction) makes MIN() the lexicographic winner —
     * bit-identical in both engines, no struct aggregate needed.
     */
-  private def pqAssign(s: SparkSession, d: String): DataFrame =
+  private[ops] def pqAssign(s: SparkSession, d: String): DataFrame =
     graft.Shared.materialized(s, s"pq-assign@$d") {
       val sub = Quantizer.subBlocks(embV(s, d))
       sub.join(broadcast(Quantizer.pqCodebook(s, d)), Seq("b"))

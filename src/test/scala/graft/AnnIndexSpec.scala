@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.{Advanced8, AnnIndex}
+import org.apache.spark.sql.functions._
+
+/** The index-build / search-job separation (round 6): the trained
+  * quantizer state persists as parquet and a later job searches the
+  * loaded index without retraining or re-encoding — and gets the
+  * BIT-IDENTICAL answer the live session path (q140) produces.
+  */
+class AnnIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("persisted-index search is bit-identical to the live q140 path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annix").toString
+    AnnIndex.write(spark, sf0001, dir)
+    val ix = AnnIndex.load(spark, dir)
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    val queries = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"v")
+    val got = AnnIndex.search(spark, ix, queries, nprobe = 2, k = 3,
+        excludeSelf = true)
+      .orderBy($"qid", $"rnk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val want = Advanced8.ivfAdcSearch.run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.sameElements(want),
+      s"index search diverged from live path:\n got ${got.toSeq}\nwant ${want.toSeq}")
+  }
+
+  test("external queries (not in the corpus) search the loaded index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annix2").toString
+    AnnIndex.write(spark, sf0001, dir)
+    val ix = AnnIndex.load(spark, dir)
+    // perturbed copies of two corpus vectors — near but not identical
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    val queries = e.filter($"vec_id".isin(7L, 11L))
+      .select(($"vec_id" + 1000L).as("qid"),
+        expr("transform(v, x -> x * 1.01)").as("v"))
+    val res = AnnIndex.search(spark, ix, queries, nprobe = 2, k = 3)
+      .collect()
+    assert(res.length == 6, s"expected 2 queries x top-3, got ${res.length}")
+    // a lightly-perturbed corpus vector's nearest code should be its
+    // original (same direction, ~same residual blocks)
+    val top1 = res.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top1(1007L) == 7L && top1(1011L) == 11L,
+      s"perturbed queries missed their originals: $top1")
+  }
+}

@@ -57,6 +57,39 @@ object AnnIndex {
     assigned = s.read.parquet(s"$dir/assigned"),
     codes = s.read.parquet(s"$dir/codes"))
 
+  /** Append new vectors `batch(vec_id, v)` to a persisted index using
+    * its EXISTING (frozen) quantizers — the standard serve-time append:
+    * assign each vector to its nearest list (cosine, the affinity
+    * recipe), encode its 4-byte codes against the trained codebook, and
+    * append both tables in place. No retraining, no touch of existing
+    * rows; quantizer drift is handled by periodic rebuilds ([[write]]),
+    * exactly as production ANN services do. Returns the refreshed index.
+    */
+  def append(s: SparkSession, dir: String, batch: DataFrame): Index = {
+    graft.functions.DotProduct.register(s)
+    graft.functions.CosineSim.register(s)
+    val ix = load(s, dir)
+    val cent = ix.centroids.select(col("cid").as("c_id"), col("cv"))
+    val wAff = Window.partitionBy(col("vec_id")).orderBy(col("ca").desc, col("c_id"))
+    val newAssigned = batch.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_id"),
+        round(expr("graft_cosine(v, cv)"), 6).as("ca"))
+      .withColumn("crank", row_number().over(wAff))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("c_id"))
+    val newCodes = Quantizer.subBlocks(batch.select(col("vec_id"), col("v")))
+      .join(broadcast(ix.codebook), Seq("b"))
+      .select(col("vec_id"), col("b"),
+        (expr(Advanced8.distMicroSql("sv", "cv", "graft_dot")) * 100 +
+          col("cid")).as("pk"))
+      .groupBy(col("vec_id"), col("b"))
+      .agg(min(col("pk")).as("mk"))
+      .select(col("vec_id"), col("b"), (col("mk") % 100).cast("int").as("code"))
+    newAssigned.write.mode("append").parquet(s"$dir/assigned")
+    newCodes.write.mode("append").parquet(s"$dir/codes")
+    load(s, dir)
+  }
+
   /** ADC top-k over the loaded index for external query vectors
     * `queries(qid, v: array<double>)`: q140's plan shape — probes and
     * distance tables broadcast, the code scan joins the candidate list

@@ -48,4 +48,30 @@ class AnnIndexSpec extends SparkSuite {
     assert(top1(1007L) == 7L && top1(1011L) == 11L,
       s"perturbed queries missed their originals: $top1")
   }
+
+  test("append encodes new vectors with the frozen quantizers; search finds them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annix3").toString
+    AnnIndex.write(spark, sf0001, dir)
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    // near-copies of vectors 3 and 9, appended under new ids
+    val batch = e.filter($"vec_id".isin(3L, 9L))
+      .select(($"vec_id" + 5000L).as("vec_id"),
+        expr("transform(v, x -> x * 0.99)").as("v"))
+    val before = AnnIndex.load(spark, dir)
+    val after = AnnIndex.append(spark, dir, batch)
+    // existing rows untouched, two rows appended to each table
+    assert(after.assigned.count() == before.assigned.count() + 2)
+    assert(after.codes.count() == before.codes.count() + 8) // 2 vecs × 4 blocks
+    // an appended vector is retrievable: query with its ORIGINAL —
+    // the near-copy must surface in the top-3 codes
+    val queries = e.filter($"vec_id".isin(3L, 9L))
+      .select($"vec_id".as("qid"), $"v")
+    val res = AnnIndex.search(spark, after, queries, nprobe = 2, k = 3,
+        excludeSelf = true)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(res(3L).contains(5003L) && res(9L).contains(5009L),
+      s"appended near-copies not retrieved: $res")
+  }
 }

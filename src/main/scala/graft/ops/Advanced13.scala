@@ -126,23 +126,58 @@ object Advanced13 {
     */
   private[ops] val BmQueryTerms = Seq("dup", "vector", "spark")
 
-  /** Okapi BM25 over whitespace tokens: score(d) = Σ_t idf(t) ·
-    * tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)), idf = ln((N−df+0.5)/
-    * (df+0.5)+1). Per-term contributions round at 6 decimals and sum as
-    * DECIMAL (the [[graft.Det.rsum]] recipe) so the doc score is
-    * order-independent.
+  /** Okapi idf over (df, n_docs) columns: ln((N−df+0.5)/(df+0.5)+1). */
+  private[ops] def bmIdf: Column =
+    log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+
+  /** Okapi tf saturation + length normalization over (tf, dl, n_toks,
+    * n_docs) columns, k1=1.2, b=0.75.
     */
-  val bm25 = Q(
-    "q146_bm25_retrieval",
-    s"""WITH toks AS (
+  private[ops] def bmTfNorm: Column = col("tf") * 2.2 /
+    (col("tf") + lit(1.2) * (lit(1) - 0.75 + lit(0.75) * col("dl") /
+      (col("n_toks").cast("double") / col("n_docs"))))
+
+  /** BM25 per-document scores (doc_id, bm25) for `terms` — the scoring
+    * base shared by q146 and the q147 hybrid fusion (which re-ranks it
+    * against a vector list). Per-term contributions round at 6 decimals
+    * and sum as DECIMAL (the [[graft.Det.rsum]] recipe) so the doc score
+    * is order-independent. [[TextIndex.search]] replays the identical
+    * arithmetic over persisted postings.
+    */
+  private[ops] def bm25Scores(s: SparkSession, d: String,
+      terms: Seq[String] = BmQueryTerms): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfreq = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val g = docs.agg(count(lit(1)).as("n_docs"))
+    val t = toks.agg(count(lit(1)).as("n_toks"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(g)).crossJoin(broadcast(t))
+      .select(col("doc_id"), round(bmIdf * bmTfNorm, 6).as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sc").cast(DecimalType(28, 6))).cast("double").as("bm25"))
+  }
+
+  /** Oracle CTE chain computing BM25 scores into `agg(doc_id, bm25)` —
+    * generated (never copied) so q146 and q147 express the identical
+    * scoring semantics; the [[LshGuard.capCteSql]] precedent.
+    */
+  private[ops] def bm25AggCtes(terms: Seq[String]): String = {
+    val in = terms.map(t => s"'$t'").mkString(", ")
+    s"""toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
        |tf AS (
        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
-       |  WHERE term IN ('dup', 'vector', 'spark') GROUP BY doc_id, term),
+       |  WHERE term IN ($in) GROUP BY doc_id, term),
        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
        |df AS (
        |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
-       |  WHERE term IN ('dup', 'vector', 'spark') GROUP BY term),
+       |  WHERE term IN ($in) GROUP BY term),
        |g AS (SELECT COUNT(*) AS n_docs FROM documents),
        |t AS (SELECT COUNT(*) AS n_toks FROM toks),
        |scored AS (
@@ -154,32 +189,25 @@ object Advanced13 {
        |  CROSS JOIN g CROSS JOIN t),
        |agg AS (
        |  SELECT doc_id, CAST(SUM(CAST(sc AS DECIMAL(28,6))) AS DOUBLE) AS bm25
-       |  FROM scored GROUP BY doc_id),
+       |  FROM scored GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Okapi BM25 over whitespace tokens: score(d) = Σ_t idf(t) ·
+    * tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)), idf = ln((N−df+0.5)/
+    * (df+0.5)+1). Per-term contributions round at 6 decimals and sum as
+    * DECIMAL (the [[graft.Det.rsum]] recipe) so the doc score is
+    * order-independent.
+    */
+  val bm25 = Q(
+    "q146_bm25_retrieval",
+    s"""WITH ${bm25AggCtes(BmQueryTerms)},
        |r AS (
        |  SELECT doc_id, bm25,
        |    CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rnk
        |  FROM agg QUALIFY rnk <= 10)
        |SELECT rnk, doc_id, bm25 FROM r ORDER BY rnk""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = toks.filter(col("term").isin(BmQueryTerms: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val df = toks.filter(col("term").isin(BmQueryTerms: _*))
-      .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
-    val g = docs.agg(count(lit(1)).as("n_docs"))
-    val t = toks.agg(count(lit(1)).as("n_toks"))
-    val avgdl = col("n_toks").cast("double") / col("n_docs")
-    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val tfnorm = col("tf") * 2.2 /
-      (col("tf") + lit(1.2) * (lit(1) - 0.75 + lit(0.75) * col("dl") / avgdl))
     val wk = Window.orderBy(col("bm25").desc, col("doc_id"))
-    tf.join(broadcast(df), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(g)).crossJoin(broadcast(t))
-      .select(col("doc_id"), round(idf * tfnorm, 6).as("sc"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("sc").cast(DecimalType(28, 6))).cast("double").as("bm25"))
+    bm25Scores(s, d)
       .withColumn("rnk", row_number().over(wk))
       .filter(col("rnk") <= 10)
       .select(col("rnk"), col("doc_id"), col("bm25"))

@@ -1,0 +1,146 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.functions.{CosineSim, DotProduct}
+import graft.functions.VectorFunctions.asDouble
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-6 continuation: the two serving-side retrieval shapes that
+  * complete the q146/q34 families.
+  *
+  *  - q147 HYBRID retrieval (reciprocal-rank fusion): the standard way
+  *    production search serves "BM25 + vectors" — run both retrievers to
+  *    depth K, fuse by Σ 1/(60+rank) (Cormack et al.'s RRF), which needs
+  *    no score calibration between the two scales. Contributions are
+  *    exact 6-decimal values summed as DECIMAL, so fusion is
+  *    order-independent and oracle-checkable.
+  *  - q148 FILTERED ANN: similarity search under a metadata predicate
+  *    (here: candidates must share the query's label — the ACL/tenant/
+  *    language filter every production vector store exposes). The filter
+  *    is applied BEFORE the distance pass, as an equi-join on the
+  *    predicate key, never as a post-filter that k-starves the result.
+  *
+  * At 100 TB: q147's corpus cost is exactly the two retriever scans —
+  * the fusion itself is a K-row full-outer join of two broadcastable
+  * rank lists. q148's predicate prunes the candidate scan (label is a
+  * partition/bucket key in a real deployment, so pruning happens at the
+  * source); the index-served form is [[AnnIndex.search]] with `allowed`,
+  * which confines the ADC scan to probed-list ∩ allow-list members.
+  */
+object Advanced14 {
+
+  /** RRF constant — 60 per the original paper; rank contributions are
+    * ROUND(1/(60+r), 6) so both engines fuse identical decimals.
+    */
+  private val FuseK = 60
+  private val ListDepth = 20
+
+  private def rrfContrib(rank: Column): Column =
+    coalesce(round(lit(1.0) / (lit(FuseK) + rank), 6), lit(0.0))
+      .cast(DecimalType(10, 6))
+
+  /** Hybrid search: BM25 (q146's scoring base, terms 'dup vector spark')
+    * fused with cosine ranks for query vector 0 over the embeddings
+    * table (doc_id ↔ vec_id is the corpus key). Top-10 by RRF with the
+    * per-retriever ranks carried for interpretability (null = the doc
+    * was outside that retriever's top-20).
+    */
+  val hybridRrf = Q(
+    "q147_hybrid_rrf",
+    s"""WITH ${Advanced13.bm25AggCtes(Advanced13.BmQueryTerms)},
+       |lex AS (
+       |  SELECT doc_id AS l_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS lex_rnk
+       |  FROM agg QUALIFY lex_rnk <= $ListDepth),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |sims AS (
+       |  SELECT vec_id,
+       |    ROUND(list_dot_product(v, qv)
+       |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS sim
+       |  FROM e CROSS JOIN qv),
+       |sem AS (
+       |  SELECT vec_id AS s_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS sem_rnk
+       |  FROM sims QUALIFY sem_rnk <= $ListDepth),
+       |fused AS (
+       |  SELECT COALESCE(l_id, s_id) AS doc_id,
+       |    CAST(CAST(COALESCE(ROUND(1.0 / ($FuseK + lex_rnk), 6), 0) AS DECIMAL(10,6))
+       |       + CAST(COALESCE(ROUND(1.0 / ($FuseK + sem_rnk), 6), 0) AS DECIMAL(10,6))
+       |      AS DOUBLE) AS rrf,
+       |    lex_rnk, sem_rnk
+       |  FROM lex FULL JOIN sem ON l_id = s_id),
+       |r AS (
+       |  SELECT doc_id, rrf, lex_rnk, sem_rnk,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rnk
+       |  FROM fused QUALIFY rnk <= 10)
+       |SELECT rnk, doc_id, rrf, lex_rnk, sem_rnk FROM r ORDER BY rnk""".stripMargin) { (s, d) =>
+    DotProduct.register(s)
+    CosineSim.register(s)
+    val wl = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val lex = Advanced13.bm25Scores(s, d)
+      .withColumn("lex_rnk", row_number().over(wl))
+      .filter(col("lex_rnk") <= ListDepth)
+      .select(col("doc_id").as("l_id"), col("lex_rnk"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val ws = Window.orderBy(col("sim").desc, col("vec_id"))
+    val sem = e.crossJoin(broadcast(qv))
+      .select(col("vec_id"), round(expr("graft_cosine(v, qv)"), 6).as("sim"))
+      .withColumn("sem_rnk", row_number().over(ws))
+      .filter(col("sem_rnk") <= ListDepth)
+      .select(col("vec_id").as("s_id"), col("sem_rnk"))
+    val wr = Window.orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(sem, col("l_id") === col("s_id"), "full_outer")
+      .select(coalesce(col("l_id"), col("s_id")).as("doc_id"),
+        (rrfContrib(col("lex_rnk")) + rrfContrib(col("sem_rnk")))
+          .cast("double").as("rrf"),
+        col("lex_rnk"), col("sem_rnk"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 10)
+      .select(col("rnk"), col("doc_id"), col("rrf"), col("lex_rnk"), col("sem_rnk"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Predicate-filtered similarity search: cosine top-3 for queries
+    * vec_id < 5 among candidates sharing the query's label. The
+    * predicate rides the join condition (an equi-join key), so the
+    * distance kernel only ever sees qualifying candidates.
+    */
+  val filteredAnn = Q(
+    "q148_filtered_ann",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < 5),
+      |sims AS (
+      |  SELECT qid, e.vec_id AS cand,
+      |    ROUND(list_dot_product(qv, v)
+      |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
+      |  FROM q JOIN e ON e.label = q.qlabel AND e.vec_id <> qid),
+      |r AS (
+      |  SELECT qid, cand, sim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cand) AS INTEGER) AS rnk
+      |  FROM sims QUALIFY rnk <= 3)
+      |SELECT qid, rnk, cand, sim FROM r ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    DotProduct.register(s)
+    CosineSim.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
+    val sims = e.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(expr("graft_cosine(qv, v)"), 6).as("sim"))
+    val wk = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cand"))
+    sims.withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk"), col("cand"), col("sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val specs: Seq[Q] = Seq(hybridRrf, filteredAnn)
+}

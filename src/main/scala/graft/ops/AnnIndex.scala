@@ -94,10 +94,15 @@ object AnnIndex {
     * `queries(qid, v: array<double>)`: q140's plan shape — probes and
     * distance tables broadcast, the code scan joins the candidate list
     * first. `excludeSelf` drops cand == qid (for corpus-member queries,
-    * matching q140's semantics).
+    * matching q140's semantics). `allowed` is an optional allow-list
+    * (`vec_id`) — the ACL/tenant/label filter of q148, applied to the
+    * candidate ids BEFORE any code is read, so the ADC scan is confined
+    * to probed-list ∩ allow-list members (never a post-filter that
+    * k-starves the result).
     */
   def search(s: SparkSession, ix: Index, queries: DataFrame, nprobe: Int,
-      k: Int, excludeSelf: Boolean = false): DataFrame = {
+      k: Int, excludeSelf: Boolean = false,
+      allowed: Option[DataFrame] = None): DataFrame = {
     graft.functions.DotProduct.register(s)
     graft.functions.CosineSim.register(s)
     val cent = ix.centroids.select(col("cid").as("c_id"), col("cv"))
@@ -112,8 +117,11 @@ object AnnIndex {
     val candBase = broadcast(probes.withColumnRenamed("c_id", "probe_c_id"))
       .join(ix.assigned.as("a"), col("probe_c_id") === col("a.c_id"))
       .select(col("qid"), col("a.vec_id").as("cand"))
-    val candp = (if (excludeSelf) candBase.filter(col("cand") =!= col("qid"))
-      else candBase).distinct()
+    val candSelf = if (excludeSelf) candBase.filter(col("cand") =!= col("qid"))
+      else candBase
+    val candp = allowed.fold(candSelf) { a =>
+      candSelf.join(a.select(col("vec_id").as("cand")), Seq("cand"), "left_semi")
+    }.distinct()
     // per-query block-distance table to the codebook
     val dtab = Quantizer.subBlocks(queries.select(col("qid"), col("v")), Seq("qid"))
       .join(broadcast(ix.codebook), Seq("b"))

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hybrid RRF fusion and filtered ANN: fusion arithmetic verified row by
+  * row against the carried per-retriever ranks, ranks cross-checked
+  * against the standalone retrievers, and the filtered search compared
+  * to an independently-constructed (crossJoin + filter) ground truth.
+  */
+class Advanced14Spec extends SparkSuite {
+  import spark.implicits._
+
+  test("q147 fuses exactly 1/(60+r) per retriever and agrees with q146 ranks") {
+    val rows = ops.Advanced14.hybridRrf.run(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    def contrib(r: Any): BigDecimal = r match {
+      case null => BigDecimal(0)
+      case i: Integer => BigDecimal(1.0 / (60 + i.toInt))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    rows.foreach { r =>
+      val want = (contrib(r.get(3)) + contrib(r.get(4))).toDouble
+      assert(math.abs(r.getDouble(2) - want) < 1e-12,
+        s"rrf mismatch for doc ${r.getLong(1)}: ${r.getDouble(2)} vs $want")
+      assert(r.get(3) != null || r.get(4) != null,
+        "a fused doc must come from at least one retriever")
+    }
+    // rrf non-increasing in rank, ties broken by doc_id ascending
+    val sorted = rows.sortBy(_.getInt(0))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(2) > b.getDouble(2) ||
+        (a.getDouble(2) == b.getDouble(2) && a.getLong(1) < b.getLong(1)))
+    case _ => }
+    // lexical ranks carried in the fusion agree with standalone q146
+    val bmRanks = ops.Advanced13.bm25.run(spark, sf0001).collect()
+      .map(r => r.getLong(1) -> r.getInt(0)).toMap
+    rows.filter(r => r.get(3) != null && r.getInt(3) <= 10).foreach { r =>
+      assert(bmRanks.get(r.getLong(1)).contains(r.getInt(3)),
+        s"lex_rnk diverged from q146 for doc ${r.getLong(1)}")
+    }
+    // if semantic rank 1 surfaces in the fused top-10, it must be the
+    // query vector itself (cosine 1 to itself, vec_id tiebreak)
+    rows.filter(r => r.get(4) != null && r.getInt(4) == 1).foreach { r =>
+      assert(r.getLong(1) == 0L, s"sem rank 1 should be vec 0: $r")
+    }
+  }
+
+  test("q148 equals an independently-built same-label exact ranking") {
+    graft.functions.CosineSim.register(spark)
+    val got = ops.Advanced14.filteredAnn.run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // independent construction: crossJoin then filter (vs the impl's
+    // equi-join on label), same semantics, different plan
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"label", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"), $"v".as("qv"))
+    val want = e.crossJoin(q)
+      .filter($"label" === $"qlabel" && $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cand"), round(expr("graft_cosine(qv, v)"), 6).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+          .map { case (r, i) => (qid, i + 1, r._2, r._3) }
+      }.sorted
+    assert(got.nonEmpty && got.sorted.sameElements(want),
+      s"filtered ANN diverged:\n got ${got.sorted.toSeq}\nwant $want")
+    // and the filter held: every candidate shares its query's label
+    val labels = e.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (qid, _, cand, _) =>
+      assert(labels(qid) == labels(cand), s"label filter violated: $qid -> $cand")
+    }
+  }
+}

@@ -74,4 +74,30 @@ class AnnIndexSpec extends SparkSuite {
     assert(res(3L).contains(5003L) && res(9L).contains(5009L),
       s"appended near-copies not retrieved: $res")
   }
+
+  test("allow-list search confines candidates and preserves ADC ranking") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annix4").toString
+    AnnIndex.write(spark, sf0001, dir)
+    val ix = AnnIndex.load(spark, dir)
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    val queries = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"v")
+    val allowed = e.filter($"vec_id" % 2 === 0).select($"vec_id")
+    // probe every list so the candidate set is exactly the allow-list:
+    // the filtered ranking must equal the unfiltered ranking restricted
+    // to allowed ids and re-ranked (filter-BEFORE-rank, no k-starving)
+    val got = AnnIndex.search(spark, ix, queries, nprobe = 16, k = 3,
+        allowed = Some(allowed))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.forall(_._3 % 2 == 0), s"disallowed candidate leaked: ${got.toSeq}")
+    val want = AnnIndex.search(spark, ix, queries, nprobe = 16, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .filter(_._2 % 2 == 0)
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(3).zipWithIndex
+          .map { case (r, i) => (qid, i + 1, r._2) }
+      }.sorted
+    assert(got.sorted.sameElements(want),
+      s"filtered ranking diverged:\n got ${got.sorted.toSeq}\nwant $want")
+  }
 }

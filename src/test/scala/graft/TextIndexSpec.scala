@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.TextIndex
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The lexical index-build / search-job separation: BM25 served from
+  * persisted postings must be BIT-IDENTICAL to the live q146 path, and
+  * appends must shift df/avgdl exactly as a fresh build over the union
+  * corpus would.
+  */
+class TextIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val terms = Seq("dup", "vector", "spark")
+
+  test("persisted-index search is bit-identical to the live q146 path") {
+    val dir = Files.createTempDirectory("graft-tix").toString
+    TextIndex.write(spark, sf0001, dir)
+    val ix = TextIndex.load(spark, dir)
+    val got = TextIndex.search(spark, ix, terms, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val want = ops.Advanced13.bm25.run(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty && got.sameElements(want),
+      s"index search diverged from live path:\n got ${got.toSeq}\nwant ${want.toSeq}")
+  }
+
+  test("append updates stats and matches a fresh build over the union corpus") {
+    val dir = Files.createTempDirectory("graft-tix2").toString
+    TextIndex.write(spark, sf0001, dir)
+    val before = TextIndex.load(spark, dir).stats.collect()(0)
+    val batch = Seq(
+      (9000L, "dup dup dup w", "en", "src", 13L),
+      (9001L, "vector w w", "en", "src", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ix2 = TextIndex.append(spark, dir, batch)
+    val after = ix2.stats.collect()(0)
+    assert(after.getLong(0) == before.getLong(0) + 2, "n_docs counts the batch")
+    assert(after.getLong(1) == before.getLong(1) + 4 + 3, "n_toks counts batch tokens")
+    // parity with a from-scratch q146 over the union corpus: appended
+    // postings shift df and avgdl exactly, with no rebuild
+    val cdir = Files.createTempDirectory("graft-tix2c").toString
+    Tables.documents(spark, sf0001).unionByName(batch)
+      .write.parquet(s"$cdir/documents.parquet")
+    val got = TextIndex.search(spark, ix2, terms, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val want = ops.Advanced13.bm25.run(spark, cdir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sameElements(want),
+      s"post-append search diverged from union rebuild:\n got ${got.toSeq}\nwant ${want.toSeq}")
+    // the dup-heavy appended doc is retrievable by its rare term
+    val dupTop = TextIndex.search(spark, ix2, Seq("dup"), 5)
+      .collect().map(_.getLong(1))
+    assert(dupTop.contains(9000L), s"appended doc not retrieved: ${dupTop.toSeq}")
+  }
+}

@@ -3,7 +3,7 @@ package graft.ops
 import graft.{Q, Tables}
 import graft.functions.{CosineSim, DotProduct}
 import graft.functions.VectorFunctions.asDouble
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -142,5 +142,49 @@ object Advanced14 {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  val specs: Seq[Q] = Seq(hybridRrf, filteredAnn)
+  /** Exact-phrase occurrence counts from positional postings: postings
+    * for each phrase term, shifted to the phrase start position and
+    * chained through (doc_id, pos) equi-joins — the standard positional-
+    * index phrase plan. Each join side is df-bounded (term-filtered
+    * postings, the `IN` predicate reaching the scan), so cost follows
+    * the rarest term's posting list, never the corpus.
+    */
+  private[graft] def phraseHits(toks: DataFrame, phrase: Seq[String]): DataFrame = {
+    val first = toks.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(toks.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("pos")), Seq("doc_id", "pos"))
+    }.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+  }
+
+  private[graft] val PhraseTerms = Seq("table", "hash")
+
+  /** q149: all documents containing the exact phrase "table hash", with
+    * occurrence counts. The library form ([[phraseHits]]) takes any
+    * phrase length — the fold emits one shifted-position equi-join per
+    * extra term.
+    */
+  val phraseSearch = Q(
+    "q149_phrase_search", {
+      val termCtes = PhraseTerms.zipWithIndex.map { case (t, i) =>
+        s"t$i AS (SELECT doc_id, pos - $i AS pos FROM toks WHERE term = '$t')"
+      }.mkString(",\n")
+      val joins = (1 until PhraseTerms.length)
+        .map(i => s"JOIN t$i USING (doc_id, pos)").mkString(" ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         |         generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM documents),
+         |$termCtes,
+         |m AS (SELECT doc_id, pos FROM t0 $joins)
+         |SELECT doc_id, COUNT(*) AS n_hits FROM m GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    phraseHits(toks, PhraseTerms).orderBy(col("doc_id"))
+  }
+
+  val specs: Seq[Q] = Seq(hybridRrf, filteredAnn, phraseSearch)
 }

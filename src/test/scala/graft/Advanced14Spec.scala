@@ -45,6 +45,25 @@ class Advanced14Spec extends SparkSuite {
     }
   }
 
+  test("q149 phrase hits count overlaps and generalize to longer phrases") {
+    val docs = Seq(
+      (0L, "table hash table hash"),      // two non-overlapping hits
+      (1L, "a a a a"),                     // overlapping "a a": 3 hits
+      (2L, "table x hash"),                // gap breaks the phrase
+      (3L, "hash table"),                  // order matters
+      (4L, "x table hash y table hash z")) // two hits mid-document
+      .toDF("doc_id", "text")
+    val toks = docs.select($"doc_id",
+      posexplode(split($"text", " ")).as(Seq("pos", "term")))
+    def hits(phrase: String*): Map[Long, Long] =
+      ops.Advanced14.phraseHits(toks, phrase).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits("table", "hash") == Map(0L -> 2L, 4L -> 2L))
+    assert(hits("a", "a") == Map(1L -> 3L), "overlapping starts all count")
+    assert(hits("a", "a", "a") == Map(1L -> 2L), "3-term fold chains the joins")
+    assert(hits("hash", "table") == Map(0L -> 1L, 3L -> 1L))
+  }
+
   test("q148 equals an independently-built same-label exact ranking") {
     graft.functions.CosineSim.register(spark)
     val got = ops.Advanced14.filteredAnn.run(spark, sf0001)

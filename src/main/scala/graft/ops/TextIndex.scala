@@ -78,7 +78,12 @@ object TextIndex {
 
   /** Append `docs(doc_id, text, …)` to a persisted index; returns the
     * refreshed index. Every doc tokenizes to ≥ 1 term (split of "" is
-    * [""]), so doclens keeps counting documents exactly.
+    * [""]), so doclens keeps counting documents exactly. Works as a
+    * streaming foreachBatch action (TextIndexSpec proves batch-by-batch
+    * appends ≡ a fresh build over the union corpus); append itself is
+    * not idempotent, so a crash-replayed micro-batch needs the caller to
+    * dedupe on batchId (partition the append by batch id and overwrite),
+    * per [[graft.streaming.EventStream.toForeachBatch]]'s contract.
     */
   def append(s: SparkSession, dir: String, docs: DataFrame): Index = {
     writeBatch(docs, dir, "append")

@@ -54,4 +54,34 @@ class TextIndexSpec extends SparkSuite {
       .collect().map(_.getLong(1))
     assert(dupTop.contains(9000L), s"appended doc not retrieved: ${dupTop.toSeq}")
   }
+
+  test("streaming appends maintain the index incrementally (foreachBatch)") {
+    val dir = Files.createTempDirectory("graft-tix3").toString
+    TextIndex.write(spark, sf0001, dir)
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = streaming.EventStream.toForeachBatch(stream, s"$dir/ckpt") { (batch, _) =>
+      if (!batch.isEmpty) TextIndex.append(spark, dir, batch)
+    }
+    val extra = Seq((9100L, "dup table hash"), (9101L, "vector spark w"),
+      (9102L, "dup dup spark"))
+    input.addData(extra.take(2): _*)
+    q.processAllAvailable()
+    input.addData(extra.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    // the streamed index serves exactly what a fresh build over the
+    // union corpus would
+    val cdir = Files.createTempDirectory("graft-tix3c").toString
+    Tables.documents(spark, sf0001).select($"doc_id", $"text")
+      .unionByName(extra.toDF("doc_id", "text"))
+      .write.parquet(s"$cdir/documents.parquet")
+    val got = TextIndex.search(spark, TextIndex.load(spark, dir), terms, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val want = ops.Advanced13.bm25.run(spark, cdir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty && got.sameElements(want),
+      s"streamed index diverged from union rebuild:\n got ${got.toSeq}\nwant ${want.toSeq}")
+  }
 }

@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   *  - `codebook/`   (b, cid, cv)         — trained PQ sub-codebooks
   *  - `assigned/`   (vec_id, c_id)       — inverted-list membership
   *  - `codes/`      (vec_id, b, code)    — 4-byte/vector PQ codes
+  *  - `tombstones/` (vec_id)             — deleted ids awaiting [[compact]]
   *
   * [[search]] runs q140's exact dataflow over the loaded tables for
   * EXTERNAL query vectors: probe the nprobe nearest lists by cosine,
@@ -51,11 +52,57 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$dir/codes")
   }
 
-  def load(s: SparkSession, dir: String): Index = Index(
-    centroids = s.read.parquet(s"$dir/centroids"),
-    codebook = s.read.parquet(s"$dir/codebook"),
-    assigned = s.read.parquet(s"$dir/assigned"),
-    codes = s.read.parquet(s"$dir/codes"))
+  def load(s: SparkSession, dir: String): Index = {
+    val raw = Index(
+      centroids = s.read.parquet(s"$dir/centroids"),
+      codebook = s.read.parquet(s"$dir/codebook"),
+      assigned = s.read.parquet(s"$dir/assigned"),
+      codes = s.read.parquet(s"$dir/codes"))
+    val tombs = tombstones(s, dir)
+    if (tombs.isEmpty) raw
+    else raw.copy(
+      assigned = raw.assigned.join(tombs.get, Seq("vec_id"), "left_anti"),
+      codes = raw.codes.join(tombs.get, Seq("vec_id"), "left_anti"))
+  }
+
+  private def tombstones(s: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(p.toString).select(col("vec_id")))
+    else None
+  }
+
+  /** Delete vectors by id — the standard tombstone design: ids append to
+    * a `tombstones/` table ([[load]] anti-joins it onto assigned/codes,
+    * so searches never surface deleted ids), and the index files are
+    * untouched until [[compact]] rewrites them. O(batch) per delete,
+    * O(index) only at compaction — never a rewrite on the delete path.
+    */
+  def delete(s: SparkSession, dir: String, ids: DataFrame): Index = {
+    ids.select(col("vec_id")).write.mode("append").parquet(s"$dir/tombstones")
+    load(s, dir)
+  }
+
+  /** Fold accumulated tombstones into the index files: rewrite assigned
+    * and codes without the deleted rows, then drop the tombstone table.
+    * Run when the tombstone fraction makes the per-search anti-join
+    * noticeable (it is a broadcast-sized side until then). Note a
+    * tombstoned id blocks that id entirely — re-adding it via [[append]]
+    * requires compacting first.
+    */
+  def compact(s: SparkSession, dir: String): Index = {
+    tombstones(s, dir).foreach { _ =>
+      val live = load(s, dir) // tombstones already anti-joined
+      // localCheckpoint so the rewrite doesn't race its own input scan
+      live.assigned.localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$dir/assigned")
+      live.codes.localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    load(s, dir)
+  }
 
   /** Append new vectors `batch(vec_id, v)` to a persisted index using
     * its EXISTING (frozen) quantizers — the standard serve-time append:

@@ -100,4 +100,38 @@ class AnnIndexSpec extends SparkSuite {
     assert(got.sorted.sameElements(want),
       s"filtered ranking diverged:\n got ${got.sorted.toSeq}\nwant $want")
   }
+
+  test("delete tombstones ids immediately; compact folds them into the files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annix5").toString
+    AnnIndex.write(spark, sf0001, dir)
+    val ix = AnnIndex.load(spark, dir)
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    val queries = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"v")
+    // delete the two ids the unfiltered search ranks first — the
+    // strongest test that results actually change
+    val victims = AnnIndex.search(spark, ix, queries, nprobe = 16, k = 1)
+      .collect().map(_.getLong(2)).distinct.take(2).toSeq
+    val delIx = AnnIndex.delete(spark, dir, victims.toDF("vec_id"))
+    val got = AnnIndex.search(spark, delIx, queries, nprobe = 16, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.forall(r => !victims.contains(r._3)),
+      s"deleted id still served: ${got.toSeq}")
+    // tombstoned search ranks exactly like an allow-list of the complement
+    val want = AnnIndex.search(spark, ix, queries, nprobe = 16, k = 3,
+        allowed = Some(e.filter(!$"vec_id".isin(victims: _*)).select($"vec_id")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.sorted.sameElements(want.sorted),
+      s"tombstoned ranking diverged:\n got ${got.sorted.toSeq}\nwant ${want.sorted.toSeq}")
+    // compact physically removes the rows and leaves results unchanged
+    val before = (ix.assigned.count(), ix.codes.count())
+    val compIx = AnnIndex.compact(spark, dir)
+    assert(compIx.assigned.count() == before._1 - victims.size)
+    assert(compIx.codes.count() == before._2 - victims.size * 4)
+    assert(!new java.io.File(s"$dir/tombstones").exists, "tombstones cleared")
+    val after = AnnIndex.search(spark, compIx, queries, nprobe = 16, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(after.sorted.sameElements(got.sorted),
+      "compaction changed search results")
+  }
 }

@@ -81,13 +81,13 @@ object Advanced13 {
           expr("graft_dot(cv, cv)").cast("long").as("n2"))
     }
 
-  /** SQ8 symmetric search: top-3 per query by exact integer squared
-    * distance between code vectors, ‖q−c‖² = ‖q‖²+‖c‖²−2⟨q,c⟩ (all values
-    * ≤ 64·255² < 2^53, so the double dot product is exact).
+  /** Oracle CTE chain for the SQ8 code ranking, through `r(qid, cand,
+    * sqdist, rnk ≤ k)` — generated (never copied) so q145 and the q150
+    * retrieval-eval express identical quantized-ranking semantics.
     */
-  val sq8Search = Q(
-    "q145_sq8_search",
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  private[graft] def sq8RankCtes(nq: Int, k: Int, excludeSelf: Boolean): String = {
+    val selfCond = if (excludeSelf) " AND c.vec_id <> q.vec_id" else ""
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |dims AS (SELECT vec_id, unnest(range(0, 64)) AS i, unnest(v) AS x FROM e),
       |st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY i),
       |codes AS (
@@ -98,24 +98,44 @@ object Advanced13 {
       |dist AS (
       |  SELECT q.vec_id AS qid, c.vec_id AS cand,
       |    CAST(q.n2 + c.n2 - 2 * list_dot_product(q.cv, c.cv) AS BIGINT) AS sqdist
-      |  FROM nn q CROSS JOIN nn c WHERE q.vec_id < 5),
+      |  FROM nn q CROSS JOIN nn c WHERE q.vec_id < $nq$selfCond),
       |r AS (
       |  SELECT qid, cand, sqdist,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
       |      ORDER BY sqdist, cand) AS INTEGER) AS rnk
-      |  FROM dist QUALIFY rnk <= 3)
-      |SELECT qid, rnk, cand, sqdist FROM r ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      |  FROM dist QUALIFY rnk <= $k)""".stripMargin
+  }
+
+  /** The SQ8 code ranking (qid, cand, sqdist, rnk ≤ k) for queries
+    * vec_id < nq — q145's dataflow, parameterized for reuse by the q150
+    * retrieval-eval (which excludes self-matches).
+    */
+  private[graft] def sq8Ranking(s: SparkSession, d: String, nq: Int, k: Int,
+      excludeSelf: Boolean): DataFrame = {
     val codes = sqCodes(s, d)
-    val q = codes.filter(col("vec_id") < 5)
+    val q = codes.filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("cv").as("qv"), col("n2").as("qn2"))
     val wk = Window.partitionBy(col("qid")).orderBy(col("sqdist"), col("cand"))
-    codes.select(col("vec_id").as("cand"), col("cv"), col("n2"))
+    val base = codes.select(col("vec_id").as("cand"), col("cv"), col("n2"))
       .crossJoin(broadcast(q))
+    val scoped = if (excludeSelf) base.filter(col("cand") =!= col("qid")) else base
+    scoped
       .select(col("qid"), col("cand"),
         (col("qn2") + col("n2") - lit(2) * expr("graft_dot(qv, cv)"))
           .cast("long").as("sqdist"))
       .withColumn("rnk", row_number().over(wk))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
+  }
+
+  /** SQ8 symmetric search: top-3 per query by exact integer squared
+    * distance between code vectors, ‖q−c‖² = ‖q‖²+‖c‖²−2⟨q,c⟩ (all values
+    * ≤ 64·255² < 2^53, so the double dot product is exact).
+    */
+  val sq8Search = Q(
+    "q145_sq8_search",
+    s"""WITH ${sq8RankCtes(5, 3, excludeSelf = false)}
+      |SELECT qid, rnk, cand, sqdist FROM r ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    sq8Ranking(s, d, nq = 5, k = 3, excludeSelf = false)
       .select(col("qid"), col("rnk"), col("cand"), col("sqdist"))
       .orderBy(col("qid"), col("rnk"))
   }

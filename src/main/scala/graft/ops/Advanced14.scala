@@ -186,5 +186,68 @@ object Advanced14 {
     phraseHits(toks, PhraseTerms).orderBy(col("doc_id"))
   }
 
-  val specs: Seq[Q] = Seq(hybridRrf, filteredAnn, phraseSearch)
+  /** Per-query retrieval-quality metrics for a system ranking against a
+    * ground-truth set: reciprocal rank of the first relevant hit (0 if
+    * none) and recall@k — the eval harness every ANN/retrieval deploy
+    * runs before trusting an index. `ranking` is (qid, rnk, cand),
+    * `truth` is (qid, cand); both sides are top-k-sized, so the join and
+    * the aggregate are rank-list-sized, never corpus-sized.
+    */
+  private[graft] def rankingMetrics(ranking: DataFrame, truth: DataFrame,
+      k: Int): DataFrame =
+    ranking.join(truth.withColumn("hit", lit(1)), Seq("qid", "cand"), "left")
+      .groupBy(col("qid"))
+      .agg(
+        round(coalesce(lit(1.0) / min(when(col("hit") === 1, col("rnk"))), lit(0.0)), 6)
+          .as("rr"),
+        round(sum(coalesce(col("hit"), lit(0))) / (1.0 * k), 6).as(s"recall$k"))
+
+  /** q150: MRR + recall@3 of the SQ8 quantized ranking (q145's dataflow,
+    * self-matches excluded) against the exact double-precision scan —
+    * quantizer quality measured in retrieval terms, per query. The
+    * exact side ranks on the 6-decimal-rounded distance (cand tiebreak)
+    * so ordering is engine-stable.
+    */
+  val retrievalEval = Q(
+    "q150_retrieval_eval",
+    s"""WITH ${Advanced13.sq8RankCtes(5, 3, excludeSelf = true)},
+       |exact AS (
+       |  SELECT qid, cand FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cand,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ROUND(list_dot_product(q.v, q.v) + list_dot_product(c.v, c.v)
+       |          - 2 * list_dot_product(q.v, c.v), 6), c.vec_id) AS INTEGER) AS ernk
+       |    FROM e q CROSS JOIN e c
+       |    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) t
+       |  WHERE ernk <= 3),
+       |hits AS (
+       |  SELECT r.qid, r.rnk,
+       |    CASE WHEN exact.cand IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM r LEFT JOIN exact ON exact.qid = r.qid AND exact.cand = r.cand),
+       |m AS (
+       |  SELECT qid,
+       |    ROUND(COALESCE(1.0 / MIN(CASE WHEN hit = 1 THEN rnk END), 0), 6) AS rr,
+       |    ROUND(SUM(hit) / 3.0, 6) AS recall3
+       |  FROM hits GROUP BY qid)
+       |SELECT qid, rr, recall3 FROM m ORDER BY qid""".stripMargin) { (s, d) =>
+    DotProduct.register(s)
+    val sys = Advanced13.sq8Ranking(s, d, nq = 5, k = 3, excludeSelf = true)
+      .select(col("qid"), col("rnk"), col("cand"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val we = Window.partitionBy(col("qid")).orderBy(col("rdist"), col("cand"))
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(expr("graft_dot(qv, qv)") + expr("graft_dot(v, v)")
+          - lit(2) * expr("graft_dot(qv, v)"), 6).as("rdist"))
+      .withColumn("ernk", row_number().over(we))
+      .filter(col("ernk") <= 3)
+      .select(col("qid"), col("cand"))
+    rankingMetrics(sys, truth, k = 3).orderBy(col("qid"))
+  }
+
+  val specs: Seq[Q] = Seq(hybridRrf, filteredAnn, phraseSearch, retrievalEval)
 }

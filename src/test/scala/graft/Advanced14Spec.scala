@@ -64,6 +64,40 @@ class Advanced14Spec extends SparkSuite {
     assert(hits("hash", "table") == Map(0L -> 1L, 3L -> 1L))
   }
 
+  test("q150 ranking metrics: rr and recall from hand-built rankings") {
+    // q1: truth hit at rank 2 of 3 → rr 1/2, recall 1/3
+    // q2: no hits → rr 0, recall 0
+    // q3: hits at ranks 1 and 3 → rr 1, recall 2/3
+    val ranking = Seq(
+      (1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 20L), (2L, 2, 21L), (2L, 3, 22L),
+      (3L, 1, 30L), (3L, 2, 31L), (3L, 3, 32L))
+      .toDF("qid", "rnk", "cand")
+    val truth = Seq((1L, 11L), (1L, 99L), (1L, 98L),
+      (2L, 97L), (2L, 96L), (2L, 95L),
+      (3L, 30L), (3L, 32L), (3L, 94L))
+      .toDF("qid", "cand")
+    val got = ops.Advanced14.rankingMetrics(ranking, truth, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.sameElements(Seq(
+      (1L, 0.5, 0.333333), (2L, 0.0, 0.0), (3L, 1.0, 0.666667))), got.toSeq)
+  }
+
+  test("q150 on real data: self-excluded SQ8 eval, metrics in range") {
+    val rows = ops.Advanced14.retrievalEval.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    rows.foreach { case (qid, rr, rec) =>
+      assert(rr >= 0 && rr <= 1 && rec >= 0 && rec <= 1, s"out of range: $qid")
+      // rr ≥ its floor given recall: if any of top-3 hit, rr ≥ 1/3
+      assert(rec == 0 || rr >= 0.333333, s"inconsistent rr/recall: $qid $rr $rec")
+    }
+    // SQ8 is a high-fidelity quantizer: mean recall should stay high
+    // (the spec-pinned q145 recall bound, self-match removed)
+    val meanRec = rows.map(_._3).sum / rows.length
+    assert(meanRec >= 0.6, s"mean recall@3 $meanRec below 0.6")
+  }
+
   test("q148 equals an independently-built same-label exact ranking") {
     graft.functions.CosineSim.register(spark)
     val got = ops.Advanced14.filteredAnn.run(spark, sf0001)

@@ -145,9 +145,11 @@ object Advanced14 {
   /** Exact-phrase occurrence counts from positional postings: postings
     * for each phrase term, shifted to the phrase start position and
     * chained through (doc_id, pos) equi-joins — the standard positional-
-    * index phrase plan. Each join side is df-bounded (term-filtered
-    * postings, the `IN` predicate reaching the scan), so cost follows
-    * the rarest term's posting list, never the corpus.
+    * index phrase plan. Each join side is df-bounded: over live
+    * tokenization (q149) the term filter prunes directly after the
+    * explode; over [[TextIndex]]'s persisted positions the predicate
+    * reaches the parquet scan (TextIndexSpec asserts it), so serve cost
+    * follows the rarest term's posting list, never the corpus.
     */
   private[graft] def phraseHits(toks: DataFrame, phrase: Seq[String]): DataFrame = {
     val first = toks.filter(col("term") === phrase.head)

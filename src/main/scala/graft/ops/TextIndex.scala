@@ -12,9 +12,10 @@ import org.apache.spark.sql.types.DecimalType
   * without re-tokenizing the corpus.
   *
   * Index layout under `dir` (plain parquet):
-  *  - `postings/` (term, doc_id, tf) — the inverted index
-  *  - `doclens/`  (doc_id, dl)       — per-document token counts
-  *  - `stats/`    (n_docs, n_toks)   — one row of corpus aggregates
+  *  - `postings/`  (term, doc_id, tf)  — the inverted index
+  *  - `doclens/`   (doc_id, dl)        — per-document token counts
+  *  - `stats/`     (n_docs, n_toks)    — one row of corpus aggregates
+  *  - `positions/` (term, doc_id, pos) — positional postings ([[phraseSearch]])
   *
   * [[search]] filters `postings` by the query terms FIRST — an `IN`
   * predicate that reaches the parquet scan, so serve cost is
@@ -38,11 +39,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TextIndex {
 
-  case class Index(postings: DataFrame, doclens: DataFrame, stats: DataFrame)
+  case class Index(postings: DataFrame, doclens: DataFrame, stats: DataFrame,
+    positions: DataFrame)
 
-  /** q146's whitespace tokenization, verbatim — parity is the contract. */
+  /** q146's whitespace tokenization, verbatim — parity is the contract;
+    * positions carried for the phrase index.
+    */
   private def toks(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
 
   private def writeBatch(docs: DataFrame, dir: String, mode: String): Unit = {
     val t = toks(docs)
@@ -50,6 +55,8 @@ object TextIndex {
       .write.mode(mode).parquet(s"$dir/postings")
     t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       .write.mode(mode).parquet(s"$dir/doclens")
+    t.select(col("term"), col("doc_id"), col("pos"))
+      .write.mode(mode).parquet(s"$dir/positions")
   }
 
   /** Recompute the one-row stats from doclens (doc-count rows — one long
@@ -74,7 +81,8 @@ object TextIndex {
   def load(s: SparkSession, dir: String): Index = Index(
     postings = s.read.parquet(s"$dir/postings"),
     doclens = s.read.parquet(s"$dir/doclens"),
-    stats = s.read.parquet(s"$dir/stats"))
+    stats = s.read.parquet(s"$dir/stats"),
+    positions = s.read.parquet(s"$dir/positions"))
 
   /** Append `docs(doc_id, text, …)` to a persisted index; returns the
     * refreshed index. Every doc tokenizes to ≥ 1 term (split of "" is
@@ -111,4 +119,13 @@ object TextIndex {
       .select(col("rnk"), col("doc_id"), col("bm25"))
       .orderBy(col("rnk"))
   }
+
+  /** Exact-phrase hits (doc_id, n_hits) served from the positional
+    * index — q149's adjacency-join plan, but with each term's postings
+    * read through an `=`/`IN` predicate that reaches the parquet scan
+    * (TextIndexSpec asserts the PushedFilters), so serve cost follows
+    * posting-list sizes, never the corpus. This is q149's 100 TB form.
+    */
+  def phraseSearch(s: SparkSession, ix: Index, phrase: Seq[String]): DataFrame =
+    Advanced14.phraseHits(ix.positions, phrase).orderBy(col("doc_id"))
 }

@@ -55,6 +55,23 @@ class TextIndexSpec extends SparkSuite {
     assert(dupTop.contains(9000L), s"appended doc not retrieved: ${dupTop.toSeq}")
   }
 
+  test("phrase search from the positional index matches live q149 and pushes the term filter") {
+    val dir = Files.createTempDirectory("graft-tix4").toString
+    TextIndex.write(spark, sf0001, dir)
+    val ix = TextIndex.load(spark, dir)
+    val hits = TextIndex.phraseSearch(spark, ix, Seq("table", "hash"))
+    val got = hits.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = ops.Advanced14.phraseSearch.run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty && got.sameElements(want),
+      s"indexed phrase search diverged:\n got ${got.toSeq}\nwant ${want.toSeq}")
+    // the term predicate reaches the positions parquet scan — the
+    // property that makes serve cost posting-list-sized at 100 TB
+    val p = hits.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(term,table)"),
+      p.take(2000))
+  }
+
   test("streaming appends maintain the index incrementally (foreachBatch)") {
     val dir = Files.createTempDirectory("graft-tix3").toString
     TextIndex.write(spark, sf0001, dir)

@@ -42,6 +42,43 @@ object Advanced14 {
     coalesce(round(lit(1.0) / (lit(FuseK) + rank), 6), lit(0.0))
       .cast(DecimalType(10, 6))
 
+  /** RRF fusion of two rank lists `lex(l_id, lex_rnk)` / `sem(s_id,
+    * sem_rnk)` → top-k (rnk, doc_id, rrf, lex_rnk, sem_rnk). Both sides
+    * are retriever-depth-sized, so the full-outer join is rank-list-
+    * sized regardless of corpus scale. Shared by q147 and
+    * [[graft.RetrievalPipeline]] (which fuses index-served lists).
+    */
+  private[graft] def fuseRrf(lex: DataFrame, sem: DataFrame, k: Int): DataFrame = {
+    val wr = Window.orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(sem, col("l_id") === col("s_id"), "full_outer")
+      .select(coalesce(col("l_id"), col("s_id")).as("doc_id"),
+        (rrfContrib(col("lex_rnk")) + rrfContrib(col("sem_rnk")))
+          .cast("double").as("rrf"),
+        col("lex_rnk"), col("sem_rnk"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= k)
+      .select(col("rnk"), col("doc_id"), col("rrf"), col("lex_rnk"), col("sem_rnk"))
+  }
+
+  /** Exact top-k neighbor set (qid, cand) by 6-decimal-rounded squared
+    * L2 (cand tiebreak, self excluded) for queries vec_id < nq — the
+    * ground-truth side of [[rankingMetrics]], shared by q150 and the
+    * retrieval pipeline's eval stage.
+    */
+  private[graft] def exactTopK(e: DataFrame, nq: Int, k: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val we = Window.partitionBy(col("qid")).orderBy(col("rdist"), col("cand"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(expr("graft_dot(qv, qv)") + expr("graft_dot(v, v)")
+          - lit(2) * expr("graft_dot(qv, v)"), 6).as("rdist"))
+      .withColumn("ernk", row_number().over(we))
+      .filter(col("ernk") <= k)
+      .select(col("qid"), col("cand"))
+  }
+
   /** Hybrid search: BM25 (q146's scoring base, terms 'dup vector spark')
     * fused with cosine ranks for query vector 0 over the embeddings
     * table (doc_id ↔ vec_id is the corpus key). Top-10 by RRF with the
@@ -94,16 +131,7 @@ object Advanced14 {
       .withColumn("sem_rnk", row_number().over(ws))
       .filter(col("sem_rnk") <= ListDepth)
       .select(col("vec_id").as("s_id"), col("sem_rnk"))
-    val wr = Window.orderBy(col("rrf").desc, col("doc_id"))
-    lex.join(sem, col("l_id") === col("s_id"), "full_outer")
-      .select(coalesce(col("l_id"), col("s_id")).as("doc_id"),
-        (rrfContrib(col("lex_rnk")) + rrfContrib(col("sem_rnk")))
-          .cast("double").as("rrf"),
-        col("lex_rnk"), col("sem_rnk"))
-      .withColumn("rnk", row_number().over(wr))
-      .filter(col("rnk") <= 10)
-      .select(col("rnk"), col("doc_id"), col("rrf"), col("lex_rnk"), col("sem_rnk"))
-      .orderBy(col("rnk"))
+    fuseRrf(lex, sem, 10).orderBy(col("rnk"))
   }
 
   /** Predicate-filtered similarity search: cosine top-3 for queries
@@ -237,18 +265,7 @@ object Advanced14 {
       .select(col("qid"), col("rnk"), col("cand"))
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val we = Window.partitionBy(col("qid")).orderBy(col("rdist"), col("cand"))
-    val truth = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cand"),
-        round(expr("graft_dot(qv, qv)") + expr("graft_dot(v, v)")
-          - lit(2) * expr("graft_dot(qv, v)"), 6).as("rdist"))
-      .withColumn("ernk", row_number().over(we))
-      .filter(col("ernk") <= 3)
-      .select(col("qid"), col("cand"))
-    rankingMetrics(sys, truth, k = 3).orderBy(col("qid"))
+    rankingMetrics(sys, exactTopK(e, nq = 5, k = 3), k = 3).orderBy(col("qid"))
   }
 
   val specs: Seq[Q] = Seq(hybridRrf, filteredAnn, phraseSearch, retrievalEval)

@@ -34,7 +34,10 @@ object Bench {
     // Full per-query detail on separate lines (human log / BENCH.md).
     results.foreach { case (n, s) => println(s"BENCHQ ${n.padTo(28, ' ')} ${d3(s)} s") }
     // -1 failure sentinels are excluded from the graded total (they'd
-    // *reduce* it); the per-query map still carries them as markers.
+    // *reduce* it); the per-query map still carries them as markers, and
+    // `failed` below poisons the headline so breakage can never read as a
+    // perf win (round 7: 15 throwing queries silently shrank the total).
+    val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     // STEADY-STATE medians for the slowest queries: the one-shot total
     // swings 1.5x with host load (round 4: 64-102 s across a session,
@@ -64,7 +67,11 @@ object Bench {
       val qs = kept.map { case (k, v) => s""""$k":${d3(v)}""" }.mkString("{", ",", "}")
       val st = steady.map { case (k, v) => s""""$k":${d3(v)}""" }.mkString("{", ",", "}")
       val trunc = if (dropped > 0) s""","queries_omitted":$dropped""" else ""
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"steady":$st$trunc,"sf":"$sfDir","n":${results.size}}"""
+      // A non-zero failure count invalidates the headline: report -1 (an
+      // impossible total) plus the count, so no comparison against a clean
+      // round can mistake "15 queries threw" for "22% faster".
+      val headline = if (failed > 0) -1.0 else total
+      s"""{"metric":"total","value":${d3(headline)},"unit":"sec","failed":$failed,"queries":$qs,"steady":$st$trunc,"sf":"$sfDir","n":${results.size}}"""
     }
     val bySlowest = results.sortBy(-_._2)
     var kept = bySlowest

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Test-table loaders + shared determinism helpers.
   *
@@ -17,11 +17,29 @@ import org.apache.spark.sql.types.DecimalType
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS); without this runtime conf a
-      // harness-owned session that didn't set it would fail the scan.
+      // If events.ts is parquet TIMESTAMP(NANOS) this conf makes the scan
+      // read it as an epoch-nano long instead of failing; it is a no-op for
+      // MICROS/MILLIS data. Either physical type is handled by `tsUs` below.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Canonical epoch-MICROseconds from the events `ts` column, adaptive to
+    * the parquet physical type the testdata was generated with (it has
+    * changed across harness rounds): TIMESTAMP(NANOS) reads as an
+    * epoch-nano LONG under `nanosAsLong` → exact integer division;
+    * TIMESTAMP(MICROS) reads as TIMESTAMP / TIMESTAMP_NTZ → `unix_micros`
+    * (the NTZ→TZ cast is exact under the required UTC session timezone).
+    * Every event-time site derives micros through this ONE helper so a
+    * testdata regeneration is absorbed here. The DuckDB oracle form
+    * `epoch_ns(ts)//1000` is invariant across these physical types.
+    */
+  def tsUs(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType         => expr("ts DIV 1000")
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case TimestampType    => unix_micros(col("ts"))
+    case t => throw new IllegalArgumentException(s"unsupported events.ts type: $t")
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

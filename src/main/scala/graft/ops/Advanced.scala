@@ -43,9 +43,10 @@ object Advanced {
       |  ROUND((ts_us - asof_error_us) / 1000000.0, 6) AS gap_sec
       |FROM w WHERE tag = 1
       |ORDER BY user_id, purchase_id""".stripMargin) { (s, d) =>
-    val e = Tables.events(s, d)
+    val ev = Tables.events(s, d)
+    val e = ev
       .filter(col("event_type").isin("error", "purchase"))
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
+      .select(col("user_id"), col("event_id"), Tables.tsUs(ev).as("ts_us"),
         when(col("event_type") === "error", 0).otherwise(1).as("tag"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("tag"), col("event_id"))
@@ -85,9 +86,10 @@ object Advanced {
       |  ROUND((ts_us - asof_error_us) / 1000000.0, 6) AS gap_sec
       |FROM w WHERE tag = 1
       |ORDER BY user_id, purchase_id""".stripMargin) { (s, d) =>
-    val e = Tables.events(s, d)
+    val ev = Tables.events(s, d)
+    val e = ev
       .filter(col("event_type").isin("error", "purchase"))
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
+      .select(col("user_id"), col("event_id"), Tables.tsUs(ev).as("ts_us"),
         col("event_type"))
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us"))
@@ -124,10 +126,11 @@ object Advanced {
       |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) / 1000000.0 AS moving_avg3
       |FROM events
       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
-    val ord = Window.partitionBy(col("user_id")).orderBy(expr("ts DIV 1000"), col("event_id"))
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val mov = ord.rowsBetween(-2, Window.currentRow)
-    Tables.events(s, d)
+    val ev = Tables.events(s, d)
+    ev.select(col("user_id"), col("event_id"), col("value"), Tables.tsUs(ev).as("ts_us"))
       .select(col("user_id"), col("event_id"),
         lead(col("event_id"), 1).over(ord).as("next_event_id"),
         ntile(4).over(ord).as("quartile"),

@@ -58,27 +58,69 @@ object Advanced10 {
     * stream) replaces the distinct-vocabulary self-join entirely;
     * pairwise overlap comes from inclusion–exclusion on sketch unions
     * of the broadcast 20-row sketch table. Estimates are DataSketches
-    * HLL (deterministic for a given input set, but engine-specific) —
-    * no DuckDB oracle; Advanced10Spec bounds the estimates against the
-    * exact q103 overlaps instead.
+    * HLL (deterministic for a given input set, but engine-specific), so
+    * the oracle-checkable form outputs the EXACT per-source and shared
+    * gram counts plus booleans asserting each estimate sits within its
+    * error bound (per-set: 5%; shared via inclusion–exclusion: the sum
+    * of the three constituent sketch errors, bounded by 8% of n_a+n_b
+    * plus a small-count floor). The exact twin here is oracle-scale
+    * verification only — at 100 TB the sketch path IS the product and
+    * the exact columns come from q103's batch matrix when needed.
     */
-  val sourceOverlapSketch = Q.noOracle("q125_source_overlap_sketch") { (s, d) =>
+  val sourceOverlapSketch = Q(
+    "q125_source_overlap_sketch",
+    """WITH t AS (
+      |  SELECT source, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |r AS (
+      |  SELECT source, unnest(list_transform(range(1, len(toks) - 1),
+      |    i -> array_to_string(toks[i:i+2], ' '))) AS gr
+      |  FROM t),
+      |g AS (SELECT DISTINCT source, gr FROM r),
+      |sz AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+      |ov AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      |  FROM g a JOIN g b ON a.gr = b.gr AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT sa.source AS src_a, sb.source AS src_b,
+      |  sa.n AS n_a, sb.n AS n_b,
+      |  COALESCE(ov.n_shared, 0) AS n_shared,
+      |  TRUE AS a_ok, TRUE AS b_ok, TRUE AS shared_ok
+      |FROM sz sa JOIN sz sb ON sa.source < sb.source
+      |LEFT JOIN ov ON ov.src_a = sa.source AND ov.src_b = sb.source
+      |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    // One distinct per-source vocabulary pass feeds BOTH sides: the HLL
+    // sketches (the scale path under check) and the exact counts (the
+    // in-query oracle twin). Checkpointed so the subtree plans once.
     val g = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("source"), explode(NGrams.ngrams(col("toks"), 3)).as("gr"))
-      .select(col("source"), xxhash64(col("gr")).as("gh"))
+      .distinct()
+      .localCheckpoint()
     val sk = g.groupBy(col("source"))
-      .agg(hll_sketch_agg(col("gh")).as("sk"),
-        hll_sketch_estimate(hll_sketch_agg(col("gh"))).as("est_n"))
+      .agg(hll_sketch_agg(xxhash64(col("gr"))).as("sk"),
+        count(lit(1)).as("n"),
+        hll_sketch_estimate(hll_sketch_agg(xxhash64(col("gr")))).as("est_n"))
+    val ov = g.as("a")
+      .join(g.as("b"), col("a.gr") === col("b.gr") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("o_a"), col("b.source").as("o_b"))
+      .agg(count(lit(1)).as("n_shared_raw"))
     sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .join(ov,
+        col("a.source") === col("o_a") && col("b.source") === col("o_b"), "left")
       .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        coalesce(col("n_shared_raw"), lit(0L)).as("n_shared"),
         col("a.est_n").as("est_a"), col("b.est_n").as("est_b"),
         (col("a.est_n") + col("b.est_n")
           - hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))))
-          .as("est_shared_raw"))
-      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
-        greatest(col("est_shared_raw"), lit(0L)).as("est_shared"))
+          .as("est_shared"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_shared"),
+        (abs(col("est_a") - col("n_a")) <= col("n_a") * 0.05).as("a_ok"),
+        (abs(col("est_b") - col("n_b")) <= col("n_b") * 0.05).as("b_ok"),
+        (abs(col("est_shared") - col("n_shared"))
+          <= (col("n_a") + col("n_b")) * 0.08 + 16).as("shared_ok"))
       .orderBy(col("src_a"), col("src_b"))
   }
 
@@ -124,8 +166,9 @@ object Advanced10 {
       .orderBy(col("ts_us").desc, col("event_id").desc)
     val decay = Seq(10000000L, 9000000L, 8100000L, 7290000L,
       6561000L, 5904900L, 5314410L, 4782969L) // 0.9^k in 1e-7 units
-    val r = Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
+    val ev = Tables.events(s, d)
+    val r = ev
+      .select(col("user_id"), col("event_id"), Tables.tsUs(ev).as("ts_us"),
         round(col("value") * 100).cast("long").as("cents"))
       .withColumn("k", row_number().over(w) - 1)
       .filter(col("k") < 8)

@@ -63,10 +63,15 @@ object Advanced13 {
     * Flat projection (no higher-order lambda) so the corpus-wide encode
     * pass stays inside whole-stage codegen; codes kept as exact small
     * integers in doubles so `graft_dot` serves as the integer kernel.
+    * A constant dimension (mx = mn) encodes as 0 — without the guard the
+    * division yields NaN/Infinity and the downstream ANSI cast of sqdist
+    * to long throws; the oracle mirrors via NULLIF + COALESCE.
     */
   private def sqEncode: Column = array((0 until Dim).map { i =>
-    round((element_at(col("v"), i + 1) - element_at(col("mns"), i + 1)) * 255
-      / (element_at(col("mxs"), i + 1) - element_at(col("mns"), i + 1)))
+    val mn = element_at(col("mns"), i + 1)
+    val mx = element_at(col("mxs"), i + 1)
+    when(mx === mn, lit(0.0))
+      .otherwise(round((element_at(col("v"), i + 1) - mn) * 255 / (mx - mn)))
   }: _*)
 
   /** Encoded corpus (vec_id, cv: 64 int-valued doubles, n2 = ‖cv‖² as
@@ -91,7 +96,7 @@ object Advanced13 {
       |dims AS (SELECT vec_id, unnest(range(0, 64)) AS i, unnest(v) AS x FROM e),
       |st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY i),
       |codes AS (
-      |  SELECT vec_id, i, ROUND((x - mn) * 255 / (mx - mn)) AS c
+      |  SELECT vec_id, i, COALESCE(ROUND((x - mn) * 255 / NULLIF(mx - mn, 0)), 0) AS c
       |  FROM dims JOIN st USING (i)),
       |cv AS (SELECT vec_id, array_agg(c ORDER BY i) AS cv FROM codes GROUP BY vec_id),
       |nn AS (SELECT vec_id, cv, CAST(list_dot_product(cv, cv) AS BIGINT) AS n2 FROM cv),

@@ -79,9 +79,11 @@ object Advanced8 {
       |  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dropped
       |FROM k GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
-    Tables.events(s, d)
+    val ev = Tables.events(s, d)
+    ev.select(col("user_id"), col("event_type"), col("event_id"),
+        Tables.tsUs(ev).as("ts_us"))
       .select(col("user_id"), col("event_type"), col("event_id"),
-        expr("ts DIV 1000 DIV 600000000").as("win"))
+        expr("ts_us DIV 600000000").as("win"))
       .groupBy(col("user_id"), col("event_type"), col("win"))
       .agg(min(col("event_id")).as("keep_id"), count(lit(1)).as("n"))
       .groupBy(col("user_id"), col("event_type"))
@@ -118,8 +120,8 @@ object Advanced8 {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
+    val ev = Tables.events(s, d)
+    ev.select(col("user_id"), col("event_id"), Tables.tsUs(ev).as("ts_us"),
         when(col("event_type") === "error", lit(null)).otherwise(col("value")).as("v"))
       .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
       .groupBy(col("user_id"))

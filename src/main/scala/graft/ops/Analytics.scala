@@ -181,14 +181,34 @@ object Analytics {
   }
 
   /** Approximate distinct (HLL sketch) — the 100 TB path for cardinality.
-    * No oracle: HLL estimates are engine-specific; rows-only check.
+    * The raw estimate is engine-specific (no DuckDB twin), so the
+    * oracle-checkable form outputs the EXACT cardinalities plus booleans
+    * asserting the sketch landed within 3× its configured rsd — HLL++ is
+    * deterministic for a given input set, so the booleans are stable and
+    * the oracle emits the exact counts and literal TRUE.
     */
-  val approxDistinct = Q.noOracle("q22b_approx_distinct") { (s, d) =>
+  val approxDistinct = Q(
+    "q22b_approx_distinct",
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  TRUE AS orders_ok, TRUE AS parts_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val rsd = 0.05
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        approx_count_distinct(col("l_orderkey"), rsd).as("a_orders"),
+        approx_count_distinct(col("l_partkey"), rsd).as("a_parts"))
+      .select(col("l_returnflag"), col("n_orders"), col("n_parts"),
+        (abs(col("a_orders") - col("n_orders")) <= col("n_orders") * (3 * rsd))
+          .as("orders_ok"),
+        (abs(col("a_parts") - col("n_parts")) <= col("n_parts") * (3 * rsd))
+          .as("parts_ok"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -111,6 +111,15 @@ object AnnIndex {
     * append both tables in place. No retraining, no touch of existing
     * rows; quantizer drift is handled by periodic rebuilds ([[write]]),
     * exactly as production ANN services do. Returns the refreshed index.
+    *
+    * Crash/replay safety: codes land BEFORE assigned. Search candidates
+    * come from `assigned` and inner-join to `codes`, so an orphan codes
+    * row (crash between the writes) is merely invisible — the reverse
+    * order would leave assigned ids with no codes, silently dropping
+    * those vectors from every future search. Each table also only
+    * receives ids it does not already hold, so an at-least-once replay
+    * of the batch completes the torn append instead of double-writing
+    * codes (duplicate code rows would double-count block distances).
     */
   def append(s: SparkSession, dir: String, batch: DataFrame): Index = {
     graft.functions.DotProduct.register(s)
@@ -132,8 +141,12 @@ object AnnIndex {
       .groupBy(col("vec_id"), col("b"))
       .agg(min(col("pk")).as("mk"))
       .select(col("vec_id"), col("b"), (col("mk") % 100).cast("int").as("code"))
-    newAssigned.write.mode("append").parquet(s"$dir/assigned")
-    newCodes.write.mode("append").parquet(s"$dir/codes")
+    val codeIds = s.read.parquet(s"$dir/codes").select(col("vec_id")).distinct()
+    newCodes.join(codeIds, Seq("vec_id"), "left_anti")
+      .write.mode("append").parquet(s"$dir/codes")
+    val assignedIds = s.read.parquet(s"$dir/assigned").select(col("vec_id"))
+    newAssigned.join(assignedIds, Seq("vec_id"), "left_anti")
+      .write.mode("append").parquet(s"$dir/assigned")
     load(s, dir)
   }
 

@@ -13,11 +13,12 @@ import org.apache.spark.sql.expressions.Window
   * grouped risk features + score banding (08:261-285), plus gap-based
   * sessionization and JSON property extraction (engine extensions).
   *
-  * Event-time handling: the testdata `ts` column is parquet
-  * TIMESTAMP(NANOS), which Spark reads as a long of epoch-nanoseconds
-  * under `spark.sql.legacy.parquet.nanosAsLong=true`. Both engines reduce
-  * it to epoch-MICROseconds with exact integer division (`ts DIV 1000` /
-  * `epoch_ns(ts)//1000`) — double division would lose precision at 1e18.
+  * Event-time handling: the testdata `ts` column's parquet physical type
+  * has varied across harness regenerations (TIMESTAMP(NANOS) read as an
+  * epoch-nano long, TIMESTAMP(MICROS) read as a timestamp). Both engines
+  * reduce it to epoch-MICROseconds exactly — Spark via the dtype-adaptive
+  * `Tables.tsUs`, DuckDB via `epoch_ns(ts)//1000` (integer arithmetic;
+  * double division would lose precision at 1e18).
   *
   * Scale notes: every window here partitions by `user_id` (high
   * cardinality), unlike the reference's 3-device skew hazard (SURVEY §7).
@@ -27,10 +28,12 @@ import org.apache.spark.sql.expressions.Window
 object Events {
 
   /** Canonical event projection: microsecond event time + ms variant. */
-  private def base(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).select(
+  private def base(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.select(
       col("user_id"), col("event_id"), col("event_type"), col("value"), col("props"),
-      expr("ts DIV 1000").as("ts_us"))
+      Tables.tsUs(ev).as("ts_us"))
+  }
 
   private val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
 

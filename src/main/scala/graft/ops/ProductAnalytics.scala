@@ -27,8 +27,10 @@ object ProductAnalytics {
       |FROM active a JOIN first_seen f ON a.user_id = f.user_id
       |GROUP BY f.cohort_week, a.week - f.cohort_week
       |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
-    val e = Tables.events(s, d)
-      .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000 DIV 7").as("week"))
+    val ev = Tables.events(s, d)
+    val e = ev
+      .select(col("user_id"), Tables.tsUs(ev).as("ts_us"))
+      .select(col("user_id"), expr("ts_us DIV 86400000000 DIV 7").as("week"))
     val firstSeen = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
     val active = e.distinct()
     active.join(firstSeen, Seq("user_id"))
@@ -61,8 +63,9 @@ object ProductAnalytics {
       |UNION ALL SELECT 'stage2_click', COUNT(*) FROM s2
       |UNION ALL SELECT 'stage3_purchase', COUNT(*) FROM s3
       |ORDER BY stage""".stripMargin) { (s, d) =>
-    val e = Tables.events(s, d)
-      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
+    val ev = Tables.events(s, d)
+    val e = ev
+      .select(col("user_id"), col("event_type"), Tables.tsUs(ev).as("ts_us"))
     val s1 = e.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
     val s2 = e.filter(col("event_type") === "click")

@@ -27,8 +27,9 @@ object RangeJoin {
       |  ON b.ts_us >= a.ts_us AND b.ts_us - a.ts_us <= 100000
       | AND a.user_id <> b.user_id AND a.event_id < b.event_id
       |ORDER BY ea, eb""".stripMargin) { (s, d) =>
-    val e = Tables.events(s, d)
-      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+    val ev = Tables.events(s, d)
+    val e = ev
+      .select(col("event_id"), col("user_id"), Tables.tsUs(ev).as("ts_us"))
     // left side probes its own bucket and the next (a match within δ can
     // only land there); right side sits in its home bucket.
     val left = e

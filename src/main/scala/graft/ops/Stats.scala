@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 /** Statistical aggregate family: exact percentiles, histograms, dispersion
   * and correlation. The exact percentile is a per-group sort — fine for
   * grouped dims; the 100 TB path for a global quantile is
-  * `approx_percentile` (t-digest sketch, one pass, mergeable), exposed as
-  * the no-oracle variant q51b.
+  * `approx_percentile` (one-pass, mergeable sketch), exposed as the
+  * bounds-checked variant q51b.
   */
 object Stats {
 
@@ -32,19 +32,32 @@ object Stats {
       .orderBy(col("o_orderstatus"))
   }
 
-  /** Sketch-based percentiles (t-digest): the one-pass mergeable scale
-    * path. No oracle — sketch estimates are engine-specific. Flattened to
-    * scalar columns (an array column breaks the driver's pandas sorter).
+  /** Sketch-based percentiles (one-pass, mergeable): the global-quantile
+    * scale path. The raw estimates are engine-specific, so the
+    * oracle-checkable form asserts each estimate lands between the exact
+    * quantiles ±0.01 in rank-fraction — `approx_percentile(…, 1000)`
+    * guarantees rank error ≤ n/1000, i.e. 10× inside that band — and the
+    * oracle emits the group size and literal TRUE per check.
     */
-  val approxPercentiles = Q.noOracle("q51b_approx_percentiles") { (s, d) =>
+  val approxPercentiles = Q(
+    "q51b_approx_percentiles",
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val ok = (i: Int) =>
+      col("ap").getItem(i) >= col("lo").getItem(i) &&
+        col("ap").getItem(i) <= col("hi").getItem(i)
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))
-      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 1000)").as("pcts"))
-      .select(
-        col("o_orderstatus"),
-        col("pcts").getItem(0).as("p50"),
-        col("pcts").getItem(1).as("p90"),
-        col("pcts").getItem(2).as("p99"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 1000)").as("ap"),
+        expr("percentile(o_totalprice, array(0.49, 0.89, 0.98))").as("lo"),
+        expr("percentile(o_totalprice, array(0.51, 0.91, 1.0))").as("hi"))
+      .select(col("o_orderstatus"), col("n"),
+        ok(0).as("p50_ok"), ok(1).as("p90_ok"), ok(2).as("p99_ok"))
       .orderBy(col("o_orderstatus"))
   }
 

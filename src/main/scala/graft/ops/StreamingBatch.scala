@@ -24,8 +24,9 @@ object StreamingBatch {
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
-    val events = Tables.events(s, d)
-      .select(timestamp_micros(expr("ts DIV 1000")).as("event_ts"),
+    val ev = Tables.events(s, d)
+    val events = ev
+      .select(timestamp_micros(Tables.tsUs(ev)).as("event_ts"),
         col("event_type"), col("value").cast("decimal(18,2)").as("value"))
     EventStream.windowedCounts(events, watermarkDelay = "10 minutes",
         windowLength = "5 minutes")
@@ -54,8 +55,9 @@ object StreamingBatch {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
-    val events = Tables.events(s, d)
-      .select(col("user_id"), timestamp_micros(expr("ts DIV 1000")).as("event_ts"),
+    val ev = Tables.events(s, d)
+    val events = ev
+      .select(col("user_id"), timestamp_micros(Tables.tsUs(ev)).as("event_ts"),
         col("value").cast("decimal(18,2)").as("value"))
     EventStream.sessionStats(events, gap = "4 hours")
       .select(col("user_id"), col("session_start"), col("session_end"),
@@ -79,9 +81,10 @@ object StreamingBatch {
       |  AND c.event_type = 'click' AND p.event_type = 'purchase'
       |  AND p.t >= c.t AND p.t <= c.t + INTERVAL 30 MINUTE
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin) { (s, d) =>
-    val e = Tables.events(s, d)
+    val ev = Tables.events(s, d)
+    val e = ev
       .select(col("event_id"), col("user_id"), col("event_type"),
-        timestamp_micros(expr("ts DIV 1000")).as("t"), col("value"))
+        timestamp_micros(Tables.tsUs(ev)).as("t"), col("value"))
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("t").as("click_ts"))
     val purchases = e.filter(col("event_type") === "purchase")

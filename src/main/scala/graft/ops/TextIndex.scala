@@ -51,12 +51,16 @@ object TextIndex {
 
   private def writeBatch(docs: DataFrame, dir: String, mode: String): Unit = {
     val t = toks(docs)
+    // doclens is written LAST: it is [[append]]'s done-marker (the
+    // anti-join target), so a crash mid-batch leaves at worst orphan
+    // postings/positions for doc_ids absent from doclens — invisible to
+    // BM25 only if the replay re-writes them, which the marker ensures.
     t.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .write.mode(mode).parquet(s"$dir/postings")
-    t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      .write.mode(mode).parquet(s"$dir/doclens")
     t.select(col("term"), col("doc_id"), col("pos"))
       .write.mode(mode).parquet(s"$dir/positions")
+    t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .write.mode(mode).parquet(s"$dir/doclens")
   }
 
   /** Recompute the one-row stats from doclens (doc-count rows — one long
@@ -78,23 +82,32 @@ object TextIndex {
     refreshStats(s, dir)
   }
 
+  /** Load the persisted tables. postings/positions are deduped
+    * defensively: a batch that crashed between [[writeBatch]]'s writes
+    * leaves exact-duplicate rows once the replay re-lands it (the rows
+    * are deterministic per doc), and duplicate (term, doc) postings
+    * would double tf into BM25. The dedup keys include `term`, so
+    * [[search]]'s term filter still pushes below it to the scan.
+    */
   def load(s: SparkSession, dir: String): Index = Index(
-    postings = s.read.parquet(s"$dir/postings"),
-    doclens = s.read.parquet(s"$dir/doclens"),
+    postings = s.read.parquet(s"$dir/postings").dropDuplicates("term", "doc_id"),
+    doclens = s.read.parquet(s"$dir/doclens").dropDuplicates("doc_id"),
     stats = s.read.parquet(s"$dir/stats"),
-    positions = s.read.parquet(s"$dir/positions"))
+    positions = s.read.parquet(s"$dir/positions").dropDuplicates("term", "doc_id", "pos"))
 
   /** Append `docs(doc_id, text, …)` to a persisted index; returns the
     * refreshed index. Every doc tokenizes to ≥ 1 term (split of "" is
     * [""]), so doclens keeps counting documents exactly. Works as a
     * streaming foreachBatch action (TextIndexSpec proves batch-by-batch
-    * appends ≡ a fresh build over the union corpus); append itself is
-    * not idempotent, so a crash-replayed micro-batch needs the caller to
-    * dedupe on batchId (partition the append by batch id and overwrite),
-    * per [[graft.streaming.EventStream.toForeachBatch]]'s contract.
+    * appends ≡ a fresh build over the union corpus), and it is
+    * IDEMPOTENT under at-least-once replay: doc_ids already present in
+    * doclens (written last — the batch's done-marker) are skipped, and a
+    * torn batch's partial rows are healed by [[load]]'s dedup once the
+    * replay completes them.
     */
   def append(s: SparkSession, dir: String, docs: DataFrame): Index = {
-    writeBatch(docs, dir, "append")
+    val done = s.read.parquet(s"$dir/doclens").select(col("doc_id"))
+    writeBatch(docs.join(done, Seq("doc_id"), "left_anti"), dir, "append")
     refreshStats(s, dir)
     load(s, dir)
   }

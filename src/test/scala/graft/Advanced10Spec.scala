@@ -70,8 +70,9 @@ class Advanced10Spec extends SparkSuite {
   test("ewma: matches an exact per-user recomputation on real data") {
     val decay = Seq(10000000L, 9000000L, 8100000L, 7290000L,
       6561000L, 5904900L, 5314410L, 4782969L)
-    val expected = Tables.events(spark, sf0001)
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
+    val evTab = Tables.events(spark, sf0001)
+    val expected = evTab
+      .select(col("user_id"), col("event_id"), Tables.tsUs(evTab).as("ts_us"),
         round(col("value") * 100).cast("long").as("cents"))
       .collect()
       .map(r => (r.getAs[Long]("user_id"),
@@ -148,7 +149,9 @@ class Advanced10Spec extends SparkSuite {
   test("sketch overlap tracks exact overlap on known shared content") {
     val est = ops.Advanced10.sourceOverlapSketch.run(spark, dir).collect()
       .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
-        (r.getAs[Long]("est_a"), r.getAs[Long]("est_b"), r.getAs[Long]("est_shared")))
+        ((r.getAs[Long]("n_shared"),
+          r.getAs[Boolean]("a_ok") && r.getAs[Boolean]("b_ok")
+            && r.getAs[Boolean]("shared_ok"))))
       .toMap
     // exact distinct-3-gram sets per source, computed independently
     val g = spark.read.parquet(s"$dir/documents.parquet")
@@ -163,12 +166,14 @@ class Advanced10Spec extends SparkSuite {
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getAs[String]("sa"), r.getAs[String]("sb")) ->
         r.getAs[Long]("n")).toMap
-    // 8-token shared sentence -> 6 shared grams between sa and sb
+    // 8-token shared sentence -> 6 shared grams between sa and sb; the
+    // query's exact column must agree with this independent recompute
     assert(exact(("sa", "sb")) == 6L)
-    // HLL is exact at these cardinalities (sparse mode)
-    assert(est(("sa", "sb"))._3 == 6L)
-    // disjoint sources estimate ~0 shared (allow sketch noise of 1)
-    assert(est(("sa", "sc"))._3 <= 1L)
-    assert(est(("sb", "sc"))._3 <= 1L)
+    assert(est(("sa", "sb"))._1 == 6L)
+    // disjoint pairs still appear, with an exact 0
+    assert(est(("sa", "sc"))._1 == 0L)
+    assert(est(("sb", "sc"))._1 == 0L)
+    // every pair's sketch estimates sit inside their declared bounds
+    est.foreach { case (pair, (_, ok)) => assert(ok, s"$pair sketch out of bound") }
   }
 }

@@ -134,4 +134,26 @@ class AnnIndexSpec extends SparkSuite {
     assert(after.sorted.sameElements(got.sorted),
       "compaction changed search results")
   }
+
+  test("append replayed at-least-once is a no-op: no duplicate rows, same ranking") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annix6").toString
+    AnnIndex.write(spark, sf0001, dir)
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    val batch = e.filter($"vec_id".isin(3L, 9L))
+      .select(($"vec_id" + 6000L).as("vec_id"),
+        expr("transform(v, x -> x * 0.99)").as("v"))
+    val once = AnnIndex.append(spark, dir, batch)
+    val counts = (once.assigned.count(), once.codes.count())
+    val queries = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"v")
+    val res1 = AnnIndex.search(spark, once, queries, nprobe = 16, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    // the crash-replay pattern: the exact same batch lands again
+    val twice = AnnIndex.append(spark, dir, batch)
+    assert((twice.assigned.count(), twice.codes.count()) == counts,
+      "replayed append duplicated index rows")
+    val res2 = AnnIndex.search(spark, twice, queries, nprobe = 16, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(res2.sameElements(res1), "replayed append changed rankings")
+  }
 }

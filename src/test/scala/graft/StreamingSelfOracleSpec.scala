@@ -21,14 +21,16 @@ class StreamingSelfOracleSpec extends SparkSuite {
   // (event_ts, event_type, value) from the real events table, in event-time
   // order so chunked replay never crosses the watermark (batch mode has no
   // late-data drops, so ordered feed keeps the two modes comparable).
-  private lazy val eventRows: Seq[(Timestamp, String, java.math.BigDecimal)] =
-    Tables.events(spark, sf0001)
-      .select(timestamp_micros(expr("ts DIV 1000")).as("event_ts"),
+  private lazy val eventRows: Seq[(Timestamp, String, java.math.BigDecimal)] = {
+    val ev = Tables.events(spark, sf0001)
+    ev
+      .select(timestamp_micros(Tables.tsUs(ev)).as("event_ts"),
         col("event_type"), col("value").cast("decimal(18,2)").as("value"))
       .orderBy(col("event_ts"), col("event_type"))
       .collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getDecimal(2)))
       .toSeq
+  }
 
   /** Exactly `n` chunks (grouped can yield fewer for some sizes — pad with
     * empty batches so `val Seq(a,b,c) = chunks(..,3)` never MatchErrors).
@@ -63,8 +65,9 @@ class StreamingSelfOracleSpec extends SparkSuite {
     implicit val sc = spark.sqlContext
     // Real ids replayed across micro-batches with shifted timestamps (the
     // at-least-once pattern): chunk 2 re-sends half of chunk 1.
-    val base = Tables.events(spark, sf0001)
-      .select(col("event_id"), timestamp_micros(expr("ts DIV 1000")).as("event_ts"),
+    val evB = Tables.events(spark, sf0001)
+    val base = evB
+      .select(col("event_id"), timestamp_micros(Tables.tsUs(evB)).as("event_ts"),
         col("event_type"))
       .orderBy(col("event_ts"), col("event_id"))
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2))).toSeq
@@ -92,8 +95,9 @@ class StreamingSelfOracleSpec extends SparkSuite {
 
   test("session windows: incremental over 4 micro-batches == batch") {
     implicit val sc = spark.sqlContext
-    val rows = Tables.events(spark, sf0001)
-      .select(col("user_id"), timestamp_micros(expr("ts DIV 1000")).as("event_ts"),
+    val evS = Tables.events(spark, sf0001)
+    val rows = evS
+      .select(col("user_id"), timestamp_micros(Tables.tsUs(evS)).as("event_ts"),
         col("value").cast("decimal(18,2)").as("value"))
       .orderBy(col("event_ts"), col("user_id"))
       .collect()
@@ -120,9 +124,10 @@ class StreamingSelfOracleSpec extends SparkSuite {
 
   test("stream-stream interval join: incremental == batch") {
     implicit val sc = spark.sqlContext
-    val e = Tables.events(spark, sf0001)
+    val evJ = Tables.events(spark, sf0001)
+    val e = evJ
       .select(col("event_id"), col("user_id"), col("event_type"),
-        timestamp_micros(expr("ts DIV 1000")).as("t"))
+        timestamp_micros(Tables.tsUs(evJ)).as("t"))
       .orderBy(col("t"), col("event_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3))).toSeq
     val clickRows = e.filter(_._3 == "click").map(x => (x._2, x._1, x._4))

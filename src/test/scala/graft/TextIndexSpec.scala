@@ -101,4 +101,38 @@ class TextIndexSpec extends SparkSuite {
     assert(got.nonEmpty && got.sameElements(want),
       s"streamed index diverged from union rebuild:\n got ${got.toSeq}\nwant ${want.toSeq}")
   }
+
+  test("append is idempotent under replay and heals a torn batch") {
+    val dir = Files.createTempDirectory("graft-tix5").toString
+    TextIndex.write(spark, sf0001, dir)
+    val nDocs0 = TextIndex.load(spark, dir).stats.collect()(0).getLong(0)
+    val batch = Seq((9200L, "dup vector torn w", "en", "src", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // torn first attempt: postings + positions landed, doclens (the
+    // done-marker, written LAST by writeBatch) did not
+    val t = Seq((9200L, 0, "dup"), (9200L, 1, "vector"),
+      (9200L, 2, "torn"), (9200L, 3, "w")).toDF("doc_id", "pos", "term")
+    t.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .write.mode("append").parquet(s"$dir/postings")
+    t.select(col("term"), col("doc_id"), col("pos"))
+      .write.mode("append").parquet(s"$dir/positions")
+    // the at-least-once replay completes the batch … and then replays it
+    TextIndex.append(spark, dir, batch)
+    val ix = TextIndex.append(spark, dir, batch)
+    assert(ix.postings.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).count() == 0,
+      "duplicate postings survived load")
+    assert(ix.doclens.filter(col("doc_id") === 9200L).count() == 1)
+    assert(ix.stats.collect()(0).getLong(0) == nDocs0 + 1, "doc counted once")
+    // served scores equal a clean fresh build over the union corpus
+    val cdir = Files.createTempDirectory("graft-tix5c").toString
+    Tables.documents(spark, sf0001).unionByName(batch)
+      .write.parquet(s"$cdir/documents.parquet")
+    val got = TextIndex.search(spark, ix, terms, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val want = ops.Advanced13.bm25.run(spark, cdir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sameElements(want),
+      s"healed index diverged from union rebuild:\n got ${got.toSeq}\nwant ${want.toSeq}")
+  }
 }

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode/resize are REAL (round 6): [[imageCodec]] and
   * [[imageResizeCodec]] run the JDK's `javax.imageio` PNG/JPEG/GIF/BMP
-  * readers — no external dependency — with the deterministic stubs as
-  * the fallback for modalities the JDK can't decode (video/audio: no
-  * codec libraries in this environment). `fakeDecodeMeta` keeps the
+  * readers — no external dependency. AUDIO decode/featurize are REAL
+  * (round 8): [[audioCodec]] and [[audioFeatureCodec]] run the JDK's
+  * `javax.sound.sampled` WAV/AIFF/AU parsers over PCM frames. Only
+  * VIDEO remains behind the deterministic stubs (no container/codec
+  * libraries exist in this offline environment). `fakeDecodeMeta` keeps the
   * stub statistics for the oracle-checked q41 (payloads there are text
   * blobs, not images). Everything around the codecs — binary column
   * handling, byte-length vs char-length, content digests, batch
@@ -87,6 +89,94 @@ object Multimodal {
           catch { case _: java.io.IOException | _: RuntimeException => null }
         if (img != null) DecodedMeta(id, bytes.length, img.getWidth, img.getHeight, 1)
         else fallback(id, bytes)
+      }
+    }
+
+  /** Audio header + frame metadata a real decoder reports. */
+  case class AudioMeta(doc_id: Long, n_bytes: Int, sample_rate: Int,
+    n_channels: Int, n_frames: Long, duration_ms: Long)
+
+  /** REAL audio codec (no external dependency — the JDK ships
+    * `javax.sound.sampled` with WAV/AIFF/AU parsers and PCM decoders):
+    * parses the container header and reports the true sample rate,
+    * channel count, frame count and duration. Payloads the JDK cannot
+    * parse (compressed containers, images, arbitrary bytes) yield
+    * ZEROED audio fields — mixed-modality batches flow through in one
+    * pass and `sample_rate > 0` selects the decoded rows. Same
+    * [[decodePartitions]] per-partition factory contract as the image
+    * codec.
+    */
+  def audioCodec: () => (Long, Array[Byte]) => AudioMeta =
+    () => (id, bytes) => {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException => null
+        }
+      if (in == null) AudioMeta(id, bytes.length, 0, 0, 0L, 0L)
+      else {
+        val f = in.getFormat
+        val frames = in.getFrameLength
+        val ms =
+          if (f.getFrameRate > 0) (frames * 1000.0 / f.getFrameRate).toLong
+          else 0L
+        in.close()
+        AudioMeta(id, bytes.length, f.getSampleRate.toInt, f.getChannels,
+          frames, ms)
+      }
+    }
+
+  /** REAL audio featurizer: decode PCM samples, slice the signal into
+    * `dim` equal time windows, emit the per-window RMS energy as an
+    * L2-normalized vector — a genuine (if minimal) audio embedding,
+    * directly joinable with the ANN family like [[stubFeatureCodec]]'s
+    * output. 16-bit samples are read as little-endian shorts (the WAV
+    * norm), other widths as raw bytes. Undecodable payloads fall back
+    * to the deterministic byte-histogram stub so mixed batches embed
+    * in one pass.
+    */
+  def audioFeatureCodec: () => (Array[Byte], Int) => Array[Float] =
+    () => {
+      val fallback = stubFeatureCodec()
+      (bytes, dim) => {
+        val in =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException => null
+          }
+        if (in == null) fallback(bytes, dim)
+        else {
+          val f = in.getFormat
+          val pcm = in.readAllBytes(); in.close()
+          val sixteenBit = f.getSampleSizeInBits == 16
+          val n = if (sixteenBit) pcm.length / 2 else pcm.length
+          val acc = new Array[Float](dim)
+          if (n > 0) {
+            var i = 0
+            while (i < n) {
+              val s =
+                if (sixteenBit) {
+                  val lo = pcm(2 * i) & 0xFF
+                  val hi = pcm(2 * i + 1).toInt
+                  ((hi << 8) | lo).toShort.toDouble / 32768.0
+                } else pcm(i).toDouble / 128.0
+              val w = (i.toLong * dim / n).toInt
+              acc(w) += (s * s).toFloat
+              i += 1
+            }
+            var w = 0
+            while (w < dim) {
+              acc(w) = math.sqrt(acc(w) / math.max(1, n / dim)).toFloat
+              w += 1
+            }
+          }
+          val norm = math.sqrt(acc.map(v => v * v.toDouble).sum).toFloat
+          if (norm == 0f) acc else acc.map(_ / norm)
+        }
       }
     }
 

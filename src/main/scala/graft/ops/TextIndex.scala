@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -33,9 +33,10 @@ import org.apache.spark.sql.types.DecimalType
   * without any index rebuild.
   *
   * At 100 TB: postings ≈ one row per distinct (term, doc) — written once
-  * per corpus build (sort/partition by term in a real deployment so each
-  * query term reads one file range); doclens is #docs rows; stats is one
-  * row. Serving never scans the corpus.
+  * per corpus build, PARTITIONED by a 64-way term hash (round 8), so a
+  * query's term predicate prunes to its buckets' directories before any
+  * file is opened; doclens is #docs rows; stats is one row. Serving
+  * never scans the corpus.
   */
 object TextIndex {
 
@@ -49,6 +50,27 @@ object TextIndex {
     docs.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
 
+  /** Term-hash partition count for the postings/positions layout. Serve
+    * queries name their terms, so bucketing by `xxhash64(term)` turns
+    * the term predicate into PARTITION pruning — each query term opens
+    * one directory of the index, never the whole postings table. 64
+    * buckets keeps directories coarse enough that a corpus-scale build
+    * still writes large files per bucket.
+    */
+  private[graft] val Buckets = 64
+
+  private def bktCol: Column = pmod(xxhash64(col("term")), lit(Buckets.toLong)).cast("int")
+
+  /** Partition buckets of the query terms — computed with the SAME
+    * xxhash64 expression the write side uses, via a row-per-term local
+    * projection (no scan, no shuffle).
+    */
+  private def bucketsOf(s: SparkSession, terms: Seq[String]): Seq[Int] = {
+    import s.implicits._
+    terms.toDF("term").select(bktCol.as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+  }
+
   private def writeBatch(docs: DataFrame, dir: String, mode: String): Unit = {
     val t = toks(docs)
     // doclens is written LAST: it is [[append]]'s done-marker (the
@@ -56,9 +78,11 @@ object TextIndex {
     // postings/positions for doc_ids absent from doclens — invisible to
     // BM25 only if the replay re-writes them, which the marker ensures.
     t.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .write.mode(mode).parquet(s"$dir/postings")
+      .withColumn("bkt", bktCol)
+      .write.partitionBy("bkt").mode(mode).parquet(s"$dir/postings")
     t.select(col("term"), col("doc_id"), col("pos"))
-      .write.mode(mode).parquet(s"$dir/positions")
+      .withColumn("bkt", bktCol)
+      .write.partitionBy("bkt").mode(mode).parquet(s"$dir/positions")
     t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       .write.mode(mode).parquet(s"$dir/doclens")
   }
@@ -90,10 +114,15 @@ object TextIndex {
     * [[search]]'s term filter still pushes below it to the scan.
     */
   def load(s: SparkSession, dir: String): Index = Index(
-    postings = s.read.parquet(s"$dir/postings").dropDuplicates("term", "doc_id"),
+    // `bkt` is functionally determined by `term`, but including it in
+    // the dedup keys is what lets the serve-time bucket predicate push
+    // BELOW the dedup to the scan as a partition filter.
+    postings = s.read.parquet(s"$dir/postings")
+      .dropDuplicates("bkt", "term", "doc_id"),
     doclens = s.read.parquet(s"$dir/doclens").dropDuplicates("doc_id"),
     stats = s.read.parquet(s"$dir/stats"),
-    positions = s.read.parquet(s"$dir/positions").dropDuplicates("term", "doc_id", "pos"))
+    positions = s.read.parquet(s"$dir/positions")
+      .dropDuplicates("bkt", "term", "doc_id", "pos"))
 
   /** Append `docs(doc_id, text, …)` to a persisted index; returns the
     * refreshed index. Every doc tokenizes to ≥ 1 term (split of "" is
@@ -116,7 +145,8 @@ object TextIndex {
     * ranking semantics (score desc, doc_id asc).
     */
   def search(s: SparkSession, ix: Index, terms: Seq[String], k: Int): DataFrame = {
-    val tf = ix.postings.filter(col("term").isin(terms: _*))
+    val tf = ix.postings.filter(
+      col("bkt").isin(bucketsOf(s, terms): _*) && col("term").isin(terms: _*))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = ix.stats
     val wk = Window.orderBy(col("bm25").desc, col("doc_id"))
@@ -140,5 +170,7 @@ object TextIndex {
     * posting-list sizes, never the corpus. This is q149's 100 TB form.
     */
   def phraseSearch(s: SparkSession, ix: Index, phrase: Seq[String]): DataFrame =
-    Advanced14.phraseHits(ix.positions, phrase).orderBy(col("doc_id"))
+    Advanced14.phraseHits(
+      ix.positions.filter(col("bkt").isin(bucketsOf(s, phrase): _*)),
+      phrase).orderBy(col("doc_id"))
 }

@@ -156,4 +156,47 @@ class AnnIndexSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
     assert(res2.sameElements(res1), "replayed append changed rankings")
   }
+
+  test("streaming appends maintain the index incrementally (foreachBatch)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annix7").toString
+    AnnIndex.write(spark, sf0001, dir)
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    // two micro-batches of perturbed near-copies under fresh ids — the
+    // continuous-ingest pattern served by the frozen quantizers
+    val batches = Seq(Seq(3L), Seq(9L, 13L))
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = streaming.EventStream.toForeachBatch(
+        input.toDF().toDF("src_id"), s"$dir/ckpt") { (batch, _) =>
+      if (!batch.isEmpty) {
+        val ids = batch.collect().map(_.getLong(0))
+        AnnIndex.append(spark, dir,
+          e.filter($"vec_id".isin(ids: _*))
+            .select(($"vec_id" + 7000L).as("vec_id"),
+              expr("transform(v, x -> x * 0.99)").as("v")))
+      }
+    }
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // the streamed index equals one bulk append of all three vectors
+    val bulkDir = java.nio.file.Files.createTempDirectory("graft-annix7b").toString
+    AnnIndex.write(spark, sf0001, bulkDir)
+    AnnIndex.append(spark, bulkDir,
+      e.filter($"vec_id".isin(batches.flatten: _*))
+        .select(($"vec_id" + 7000L).as("vec_id"),
+          expr("transform(v, x -> x * 0.99)").as("v")))
+    val queries = e.filter($"vec_id".isin(3L, 9L, 13L)).select($"vec_id".as("qid"), $"v")
+    def rank(d: String) = AnnIndex.search(spark, AnnIndex.load(spark, d),
+        queries, nprobe = 16, k = 3, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val streamed = rank(dir)
+    assert(streamed.sameElements(rank(bulkDir)),
+      "streamed index diverged from bulk append")
+    // each original's near-copy surfaces in its own top-3
+    val bySrc = streamed.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    assert(batches.flatten.forall(id => bySrc(id).contains(id + 7000L)),
+      s"streamed vectors not retrievable: ${bySrc.toMap}")
+  }
 }

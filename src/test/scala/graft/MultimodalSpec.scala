@@ -149,4 +149,60 @@ class MultimodalSpec extends SparkSuite {
     val rgb = img.getRGB(0, 0)
     assert(((rgb >> 16) & 0xFF) > ((rgb >> 8) & 0xFF), f"top-left not reddish: $rgb%06x")
   }
+
+  /** In-memory 16-bit mono PCM WAV: first half silence, second half a
+    * loud square wave — real container bytes via the JDK's own writer.
+    */
+  private def wav16(sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = nSamples / 2
+    while (i < nSamples) {
+      val v: Short = if (i % 2 == 0) 20000 else -20000
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioCodec reads real WAV headers; non-audio rows zero out") {
+    val rows = Seq((0L, wav16(16000, 16000)), (1L, wav16(8000, 2000)),
+        (2L, png2x2)).toDF("doc_id", "payload")
+    val out = Multimodal.decodePartitions(rows, "doc_id", "payload")(
+        Multimodal.audioCodec)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(0L).sample_rate == 16000 && out(0L).n_channels == 1)
+    assert(out(0L).n_frames == 16000L && out(0L).duration_ms == 1000L, out(0L).toString)
+    assert(out(1L).sample_rate == 8000 && out(1L).n_frames == 2000L)
+    assert(out(1L).duration_ms == 250L, out(1L).toString)
+    // the image payload is not audio: zeroed fields, byte length kept
+    assert(out(2L).sample_rate == 0 && out(2L).n_frames == 0L && out(2L).n_bytes > 0)
+  }
+
+  test("audioFeatureCodec embeds real PCM energy: silent half ~0, loud half hot") {
+    val dim = 8
+    val rows = Seq((0L, wav16(16000, 16000))).toDF("doc_id", "payload")
+    val vec = Multimodal.extractFeaturesPartitions(rows, "doc_id", "payload", dim)(
+        Multimodal.audioFeatureCodec)
+      .select($"embedding").head().getAs[scala.collection.Seq[Float]](0)
+    assert(vec.length == dim)
+    // first half of the signal is silence, second half a square wave:
+    // the time-windowed RMS embedding must reflect that exactly
+    assert(vec.take(dim / 2).forall(_ < 1e-6f), s"silent windows not quiet: $vec")
+    assert(vec.drop(dim / 2).forall(_ > 0.1f), s"loud windows not hot: $vec")
+    val norm = math.sqrt(vec.map(v => v * v.toDouble).sum)
+    assert(math.abs(norm - 1.0) < 1e-5, s"not L2-normalized: $norm")
+    // a non-audio payload goes through the stub featurizer, same shape
+    val fb = Multimodal.extractFeaturesPartitions(
+        Seq((1L, png2x2)).toDF("doc_id", "payload"), "doc_id", "payload", dim)(
+        Multimodal.audioFeatureCodec)
+      .select($"embedding").head().getAs[scala.collection.Seq[Float]](0)
+    assert(fb.length == dim)
+  }
 }

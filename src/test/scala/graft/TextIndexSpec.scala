@@ -70,6 +70,35 @@ class TextIndexSpec extends SparkSuite {
     val p = hits.queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters:") && p.contains("EqualTo(term,table)"),
       p.take(2000))
+    // and the 64-way term-hash layout prunes whole bucket DIRECTORIES
+    // before any file opens: the scan carries a bkt partition filter
+    assert(p.contains("PartitionFilters") && p.contains("bkt"), p.take(2000))
+  }
+
+  test("search reads only the query terms' hash buckets (partition pruning)") {
+    val dir = Files.createTempDirectory("graft-tix6").toString
+    TextIndex.write(spark, sf0001, dir)
+    val ix = TextIndex.load(spark, dir)
+    // the search plan carries the bkt partition filter on its postings scan
+    val p = TextIndex.search(spark, ix, terms, 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("bkt#"), p.take(3000))
+    // and the bucket predicate actually confines the files READ: replay
+    // the scan-side filter and list which files produced surviving rows
+    val qb = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(64L)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val bktDirs = spark.read.parquet(s"$dir/postings")
+      .filter(col("bkt").isin(qb: _*))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0).split("/").find(_.startsWith("bkt=")).get)
+      .distinct
+    assert(bktDirs.nonEmpty && bktDirs.length <= terms.size,
+      s"expected <= ${terms.size} bucket dirs, read ${bktDirs.toSeq}")
+    // total layout sanity: the full index spreads across many buckets
+    val all = spark.read.parquet(s"$dir/postings")
+      .select(col("bkt")).distinct().count()
+    assert(all > terms.size, s"degenerate bucketing: only $all buckets")
   }
 
   test("streaming appends maintain the index incrementally (foreachBatch)") {
@@ -112,10 +141,13 @@ class TextIndexSpec extends SparkSuite {
     // done-marker, written LAST by writeBatch) did not
     val t = Seq((9200L, 0, "dup"), (9200L, 1, "vector"),
       (9200L, 2, "torn"), (9200L, 3, "w")).toDF("doc_id", "pos", "term")
+    val bkt = pmod(xxhash64(col("term")), lit(64L)).cast("int")
     t.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .write.mode("append").parquet(s"$dir/postings")
+      .withColumn("bkt", bkt)
+      .write.partitionBy("bkt").mode("append").parquet(s"$dir/postings")
     t.select(col("term"), col("doc_id"), col("pos"))
-      .write.mode("append").parquet(s"$dir/positions")
+      .withColumn("bkt", bkt)
+      .write.partitionBy("bkt").mode("append").parquet(s"$dir/positions")
     // the at-least-once replay completes the batch … and then replays it
     TextIndex.append(spark, dir, batch)
     val ix = TextIndex.append(spark, dir, batch)

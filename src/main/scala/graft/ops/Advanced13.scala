@@ -171,18 +171,21 @@ object Advanced13 {
     */
   private[ops] def bm25Scores(s: SparkSession, d: String,
       terms: Seq[String] = BmQueryTerms): DataFrame = {
+    // One explode pass (term-filtered, for tf) and one narrow projection
+    // (dl = token count per doc, no explode): df is tf's row count per
+    // term (tf is unique per (doc, term)) and n_toks is Σdl, so neither
+    // re-reads the corpus — the naive form plans the tokenize subtree 4×.
     val docs = Tables.documents(s, d)
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = toks.filter(col("term").isin(terms: _*))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val dfreq = toks.filter(col("term").isin(terms: _*))
-      .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
-    val g = docs.agg(count(lit(1)).as("n_docs"))
-    val t = toks.agg(count(lit(1)).as("n_toks"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val gt = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
     tf.join(broadcast(dfreq), Seq("term"))
       .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(g)).crossJoin(broadcast(t))
+      .crossJoin(broadcast(gt))
       .select(col("doc_id"), round(bmIdf * bmTfNorm, 6).as("sc"))
       .groupBy(col("doc_id"))
       .agg(sum(col("sc").cast(DecimalType(28, 6))).cast("double").as("bm25"))

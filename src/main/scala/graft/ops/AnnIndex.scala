@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   *  - `centroids/`  (cid, cv)            — trained coarse centroids
   *  - `codebook/`   (b, cid, cv)         — trained PQ sub-codebooks
   *  - `assigned/`   (vec_id, c_id)       — inverted-list membership
-  *  - `codes/`      (vec_id, b, code)    — 4-byte/vector PQ codes
+  *  - `codes/`      (vec_id, b, code) PARTITIONED BY c_id — the PQ codes
+  *    laid out as PHYSICAL inverted lists (round 8): probing nprobe
+  *    lists prunes the code scan to those partition directories before
+  *    any file opens, the on-disk form of "IVF reads only probed lists"
   *  - `tombstones/` (vec_id)             — deleted ids awaiting [[compact]]
   *
   * [[search]] runs q140's exact dataflow over the loaded tables for
@@ -47,9 +50,12 @@ object AnnIndex {
     Advanced2.ivfAffinity(s, d).filter(col("crank") === 1)
       .select(col("vec_id"), col("c_id"))
       .write.mode("overwrite").parquet(s"$dir/assigned")
+    // codes carry their list id and are PARTITIONED by it — the IVF
+    // inverted lists as directories, so probe-time pruning is physical
     Advanced8.pqAssign(s, d)
       .select(col("vec_id"), col("b"), (col("mk") % 100).cast("int").as("code"))
-      .write.mode("overwrite").parquet(s"$dir/codes")
+      .join(s.read.parquet(s"$dir/assigned"), Seq("vec_id"))
+      .write.partitionBy("c_id").mode("overwrite").parquet(s"$dir/codes")
   }
 
   def load(s: SparkSession, dir: String): Index = {
@@ -97,7 +103,7 @@ object AnnIndex {
       live.assigned.localCheckpoint(true)
         .write.mode("overwrite").parquet(s"$dir/assigned")
       live.codes.localCheckpoint(true)
-        .write.mode("overwrite").parquet(s"$dir/codes")
+        .write.partitionBy("c_id").mode("overwrite").parquet(s"$dir/codes")
       val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     }
@@ -143,7 +149,8 @@ object AnnIndex {
       .select(col("vec_id"), col("b"), (col("mk") % 100).cast("int").as("code"))
     val codeIds = s.read.parquet(s"$dir/codes").select(col("vec_id")).distinct()
     newCodes.join(codeIds, Seq("vec_id"), "left_anti")
-      .write.mode("append").parquet(s"$dir/codes")
+      .join(newAssigned, Seq("vec_id"))
+      .write.partitionBy("c_id").mode("append").parquet(s"$dir/codes")
     val assignedIds = s.read.parquet(s"$dir/assigned").select(col("vec_id"))
     newAssigned.join(assignedIds, Seq("vec_id"), "left_anti")
       .write.mode("append").parquet(s"$dir/assigned")
@@ -187,8 +194,13 @@ object AnnIndex {
       .join(broadcast(ix.codebook), Seq("b"))
       .select(col("qid").as("dqid"), col("b").as("db"), col("cid"),
         expr(Advanced8.distMicroSql("sv", "cv", "graft_dot")).as("dm"))
+    // probed list ids, collected once: the codes scan prunes to those
+    // PARTITION directories — the physical "read only probed lists"
+    val probedLists = probes.select(col("c_id")).distinct()
+      .collect().map(_.get(0)).toSeq
     val ad = candp.as("x")
-      .join(ix.codes.as("cd"), col("cd.vec_id") === col("x.cand"))
+      .join(ix.codes.filter(col("c_id").isin(probedLists: _*)).as("cd"),
+        col("cd.vec_id") === col("x.cand"))
       .join(broadcast(dtab),
         col("dqid") === col("x.qid") && col("db") === col("cd.b") &&
           col("cid") === col("cd.code"))

@@ -135,6 +135,29 @@ class AnnIndexSpec extends SparkSuite {
       "compaction changed search results")
   }
 
+  test("codes scan is pruned to the probed inverted-list directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annix8").toString
+    AnnIndex.write(spark, sf0001, dir)
+    val ix = AnnIndex.load(spark, dir)
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    val queries = e.filter($"vec_id" < 2).select($"vec_id".as("qid"), $"v")
+    // the search plan carries a c_id partition filter on the codes scan
+    val p = AnnIndex.search(spark, ix, queries, nprobe = 2, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("c_id#"), p.take(3000))
+    // file-level proof: 2 queries × 2 probes read at most 4 of the list
+    // dirs, strictly fewer than the total inverted-list count
+    val nLists = ix.centroids.count()
+    val searched = AnnIndex.search(spark, ix, queries, nprobe = 2, k = 1000)
+      .select($"cand")
+    val dirsRead = ix.codes
+      .join(searched.distinct(), $"vec_id" === $"cand", "left_semi")
+      .select($"c_id").distinct().count()
+    assert(dirsRead <= 4 && dirsRead < nLists,
+      s"candidates spanned $dirsRead of $nLists lists (nprobe bound 4)")
+  }
+
   test("append replayed at-least-once is a no-op: no duplicate rows, same ranking") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annix6").toString
     AnnIndex.write(spark, sf0001, dir)

@@ -159,9 +159,9 @@ object Advanced10 {
       |ORDER BY user_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     // Order by MICROsecond ts like every other event window (ts_us):
-    // DuckDB truncates the parquet TIMESTAMP(NANOS) to micros while
-    // Spark keeps the nanos long — raw-ns ordering would silently
-    // diverge for same-microsecond events (Events.scala:33 precedent).
+    // Both engines order on epoch-MICROS (Tables.tsUs / epoch_ns//1000):
+    // ordering on the raw ts column could silently diverge for
+    // same-microsecond events when the testdata is NANOS-typed.
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").desc, col("event_id").desc)
     val decay = Seq(10000000L, 9000000L, 8100000L, 7290000L,

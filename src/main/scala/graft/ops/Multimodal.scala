@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * [[imageResizeCodec]] run the JDK's `javax.imageio` PNG/JPEG/GIF/BMP
   * readers — no external dependency. AUDIO decode/featurize are REAL
   * (round 8): [[audioCodec]] and [[audioFeatureCodec]] run the JDK's
-  * `javax.sound.sampled` WAV/AIFF/AU parsers over PCM frames. Only
-  * VIDEO remains behind the deterministic stubs (no container/codec
-  * libraries exist in this offline environment). `fakeDecodeMeta` keeps the
+  * `javax.sound.sampled` WAV/AIFF/AU parsers over PCM frames. VIDEO
+  * header decode and frame sampling are REAL for RIFF/AVI (round 8):
+  * [[videoCodec]] and [[videoFrameCodec]] walk the container's chunk
+  * grammar in pure JDK code, and MJPEG frame payloads decode with
+  * `javax.imageio`; other containers (MP4/MKV — no JDK demuxer) fall
+  * back to the deterministic stubs. `fakeDecodeMeta` keeps the
   * stub statistics for the oracle-checked q41 (payloads there are text
   * blobs, not images). Everything around the codecs — binary column
   * handling, byte-length vs char-length, content digests, batch
@@ -180,6 +183,65 @@ object Multimodal {
       }
     }
 
+  /** Parsed AVI container: header dims + the (offset, length) of every
+    * video frame chunk in the `movi` list. RIFF/AVI is the one video
+    * container a pure-JDK parser can handle (fixed little-endian chunk
+    * grammar; MJPEG frames decode via `javax.imageio`).
+    */
+  private case class AviInfo(width: Int, height: Int,
+    frames: IndexedSeq[(Int, Int)])
+
+  /** Minimal RIFF walk: returns None unless `bytes` is a RIFF/AVI file
+    * with an `avih` header. Frames are chunks whose fourcc ends in
+    * "dc"/"db" (compressed/uncompressed video) inside any LIST. Defensive
+    * on truncated/garbage input — any structural violation → None.
+    */
+  private def parseAvi(bytes: Array[Byte]): Option[AviInfo] = {
+    def le32(o: Int): Int =
+      (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+        ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+    def fourcc(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 24 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var avih = -1
+    val frames = IndexedSeq.newBuilder[(Int, Int)]
+    def walk(from: Int, until: Int): Boolean = {
+      var p = from
+      while (p + 8 <= until) {
+        val id = fourcc(p)
+        val sz = le32(p + 4)
+        if (sz < 0 || p + 8 + sz > until) return false
+        if (id == "LIST") {
+          if (sz < 4 || !walk(p + 12, p + 8 + sz)) return false
+        } else if (id == "avih") avih = p + 8
+        else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")))
+          frames += ((p + 8, sz))
+        p += 8 + sz + (sz & 1) // chunks pad to even length
+      }
+      true
+    }
+    if (!walk(12, math.min(bytes.length, 8 + le32(4)))) return None
+    if (avih < 0 || avih + 40 > bytes.length) return None
+    Some(AviInfo(le32(avih + 32), le32(avih + 36), frames.result()))
+  }
+
+  /** REAL video codec for RIFF/AVI (round 8, pure JDK): parses the
+    * container and reports the true header width/height and frame
+    * count. Non-AVI payloads (MP4/MKV — no JDK demuxer exists) fall
+    * back to the deterministic [[stubCodec]], so mixed batches decode
+    * in one pass like [[imageCodec]]'s.
+    */
+  def videoCodec: () => (Long, Array[Byte]) => DecodedMeta =
+    () => {
+      val fallback = stubCodec()
+      (id, bytes) =>
+        parseAvi(bytes) match {
+          case Some(a) => DecodedMeta(id, bytes.length, a.width, a.height,
+            a.frames.length)
+          case None => fallback(id, bytes)
+        }
+    }
+
   /** One sampled frame of a (video-ish) payload. */
   case class SampledFrame(doc_id: Long, frame_idx: Int, byte_offset: Long,
     frame_digest: Long)
@@ -221,6 +283,30 @@ object Multimodal {
         while (j < until) { h = 31 * h + bytes(j); j += 1 }
         SampledFrame(id, i, from.toLong, h)
       }
+    }
+
+  /** REAL frame sampler for RIFF/AVI (round 8): walks the container's
+    * actual video chunks, keeps every `everyNth`, and reports each kept
+    * frame's TRUE byte offset plus the rolling digest of its bytes —
+    * the kept offsets/lengths are exactly what a downstream MJPEG
+    * decode stage (`javax.imageio` on the chunk slice) consumes.
+    * Non-AVI payloads fall back to [[stubFrameCodec]]'s strided runs.
+    */
+  def videoFrameCodec: () => (Long, Array[Byte], Int) => Iterator[SampledFrame] =
+    () => {
+      val fallback = stubFrameCodec()
+      (id, bytes, everyNth) =>
+        parseAvi(bytes) match {
+          case Some(a) =>
+            Iterator.range(0, a.frames.length, everyNth).map { i =>
+              val (off, len) = a.frames(i)
+              var h = 1125899906842597L
+              var j = off
+              while (j < off + len) { h = 31 * h + bytes(j); j += 1 }
+              SampledFrame(id, i, off.toLong, h)
+            }
+          case None => fallback(id, bytes, everyNth)
+        }
     }
 
   /** Binary-in/binary-OUT transform — the resize/transcode shape: the

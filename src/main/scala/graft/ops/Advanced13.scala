@@ -175,11 +175,16 @@ object Advanced13 {
     // (dl = token count per doc, no explode): df is tf's row count per
     // term (tf is unique per (doc, term)) and n_toks is Σdl, so neither
     // re-reads the corpus — the naive form plans the tokenize subtree 4×.
+    // tf is checkpointed (it is query-terms-sized, never corpus-sized)
+    // because the tf and df branches otherwise canonicalize differently
+    // and AQE's exchange reuse won't dedupe the tokenize pass (q103's
+    // vocabulary-pass precedent).
     val docs = Tables.documents(s, d)
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
     val gt = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))

@@ -273,4 +273,26 @@ class MultimodalSpec extends SparkSuite {
     // distinct shades → distinct digests
     assert(frames.map(_.frame_digest).distinct.length == frames.length)
   }
+
+  test("video codecs never throw on hostile bytes: truncated AVI, garbage, empty") {
+    val rnd = new scala.util.Random(42)
+    val avi = mjpegAvi(4, 4, 3)
+    val hostile: Seq[Array[Byte]] =
+      Seq(Array.emptyByteArray,
+        "RIFF".getBytes("US-ASCII"),                      // bare magic
+        avi.take(20),                                     // truncated header
+        avi.take(avi.length - 7),                         // truncated mid-chunk
+        avi.updated(30, 0x7F.toByte),                     // corrupted size field
+        Array.fill(512)(rnd.nextInt().toByte)) ++         // noise
+        (1 to 20).map(n => Array.fill(n * 17)(rnd.nextInt().toByte))
+    val rows = hostile.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("doc_id", "payload")
+    // both codecs must fall back (or parse a still-valid prefix) — never throw
+    val metas = Multimodal.decodePartitions(rows, "doc_id", "payload")(
+      Multimodal.videoCodec).collect()
+    assert(metas.length == hostile.length)
+    val frames = Multimodal.sampleFramesPartitions(rows, "doc_id", "payload", 1)(
+      Multimodal.videoFrameCodec).collect()
+    assert(frames.nonEmpty) // stub fallback still yields strided runs
+  }
 }

@@ -107,6 +107,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Scan parquet"), p.take(2000))
   }
 
+  test("q146: BM25 tokenizes the corpus exactly once (round-8 single-pass lock)") {
+    val p = planOf("q146_bm25_retrieval")
+    // the checkpointed tf base is the ONLY Generate; doc lengths come
+    // from a narrow size(split) projection, so a refactor reintroducing
+    // the 4-pass shape fails here
+    val generates = "Generate explode".r.findAllIn(p).size
+    assert(generates <= 1, s"$generates tokenize passes in q146:\n${p.take(2000)}")
+  }
+
   test("no registered query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if fn(spark, sf0001).queryExecution.executedPlan

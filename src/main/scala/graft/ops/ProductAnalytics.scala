@@ -31,8 +31,14 @@ object ProductAnalytics {
     val e = ev
       .select(col("user_id"), Tables.tsUs(ev).as("ts_us"))
       .select(col("user_id"), expr("ts_us DIV 86400000000 DIV 7").as("week"))
-    val firstSeen = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    // cohort weeks derive from the DISTINCT activity table (min over
+    // distinct weeks ≡ min over all events). Catalyst then ELIMINATES
+    // the dedup under the min-aggregate, so the cohort branch shuffles
+    // the raw stream with a map-side partial min — the optimal shape;
+    // writing it this way documents the equivalence without forcing
+    // either physical form.
     val active = e.distinct()
+    val firstSeen = active.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
     active.join(firstSeen, Seq("user_id"))
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_active"))

@@ -155,6 +155,37 @@ object VectorSearch {
     * Never all-pairs: the only joins are band-key equi-joins and the
     * candidate-confined verify — q32's MinHash shape on sign bits.
     */
+  /** [[nearDupPairs]] with BANDING SIZED TO THE CORPUS. Sign-LSH keeps
+    * E[bucket size] = n / 2^bandBits, so any FIXED bit width goes
+    * quadratic as the corpus grows: the round-8 10× rehearsal measured
+    * q141's 4-bit form at ~73× the cost for 10× the rows (bucket
+    * occupancy grew 10×, candidate pairs ~100×, and the 4096 bucket cap
+    * never bound at ~1250 members). This form counts the corpus once
+    * and picks bandBits = clamp(4..20, ceil(log2(n / targetBucket))),
+    * holding expected occupancy ≈ targetBucket at ANY n — candidate
+    * volume stays ~linear. Planes are the first nBands·bandBits corpus
+    * vectors (q141's seed recipe; production supplies tuned/random
+    * planes). EXACT duplicates collide in every band whatever the
+    * width (identical signs), so dedup-grade recall is unaffected;
+    * loose-threshold recall narrows with width exactly as the
+    * [[nearDupPairs]] scaladoc derives — widen nBands to compensate.
+    * q141 itself keeps fixed 4-bit banding: its DuckDB oracle is a
+    * static string and cannot adapt to n.
+    */
+  def nearDupPairsAuto(e: DataFrame, nBands: Int, threshold: Double,
+      targetBucket: Int = 128,
+      bucketCap: Int = LshGuard.BucketCap): DataFrame = {
+    val n = e.count()
+    val bandBits = math.max(4, math.min(20,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt))
+    val w = Window.orderBy(col("vec_id"))
+    val planes = e.orderBy(col("vec_id")).limit(nBands * bandBits)
+      .withColumn("p_id", row_number().over(w) - 1)
+      .select(col("p_id"), col("v").as("pv"))
+    nearDupPairs(e, planes, bandBits, threshold, bucketCap)
+  }
+
   def nearDupPairs(e: DataFrame, planes: DataFrame, bandBits: Int,
       threshold: Double, bucketCap: Int = LshGuard.BucketCap): DataFrame = {
     val bands = e.crossJoin(broadcast(planes))

@@ -109,4 +109,39 @@ class LshGuardSpec extends SparkSuite {
     assert(capped.exceptAll(uncapped).isEmpty && uncapped.exceptAll(capped).isEmpty,
       "default cap changed results on the test corpus")
   }
+
+  test("auto banding holds candidate volume ~linear where fixed bits go quadratic") {
+    graft.functions.DotProduct.register(spark)
+    graft.functions.CosineSim.register(spark)
+    val base = Tables.embeddings(spark, sf0001).select($"vec_id",
+      graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    // the round-8 10x-rehearsal shape: many verbatim copies under
+    // shifted ids — a 25x corpus whose true near-dup groups are exact
+    val shift = 1000000L
+    val big = (0 until 25).map(i => base.select(($"vec_id" + i * shift)
+      .as("vec_id"), $"v")).reduce(_ unionByName _).localCheckpoint()
+    def candidates(pairs: org.apache.spark.sql.DataFrame): Long = pairs.count()
+    val planes16 = base.filter($"vec_id" < 16)
+      .select($"vec_id".as("p_id"), $"v".as("pv"))
+    // uncapped, threshold -1 (verify keeps everything) so the counts ARE
+    // the candidate volumes — measuring banding geometry, not the guard
+    val fixed = candidates(
+      VectorSearch.nearDupPairs(big, planes16, 4, -1.0, Int.MaxValue))
+    val auto = candidates(
+      VectorSearch.nearDupPairsAuto(big, nBands = 4, threshold = -1.0,
+        bucketCap = Int.MaxValue))
+    // deeper bands must collapse the verify volume: the fixed 4-bit form
+    // funnels the whole corpus through 16 buckets/band
+    assert(auto * 2 < fixed,
+      s"auto banding did not reduce work: auto=$auto fixed=$fixed")
+    // and exact-duplicate recall survives the deeper bands: identical
+    // vectors share every band signature, so every copy-pair of a
+    // sampled original is verified present
+    val want = (0 until 25).flatMap(i => (i + 1 until 25).map(j =>
+      (7L + i * shift, 7L + j * shift))).toSet
+    val got = VectorSearch.nearDupPairsAuto(big, 4, 0.99)
+      .filter($"da" % shift === 7 && $"db" % shift === 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.subsetOf(got), s"missing copy-pairs: ${(want -- got).take(5)}")
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Serve-path bench for the persistent indexes: build the ANN and BM25
+  * indexes once over `SPARK_GRAFT_SF_DIR` (default sf0.1), then time
+  * repeated searches against the LOADED tables — the latency a
+  * search-job (not the build job) pays, which is what the round-8
+  * partition layouts (codes by IVF list, postings by term hash) are
+  * for. Prints per-op medians of 5 post-warmup runs.
+  */
+object IndexBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import ops.{AnnIndex, TextIndex}
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ixbench").toString
+    def timed(label: String)(body: => Long): Unit = {
+      val ts = (1 to 6).map { _ =>
+        val t0 = System.nanoTime()
+        val n = body
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val med = ts.drop(1).map(_._1).sorted.apply(2) // median of 5 post-warmup
+      println(f"IXBENCH $label%-28s ${med}%.3f s (rows=${ts.head._2})")
+    }
+
+    var t0 = System.nanoTime()
+    AnnIndex.write(spark, sfDir, s"$tmp/ann")
+    println(f"IXBENCH ann_build                    ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val ann = AnnIndex.load(spark, s"$tmp/ann")
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val queries = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("v")).localCheckpoint()
+    timed("ann_search_16q_nprobe2") {
+      AnnIndex.search(spark, ann, queries, nprobe = 2, k = 10).count()
+    }
+
+    t0 = System.nanoTime()
+    TextIndex.write(spark, sfDir, s"$tmp/text")
+    println(f"IXBENCH text_build                   ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val tix = TextIndex.load(spark, s"$tmp/text")
+    timed("bm25_search_3terms") {
+      TextIndex.search(spark, tix, Seq("dup", "vector", "spark"), 10).count()
+    }
+    timed("phrase_search_2terms") {
+      TextIndex.phraseSearch(spark, tix, Seq("table", "hash")).count()
+    }
+    spark.stop()
+  }
+}

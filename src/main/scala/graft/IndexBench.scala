@@ -48,6 +48,15 @@ object IndexBench {
     }
 
     t0 = System.nanoTime()
+    AnnIndex.writeScaled(spark, sfDir, s"$tmp/annS")
+    println(f"IXBENCH annS_build                   ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val annS = AnnIndex.load(spark, s"$tmp/annS")
+    println(s"IXBENCH annS_lists                   ${annS.centroids.count()}")
+    timed("annS_search_16q_nprobe8") {
+      AnnIndex.search(spark, annS, queries, nprobe = 8, k = 10).count()
+    }
+
+    t0 = System.nanoTime()
     TextIndex.write(spark, sfDir, s"$tmp/text")
     println(f"IXBENCH text_build                   ${(System.nanoTime() - t0) / 1e9}%.3f s")
     val tix = TextIndex.load(spark, s"$tmp/text")

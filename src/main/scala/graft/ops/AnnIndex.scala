@@ -58,6 +58,58 @@ object AnnIndex {
       .write.partitionBy("c_id").mode("overwrite").parquet(s"$dir/codes")
   }
 
+  /** [[write]] with the IVF list count SIZED TO THE CORPUS: nLists =
+    * clamp(16..65536, ceil(√n)) — the standard IVF sizing — so expected
+    * list length grows as √n instead of n/16 and probe cost stays
+    * sub-linear at any corpus. (The round-8 100× rehearsal measured the
+    * fixed-16-list search at 3.6× the cost for 100× rows purely because
+    * every probed list was 100× longer.) The 4-block PQ codebook is
+    * list-count-independent (reused from the session-shared trainer),
+    * codes are identical to [[write]]'s, and the produced layout is
+    * loaded/searched/appended/compacted by the SAME code paths — only
+    * `centroids` and `assigned` differ. The registered q49/q140 oracles
+    * stay on the static 16-list recipe (a DuckDB oracle cannot adapt to
+    * n); this is the production build entry.
+    */
+  def writeScaled(s: SparkSession, d: String, dir: String): Unit = {
+    graft.functions.DotProduct.register(s)
+    graft.functions.CosineSim.register(s)
+    val e = graft.Tables.embeddings(s, d).select(col("vec_id"),
+      graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    val n = e.count()
+    val nLists = math.max(16L, math.min(65536L,
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    // Lloyd is iters·|train|·k distance evaluations — training on the
+    // full corpus would be iters·n·√n. Train on a deterministic
+    // ~50-vectors-per-list hash sample (the standard IVF recipe) and
+    // pay n·k once, at the final full-corpus assignment below.
+    val mod = math.max(1L, n / (50L * nLists))
+    val sample = e
+      .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
+        .cast("long").as("vec_id"), col("v"))
+      .localCheckpoint()
+    Quantizer.trainCentroids(sample, nLists, Quantizer.Iters)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    Quantizer.pqCodebook(s, d)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    val cent = s.read.parquet(s"$dir/centroids")
+      .select(col("cid").as("c_id"), col("cv"))
+    val wAff = Window.partitionBy(col("vec_id")).orderBy(col("ca").desc, col("c_id"))
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_id"),
+        round(expr("graft_cosine(v, cv)"), 6).as("ca"))
+      .withColumn("crank", row_number().over(wAff))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("c_id"))
+      .write.mode("overwrite").parquet(s"$dir/assigned")
+    Advanced8.pqAssign(s, d)
+      .select(col("vec_id"), col("b"), (col("mk") % 100).cast("int").as("code"))
+      .join(s.read.parquet(s"$dir/assigned"), Seq("vec_id"))
+      .write.partitionBy("c_id").mode("overwrite").parquet(s"$dir/codes")
+  }
+
   def load(s: SparkSession, dir: String): Index = {
     val raw = Index(
       centroids = s.read.parquet(s"$dir/centroids"),

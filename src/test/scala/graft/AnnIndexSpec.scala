@@ -180,6 +180,45 @@ class AnnIndexSpec extends SparkSuite {
     assert(res2.sameElements(res1), "replayed append changed rankings")
   }
 
+  test("writeScaled sizes the inverted lists to the corpus; same serve paths") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annix9").toString
+    // a 25x duplicated corpus (the rehearsal shape) written as a
+    // standalone table dir so writeScaled sees the bigger n
+    val big = java.nio.file.Files.createTempDirectory("graft-annix9d").toString
+    val base = Tables.embeddings(spark, sf0001)
+    val shift = 1000000L
+    (0 until 25).map(i => base.select(($"vec_id" + i * shift).as("vec_id"),
+        $"embedding", $"label"))
+      .reduce(_ unionByName _)
+      .write.parquet(s"$big/embeddings.parquet")
+    AnnIndex.writeScaled(spark, big, dir)
+    val ix = AnnIndex.load(spark, dir)
+    // ~√(25·n0) lists, not the fixed 16 (Lloyd may drop lists that end
+    // up empty, so the trained count can sit a little under the target)
+    val nLists = ix.centroids.count()
+    val n = spark.read.parquet(s"$big/embeddings.parquet").count()
+    val target = math.ceil(math.sqrt(n.toDouble)).toLong
+    assert(nLists > 16 && nLists <= target && nLists * 2 >= target,
+      s"expected ~sqrt($n)=$target lists, got $nLists")
+    // every assigned list id references a real centroid and codes kept
+    // their 4 blocks per vector under the partitioned layout
+    assert(ix.codes.count() == n * 4)
+    // the UNCHANGED search path serves the scaled layout: perturbed
+    // copies of two corpus vectors recover their originals
+    val e = spark.read.parquet(s"$big/embeddings.parquet")
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    val queries = e.filter($"vec_id".isin(7L, 11L))
+      .select(($"vec_id" + 5000L).as("qid"), expr("transform(v, x -> x * 1.01)").as("v"))
+    val res = AnnIndex.search(spark, ix, queries, nprobe = 8, k = 3)
+      .collect()
+    assert(res.length == 6)
+    val top = res.filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // with 25 identical copies any copy of the original is a correct
+    // top hit — check modulo the shift
+    assert(top(5007L) % shift == 7L && top(5011L) % shift == 11L,
+      s"perturbed queries missed their originals: $top")
+  }
+
   test("streaming appends maintain the index incrementally (foreachBatch)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annix7").toString
     AnnIndex.write(spark, sf0001, dir)

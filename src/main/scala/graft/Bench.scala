@@ -17,13 +17,22 @@ object Bench {
     // Warm the JVM (parquet reader, codegen, shuffle paths) on the smallest
     // scale factor so the first timed query doesn't absorb ~5s of JIT cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Timing action: `count()` by default — NOTE it lets Catalyst prune
+    // work a query's consumer wouldn't need (an unused window/sort in a
+    // pure-projection query times as a scan count). Kept as the default
+    // for cross-round comparability; SPARK_GRAFT_BENCH_STRICT=1 instead
+    // executes the FULL physical plan via the RDD (no count-specific
+    // rewrite) for local analysis of projection-shaped queries.
+    val strict = sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1")
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      if (strict) df.queryExecution.toRdd.count() else df.count()
     // A query that THROWS records -1, never its time-to-throw: a broken
     // query must not contribute a fake timing to the graded total or
     // occupy a slowest-15 steady slot.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val elapsed =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case scala.util.control.NonFatal(_) => -1.0 }
       name -> elapsed
     }
@@ -50,7 +59,7 @@ object Bench {
     val steady = results.sortBy(-_._2).take(15).map(_._1).sorted.map { name =>
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count()
+        try { run(SparkEntry.queries(name)(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
         } catch { case scala.util.control.NonFatal(_) => -1.0 }
       }.sorted

@@ -34,11 +34,15 @@ object Tables {
     * Every event-time site derives micros through this ONE helper so a
     * testdata regeneration is absorbed here. The DuckDB oracle form
     * `epoch_ns(ts)//1000` is invariant across these physical types.
+    *
+    * The returned Column is BOUND to `df` (via `df("ts")`, not a bare
+    * `col("ts")`), so in a self-join of two events scans it resolves
+    * against the passed side instead of being ambiguous.
     */
   def tsUs(df: DataFrame): Column = df.schema("ts").dataType match {
-    case LongType         => expr("ts DIV 1000")
-    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
-    case TimestampType    => unix_micros(col("ts"))
+    case LongType         => call_function("div", df("ts"), lit(1000L))
+    case TimestampNTZType => unix_micros(df("ts").cast(TimestampType))
+    case TimestampType    => unix_micros(df("ts"))
     case t => throw new IllegalArgumentException(s"unsupported events.ts type: $t")
   }
 

@@ -61,11 +61,16 @@ object Advanced10 {
     * HLL (deterministic for a given input set, but engine-specific), so
     * the oracle-checkable form outputs the EXACT per-source and shared
     * gram counts plus booleans asserting each estimate sits within its
-    * error bound (per-set: 5%; shared via inclusion–exclusion: the sum
-    * of the three constituent sketch errors, bounded by 8% of n_a+n_b
-    * plus a small-count floor). The exact twin here is oracle-scale
-    * verification only — at 100 TB the sketch path IS the product and
-    * the exact columns come from q103's batch matrix when needed.
+    * error bound (per-set: 8% ≈ 5σ at the default lgK=12 sketch's ~1.6%
+    * rsd; shared via inclusion–exclusion: the sum of the three
+    * constituent sketch errors, bounded by 12% of n_a+n_b plus a
+    * small-count floor). The bounds carry ~5σ headroom because a harness
+    * testdata regeneration resamples the input set and rsd is a standard
+    * deviation, not a guarantee (round-8 advice) — a lone flip of one of
+    * these booleans after a regeneration indicts the bound, not the
+    * plan. The exact twin here is oracle-scale verification only — at
+    * 100 TB the sketch path IS the product and the exact columns come
+    * from q103's batch matrix when needed.
     */
   val sourceOverlapSketch = Q(
     "q125_source_overlap_sketch",
@@ -117,10 +122,10 @@ object Advanced10 {
           - hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))))
           .as("est_shared"))
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_shared"),
-        (abs(col("est_a") - col("n_a")) <= col("n_a") * 0.05).as("a_ok"),
-        (abs(col("est_b") - col("n_b")) <= col("n_b") * 0.05).as("b_ok"),
+        (abs(col("est_a") - col("n_a")) <= col("n_a") * 0.08).as("a_ok"),
+        (abs(col("est_b") - col("n_b")) <= col("n_b") * 0.08).as("b_ok"),
         (abs(col("est_shared") - col("n_shared"))
-          <= (col("n_a") + col("n_b")) * 0.08 + 16).as("shared_ok"))
+          <= (col("n_a") + col("n_b")) * 0.12 + 24).as("shared_ok"))
       .orderBy(col("src_a"), col("src_b"))
   }
 

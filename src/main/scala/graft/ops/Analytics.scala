@@ -183,9 +183,16 @@ object Analytics {
   /** Approximate distinct (HLL sketch) — the 100 TB path for cardinality.
     * The raw estimate is engine-specific (no DuckDB twin), so the
     * oracle-checkable form outputs the EXACT cardinalities plus booleans
-    * asserting the sketch landed within 3× its configured rsd — HLL++ is
+    * asserting the sketch landed within 4× its configured rsd — HLL++ is
     * deterministic for a given input set, so the booleans are stable and
     * the oracle emits the exact counts and literal TRUE.
+    *
+    * REGENERATION RISK (round-8 advice): rsd is a standard deviation, not
+    * a guarantee, so a harness testdata regeneration (which has happened
+    * for the ts dtype) could in principle land an estimate outside any
+    * fixed bound and flip a boolean with no code bug. 4σ headroom makes
+    * that ~1-in-16k per sketch; if this query ever reddens alone after a
+    * regeneration, suspect the bound, not the plan.
     */
   val approxDistinct = Q(
     "q22b_approx_distinct",
@@ -205,9 +212,9 @@ object Analytics {
         approx_count_distinct(col("l_orderkey"), rsd).as("a_orders"),
         approx_count_distinct(col("l_partkey"), rsd).as("a_parts"))
       .select(col("l_returnflag"), col("n_orders"), col("n_parts"),
-        (abs(col("a_orders") - col("n_orders")) <= col("n_orders") * (3 * rsd))
+        (abs(col("a_orders") - col("n_orders")) <= col("n_orders") * (4 * rsd))
           .as("orders_ok"),
-        (abs(col("a_parts") - col("n_parts")) <= col("n_parts") * (3 * rsd))
+        (abs(col("a_parts") - col("n_parts")) <= col("n_parts") * (4 * rsd))
           .as("parts_ok"))
       .orderBy(col("l_returnflag"))
   }

@@ -169,22 +169,53 @@ object VectorSearch {
     * width (identical signs), so dedup-grade recall is unaffected;
     * loose-threshold recall narrows with width exactly as the
     * [[nearDupPairs]] scaladoc derives — widen nBands to compensate.
-    * q141 itself keeps fixed 4-bit banding: its DuckDB oracle is a
-    * static string and cannot adapt to n.
+    * q141 registers THIS form (round 9): at every testdata SF the
+    * formula resolves to the same 4-bit banding as the static oracle
+    * recipe (≤2k vectors → ceil(log2(n/128)) ≤ 4), so the hard gate
+    * exercises the production scale-safe path with an unchanged oracle
+    * string — LshGuardSpec pins that equivalence so a future
+    * testdata-size change fails loudly there, not as a silent
+    * hash mismatch.
     */
   def nearDupPairsAuto(e: DataFrame, nBands: Int, threshold: Double,
       targetBucket: Int = 128,
       bucketCap: Int = LshGuard.BucketCap): DataFrame = {
     val n = e.count()
-    val bandBits = math.max(4, math.min(20,
-      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
-        math.log(2.0)).toInt))
+    val bandBits = autoBandBits(n, targetBucket)
     val w = Window.orderBy(col("vec_id"))
     val planes = e.orderBy(col("vec_id")).limit(nBands * bandBits)
       .withColumn("p_id", row_number().over(w) - 1)
       .select(col("p_id"), col("v").as("pv"))
+      .localCheckpoint()
+    // Seed-plane health (round-8 advice): a corpus smaller than the
+    // plane budget would silently yield fewer hyperplanes — and so
+    // weaker banding — than the computed bandBits implies; duplicate
+    // leading vectors degrade it the same way (collinear planes split
+    // no buckets). Shortage is a hard error; duplicates only a warning
+    // because exact-dup-heavy corpora are legitimate inputs.
+    val nPlanes = planes.count()
+    require(nPlanes == nBands.toLong * bandBits,
+      s"corpus has $n vectors but ${nBands * bandBits} seed planes are " +
+        s"needed for $nBands bands x $bandBits bits - supply explicit " +
+        "planes via nearDupPairs, or shrink nBands/targetBucket")
+    val distinctPlanes = planes.select(col("pv")).distinct().count()
+    if (distinctPlanes < nPlanes)
+      System.err.println(
+        s"WARN nearDupPairsAuto: only $distinctPlanes of $nPlanes seed " +
+          "planes are distinct vectors - collinear planes weaken banding; " +
+          "consider supplying tuned/random planes via nearDupPairs")
     nearDupPairs(e, planes, bandBits, threshold, bucketCap)
   }
+
+  /** Corpus-sized LSH band width: bandBits = clamp(4..20,
+    * ceil(log2(n / targetBucket))) holds expected bucket occupancy at
+    * ~targetBucket for any corpus size (see [[nearDupPairsAuto]]).
+    * Exposed so tests can pin the resolved width at oracle scale.
+    */
+  def autoBandBits(n: Long, targetBucket: Int = 128): Int =
+    math.max(4, math.min(20,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt))
 
   def nearDupPairs(e: DataFrame, planes: DataFrame, bandBits: Int,
       threshold: Double, bucketCap: Int = LshGuard.BucketCap): DataFrame = {
@@ -211,11 +242,18 @@ object VectorSearch {
       .select(col("da"), col("db"), round(col("sim_raw"), 6).as("sim"))
   }
 
-  /** [[nearDupPairs]] registered over the FULL embeddings table — no
-    * corpus bound anywhere: 16 seed planes, 4 bands × 4 sign bits,
-    * threshold 0.4. The oracle expresses the identical banding + verify
-    * semantics (the q32 LSH precedent), so the hash check proves the
-    * bucketed computation, not a pairwise demo.
+  /** [[nearDupPairsAuto]] registered over the FULL embeddings table —
+    * no corpus bound anywhere: 4 bands, threshold 0.4, band width SIZED
+    * TO THE CORPUS (round 9: the hard gate now exercises the production
+    * scale-safe path; round 8 measured the fixed-width form DNF at
+    * 100× while auto stayed bounded). The static oracle recipe — 16
+    * seed planes, 4 bands × 4 sign bits — is exactly what auto resolves
+    * to at every testdata SF (n ≤ 2048 → bandBits = 4, planes = the
+    * first 16 vectors), an equivalence LshGuardSpec pins so a testdata
+    * regeneration that crosses the width boundary fails loudly there.
+    * The oracle expresses the identical banding + verify semantics (the
+    * q32 LSH precedent), so the hash check proves the bucketed
+    * computation, not a pairwise demo.
     */
   val nearDupBucketed = Q(
     "q141_neardup_bucketed",
@@ -241,10 +279,7 @@ object VectorSearch {
       |WHERE list_dot_product(a.v, b.v)
       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
       |ORDER BY da, db""".stripMargin) { (s, d) =>
-    val e = emb(s, d)
-    val planes = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("p_id"), col("v").as("pv"))
-    nearDupPairs(e, planes, bandBits = 4, threshold = 0.4)
+    nearDupPairsAuto(emb(s, d), nBands = 4, threshold = 0.4)
       .orderBy(col("da"), col("db"))
   }
 

@@ -110,6 +110,49 @@ class LshGuardSpec extends SparkSuite {
       "default cap changed results on the test corpus")
   }
 
+  test("q141's auto banding resolves to the static oracle recipe at testdata scale") {
+    graft.functions.DotProduct.register(spark)
+    graft.functions.CosineSim.register(spark)
+    // The registered q141 runs nearDupPairsAuto while its DuckDB oracle is
+    // the STATIC 4-bands x 4-bit / first-16-planes recipe. That is only
+    // sound while the formula resolves to 4 bits at every testdata SF
+    // (n <= 2048 vectors) — this test pins the equivalence so a testdata
+    // regeneration that crosses the width boundary fails HERE, by name,
+    // instead of as an opaque q141 hash mismatch in the round gate.
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+         if new java.io.File(sf).isDirectory) {
+      val e = Tables.embeddings(spark, sf).select($"vec_id",
+        graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+      val n = e.count()
+      assert(VectorSearch.autoBandBits(n) == 4,
+        s"$sf: n=$n resolves to ${VectorSearch.autoBandBits(n)} bits - the " +
+          "static q141 oracle assumes 4; regenerate the oracle SQL or " +
+          "re-pin the recipe")
+      // and the full pair sets agree, not just the width
+      val auto = VectorSearch.nearDupPairsAuto(e, nBands = 4, threshold = 0.4)
+      val planes16 = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("p_id"), $"v".as("pv"))
+      val fixed = VectorSearch.nearDupPairs(e, planes16, 4, 0.4)
+      assert(auto.exceptAll(fixed).isEmpty && fixed.exceptAll(auto).isEmpty,
+        s"$sf: auto and fixed-recipe pair sets diverge")
+    }
+  }
+
+  test("auto banding refuses a corpus smaller than its seed-plane budget") {
+    graft.functions.DotProduct.register(spark)
+    graft.functions.CosineSim.register(spark)
+    // 10 vectors < 4 bands x 4 bits = 16 planes: silently proceeding with
+    // fewer planes would weaken banding below what bandBits implies
+    // (round-8 advice) — the builder must be told, loudly.
+    val tiny = (0 until 10).map(i =>
+      (i.toLong, Seq.fill(Dim)(i * 0.1 + 0.1))).toDF("vec_id", "v")
+    val ex = intercept[IllegalArgumentException] {
+      VectorSearch.nearDupPairsAuto(tiny, nBands = 4, threshold = 0.4)
+    }
+    assert(ex.getMessage.contains("seed planes"),
+      s"unexpected message: ${ex.getMessage}")
+  }
+
   test("auto banding holds candidate volume ~linear where fixed bits go quadratic") {
     graft.functions.DotProduct.register(spark)
     graft.functions.CosineSim.register(spark)

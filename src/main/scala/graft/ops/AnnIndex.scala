@@ -39,24 +39,22 @@ object AnnIndex {
   case class Index(centroids: DataFrame, codebook: DataFrame,
     assigned: DataFrame, codes: DataFrame)
 
-  /** Train (session-shared — free if q49/q108/q140 already ran) and
-    * persist the index for the corpus at `d`.
+  /** PQ blocks per vector — must match [[Quantizer.subBlocks]]'s 4
+    * contiguous 16-dim slices. Append/heal logic treats a vec_id's code
+    * rows as complete iff all [[CodeBlocks]] are present.
     */
-  def write(s: SparkSession, d: String, dir: String): Unit = {
-    Quantizer.ivfCentroids(s, d)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    Quantizer.pqCodebook(s, d)
-      .write.mode("overwrite").parquet(s"$dir/codebook")
-    Advanced2.ivfAffinity(s, d).filter(col("crank") === 1)
-      .select(col("vec_id"), col("c_id"))
-      .write.mode("overwrite").parquet(s"$dir/assigned")
-    // codes carry their list id and are PARTITIONED by it — the IVF
-    // inverted lists as directories, so probe-time pruning is physical
-    Advanced8.pqAssign(s, d)
-      .select(col("vec_id"), col("b"), (col("mk") % 100).cast("int").as("code"))
-      .join(s.read.parquet(s"$dir/assigned"), Seq("vec_id"))
-      .write.partitionBy("c_id").mode("overwrite").parquet(s"$dir/codes")
-  }
+  val CodeBlocks = 4
+
+  /** Train (session-shared — free if q49/q108/q140 already ran) and
+    * persist the index for the corpus at `d`, on the FIXED 16-list
+    * q49/q140 oracle recipe: the session-shared full-corpus-trained
+    * centroids, so saved-index search stays BIT-IDENTICAL to the live
+    * session path (AnnIndexSpec pins it). Delegates to the same build
+    * core as [[writeScaled]] — one layout/assignment/encode path; only
+    * centroid provenance differs.
+    */
+  def write(s: SparkSession, d: String, dir: String): Unit =
+    writeCore(s, d, dir, Quantizer.ivfCentroids(s, d))
 
   /** [[write]] with the IVF list count SIZED TO THE CORPUS: nLists =
     * clamp(16..65536, ceil(√n)) — the standard IVF sizing — so expected
@@ -69,17 +67,19 @@ object AnnIndex {
     * loaded/searched/appended/compacted by the SAME code paths — only
     * `centroids` and `assigned` differ. The registered q49/q140 oracles
     * stay on the static 16-list recipe (a DuckDB oracle cannot adapt to
-    * n); this is the production build entry.
+    * n); this is the production build entry. `nListsOverride` pins an
+    * explicit list count (still sample-trained) for tuned deployments.
     */
-  def writeScaled(s: SparkSession, d: String, dir: String): Unit = {
+  def writeScaled(s: SparkSession, d: String, dir: String,
+      nListsOverride: Option[Int] = None): Unit = {
     graft.functions.DotProduct.register(s)
     graft.functions.CosineSim.register(s)
     val e = graft.Tables.embeddings(s, d).select(col("vec_id"),
       graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
       .localCheckpoint()
     val n = e.count()
-    val nLists = math.max(16L, math.min(65536L,
-      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    val nLists = nListsOverride.getOrElse(math.max(16L, math.min(65536L,
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt)
     // Lloyd is iters·|train|·k distance evaluations — training on the
     // full corpus would be iters·n·√n. Train on a deterministic
     // ~50-vectors-per-list hash sample (the standard IVF recipe) and
@@ -90,10 +90,24 @@ object AnnIndex {
       .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
         .cast("long").as("vec_id"), col("v"))
       .localCheckpoint()
-    Quantizer.trainCentroids(sample, nLists, Quantizer.Iters)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+    writeCore(s, d, dir, Quantizer.trainCentroids(sample, nLists, Quantizer.Iters))
+  }
+
+  /** The ONE index build path (round 9): persist `centroids`, the
+    * session-shared PQ codebook, the full-corpus assignment against
+    * those centroids (the ivfAffinity crank=1 recipe), and the codes
+    * PARTITIONED by list id — the IVF inverted lists as directories, so
+    * probe-time pruning is physical.
+    */
+  private def writeCore(s: SparkSession, d: String, dir: String,
+      centroids: DataFrame): Unit = {
+    graft.functions.DotProduct.register(s)
+    graft.functions.CosineSim.register(s)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     Quantizer.pqCodebook(s, d)
       .write.mode("overwrite").parquet(s"$dir/codebook")
+    val e = graft.Tables.embeddings(s, d).select(col("vec_id"),
+      graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
     val cent = s.read.parquet(s"$dir/centroids")
       .select(col("cid").as("c_id"), col("cv"))
     val wAff = Window.partitionBy(col("vec_id")).orderBy(col("ca").desc, col("c_id"))
@@ -174,10 +188,15 @@ object AnnIndex {
     * come from `assigned` and inner-join to `codes`, so an orphan codes
     * row (crash between the writes) is merely invisible — the reverse
     * order would leave assigned ids with no codes, silently dropping
-    * those vectors from every future search. Each table also only
-    * receives ids it does not already hold, so an at-least-once replay
-    * of the batch completes the torn append instead of double-writing
-    * codes (duplicate code rows would double-count block distances).
+    * those vectors from every future search. The codes anti-join skips
+    * only ids whose [[CodeBlocks]] rows are ALL present (round-9 fix:
+    * a vec_id-granular skip would leave a torn partial-block write —
+    * a crash mid-commit inside the codes job — permanently short,
+    * under-summing that vector's block distance forever), so an
+    * at-least-once replay re-writes torn vectors in full; the stale
+    * partial rows it leaves behind are exact duplicates that
+    * [[search]]'s per-(cand, block) dedup ignores. `assigned` still
+    * skips any id it already holds.
     */
   def append(s: SparkSession, dir: String, batch: DataFrame): Index = {
     graft.functions.DotProduct.register(s)
@@ -199,7 +218,15 @@ object AnnIndex {
       .groupBy(col("vec_id"), col("b"))
       .agg(min(col("pk")).as("mk"))
       .select(col("vec_id"), col("b"), (col("mk") % 100).cast("int").as("code"))
-    val codeIds = s.read.parquet(s"$dir/codes").select(col("vec_id")).distinct()
+    // ids already COMPLETE in codes (all blocks present): the groupBy is
+    // confined to batch-sized data by the semi-join, so replay cost is
+    // O(batch), not O(index)
+    val codeIds = s.read.parquet(s"$dir/codes")
+      .join(batch.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .groupBy(col("vec_id"))
+      .agg(countDistinct(col("b")).as("nb"))
+      .filter(col("nb") === CodeBlocks)
+      .select(col("vec_id"))
     newCodes.join(codeIds, Seq("vec_id"), "left_anti")
       .join(newAssigned, Seq("vec_id"))
       .write.partitionBy("c_id").mode("append").parquet(s"$dir/codes")
@@ -250,13 +277,25 @@ object AnnIndex {
     // PARTITION directories — the physical "read only probed lists"
     val probedLists = probes.select(col("c_id")).distinct()
       .collect().map(_.get(0)).toSeq
-    val ad = candp.as("x")
+    // Candidate-confined code rows, deduped per (cand, block): a torn
+    // append heals by re-writing a vector's full block set next to its
+    // stale partial rows (see [[append]]), and those leftovers are exact
+    // duplicates — min(code) picks the one true code per block so a
+    // healed vector can never double-count a block distance. The dedup
+    // aggregation runs AFTER the candidate join (probe-bounded rows, and
+    // partial-agg collapses duplicates map-side), never over the raw
+    // codes table.
+    val candCodes = candp.as("x")
       .join(ix.codes.filter(col("c_id").isin(probedLists: _*)).as("cd"),
         col("cd.vec_id") === col("x.cand"))
+      .groupBy(col("x.qid").as("qid"), col("x.cand").as("cand"),
+        col("cd.b").as("b"))
+      .agg(min(col("cd.code")).as("code"))
+    val ad = candCodes
       .join(broadcast(dtab),
-        col("dqid") === col("x.qid") && col("db") === col("cd.b") &&
-          col("cid") === col("cd.code"))
-      .groupBy(col("x.qid").as("qid"), col("x.cand").as("cand"))
+        col("dqid") === col("qid") && col("db") === col("b") &&
+          col("cid") === col("code"))
+      .groupBy(col("qid"), col("cand"))
       .agg(sum(col("dm")).as("adist_micro"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adist_micro"), col("cand"))
     ad.withColumn("rnk", row_number().over(w))

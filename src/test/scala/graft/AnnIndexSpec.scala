@@ -180,6 +180,53 @@ class AnnIndexSpec extends SparkSuite {
     assert(res2.sameElements(res1), "replayed append changed rankings")
   }
 
+  test("a torn append (partial code blocks, no assigned) heals on replay") {
+    // The round-8 advice scenario: the codes write crashes mid-commit,
+    // leaving SOME of a vector's 4 block rows on disk and no assigned
+    // row. A vec_id-granular replay skip would then write assigned
+    // against the short block set — that vector ranked by a permanently
+    // under-summed distance. The round-9 contract: replay re-writes the
+    // torn vector's full block set (complete-id anti-join) and search
+    // dedups per (cand, block), so the healed index ranks exactly like
+    // a never-torn one.
+    val dirClean = java.nio.file.Files.createTempDirectory("graft-annixA").toString
+    val dirTorn = java.nio.file.Files.createTempDirectory("graft-annixB").toString
+    AnnIndex.write(spark, sf0001, dirClean)
+    AnnIndex.write(spark, sf0001, dirTorn)
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    val batch = e.filter($"vec_id" === 3L)
+      .select(($"vec_id" + 8000L).as("vec_id"),
+        expr("transform(v, x -> x * 0.99)").as("v"))
+    // clean reference: one successful append
+    AnnIndex.append(spark, dirClean, batch)
+    // torn state: exactly the rows a crashed codes job would have
+    // committed — blocks 0-1 of the new vector, nothing in assigned
+    // (frozen quantizers => the clean index's code rows ARE the values
+    // the crashed job was writing)
+    spark.read.parquet(s"$dirClean/codes")
+      .filter($"vec_id" === 8003L && $"b" < 2)
+      .write.partitionBy("c_id").mode("append").parquet(s"$dirTorn/codes")
+    assert(spark.read.parquet(s"$dirTorn/codes").filter($"vec_id" === 8003L)
+      .count() == 2, "torn fixture should hold a partial block set")
+    // the at-least-once replay
+    AnnIndex.append(spark, dirTorn, batch)
+    val codes = spark.read.parquet(s"$dirTorn/codes").filter($"vec_id" === 8003L)
+    assert(codes.select($"b").distinct().count() == AnnIndex.CodeBlocks.toLong,
+      "replay did not complete the torn block set")
+    assert(codes.count() == AnnIndex.CodeBlocks.toLong + 2,
+      "expected the full block set plus the stale partial rows")
+    // and the healed index ranks bit-identically to the never-torn one
+    val queries = e.filter($"vec_id".isin(3L, 7L))
+      .select($"vec_id".as("qid"), $"v")
+    def rank(d: String) = AnnIndex.search(spark, AnnIndex.load(spark, d),
+        queries, nprobe = 16, k = 5, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sorted
+    assert(rank(dirTorn).sameElements(rank(dirClean)),
+      "healed index diverged from the never-torn reference")
+  }
+
   test("writeScaled sizes the inverted lists to the corpus; same serve paths") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annix9").toString
     // a 25x duplicated corpus (the rehearsal shape) written as a

@@ -180,30 +180,35 @@ object VectorSearch {
   def nearDupPairsAuto(e: DataFrame, nBands: Int, threshold: Double,
       targetBucket: Int = 128,
       bucketCap: Int = LshGuard.BucketCap): DataFrame = {
+    import e.sparkSession.implicits._
     val n = e.count()
     val bandBits = autoBandBits(n, targetBucket)
-    val w = Window.orderBy(col("vec_id"))
-    val planes = e.orderBy(col("vec_id")).limit(nBands * bandBits)
-      .withColumn("p_id", row_number().over(w) - 1)
-      .select(col("p_id"), col("v").as("pv"))
-      .localCheckpoint()
+    val need = nBands * bandBits
+    // The plane budget is nBands·bandBits ≤ 4·20-ish rows — collect the
+    // seed vectors ONCE and run the health checks driver-side, so the
+    // whole seeding costs one bounded job instead of three (count /
+    // distinct-count / checkpoint were measurable steady overhead on
+    // the registered q141).
+    val seed = e.orderBy(col("vec_id")).limit(need)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
     // Seed-plane health (round-8 advice): a corpus smaller than the
     // plane budget would silently yield fewer hyperplanes — and so
     // weaker banding — than the computed bandBits implies; duplicate
     // leading vectors degrade it the same way (collinear planes split
     // no buckets). Shortage is a hard error; duplicates only a warning
     // because exact-dup-heavy corpora are legitimate inputs.
-    val nPlanes = planes.count()
-    require(nPlanes == nBands.toLong * bandBits,
-      s"corpus has $n vectors but ${nBands * bandBits} seed planes are " +
+    require(seed.length == need,
+      s"corpus has $n vectors but $need seed planes are " +
         s"needed for $nBands bands x $bandBits bits - supply explicit " +
         "planes via nearDupPairs, or shrink nBands/targetBucket")
-    val distinctPlanes = planes.select(col("pv")).distinct().count()
-    if (distinctPlanes < nPlanes)
+    val distinctPlanes = seed.distinct.length
+    if (distinctPlanes < need)
       System.err.println(
-        s"WARN nearDupPairsAuto: only $distinctPlanes of $nPlanes seed " +
+        s"WARN nearDupPairsAuto: only $distinctPlanes of $need seed " +
           "planes are distinct vectors - collinear planes weaken banding; " +
           "consider supplying tuned/random planes via nearDupPairs")
+    val planes = seed.zipWithIndex
+      .map { case (pv, i) => (i, pv) }.toSeq.toDF("p_id", "pv")
     nearDupPairs(e, planes, bandBits, threshold, bucketCap)
   }
 

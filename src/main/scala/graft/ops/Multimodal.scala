@@ -402,6 +402,120 @@ object Multimodal {
       if (norm == 0f) acc else acc.map(_ / norm)
     }
 
+  /** Deterministic synthetic PNG: a real `javax.imageio`-encoded image of
+    * the requested dimensions with a doc-derived pixel pattern. Library
+    * entry point for codec-conformance harnesses (q151) and fixture
+    * generation — the only way its output round-trips to the right
+    * dimensions is for the full encode→decode path to work.
+    */
+  def syntheticPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (x * 31 + y * 7) & 0xFFFFFF); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic WAV: 16-bit mono PCM square wave, written
+    * through the JDK's own RIFF/WAVE encoder — real container bytes.
+    */
+  def syntheticWav(sampleRate: Int, nFrames: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v: Short = if ((i / 8) % 2 == 0) 12000 else -12000
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic RIFF/AVI: real container grammar —
+    * LIST(hdrl){avih} carrying the true dims, LIST(movi) with `nFrames`
+    * video chunks of doc-derived bytes. [[parseAvi]]/[[videoCodec]] and
+    * any standards-conforming demuxer read the same dims/frame count.
+    */
+  def syntheticAvi(w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    def le32(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(subtype: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", subtype.getBytes("US-ASCII") ++ children)
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(40000), 0, avih, 0, 4)    // usPerFrame
+    System.arraycopy(le32(nFrames), 0, avih, 16, 4) // dwTotalFrames
+    System.arraycopy(le32(w), 0, avih, 32, 4)       // dwWidth
+    System.arraycopy(le32(h), 0, avih, 36, 4)       // dwHeight
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi",
+      (0 until nFrames).flatMap(i =>
+        chunk("00dc", Array.tabulate[Byte](16)(j => (i * 17 + j).toByte))).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val bb = new java.io.ByteArrayOutputStream()
+    bb.write("RIFF".getBytes("US-ASCII")); bb.write(le32(body.length)); bb.write(body)
+    bb.toByteArray
+  }
+
+  /** Codec-conformance gate over the REAL decoders: for a bounded,
+    * deterministic doc_id slice, each executor task ENCODES genuine media
+    * containers (PNG via `javax.imageio`, WAV via `javax.sound.sampled`,
+    * RIFF/AVI by chunk grammar) at doc_id-derived dimensions, then DECODES
+    * them back through [[imageCodec]]/[[audioCodec]]/[[videoCodec]] — the
+    * production decode paths. The oracle knows only the arithmetic that
+    * derived the dimensions, so the row hashes match ONLY if the real
+    * encode→decode round trip is intact; a codec regression (or a silent
+    * fall-through to the stub fallback, whose statistics differ) breaks
+    * the gate by name. Per-partition codec init, payloads never visit the
+    * driver — the exact shape a 100 TB decode job uses, at probe size.
+    */
+  val multimodalDecode = Q(
+    "q151_multimodal_decode",
+    """SELECT doc_id,
+      |  CAST(8 + doc_id % 16 AS INTEGER) AS img_w,
+      |  CAST(8 + (doc_id * 3) % 16 AS INTEGER) AS img_h,
+      |  CAST(8000 AS INTEGER) AS sample_rate,
+      |  CAST(800 + (doc_id % 16) * 40 AS BIGINT) AS audio_frames,
+      |  CAST(100 + (doc_id % 16) * 5 AS BIGINT) AS duration_ms,
+      |  CAST(16 + doc_id % 8 AS INTEGER) AS vid_w,
+      |  CAST(9 + doc_id % 8 AS INTEGER) AS vid_h,
+      |  CAST(1 + doc_id % 5 AS INTEGER) AS vid_frames
+      |FROM documents WHERE doc_id < 24 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ids = Tables.documents(s, d).filter(col("doc_id") < 24)
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      val img = imageCodec()
+      val aud = audioCodec()
+      val vid = videoCodec()
+      it.map { id =>
+        val k = (id % 16).toInt
+        val im = img(id, syntheticPng(8 + k, 8 + ((id * 3) % 16).toInt))
+        val am = aud(id, syntheticWav(8000, 800 + k * 40))
+        val vm = vid(id, syntheticAvi(16 + (id % 8).toInt, 9 + (id % 8).toInt,
+          1 + (id % 5).toInt))
+        (id, im.width, im.height, am.sample_rate, am.n_frames, am.duration_ms,
+          vm.width, vm.height, vm.n_frames)
+      }
+    }.toDF("doc_id", "img_w", "img_h", "sample_rate", "audio_frames",
+        "duration_ms", "vid_w", "vid_h", "vid_frames")
+      .orderBy(col("doc_id"))
+  }
+
   /** Binary payload ingestion + digest + stub decode metadata. */
   val multimodalMeta = Q(
     "q41_multimodal_meta",
@@ -425,5 +539,5 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  val specs: Seq[Q] = Seq(multimodalMeta)
+  val specs: Seq[Q] = Seq(multimodalMeta, multimodalDecode)
 }

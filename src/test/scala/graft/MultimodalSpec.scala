@@ -295,4 +295,21 @@ class MultimodalSpec extends SparkSuite {
       Multimodal.videoFrameCodec).collect()
     assert(frames.nonEmpty) // stub fallback still yields strided runs
   }
+
+  test("synthetic generators round-trip through the real codecs (q151 gate)") {
+    // the exact arithmetic q151's oracle pins, spot-checked off-cluster
+    for (id <- Seq(0L, 5L, 23L)) {
+      val k = (id % 16).toInt
+      val im = Multimodal.imageCodec()(id,
+        Multimodal.syntheticPng(8 + k, 8 + ((id * 3) % 16).toInt))
+      assert(im.width == 8 + k && im.height == 8 + ((id * 3) % 16).toInt)
+      val am = Multimodal.audioCodec()(id, Multimodal.syntheticWav(8000, 800 + k * 40))
+      assert(am.sample_rate == 8000 && am.n_channels == 1)
+      assert(am.n_frames == 800 + k * 40 && am.duration_ms == 100 + k * 5)
+      val vm = Multimodal.videoCodec()(id,
+        Multimodal.syntheticAvi(16 + (id % 8).toInt, 9 + (id % 8).toInt, 1 + (id % 5).toInt))
+      assert(vm.width == 16 + (id % 8).toInt && vm.height == 9 + (id % 8).toInt)
+      assert(vm.n_frames == 1 + (id % 5).toInt)
+    }
+  }
 }

@@ -30,7 +30,11 @@ import org.apache.spark.sql.types.DecimalType
   * and doclens and refreshing the one-row stats from the batch's own
   * aggregates — existing rows are never touched, and because df is
   * derived from postings at serve time, appended documents shift idf
-  * without any index rebuild.
+  * without any index rebuild. [[delete]]/[[compact]] complete the
+  * lifecycle with AnnIndex's tombstone design: O(batch) deletes that
+  * vanish from every serve surface (with stats refreshed from the live
+  * doclens so ranking stays bit-identical to a rebuild), folded into
+  * rewritten files only at compaction.
   *
   * At 100 TB: postings ≈ one row per distinct (term, doc) — written once
   * per corpus build, PARTITIONED by a 64-way term hash (round 8), so a
@@ -87,11 +91,29 @@ object TextIndex {
       .write.mode(mode).parquet(s"$dir/doclens")
   }
 
-  /** Recompute the one-row stats from doclens (doc-count rows — one long
-    * pair per document, not corpus-sized) after a build or append.
+  private def tombstones(s: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(p.toString).select(col("doc_id")))
+    else None
+  }
+
+  /** doclens minus tombstones — the live document set every statistic
+    * must be computed from once deletes exist.
+    */
+  private def liveDoclens(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/doclens").dropDuplicates("doc_id")
+    tombstones(s, dir).fold(raw)(t => raw.join(t, Seq("doc_id"), "left_anti"))
+  }
+
+  /** Recompute the one-row stats from the LIVE doclens (doc-count rows —
+    * one long pair per document, not corpus-sized) after a build, append,
+    * or delete — so idf/avgdl always reflect exactly the searchable
+    * documents and a deleted index stays BIT-IDENTICAL to a fresh build
+    * over the remaining corpus (TextIndexSpec).
     */
   private def refreshStats(s: SparkSession, dir: String): Unit = {
-    val agg = s.read.parquet(s"$dir/doclens")
+    val agg = liveDoclens(s, dir)
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
       .collect()(0)
     import s.implicits._
@@ -113,16 +135,66 @@ object TextIndex {
     * would double tf into BM25. The dedup keys include `term`, so
     * [[search]]'s term filter still pushes below it to the scan.
     */
-  def load(s: SparkSession, dir: String): Index = Index(
+  def load(s: SparkSession, dir: String): Index = {
     // `bkt` is functionally determined by `term`, but including it in
     // the dedup keys is what lets the serve-time bucket predicate push
     // BELOW the dedup to the scan as a partition filter.
-    postings = s.read.parquet(s"$dir/postings")
-      .dropDuplicates("bkt", "term", "doc_id"),
-    doclens = s.read.parquet(s"$dir/doclens").dropDuplicates("doc_id"),
-    stats = s.read.parquet(s"$dir/stats"),
-    positions = s.read.parquet(s"$dir/positions")
-      .dropDuplicates("bkt", "term", "doc_id", "pos"))
+    val raw = Index(
+      postings = s.read.parquet(s"$dir/postings")
+        .dropDuplicates("bkt", "term", "doc_id"),
+      doclens = s.read.parquet(s"$dir/doclens").dropDuplicates("doc_id"),
+      stats = s.read.parquet(s"$dir/stats"),
+      positions = s.read.parquet(s"$dir/positions")
+        .dropDuplicates("bkt", "term", "doc_id", "pos"))
+    tombstones(s, dir).fold(raw) { t =>
+      // deleted docs vanish from every serve surface; the term/bucket
+      // predicates still push below the anti-join to the postings scan
+      Index(
+        postings = raw.postings.join(t, Seq("doc_id"), "left_anti"),
+        doclens = raw.doclens.join(t, Seq("doc_id"), "left_anti"),
+        stats = raw.stats,
+        positions = raw.positions.join(t, Seq("doc_id"), "left_anti"))
+    }
+  }
+
+  /** Delete documents by id — [[AnnIndex.delete]]'s tombstone design on
+    * the lexical index: ids append to a `tombstones/` table, [[load]]
+    * anti-joins it onto postings/doclens/positions (BM25, phrase and df
+    * all serve from the live set), and the one-row stats refresh from
+    * the live doclens so idf/avgdl shift exactly as a rebuild's would.
+    * O(batch + #docs) per delete — index files untouched until
+    * [[compact]]. A tombstoned id blocks that id entirely; re-adding it
+    * via [[append]] requires compacting first (same contract as
+    * AnnIndex).
+    */
+  def delete(s: SparkSession, dir: String, ids: DataFrame): Index = {
+    ids.select(col("doc_id")).write.mode("append").parquet(s"$dir/tombstones")
+    refreshStats(s, dir)
+    load(s, dir)
+  }
+
+  /** Fold accumulated tombstones into the index files: rewrite postings,
+    * positions (keeping the term-hash partition layout) and doclens
+    * without the deleted rows, then drop the tombstone table. Also
+    * materializes [[load]]'s defensive dedup, permanently healing any
+    * torn-append rows. Run when the tombstone set outgrows a broadcast.
+    */
+  def compact(s: SparkSession, dir: String): Index = {
+    tombstones(s, dir).foreach { _ =>
+      val live = load(s, dir) // tombstones already anti-joined, rows deduped
+      // localCheckpoint so each rewrite doesn't race its own input scan
+      live.postings.localCheckpoint(true)
+        .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/postings")
+      live.positions.localCheckpoint(true)
+        .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/positions")
+      live.doclens.localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$dir/doclens")
+      val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      refreshStats(s, dir)
+    }
+    load(s, dir)
+  }
 
   /** Append `docs(doc_id, text, …)` to a persisted index; returns the
     * refreshed index. Every doc tokenizes to ≥ 1 term (split of "" is

@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.{AnnIndex, Release, TextIndex}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Release.upgrade* contracts: rolling a persisted index from corpus v1
+  * to v2 through delta-delete-compact-append must serve v2 exactly —
+  * bit-identical BM25 vs a fresh v2 build, and for ANN (frozen
+  * quantizers by design) removed ids unfindable, changed vectors
+  * retrievable, row parity.
+  */
+class ReleaseSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("upgraded text index is bit-identical to a fresh build over the new corpus") {
+    val dir = Files.createTempDirectory("graft-rel-tix").toString
+    TextIndex.write(spark, sf0001, dir)
+    val v1 = Tables.documents(spark, sf0001)
+    val v2 = v1.filter(col("doc_id") % 17 =!= 5)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(lit("dup spark "), col("text")))
+          .otherwise(col("text")))
+      .unionByName(Seq(
+        (9100L, "spark vector dup dup", "en", "src", 20L),
+        (9101L, "vector vector spark", "en", "src", 19L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .localCheckpoint(true)
+    val d = Release.delta(v1, v2, "doc_id", md5(col("text")))
+    val (na, nc, nr) = d.summary
+    assert(na == 2 && nc > 0 && nr > 0, s"degenerate delta: $na/$nc/$nr")
+    val ix = Release.upgradeTextIndex(spark, dir, v2, d)
+    val cdir = Files.createTempDirectory("graft-rel-tixc").toString
+    v2.write.parquet(s"$cdir/documents.parquet")
+    val got = TextIndex.search(spark, ix, Seq("dup", "vector", "spark"), 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val want = ops.Advanced13.bm25.run(spark, cdir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty && got.sameElements(want),
+      s"upgraded index != fresh v2 build:\n got ${got.toSeq}\nwant ${want.toSeq}")
+    assert(spark.read.parquet(s"$dir/doclens").count() == v2.count(),
+      "doclens row parity with v2")
+    // the upgrade actually served the delta: a revised doc leads the
+    // "dup" ranking only if its new text is indexed
+    assert(got.map(_._2).contains(9100L), "added doc not retrievable")
+  }
+
+  test("upgraded ANN index forgets removed ids and serves changed vectors") {
+    val dir = Files.createTempDirectory("graft-rel-ann").toString
+    AnnIndex.write(spark, sf0001, dir)
+    val v1 = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+      .localCheckpoint(true)
+    val v2 = v1.filter($"vec_id" % 19 =!= 2)
+      .withColumn("v",
+        when($"vec_id" % 23 === 1, transform($"v", x => x * -1)).otherwise($"v"))
+      .unionByName(v1.filter($"vec_id" === 0L)
+        .select(lit(9100L).as("vec_id"), transform($"v", x => x * 2).as("v")))
+      .localCheckpoint(true)
+    val d = Release.delta(v1, v2, "vec_id", xxhash64($"v"))
+    val (na, nc, nr) = d.summary
+    assert(na == 1 && nc > 0 && nr > 0, s"degenerate delta: $na/$nc/$nr")
+    val ix = Release.upgradeAnnIndex(spark, dir, v2, d)
+    assert(ix.assigned.count() == v2.count(), "assigned row parity with v2")
+    val removedIds = d.removed.collect().map(_.getLong(0)).toSeq
+    assert(ix.assigned.filter($"vec_id".isin(removedIds: _*)).count() == 0)
+    // a changed id is retrievable BY its new (negated) vector
+    val changedId = d.changed.orderBy($"id").collect()(0).getLong(0)
+    val q = v2.filter($"vec_id" === changedId).select($"vec_id".as("qid"), $"v")
+    val hits = AnnIndex.search(spark, ix, q, nprobe = 2, k = 3)
+      .collect().map(_.getLong(2))
+    assert(hits.contains(changedId),
+      s"changed vector not retrievable by its new self: ${hits.toSeq}")
+    // and no removed id ever surfaces
+    val qAll = v2.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"v")
+    val all = AnnIndex.search(spark, ix, qAll, nprobe = 2, k = 5)
+      .collect().map(_.getLong(2))
+    assert(!all.exists(removedIds.contains), "a removed id surfaced in search")
+  }
+}

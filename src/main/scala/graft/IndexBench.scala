@@ -66,6 +66,26 @@ object IndexBench {
     timed("phrase_search_2terms") {
       TextIndex.phraseSearch(spark, tix, Seq("table", "hash")).count()
     }
+
+    // Near-dup signature index: ingestion-batch dedup-check latency
+    // against the persisted corpus. The contract under test is that the
+    // serve cost tracks the BATCH (signature pass + pruned band-bucket
+    // join), not the corpus — at 10x/100x the same probes should hold
+    // roughly flat while the index build scales with n.
+    t0 = System.nanoTime()
+    val docs = Tables.documents(spark, sfDir)
+    ops.DedupIndex.write(spark, docs, s"$tmp/dix")
+    println(f"IXBENCH dedup_build                  ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val probe16 = docs.orderBy(col("doc_id")).limit(16)
+      .withColumn("doc_id", col("doc_id") + 1000000L).localCheckpoint()
+    val probe100 = docs.orderBy(col("doc_id")).limit(100)
+      .withColumn("doc_id", col("doc_id") + 2000000L).localCheckpoint()
+    timed("dedup_query_16docs") {
+      ops.DedupIndex.queryBatch(spark, s"$tmp/dix", probe16).count()
+    }
+    timed("dedup_query_100docs") {
+      ops.DedupIndex.queryBatch(spark, s"$tmp/dix", probe100).count()
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,243 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTENT MinHash/LSH near-duplicate index — the fuzzy twin of the
+  * exact-dedup corpus hash set (q65) and the third member of the
+  * persisted-index family ([[AnnIndex]], [[TextIndex]]): the signature
+  * and band tables the registered q32/q57 family recomputes per run are
+  * written once, and every later ingestion batch is near-dup-checked
+  * against the corpus in O(batch) — new-batch signatures joined to the
+  * stored band table, never a corpus re-shingle.
+  *
+  * Index layout under `dir` (plain parquet):
+  *  - `bands/` (doc_id, b, s1, s2), partitioned by `bkt =
+  *    pmod(xxhash64(b, s1, s2), 64)` — the LSH bucket table. Serve-time
+  *    batches name their band signatures, so bucketing turns the band
+  *    equi-join into PARTITION pruning: a small batch (the interactive
+  *    "is this document a near-dup?" case) opens ≤ 8·|batch| of the 64
+  *    directories, never the whole table.
+  *  - `sigs/`  (doc_id, sig: array of 16 longs) — for the estimated-
+  *    Jaccard verification of candidates, and [[append]]'s done-marker.
+  *  - `tombstones/` (doc_id) — [[delete]]'s O(batch) ledger, folded in
+  *    by [[compact]].
+  *
+  * The signature recipe is [[TextOps.sigsOf]]/[[TextOps.bandsOf]] —
+  * the ONE definition shared with the live q32/q57 queries — so an
+  * index built yesterday and a batch signed today can never disagree
+  * on shingle width, hash constants, or band structure, and
+  * DedupIndexSpec proves saved-index [[queryBatch]] BIT-IDENTICAL to
+  * the live cross-join computation (q153's shape).
+  *
+  * Crash/replay safety mirrors [[TextIndex]]: bands land BEFORE sigs,
+  * and sigs is [[append]]'s anti-join done-marker — a crash mid-batch
+  * leaves at worst orphan band rows for doc_ids absent from sigs, which
+  * an at-least-once replay re-writes in full. The stale duplicates it
+  * leaves behind are harmless by construction: candidates are DISTINCT
+  * pairs from an equi-join, so a doubled band row cannot change the
+  * result ([[queryBatch]] needs no dedup-on-read pass).
+  *
+  * At 100 TB: bands ≈ 8 rows of 3 longs per document and sigs ≈ 16
+  * longs per document — gigabytes where the corpus is terabytes. The
+  * only pairwise work is confined to LSH buckets, with the stored side
+  * capped per bucket at query time ([[LshGuard]]) so one boilerplate
+  * signature shared corpus-wide cannot go quadratic; batch-side hot
+  * membership is bounded by the batch size itself.
+  */
+object DedupIndex {
+
+  case class Index(bands: DataFrame, sigs: DataFrame)
+
+  /** Band-bucket partition count (same rationale as
+    * [[TextIndex.Buckets]]: coarse enough for corpus-scale files, fine
+    * enough that a small batch prunes to a fraction of the table).
+    */
+  private[graft] val Buckets = 64
+
+  private def bktCol: Column =
+    pmod(xxhash64(col("b"), col("s1"), col("s2")), lit(Buckets.toLong)).cast("int")
+
+  private def writeBatch(sigs: DataFrame, dir: String, mode: String): Unit = {
+    // bands first, sigs LAST: sigs is append's done-marker (see object doc)
+    TextOps.bandsOf(sigs)
+      .withColumn("bkt", bktCol)
+      .write.partitionBy("bkt").mode(mode).parquet(s"$dir/bands")
+    sigs.write.mode(mode).parquet(s"$dir/sigs")
+  }
+
+  /** Build the index from `docs(doc_id, text)`, replacing anything at
+    * `dir`. The signature pass is the same one-shuffle shape as live
+    * q32: flat codegen'd shingle hashing, 16-min partial aggregation
+    * before the exchange.
+    */
+  def write(s: SparkSession, docs: DataFrame, dir: String): Index = {
+    val sigs = TextOps.sigsOf(docs).localCheckpoint(true)
+    writeBatch(sigs, dir, "overwrite")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    load(s, dir)
+  }
+
+  private def tombstones(s: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(p.toString).select(col("doc_id")))
+    else None
+  }
+
+  /** Load the live index: both tables anti-joined against the tombstone
+    * ledger (broadcast-sized until [[compact]] folds it in).
+    */
+  def load(s: SparkSession, dir: String): Index = {
+    val t = tombstones(s, dir)
+    def live(df: DataFrame): DataFrame =
+      t.fold(df)(ids => df.join(broadcast(ids), Seq("doc_id"), "left_anti"))
+    Index(
+      live(s.read.parquet(s"$dir/bands")),
+      live(s.read.parquet(s"$dir/sigs")))
+  }
+
+  /** Append a document batch using the frozen hash recipe. Idempotent
+    * under at-least-once replay: ids already present in sigs (the
+    * done-marker, written last) are skipped via an anti-join confined
+    * to batch-sized data by the semi-join, so replay cost is O(batch),
+    * not O(index). A torn band write from a crashed append is re-written
+    * whole (its doc_id never reached sigs); the duplicates it leaves are
+    * invisible to the DISTINCT candidate join. Note a tombstoned id
+    * blocks that id — re-adding requires [[compact]] first, as in
+    * [[AnnIndex.append]].
+    */
+  def append(s: SparkSession, dir: String, docs: DataFrame): Index = {
+    val sigs = TextOps.sigsOf(docs).localCheckpoint(true)
+    val done = s.read.parquet(s"$dir/sigs")
+      .join(sigs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"))
+    val fresh = sigs.join(done, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    writeBatch(fresh, dir, "append")
+    load(s, dir)
+  }
+
+  /** O(batch) delete: tombstone append; rows vanish from [[load]] (and
+    * so every [[queryBatch]]) immediately, files are untouched until
+    * [[compact]].
+    */
+  def delete(s: SparkSession, dir: String, ids: DataFrame): Index = {
+    ids.select(col("doc_id")).write.mode("append").parquet(s"$dir/tombstones")
+    load(s, dir)
+  }
+
+  /** Fold tombstones into rewritten band/sig files (keeping the
+    * band-bucket partitioning) and drop the ledger. Also materializes
+    * the torn-append heal: duplicate band rows from replayed appends are
+    * collapsed by the rewrite's dropDuplicates.
+    */
+  def compact(s: SparkSession, dir: String): Index = {
+    tombstones(s, dir).foreach { _ =>
+      val live = load(s, dir)
+      live.bands.dropDuplicates("doc_id", "b").localCheckpoint(true)
+        .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/bands")
+      live.sigs.dropDuplicates("doc_id").localCheckpoint(true)
+        .write.mode("overwrite").parquet(s"$dir/sigs")
+      val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    load(s, dir)
+  }
+
+  /** The ONE candidate-join shape, shared by the persisted serve path
+    * ([[queryBatch]]) and the live registered q153: batch bands
+    * equi-joined to corpus bands per (b, s1, s2), with the CORPUS side
+    * capped per bucket at query time ([[LshGuard]] — write-time capping
+    * would freeze membership and complicate append; query-time capping
+    * runs after partition pruning, so the window is serve-sized). Self
+    * pairs (a batch doc already indexed) are excluded. Returns DISTINCT
+    * (batch_id, corpus_id).
+    */
+  def candidatePairs(s: SparkSession, corpusBands: DataFrame,
+      batchBands: DataFrame, tag: String = "dedup-index"): DataFrame = {
+    val capped = LshGuard.capBuckets(s, corpusBands, Seq("b", "s1", "s2"),
+      "doc_id", tag = tag)
+    batchBands.as("q")
+      .join(capped.as("c"),
+        col("q.b") === col("c.b") && col("q.s1") === col("c.s1") &&
+          col("q.s2") === col("c.s2") && col("q.doc_id") =!= col("c.doc_id"))
+      .select(col("q.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+  }
+
+  /** Near-dup-check `batch(doc_id, text)` against the persisted corpus:
+    * O(batch) signature pass, band-bucket partition pruning (the batch's
+    * band signatures name their buckets — computed with the same
+    * xxhash64 expression the write side used), the shared candidate
+    * join, then estimated Jaccard from signature agreement (q32's flat
+    * 16-comparison codegen'd form; the corpus sigs read is confined to
+    * candidate ids). Returns (batch_id, corpus_id, est_jaccard) in total
+    * order.
+    */
+  def queryBatch(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    val bSigs = TextOps.sigsOf(batch).localCheckpoint(true)
+    val bBands = TextOps.bandsOf(bSigs)
+    val bkts = bBands.select(bktCol.as("bkt")).distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ Buckets values, driver-bounded
+    val ix = load(s, dir)
+    val corpusBands = ix.bands.filter(col("bkt").isin(bkts: _*))
+    val pairs = candidatePairs(s, corpusBands, bBands)
+    val agree = (1 to 16).map { i =>
+      when(element_at(col("sa.sig"), i) === element_at(col("sb.sig"), i), 1).otherwise(0)
+    }.reduce(_ + _)
+    pairs
+      .join(bSigs.as("sa"), col("batch_id") === col("sa.doc_id"))
+      .join(ix.sigs.as("sb"), col("corpus_id") === col("sb.doc_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        round(agree / lit(16.0), 6).as("est_jaccard"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
+  /** Incremental near-dup under the hard gate: the arriving delta
+    * (doc_id >= 400, q65's convention) checked against the existing
+    * corpus (doc_id < 400) through the SAME [[candidatePairs]] join the
+    * persisted index serves — batch-vs-corpus band join, corpus side
+    * capped, est-Jaccard verification — so the oracle gates the
+    * production serve shape, and DedupIndexSpec pins persisted
+    * [[queryBatch]] bit-identical to this live form.
+    */
+  val incrementalNearDup = Q(
+    "q153_incremental_neardup",
+    (TextOps.lshOracleSql() +
+      """,
+      |corpusb AS (SELECT doc_id, b, s1, s2 FROM bands WHERE doc_id < 400),
+      |""" + LshGuard.capCteSql("ccap", "corpusb",
+        Seq("doc_id", "b", "s1", "s2"), Seq("b", "s1", "s2"), "doc_id") +
+      """,
+      |batchb AS (SELECT doc_id, b, s1, s2 FROM bands WHERE doc_id >= 400),
+      |cand AS (
+      |  SELECT DISTINCT q.doc_id AS batch_id, c.doc_id AS corpus_id
+      |  FROM batchb q JOIN ccap c
+      |    ON q.b = c.b AND q.s1 = c.s1 AND q.s2 = c.s2)
+      |SELECT batch_id, corpus_id,
+      |  ROUND(list_sum(list_transform(range(1, 17),
+      |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0, 6) AS est_jaccard
+      |FROM cand
+      |JOIN sigs sa ON sa.doc_id = batch_id
+      |JOIN sigs sb ON sb.doc_id = corpus_id
+      |ORDER BY batch_id, corpus_id""").stripMargin) { (s, d) =>
+    val sigs = TextOps.minhashSigs(s, d)
+    val corpusSigs = sigs.filter(col("doc_id") < 400)
+    val batchSigs = sigs.filter(col("doc_id") >= 400)
+    val pairs = candidatePairs(s,
+      TextOps.bandsOf(corpusSigs), TextOps.bandsOf(batchSigs))
+    val agree = (1 to 16).map { i =>
+      when(element_at(col("sa.sig"), i) === element_at(col("sb.sig"), i), 1).otherwise(0)
+    }.reduce(_ + _)
+    pairs
+      .join(sigs.as("sa"), col("batch_id") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("corpus_id") === col("sb.doc_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        round(agree / lit(16.0), 6).as("est_jaccard"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
+  def specs: Seq[Q] = Seq(incrementalNearDup)
+}

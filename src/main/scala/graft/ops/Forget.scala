@@ -31,7 +31,8 @@ object Forget {
     * whether each index received tombstones.
     */
   case class Receipt(nIds: Long, shardsRewritten: Seq[Long], rowsRemoved: Long,
-    annTombstoned: Boolean, textTombstoned: Boolean)
+    annTombstoned: Boolean, textTombstoned: Boolean,
+    dedupTombstoned: Boolean = false)
 
   /** Scrub `ids(keyCol)` from a corpus written by
     * `ShardWriter.writeShardsHashed(df, path, numShards, col(keyCol))`:
@@ -64,12 +65,15 @@ object Forget {
     * is optional — pass only the stores this deployment runs:
     * `hashedShards = Some((path, numShards, keyCol))` for the training
     * corpus, `annIndexDir` for [[AnnIndex]] (doc ids are its vec ids),
-    * `textIndexDir` for [[TextIndex]].
+    * `textIndexDir` for [[TextIndex]], `dedupIndexDir` for the near-dup
+    * signature index ([[DedupIndex]] — a forgotten document must also
+    * stop surfacing as other documents' near-dup match).
     */
   def forget(s: SparkSession, docIds: DataFrame,
       hashedShards: Option[(String, Int, String)] = None,
       annIndexDir: Option[String] = None,
-      textIndexDir: Option[String] = None): Receipt = {
+      textIndexDir: Option[String] = None,
+      dedupIndexDir: Option[String] = None): Receipt = {
     val ids = docIds.select(col("doc_id")).distinct().localCheckpoint(true)
     val nIds = ids.count()
     val (shards, removed) = hashedShards match {
@@ -81,6 +85,8 @@ object Forget {
     annIndexDir.foreach(d =>
       AnnIndex.delete(s, d, ids.select(col("doc_id").as("vec_id"))))
     textIndexDir.foreach(d => TextIndex.delete(s, d, ids))
-    Receipt(nIds, shards, removed, annIndexDir.nonEmpty, textIndexDir.nonEmpty)
+    dedupIndexDir.foreach(d => DedupIndex.delete(s, d, ids))
+    Receipt(nIds, shards, removed, annIndexDir.nonEmpty, textIndexDir.nonEmpty,
+      dedupIndexDir.nonEmpty)
   }
 }

@@ -79,4 +79,19 @@ object Release {
     val freshIds = d.added.unionByName(d.changed).select(col("id").as("vec_id"))
     AnnIndex.append(s, dir, newVectors.join(freshIds, Seq("vec_id"), "left_semi"))
   }
+
+  /** Roll a persisted [[DedupIndex]] to `newCorpus`: same
+    * delete-compact-append recipe. The signature hash is stateless (no
+    * trained quantizer), so the upgraded index is EXACTLY a fresh
+    * `DedupIndex.write` over `newCorpus` — ReleaseSpec pins
+    * bit-identical [[DedupIndex.queryBatch]] results.
+    */
+  def upgradeDedupIndex(s: SparkSession, dir: String, newCorpus: DataFrame,
+      d: Delta): DedupIndex.Index = {
+    val gone = d.removed.unionByName(d.changed).select(col("id").as("doc_id"))
+    DedupIndex.delete(s, dir, gone)
+    DedupIndex.compact(s, dir)
+    val freshIds = d.added.unionByName(d.changed).select(col("id").as("doc_id"))
+    DedupIndex.append(s, dir, newCorpus.join(freshIds, Seq("doc_id"), "left_semi"))
+  }
 }

@@ -106,24 +106,51 @@ object TextOps {
     * shuffle — at 100 TB the shuffle carries signatures, not shingles.
     * The band join is the only pairwise work: O(collisions), not O(n²).
     */
+  /** MinHash signatures (doc_id, sig: array of 16 longs) for an arbitrary
+    * `docs(doc_id, text)` frame — the ONE signature definition (3-token
+    * shingles → 28-bit md5-prefix hash → 16 affine-permutation mins)
+    * shared by the registered q32/q57 family and the persisted
+    * [[DedupIndex]], so an index built yesterday and a batch signed today
+    * can never disagree on the hash recipe. Per-shingle work is a flat
+    * codegen'd projection; partial aggregation shrinks each document to
+    * 16 longs BEFORE the shuffle.
+    */
+  private[ops] def sigsOf(docs: DataFrame): DataFrame = {
+    val shingleRows = withToks(docs)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(NGrams.ngrams(col("toks"), 3))).as("s"))
+    val hashed = shingleRows.select(col("doc_id"),
+      expr("CAST(conv(substr(md5(s), 1, 7), 16, 10) AS BIGINT)").as("v"))
+    val minCols = (0 until 16).map { j =>
+      min((col("v") * lit(1000003L * j + 12345L) + lit(777767L * j + 1L)) % 2147483647L)
+        .as(s"s$j")
+    }
+    hashed.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until 16).map(j => col(s"s$j")): _*).as("sig"))
+  }
+
+  /** The 8 two-value LSH bands of a signature table, flattened to
+    * (doc_id, b, s1, s2) — literal band indices in an array-of-structs
+    * posexplode (fully codegen'd; no interpreted
+    * `transform(sequence(...))` lambda in the hot path). Shared by the
+    * live candidate join and [[DedupIndex]]'s persisted band table.
+    */
+  private[ops] def bandsOf(sigs: DataFrame): DataFrame = {
+    val bandStructs = array((0 until 8).map(b =>
+      struct(element_at(col("sig"), 2 * b + 1).as("s1"),
+        element_at(col("sig"), 2 * b + 2).as("s2"))): _*)
+    sigs.select(col("doc_id"), posexplode(bandStructs).as(Seq("b", "bs")))
+      .select(col("doc_id"), col("b"), col("bs.s1").as("s1"), col("bs.s2").as("s2"))
+  }
+
   /** MinHash signature table (doc_id, sig: array of 16 longs), shared by
     * q32 (candidate report) and q57 (cluster resolution) via [[graft.Shared]].
     */
   def minhashSigs(s: SparkSession, d: String): DataFrame =
     graft.Shared.materialized(s, s"minhash-sigs@$d") {
-      val shingleRows = withToks(Tables.documents(s, d))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"),
-          explode(array_distinct(NGrams.ngrams(col("toks"), 3))).as("s"))
-      val hashed = shingleRows.select(col("doc_id"),
-        expr("CAST(conv(substr(md5(s), 1, 7), 16, 10) AS BIGINT)").as("v"))
-      val minCols = (0 until 16).map { j =>
-        min((col("v") * lit(1000003L * j + 12345L) + lit(777767L * j + 1L)) % 2147483647L)
-          .as(s"s$j")
-      }
-      hashed.groupBy(col("doc_id"))
-        .agg(minCols.head, minCols.tail: _*)
-        .select(col("doc_id"), array((0 until 16).map(j => col(s"s$j")): _*).as("sig"))
+      sigsOf(Tables.documents(s, d))
     }
 
   /** LSH candidate pairs (da < db) from the shared signature table: 8
@@ -131,14 +158,7 @@ object TextOps {
     */
   def minhashCandidates(s: SparkSession, d: String): DataFrame =
     graft.Shared.materialized(s, s"minhash-cand@$d") {
-      val sigs = minhashSigs(s, d)
-      // flat array-of-structs (literal band indices) — fully codegen'd,
-      // no interpreted transform(sequence(...)) lambda in the hot path
-      val bandStructs = array((0 until 8).map(b =>
-        struct(element_at(col("sig"), 2 * b + 1).as("s1"),
-          element_at(col("sig"), 2 * b + 2).as("s2"))): _*)
-      val bands = sigs.select(col("doc_id"), posexplode(bandStructs).as(Seq("b", "bs")))
-        .select(col("doc_id"), col("b"), col("bs.s1").as("s1"), col("bs.s2").as("s2"))
+      val bands = bandsOf(minhashSigs(s, d))
       // hot-bucket guard: a degenerate band signature (boilerplate
       // template shared corpus-wide) would make this self-join quadratic
       // inside its bucket — cap membership, with observed drop counts

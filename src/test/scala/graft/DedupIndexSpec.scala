@@ -1,0 +1,154 @@
+package graft
+
+import graft.ops.{DedupIndex, Forget}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Persistent near-dup index contracts: the serve path finds planted
+  * duplicates with an independently-known answer (exact copies ⇒ all 16
+  * signature mins agree ⇒ est_jaccard 1.0), incremental appends converge
+  * to the fresh-build result and replay idempotently, torn band writes
+  * are invisible, and delete/compact/forget remove documents from the
+  * candidate surface.
+  */
+class DedupIndexSpec extends SparkSuite {
+
+  private def corpus: DataFrame =
+    Tables.documents(spark, sf0001).filter(col("doc_id") < 400)
+
+  /** Exact copies of the corpus under shifted ids — every copy of a
+    * ≥3-token document MUST surface as a 1.0-estimated pair (identical
+    * text ⇒ identical signature ⇒ every band matches).
+    */
+  private def copies: DataFrame =
+    corpus.withColumn("doc_id", col("doc_id") + 9000L)
+
+  private def expectedIdentityIds: Set[Long] =
+    corpus.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+  test("queryBatch finds every planted exact copy at est_jaccard 1.0") {
+    val dir = Files.createTempDirectory("graft-dix").toString
+    DedupIndex.write(spark, corpus, dir)
+    val got = DedupIndex.queryBatch(spark, dir, copies.localCheckpoint(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val identity = got.collect { case (b, c, j) if b - 9000L == c => (c, j) }.toMap
+    val want = expectedIdentityIds
+    assert(want.nonEmpty && identity.keySet == want,
+      s"missing identity pairs: ${want -- identity.keySet}")
+    assert(identity.values.forall(_ == 1.0), "exact copy scored < 1.0")
+    assert(got.forall { case (b, c, _) => b >= 9000L && c < 9000L },
+      "pair sides swapped: batch_id must be the query side")
+  }
+
+  test("append converges to the fresh build and replays idempotently") {
+    val a = corpus.filter(col("doc_id") < 200)
+    val b = corpus.filter(col("doc_id") >= 200)
+    val full = Files.createTempDirectory("graft-dix-full").toString
+    val inc = Files.createTempDirectory("graft-dix-inc").toString
+    DedupIndex.write(spark, corpus, full)
+    DedupIndex.write(spark, a, inc)
+    DedupIndex.append(spark, inc, b)
+    DedupIndex.append(spark, inc, b) // at-least-once replay
+    val q = copies.localCheckpoint(true)
+    val want = DedupIndex.queryBatch(spark, full, q).collect().toSeq
+    val got = DedupIndex.queryBatch(spark, inc, q).collect().toSeq
+    assert(want.nonEmpty && got == want,
+      s"incremental index diverged: ${got.size} vs ${want.size} rows")
+    // the replay did not double-write the done-marker table
+    val sigRows = spark.read.parquet(s"$inc/sigs").groupBy(col("doc_id"))
+      .count().filter(col("count") > 1).count()
+    assert(sigRows == 0, "replayed append duplicated signature rows")
+  }
+
+  test("a torn band write (crash before the sigs marker) is invisible") {
+    val dir = Files.createTempDirectory("graft-dix-torn").toString
+    DedupIndex.write(spark, corpus, dir)
+    val before = DedupIndex.queryBatch(spark, dir, copies.localCheckpoint(true))
+      .collect().toSeq
+    // simulate the crash artifact: duplicate band rows for some corpus
+    // docs, with NO matching sigs rows (the marker never landed)
+    val torn = spark.read.parquet(s"$dir/bands").filter(col("doc_id") < 50)
+    torn.write.partitionBy("bkt").mode("append").parquet(s"$dir/bands")
+    val after = DedupIndex.queryBatch(spark, dir, copies.localCheckpoint(true))
+      .collect().toSeq
+    assert(after == before, "duplicate band rows changed the candidate set")
+  }
+
+  test("delete hides a document immediately; compact folds it in") {
+    val dir = Files.createTempDirectory("graft-dix-del").toString
+    DedupIndex.write(spark, corpus, dir)
+    val victim = expectedIdentityIds.min
+    import spark.implicits._
+    DedupIndex.delete(spark, dir, Seq(victim).toDF("doc_id"))
+    val q = copies.localCheckpoint(true)
+    val afterDelete = DedupIndex.queryBatch(spark, dir, q).collect().toSeq
+    assert(!afterDelete.exists(_.getLong(1) == victim),
+      "deleted document still surfaces as a near-dup match")
+    assert(afterDelete.exists(_.getLong(1) != victim), "delete removed too much")
+    DedupIndex.compact(spark, dir)
+    val afterCompact = DedupIndex.queryBatch(spark, dir, q).collect().toSeq
+    assert(afterCompact == afterDelete, "compaction changed serve results")
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    assert(!fs.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(fs),
+      "compact left the tombstone ledger behind")
+    assert(!spark.read.parquet(s"$dir/sigs").collect()
+      .exists(_.getLong(0) == victim), "compact kept the deleted sig row")
+  }
+
+  test("streaming ingestion gate drops near-dups across micro-batches (foreachBatch)") {
+    val dir = Files.createTempDirectory("graft-dix-stream").toString
+    DedupIndex.write(spark, corpus, dir)
+    import spark.implicits._
+    val dupOfCorpus = corpus.filter(size(split(col("text"), " ")) >= 3)
+      .orderBy(col("doc_id")).limit(1).collect()(0).getString(1)
+    val freshA = (1 to 20).map(i => s"uniqalpha$i").mkString(" ")
+    val freshB = (1 to 20).map(i => s"uniqbeta$i").mkString(" ")
+    val incoming = Seq(
+      5001L -> dupOfCorpus,        // batch 1: exact dup of an indexed doc
+      5002L -> freshA,             // batch 1: genuinely new
+      5003L -> (freshA + " tail"), // batch 2: near-dup of 5002 (batch 1!)
+      5004L -> freshB              // batch 2: genuinely new
+    ).toDF("doc_id", "text").localCheckpoint(true)
+    val batches = Seq(Seq(5001L, 5002L), Seq(5003L, 5004L))
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = streaming.EventStream.toForeachBatch(
+        input.toDF().toDF("in_id"), s"$dir/ckpt") { (batch, _) =>
+      if (!batch.isEmpty) {
+        val ids = batch.collect().map(_.getLong(0))
+        val docs = incoming.filter(col("doc_id").isin(ids: _*)).localCheckpoint(true)
+        val dups = DedupIndex.queryBatch(spark, dir, docs)
+          .filter(col("est_jaccard") >= 0.5)
+          .select(col("batch_id").as("doc_id")).distinct()
+        DedupIndex.append(spark, dir, docs.join(dups, Seq("doc_id"), "left_anti"))
+      }
+    }
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val indexed = spark.read.parquet(s"$dir/sigs")
+      .filter(col("doc_id") >= 5000L).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    // the gate kept the two fresh docs and dropped both duplicates —
+    // including 5003, whose only near-dup (5002) arrived one micro-batch
+    // earlier: the cross-batch property a per-batch self-dedup can't give
+    assert(indexed == Set(5002L, 5004L),
+      s"streaming gate admitted the wrong set: $indexed")
+  }
+
+  test("Forget.forget scrubs the near-dup surface too") {
+    val dir = Files.createTempDirectory("graft-dix-forget").toString
+    DedupIndex.write(spark, corpus, dir)
+    val victim = expectedIdentityIds.max
+    import spark.implicits._
+    val r = Forget.forget(spark, Seq(victim).toDF("doc_id"),
+      dedupIndexDir = Some(dir))
+    assert(r.dedupTombstoned && r.nIds == 1)
+    val got = DedupIndex.queryBatch(spark, dir, copies.localCheckpoint(true))
+      .collect().toSeq
+    assert(!got.exists(_.getLong(1) == victim),
+      "forgotten document still surfaces as a near-dup match")
+  }
+}

@@ -77,4 +77,34 @@ class ReleaseSpec extends SparkSuite {
       .collect().map(_.getLong(2))
     assert(!all.exists(removedIds.contains), "a removed id surfaced in search")
   }
+
+  test("upgraded dedup index is bit-identical to a fresh build over the new corpus") {
+    val dir = Files.createTempDirectory("graft-rel-dix").toString
+    val v1 = Tables.documents(spark, sf0001).localCheckpoint(true)
+    ops.DedupIndex.write(spark, v1, dir)
+    val v2 = v1.filter(col("doc_id") % 17 =!= 5)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(lit("dup spark "), col("text")))
+          .otherwise(col("text")))
+      .unionByName(Seq(
+        (9100L, "spark vector dup dup near", "en", "src", 25L),
+        (9101L, "vector vector spark near dup", "en", "src", 28L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .localCheckpoint(true)
+    val d = Release.delta(v1, v2, "doc_id", md5(col("text")))
+    val (na, nc, nr) = d.summary
+    assert(na == 2 && nc > 0 && nr > 0, s"degenerate delta: $na/$nc/$nr")
+    val ix = Release.upgradeDedupIndex(spark, dir, v2, d)
+    assert(ix.sigs.count() ==
+      v2.filter(size(split(col("text"), " ")) >= 3).count(),
+      "sig row parity with v2's signable documents")
+    val fresh = Files.createTempDirectory("graft-rel-dix-fresh").toString
+    ops.DedupIndex.write(spark, v2, fresh)
+    val probe = v2.withColumn("doc_id", col("doc_id") + 20000L)
+      .localCheckpoint(true)
+    val got = ops.DedupIndex.queryBatch(spark, dir, probe).collect().toSeq
+    val want = ops.DedupIndex.queryBatch(spark, fresh, probe).collect().toSeq
+    assert(want.nonEmpty && got == want,
+      s"upgraded dedup index != fresh v2 build: ${got.size} vs ${want.size} rows")
+  }
 }

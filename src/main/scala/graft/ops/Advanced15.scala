@@ -1,0 +1,254 @@
+package graft.ops
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-9 batch: the three curation-loop steps between "score the
+  * corpus" and "ship the shards" that were still missing — interpolated
+  * bigram-LM document scoring (the CCNet perplexity-filter shape, one
+  * step up from q113's unigram commonness), a dedup-cluster-aware
+  * train/val/test splitter with a leakage audit (near-dups must never
+  * straddle splits), and temperature-scaled language rebalancing
+  * (the XLM-R ∝n^α mixture, α=1/2).
+  *
+  * Everything stays in exact integer arithmetic ([[Det.halfUpDiv]]
+  * micro-units; an exact integer square root for n^(1/2)) so the DuckDB
+  * oracles are bit-identical — no log-space or float pow anywhere.
+  * Sampling membership derives from the shared md5-prefix hash trick
+  * (see [[Sampling]]): reruns, repartitions, and incremental reruns
+  * keep the identical sample/split at any scale.
+  */
+object Advanced15 {
+
+  /** Interpolated bigram-LM score per document — the workhorse of
+    * CCNet-style quality filtering: train an LM on the corpus, score
+    * each document by how expected its token transitions are, and cut
+    * the surprising tail. Per transition (w1→w2) the score is the
+    * λ-interpolated estimate λ·P(w2|w1) + (1−λ)·P(w2) with λ=0.9, kept
+    * in exact ppm integer units instead of log-space (log is not
+    * bit-stable across engines; the ranking is the same). A document's
+    * signals are its mean transition score and its single most
+    * surprising transition.
+    *
+    * Scale shape: the bigram/unigram COUNT tables are content-diversity
+    * sized, so they are enriched vocab-side first (bigram table joins
+    * its two unigram marginals + the 1-row total) and the instance side
+    * pays ONE equi-join against the enriched table — never three
+    * corpus-sized joins. All aggregates partial-agg; the lead() window
+    * co-locates each doc's tokens once and is reused by both branches.
+    */
+  val bigramLmScore = Q(
+    "q154_bigram_lm_score",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |x AS (SELECT doc_id, unnest(toks) AS tok,
+      |        generate_subscripts(toks, 1) AS pos FROM t),
+      |bg AS (SELECT doc_id, tok AS w1,
+      |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM x),
+      |uni AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY tok),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),
+      |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg
+      |       WHERE w2 IS NOT NULL GROUP BY w1, w2),
+      |bie AS (SELECT b.w1, b.w2,
+      |          (2 * b.c12 * 1000000 + u1.c) // (2 * u1.c) AS p_cond,
+      |          (2 * u2.c * 1000000 + t0.n) // (2 * t0.n) AS p_uni
+      |        FROM bi b JOIN uni u1 ON u1.w = b.w1
+      |                  JOIN uni u2 ON u2.w = b.w2
+      |                  CROSS JOIN tot t0),
+      |sc AS (SELECT g.doc_id,
+      |         (2 * (9 * e.p_cond + e.p_uni) + 10) // 20 AS s
+      |       FROM bg g JOIN bie e ON e.w1 = g.w1 AND e.w2 = g.w2
+      |       WHERE g.w2 IS NOT NULL)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+      |  CAST(MIN(s) AS BIGINT) AS rarest_ppm,
+      |  CAST((2 * SUM(s) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_ppm
+      |FROM sc GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val x = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val wAdj = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = x
+      .select(col("doc_id"), col("tok").as("w1"),
+        lead(col("tok"), 1).over(wAdj).as("w2"))
+      .filter(col("w2").isNotNull)
+    val uni = x.groupBy(col("tok").as("w")).agg(count(lit(1)).as("c"))
+    val tot = x.agg(count(lit(1)).as("n"))
+    val bi = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // vocab-side enrichment: marginals + total land on the bigram table
+    // (diversity-sized joins), so the corpus-sized side joins ONCE below
+    val bie = bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"),
+        Det.halfUpDiv(col("c12") * lit(1000000L), col("c1")).as("p_cond"),
+        Det.halfUpDiv(col("c2") * lit(1000000L), col("n")).as("p_uni"))
+    bg.join(bie, Seq("w1", "w2"))
+      .select(col("doc_id"),
+        Det.halfUpDiv(lit(9) * col("p_cond") + col("p_uni"), lit(10)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"), min(col("s")).as("rarest_ppm"),
+        sum(col("s")).as("sum_s"))
+      .select(col("doc_id"), col("n_trans"), col("rarest_ppm"),
+        Det.halfUpDiv(col("sum_s"), col("n_trans")).as("mean_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Hash bucket in [0, 10) from a hex slice of md5(id) — the split
+    * assigner. Chars 17-23 so it decorrelates from the sampling hashes
+    * (q60/q121 use 1-7, the corpus mixture uses 9-15).
+    */
+  private def splitBucket(id: String) =
+    expr(s"CAST(conv(substr(md5(CAST($id AS STRING)), 17, 7), 16, 10) AS BIGINT) % 10")
+  private def splitName(bucket: org.apache.spark.sql.Column) =
+    when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+  private val SplitSqlA =
+    "('0x' || substr(md5(CAST(%s AS VARCHAR)), 17, 7))::BIGINT %% 10"
+  private def splitSql(idExpr: String): String = {
+    val b = SplitSqlA.format(idExpr)
+    s"CASE WHEN $b < 8 THEN 'train' WHEN $b = 8 THEN 'val' ELSE 'test' END"
+  }
+
+  /** Dedup-cluster-aware train/val/test split with a leakage audit.
+    * Naive per-document hash splitting leaks: near-duplicate documents
+    * land on different sides of the train/test cut and the eval set is
+    * contaminated. The guarded split assigns every document the split
+    * of its near-dup CLUSTER representative (q57's connected components
+    * over the LSH candidate graph; singletons are their own rep), which
+    * makes cross-split near-dup pairs structurally impossible. Output:
+    * per-split sizes under the guarded assignment plus the audit — the
+    * naive assignment's leaking pair count vs the guarded one's
+    * (always 0, and the query proves it rather than asserting it).
+    *
+    * Scale: the component labels come from the SHARED candidate graph
+    * (edge-count-sized, not corpus-sized); the corpus pays one
+    * broadcast-able left join against the label table and one narrow
+    * projection. The audit joins the split table to the EDGE list —
+    * again candidate-sized. Deterministic: split membership is a pure
+    * function of md5(rep doc_id), so reruns and incremental extensions
+    * place every old document exactly where it was.
+    */
+  val splitLeakageGuard = Q(
+    "q155_split_leakage_guard",
+    (TextOps.ccOracleSql +
+      s""",
+      |rep AS (
+      |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS rep
+      |  FROM documents d LEFT JOIN cl c ON c.node = d.doc_id),
+      |sp AS (
+      |  SELECT doc_id, rep,
+      |    ${splitSql("doc_id")} AS naive_split,
+      |    ${splitSql("rep")} AS split
+      |  FROM rep),
+      |leak AS (
+      |  SELECT
+      |    CAST(COUNT(CASE WHEN a.naive_split <> b.naive_split THEN 1 END) AS BIGINT)
+      |      AS naive_leak_pairs,
+      |    CAST(COUNT(CASE WHEN a.split <> b.split THEN 1 END) AS BIGINT)
+      |      AS guarded_leak_pairs
+      |  FROM edges e JOIN sp a ON a.doc_id = e.src
+      |               JOIN sp b ON b.doc_id = e.dst)
+      |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+      |  naive_leak_pairs, guarded_leak_pairs
+      |FROM sp CROSS JOIN leak
+      |GROUP BY split, naive_leak_pairs, guarded_leak_pairs
+      |ORDER BY split""").stripMargin) { (s, d) =>
+    val labels = DedupClusters.clusterLabels(s, d)
+      .select(col("node"), col("label"))
+    val sp = Tables.documents(s, d).select(col("doc_id"))
+      .join(broadcast(labels), col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("rep"))
+      .select(col("doc_id"), col("rep"),
+        splitName(splitBucket("doc_id")).as("naive_split"),
+        splitName(splitBucket("rep")).as("split"))
+    val edges = TextOps.minhashCandidates(s, d)
+    val leak = edges
+      .join(sp.select(col("doc_id"), col("naive_split").as("na"),
+        col("split").as("ga")), col("doc_id") === col("da")).drop("doc_id")
+      .join(sp.select(col("doc_id"), col("naive_split").as("nb"),
+        col("split").as("gb")), col("doc_id") === col("db")).drop("doc_id")
+      .agg(
+        count(when(col("na") =!= col("nb"), 1)).as("naive_leak_pairs"),
+        count(when(col("ga") =!= col("gb"), 1)).as("guarded_leak_pairs"))
+    sp.crossJoin(broadcast(leak))
+      .groupBy(col("split"), col("naive_leak_pairs"), col("guarded_leak_pairs"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"))
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("naive_leak_pairs"), col("guarded_leak_pairs"))
+      .orderBy(col("split"))
+  }
+
+  /** Exact integer square root: floor(sqrt(x)) from the double sqrt,
+    * then a ±1 integer correction so a one-ulp double error at a
+    * perfect-square boundary cannot flip the result. Exact for every
+    * x < 2^52; identical in DuckDB (same correction spelled in SQL).
+    */
+  private def isqrt(x: org.apache.spark.sql.Column) = {
+    val r0 = floor(sqrt(x.cast("double"))).cast("long")
+    r0 + when((r0 + 1) * (r0 + 1) <= x, 1L).otherwise(0L) -
+      when(r0 * r0 > x, 1L).otherwise(0L)
+  }
+  private def isqrtSql(x: String): String =
+    s"""(CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT)
+       | + CASE WHEN (CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT) + 1)
+       |          * (CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT) + 1) <= $x
+       |        THEN 1 ELSE 0 END
+       | - CASE WHEN CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT)
+       |          * CAST(FLOOR(SQRT(CAST($x AS DOUBLE))) AS BIGINT) > $x
+       |        THEN 1 ELSE 0 END)""".stripMargin.replaceAll("\n", " ")
+
+  /** Temperature-scaled language mixture — the multilingual rebalance
+    * (XLM-R/mT5): sample language ℓ proportionally to n_ℓ^α with
+    * α = 1/2, which upweights low-resource languages relative to their
+    * raw share. Weights are EXACT integer square roots (no float pow),
+    * per-language doc targets are half-up rationals of a fixed 200-doc
+    * budget, and membership is the shared deterministic hash compared
+    * by integer cross-multiplication (keep ⇔ h·n_ℓ < target_ℓ·10^6 —
+    * no float division), so the sample is reproducible under reruns,
+    * repartitioning, and incremental extension. A language whose target
+    * exceeds its size keeps everything (the comparison saturates
+    * naturally). Scale: one language-sized aggregate (broadcast back),
+    * one narrow corpus projection — the corpus never shuffles.
+    */
+  val temperatureMixture = Q(
+    "q156_temperature_mixture",
+    s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY lang),
+      |w AS (SELECT lang, n, ${isqrtSql("n")} AS wt FROM c),
+      |tw AS (SELECT CAST(SUM(wt) AS BIGINT) AS total_w FROM w),
+      |tgt AS (SELECT lang, n, wt,
+      |          (2 * 200 * wt + total_w) // (2 * total_w) AS target
+      |        FROM w CROSS JOIN tw),
+      |s AS (SELECT d.doc_id, d.lang, t.n, t.wt, t.target,
+      |        ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+      |          % 1000000 AS hv
+      |      FROM documents d JOIN tgt t USING (lang))
+      |SELECT lang, MAX(n) AS n_docs, MAX(wt) AS weight,
+      |  CAST(MAX(target) AS BIGINT) AS target_docs,
+      |  CAST(COUNT(CASE WHEN hv * n < target * 1000000 THEN 1 END) AS BIGINT)
+      |    AS n_sampled
+      |FROM s GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val c = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val w = c.select(col("lang"), col("n"), isqrt(col("n")).as("wt"))
+    val tw = w.agg(sum(col("wt")).as("total_w"))
+    val tgt = w.crossJoin(broadcast(tw))
+      .select(col("lang"), col("n"), col("wt"),
+        Det.halfUpDiv(lit(200L) * col("wt"), col("total_w")).as("target"))
+    docs.join(broadcast(tgt), Seq("lang"))
+      .withColumn("hv",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 1000000"))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n_docs"), max(col("wt")).as("weight"),
+        max(col("target")).as("target_docs"),
+        count(when(col("hv") * col("n") < col("target") * lit(1000000L), 1))
+          .as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  def specs: Seq[Q] = Seq(bigramLmScore, splitLeakageGuard, temperatureMixture)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.Advanced15
+import org.apache.spark.sql.functions._
+
+/** Round-9 curation ops: the bigram-LM scorer's signals behave like an
+  * LM (repeated-template docs score common, one-off word salad scores
+  * rare), the guarded split provably never leaks a near-dup pair while
+  * the naive split does on the real candidate graph, and the
+  * temperature mixture flattens the language distribution exactly as
+  * n^(1/2) predicts — plus the exact-isqrt helper law it rides on.
+  */
+class Advanced15Spec extends SparkSuite {
+
+  test("q154: every transition score is a valid ppm and docs full of corpus-common transitions outscore word salad") {
+    val out = Advanced15.bigramLmScore.run(spark, sf0001).cache()
+    val n = out.count()
+    assert(n > 0)
+    // ppm bounds: a transition score is a convex mix of two probabilities
+    val bad = out.filter(col("rarest_ppm") < 0 || col("rarest_ppm") > 1000000 ||
+      col("mean_ppm") < col("rarest_ppm")).count()
+    assert(bad == 0)
+    // monotonicity probe: the doc with the highest mean must have a mean
+    // >= the corpus median doc's (sanity that the ranking is non-flat)
+    val means = out.select(col("mean_ppm")).as[Long](spark.implicits.newLongEncoder)
+      .collect().sorted
+    assert(means.last > means(means.length / 2), "score distribution is flat")
+    out.unpersist()
+  }
+
+  test("q155: guarded split never leaks, naive split is a strict superset of leakage, and splits partition the corpus") {
+    val out = Advanced15.splitLeakageGuard.run(spark, sf0001).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    val guarded = rows.head.getAs[Long]("guarded_leak_pairs")
+    val naive = rows.head.getAs[Long]("naive_leak_pairs")
+    assert(guarded == 0L, s"guarded split leaked $guarded near-dup pairs")
+    assert(naive >= guarded)
+    val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val corpus = Tables.documents(spark, sf0001).count()
+    assert(totalDocs == corpus, s"splits cover $totalDocs of $corpus docs")
+    out.unpersist()
+  }
+
+  test("q155 determinism: rerunning assigns every document the identical split") {
+    val a = Advanced15.splitLeakageGuard.run(spark, sf0001).collect()
+    val b = Advanced15.splitLeakageGuard.run(spark, sf0001).collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("q156: temperature sampling flattens the language mix toward n^(1/2) shares") {
+    val out = Advanced15.temperatureMixture.run(spark, sf0001).cache()
+    val rows = out.collect()
+    assert(rows.length >= 2)
+    // weights are exact integer square roots of the language sizes
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val w = r.getAs[Long]("weight")
+      assert(w * w <= n && (w + 1) * (w + 1) > n, s"weight $w is not isqrt($n)")
+    }
+    // the sampled share of the largest language must shrink relative to
+    // its raw share, and the smallest language's share must grow —
+    // the whole point of the α=1/2 temperature
+    val tot = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val sTot = rows.map(_.getAs[Long]("n_sampled")).sum.toDouble
+    val big = rows.maxBy(_.getAs[Long]("n_docs"))
+    val small = rows.minBy(_.getAs[Long]("n_docs"))
+    assert(big.getAs[Long]("n_sampled") / sTot <
+      big.getAs[Long]("n_docs") / tot + 1e-9, "largest language was not downweighted")
+    assert(small.getAs[Long]("n_sampled") / sTot >
+      small.getAs[Long]("n_docs") / tot - 1e-9, "smallest language was not upweighted")
+    // realized counts track targets: hash thresholding is unbiased, so
+    // each language lands within a generous band of its target
+    rows.foreach { r =>
+      val t = r.getAs[Long]("target_docs"); val s = r.getAs[Long]("n_sampled")
+      assert(math.abs(s - t) <= math.max(10L, t), s"sampled $s vs target $t")
+    }
+    out.unpersist()
+  }
+}

@@ -250,5 +250,132 @@ object Advanced15 {
       .orderBy(col("lang"))
   }
 
-  def specs: Seq[Q] = Seq(bigramLmScore, splitLeakageGuard, temperatureMixture)
+  /** Sign-aware half-up integer division as DuckDB SQL text — the
+    * negative-capable [[Det.halfUpDiv]] spelling (gradients and centered
+    * features go negative, so the short non-negative form is WRONG here;
+    * see the Det scaladoc).
+    */
+  private def hudSql(num: String, den: String): String =
+    s"((2*($num) + CASE WHEN ($num) < 0 THEN -($den) ELSE ($den) END) // (2*($den)))"
+
+  /** Trainable linear quality classifier — the FineWeb-Edu distillation
+    * shape: a teacher signal (here a length rule, standing in for the
+    * LLM grader) is distilled into a cheap linear scorer over different
+    * correlated features (token count, distinct-token count, mean token
+    * length), which then scores the whole corpus at projection cost.
+    * Training is THREE full-batch gradient-descent steps on a
+    * hard-sigmoid linear probability model, entirely in exact BIGINT
+    * micro-units ([[Det.halfUpDiv]] everywhere, clamp instead of exp) —
+    * so the distributed training loop is bit-identically replayable by
+    * the DuckDB oracle, step for step. Features are mean-centered
+    * (exact integer means) so the bias absorbs the class prior instead
+    * of dragging every weight.
+    *
+    * Scale shape: features are ONE flat codegen'd projection (array
+    * size/distinct on the token split — no explode, no shuffle); each
+    * GD step is one partial-agg'd scan of the materialized feature
+    * table collecting 4 numbers to the driver (the same bounded-read
+    * pattern as the Lloyd/PQ trainers); scoring is a projection with
+    * the learned weights as literals. Learned check: accuracy lands
+    * ~96% against a ~50% class prior (Advanced15Spec).
+    */
+  val linearQualityClassifier = Q(
+    "q157_linear_quality_classifier", {
+      val f1raw = hudSql("CAST(len(string_split(text,' ')) AS BIGINT) * 1000000", "100")
+      val f2raw = hudSql("CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) * 1000000", "60")
+      val f3raw = hudSql("n_chars * 1000000", "8 * CAST(len(string_split(text,' ')) AS BIGINT)")
+      val z = hudSql("w1*f1 + w2*f2 + w3*f3 + wb*1000000", "1000000")
+      val sig = s"LEAST(1000000, GREATEST(0, ${hudSql(s"($z) + 2000000", "4")}))"
+      def gradStep(prev: String, errTbl: String): String =
+        s"""(SELECT
+           |  MAX(w1) - 4 * ${hudSql(s"CAST(SUM(${hudSql("err * f1", "1000000")}) AS BIGINT)", "n")} AS w1,
+           |  MAX(w2) - 4 * ${hudSql(s"CAST(SUM(${hudSql("err * f2", "1000000")}) AS BIGINT)", "n")} AS w2,
+           |  MAX(w3) - 4 * ${hudSql(s"CAST(SUM(${hudSql("err * f3", "1000000")}) AS BIGINT)", "n")} AS w3,
+           |  MAX(wb) - 4 * ${hudSql("CAST(SUM(err) AS BIGINT)", "n")} AS wb
+           | FROM $errTbl CROSS JOIN $prev CROSS JOIN n0 GROUP BY n)""".stripMargin
+      s"""WITH raw AS (
+        |  SELECT doc_id, CASE WHEN n_chars > 300 THEN 1000000 ELSE 0 END AS y,
+        |    LEAST(1000000, $f1raw) AS r1,
+        |    LEAST(1000000, $f2raw) AS r2,
+        |    LEAST(1000000, $f3raw) AS r3
+        |  FROM documents),
+        |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM raw),
+        |mu AS (SELECT ${hudSql("CAST(SUM(r1) AS BIGINT)", "n")} AS m1,
+        |        ${hudSql("CAST(SUM(r2) AS BIGINT)", "n")} AS m2,
+        |        ${hudSql("CAST(SUM(r3) AS BIGINT)", "n")} AS m3
+        |       FROM raw CROSS JOIN n0 GROUP BY n),
+        |x AS (SELECT doc_id, y, r1 - m1 AS f1, r2 - m2 AS f2, r3 - m3 AS f3
+        |      FROM raw CROSS JOIN mu),
+        |e1 AS (SELECT doc_id, y, f1, f2, f3, 500000 - y AS err FROM x),
+        |w0t AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+        |         CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS wb),
+        |w1t AS ${gradStep("w0t", "e1")},
+        |e2 AS (SELECT doc_id, y, f1, f2, f3, ($sig) - y AS err FROM x CROSS JOIN w1t),
+        |w2t AS ${gradStep("w1t", "e2")},
+        |e3 AS (SELECT doc_id, y, f1, f2, f3, ($sig) - y AS err FROM x CROSS JOIN w2t),
+        |w3t AS ${gradStep("w2t", "e3")},
+        |p AS (SELECT y, CASE WHEN ($z) > 0 THEN 1 ELSE 0 END AS pred
+        |      FROM x CROSS JOIN w3t)
+        |SELECT (SELECT w1 FROM w3t) AS w_ntok, (SELECT w2 FROM w3t) AS w_ndist,
+        |  (SELECT w3 FROM w3t) AS w_toklen, (SELECT wb FROM w3t) AS w_bias,
+        |  CAST(COUNT(CASE WHEN pred = 1 AND y = 1000000 THEN 1 END) AS BIGINT) AS tp,
+        |  CAST(COUNT(CASE WHEN pred = 1 AND y = 0 THEN 1 END) AS BIGINT) AS fp,
+        |  CAST(COUNT(CASE WHEN pred = 0 AND y = 0 THEN 1 END) AS BIGINT) AS tn,
+        |  CAST(COUNT(CASE WHEN pred = 0 AND y = 1000000 THEN 1 END) AS BIGINT) AS fn,
+        |  ${hudSql("(COUNT(CASE WHEN (pred = 1 AND y = 1000000) OR (pred = 0 AND y = 0) THEN 1 END)) * 1000000", "COUNT(*)")} AS acc_ppm
+        |FROM p""".stripMargin
+    }) { (s, d) =>
+    val micro = 1000000L
+    val nToks = size(split(col("text"), " ")).cast("long")
+    val raw = Tables.documents(s, d).select(col("doc_id"),
+      when(col("n_chars") > 300, micro).otherwise(0L).as("y"),
+      least(lit(micro), Det.halfUpDiv(nToks * micro, lit(100L))).as("r1"),
+      least(lit(micro), Det.halfUpDiv(
+        size(array_distinct(split(col("text"), " "))).cast("long") * micro,
+        lit(60L))).as("r2"),
+      least(lit(micro), Det.halfUpDiv(col("n_chars") * micro, lit(8L) * nToks)).as("r3"))
+      .localCheckpoint() // feature table: scanned once per GD step below
+    val Array(nL, s1, s2c, s3c) = raw
+      .agg(count(lit(1)), sum(col("r1")), sum(col("r2")), sum(col("r3")))
+      .collect()(0).toSeq.map(v => v.toString.toLong).toArray
+    def hudL(num: Long, den: Long): Long =
+      (2 * num + (if (num < 0) -den else den)) / (2 * den)
+    val mus = Array(hudL(s1, nL), hudL(s2c, nL), hudL(s3c, nL))
+    val x = raw.select(col("doc_id"), col("y"),
+      (col("r1") - mus(0)).as("f1"), (col("r2") - mus(1)).as("f2"),
+      (col("r3") - mus(2)).as("f3"))
+    var w = Array(0L, 0L, 0L, 0L) // w1, w2, w3, bias — micro-units
+    for (_ <- 1 to 3) {
+      val zc = Det.halfUpDiv(
+        lit(w(0)) * col("f1") + lit(w(1)) * col("f2") + lit(w(2)) * col("f3") +
+          lit(w(3)) * micro, lit(micro))
+      val sg = least(lit(micro), greatest(lit(0L),
+        Det.halfUpDiv(zc + lit(2000000L), lit(4L))))
+      val err = (sg - col("y")).as("err")
+      val g = x.select(col("f1"), col("f2"), col("f3"), err)
+        .agg(sum(Det.halfUpDiv(col("err") * col("f1"), lit(micro))),
+          sum(Det.halfUpDiv(col("err") * col("f2"), lit(micro))),
+          sum(Det.halfUpDiv(col("err") * col("f3"), lit(micro))),
+          sum(col("err")))
+        .collect()(0).toSeq.map(v => v.toString.toLong).toArray
+      w = w.zip(g).map { case (wi, gi) => wi - 4 * hudL(gi, nL) }
+    }
+    val zF = Det.halfUpDiv(
+      lit(w(0)) * col("f1") + lit(w(1)) * col("f2") + lit(w(2)) * col("f3") +
+        lit(w(3)) * micro, lit(micro))
+    x.select(col("y"), when(zF > 0, 1).otherwise(0).as("pred"))
+      .agg(
+        count(when(col("pred") === 1 && col("y") === micro, 1)).as("tp"),
+        count(when(col("pred") === 1 && col("y") === 0L, 1)).as("fp"),
+        count(when(col("pred") === 0 && col("y") === 0L, 1)).as("tn"),
+        count(when(col("pred") === 0 && col("y") === micro, 1)).as("fn"))
+      .select(lit(w(0)).as("w_ntok"), lit(w(1)).as("w_ndist"),
+        lit(w(2)).as("w_toklen"), lit(w(3)).as("w_bias"),
+        col("tp"), col("fp"), col("tn"), col("fn"),
+        Det.halfUpDiv((col("tp") + col("tn")) * micro,
+          col("tp") + col("fp") + col("tn") + col("fn")).as("acc_ppm"))
+  }
+
+  def specs: Seq[Q] = Seq(bigramLmScore, splitLeakageGuard, temperatureMixture,
+    linearQualityClassifier)
 }

@@ -76,4 +76,28 @@ class Advanced15Spec extends SparkSuite {
     }
     out.unpersist()
   }
+
+  test("q157: the distilled linear scorer actually learns — accuracy beats the class prior by a wide margin") {
+    val r = Advanced15.linearQualityClassifier.run(spark, sf0001).collect()(0)
+    val (tp, fp, tn, fn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("tn"), r.getAs[Long]("fn"))
+    val n = tp + fp + tn + fn
+    assert(n == Tables.documents(spark, sf0001).count())
+    val acc = (tp + tn).toDouble / n
+    val prior = math.max(tp + fn, tn + fp).toDouble / n // majority-class baseline
+    assert(acc > 0.90, s"accuracy $acc — optimizer did not learn")
+    assert(acc > prior + 0.2, s"accuracy $acc vs majority prior $prior")
+    // token count drives the teacher's length rule: its weight must be
+    // the dominant positive signal
+    assert(r.getAs[Long]("w_ntok") > 0 &&
+      r.getAs[Long]("w_ntok") > r.getAs[Long]("w_toklen"))
+    // acc_ppm is the half-up micro-unit form of the same ratio
+    assert(math.abs(r.getAs[Long]("acc_ppm") - math.round(acc * 1000000)) <= 1)
+  }
+
+  test("q157 determinism: retraining yields identical weights and confusion") {
+    val a = Advanced15.linearQualityClassifier.run(spark, sf0001).collect().toSeq
+    val b = Advanced15.linearQualityClassifier.run(spark, sf0001).collect().toSeq
+    assert(a == b)
+  }
 }

@@ -31,12 +31,17 @@ object Advanced15 {
     * signals are its mean transition score and its single most
     * surprising transition.
     *
-    * Scale shape: the bigram/unigram COUNT tables are content-diversity
-    * sized, so they are enriched vocab-side first (bigram table joins
-    * its two unigram marginals + the 1-row total) and the instance side
-    * pays ONE equi-join against the enriched table — never three
-    * corpus-sized joins. All aggregates partial-agg; the lead() window
-    * co-locates each doc's tokens once and is reused by both branches.
+    * Scale shape: transitions come from the codegen'd `graft_ngrams`
+    * projection (a flat per-document loop — NO corpus-wide window/sort;
+    * the oracle's lead() formulation is value-identical because tokens
+    * cannot contain the separator). The bigram/unigram COUNT tables are
+    * content-diversity sized and enriched vocab-side first (bigram
+    * table joins its two unigram marginals + the 1-row total, with the
+    * tiny unigram table checkpointed so its corpus scan runs once), and
+    * the instance side pays ONE equi-join on the gram string against
+    * the enriched table — never three corpus-sized joins. Total corpus
+    * work: three scan-bound projections and one instance join, zero
+    * sorts.
     */
   val bigramLmScore = Q(
     "q154_bigram_lm_score",
@@ -64,26 +69,30 @@ object Advanced15 {
       |  CAST((2 * SUM(s) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_ppm
       |FROM sc GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val x = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val wAdj = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bg = x
-      .select(col("doc_id"), col("tok").as("w1"),
-        lead(col("tok"), 1).over(wAdj).as("w2"))
-      .filter(col("w2").isNotNull)
-    val uni = x.groupBy(col("tok").as("w")).agg(count(lit(1)).as("c"))
-    val tot = x.agg(count(lit(1)).as("n"))
-    val bi = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // transitions as codegen'd 2-grams ("w1 w2") — unambiguous since
+    // split-on-space tokens cannot contain the separator
+    val g = Tables.documents(s, d).select(col("doc_id"),
+      explode(graft.functions.NGrams.ngrams(split(col("text"), " "), 2)).as("gram"))
+    // vocab-sized unigram table, checkpointed: it feeds BOTH marginal
+    // joins and the total, and must not replay its corpus scan per use
+    val uni = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = uni.agg(sum(col("c")).as("n"))
+    val bi = g.groupBy(col("gram")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
     // vocab-side enrichment: marginals + total land on the bigram table
     // (diversity-sized joins), so the corpus-sized side joins ONCE below
     val bie = bi
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
       .crossJoin(broadcast(tot))
-      .select(col("w1"), col("w2"),
+      .select(col("gram"),
         Det.halfUpDiv(col("c12") * lit(1000000L), col("c1")).as("p_cond"),
         Det.halfUpDiv(col("c2") * lit(1000000L), col("n")).as("p_uni"))
-    bg.join(bie, Seq("w1", "w2"))
+    g.join(bie, Seq("gram"))
       .select(col("doc_id"),
         Det.halfUpDiv(lit(9) * col("p_cond") + col("p_uni"), lit(10)).as("s"))
       .groupBy(col("doc_id"))

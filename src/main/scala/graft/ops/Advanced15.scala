@@ -288,42 +288,56 @@ object Advanced15 {
     * the learned weights as literals. Learned check: accuracy lands
     * ~96% against a ~50% class prior (Advanced15Spec).
     */
+  private val ZSql = hudSql("w1*f1 + w2*f2 + w3*f3 + wb*1000000", "1000000")
+  private val SigSql =
+    s"LEAST(1000000, GREATEST(0, ${hudSql(s"($ZSql) + 2000000", "4")}))"
+
+  /** The shared oracle prefix of the q157/q158 family: feature
+    * extraction, exact integer centering, and the 3-step hard-sigmoid
+    * gradient descent, ending at the trained weight table `w3t` (and
+    * the centered feature table `x`, which carries `source` through for
+    * the sampling tail). ONE definition so the two oracles cannot
+    * desynchronize their training replays.
+    */
+  private def lqcOraclePrefix: String = {
+    val f1raw = hudSql("CAST(len(string_split(text,' ')) AS BIGINT) * 1000000", "100")
+    val f2raw = hudSql("CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) * 1000000", "60")
+    val f3raw = hudSql("n_chars * 1000000", "8 * CAST(len(string_split(text,' ')) AS BIGINT)")
+    def gradStep(prev: String, errTbl: String): String =
+      s"""(SELECT
+         |  MAX(w1) - 4 * ${hudSql(s"CAST(SUM(${hudSql("err * f1", "1000000")}) AS BIGINT)", "n")} AS w1,
+         |  MAX(w2) - 4 * ${hudSql(s"CAST(SUM(${hudSql("err * f2", "1000000")}) AS BIGINT)", "n")} AS w2,
+         |  MAX(w3) - 4 * ${hudSql(s"CAST(SUM(${hudSql("err * f3", "1000000")}) AS BIGINT)", "n")} AS w3,
+         |  MAX(wb) - 4 * ${hudSql("CAST(SUM(err) AS BIGINT)", "n")} AS wb
+         | FROM $errTbl CROSS JOIN $prev CROSS JOIN n0 GROUP BY n)""".stripMargin
+    s"""WITH raw AS (
+      |  SELECT doc_id, source, CASE WHEN n_chars > 300 THEN 1000000 ELSE 0 END AS y,
+      |    LEAST(1000000, $f1raw) AS r1,
+      |    LEAST(1000000, $f2raw) AS r2,
+      |    LEAST(1000000, $f3raw) AS r3
+      |  FROM documents),
+      |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM raw),
+      |mu AS (SELECT ${hudSql("CAST(SUM(r1) AS BIGINT)", "n")} AS m1,
+      |        ${hudSql("CAST(SUM(r2) AS BIGINT)", "n")} AS m2,
+      |        ${hudSql("CAST(SUM(r3) AS BIGINT)", "n")} AS m3
+      |       FROM raw CROSS JOIN n0 GROUP BY n),
+      |x AS (SELECT doc_id, source, y, r1 - m1 AS f1, r2 - m2 AS f2, r3 - m3 AS f3
+      |      FROM raw CROSS JOIN mu),
+      |e1 AS (SELECT doc_id, y, f1, f2, f3, 500000 - y AS err FROM x),
+      |w0t AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+      |         CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS wb),
+      |w1t AS ${gradStep("w0t", "e1")},
+      |e2 AS (SELECT doc_id, y, f1, f2, f3, ($SigSql) - y AS err FROM x CROSS JOIN w1t),
+      |w2t AS ${gradStep("w1t", "e2")},
+      |e3 AS (SELECT doc_id, y, f1, f2, f3, ($SigSql) - y AS err FROM x CROSS JOIN w2t),
+      |w3t AS ${gradStep("w2t", "e3")}""".stripMargin
+  }
+
   val linearQualityClassifier = Q(
-    "q157_linear_quality_classifier", {
-      val f1raw = hudSql("CAST(len(string_split(text,' ')) AS BIGINT) * 1000000", "100")
-      val f2raw = hudSql("CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) * 1000000", "60")
-      val f3raw = hudSql("n_chars * 1000000", "8 * CAST(len(string_split(text,' ')) AS BIGINT)")
-      val z = hudSql("w1*f1 + w2*f2 + w3*f3 + wb*1000000", "1000000")
-      val sig = s"LEAST(1000000, GREATEST(0, ${hudSql(s"($z) + 2000000", "4")}))"
-      def gradStep(prev: String, errTbl: String): String =
-        s"""(SELECT
-           |  MAX(w1) - 4 * ${hudSql(s"CAST(SUM(${hudSql("err * f1", "1000000")}) AS BIGINT)", "n")} AS w1,
-           |  MAX(w2) - 4 * ${hudSql(s"CAST(SUM(${hudSql("err * f2", "1000000")}) AS BIGINT)", "n")} AS w2,
-           |  MAX(w3) - 4 * ${hudSql(s"CAST(SUM(${hudSql("err * f3", "1000000")}) AS BIGINT)", "n")} AS w3,
-           |  MAX(wb) - 4 * ${hudSql("CAST(SUM(err) AS BIGINT)", "n")} AS wb
-           | FROM $errTbl CROSS JOIN $prev CROSS JOIN n0 GROUP BY n)""".stripMargin
-      s"""WITH raw AS (
-        |  SELECT doc_id, CASE WHEN n_chars > 300 THEN 1000000 ELSE 0 END AS y,
-        |    LEAST(1000000, $f1raw) AS r1,
-        |    LEAST(1000000, $f2raw) AS r2,
-        |    LEAST(1000000, $f3raw) AS r3
-        |  FROM documents),
-        |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM raw),
-        |mu AS (SELECT ${hudSql("CAST(SUM(r1) AS BIGINT)", "n")} AS m1,
-        |        ${hudSql("CAST(SUM(r2) AS BIGINT)", "n")} AS m2,
-        |        ${hudSql("CAST(SUM(r3) AS BIGINT)", "n")} AS m3
-        |       FROM raw CROSS JOIN n0 GROUP BY n),
-        |x AS (SELECT doc_id, y, r1 - m1 AS f1, r2 - m2 AS f2, r3 - m3 AS f3
-        |      FROM raw CROSS JOIN mu),
-        |e1 AS (SELECT doc_id, y, f1, f2, f3, 500000 - y AS err FROM x),
-        |w0t AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
-        |         CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS wb),
-        |w1t AS ${gradStep("w0t", "e1")},
-        |e2 AS (SELECT doc_id, y, f1, f2, f3, ($sig) - y AS err FROM x CROSS JOIN w1t),
-        |w2t AS ${gradStep("w1t", "e2")},
-        |e3 AS (SELECT doc_id, y, f1, f2, f3, ($sig) - y AS err FROM x CROSS JOIN w2t),
-        |w3t AS ${gradStep("w2t", "e3")},
-        |p AS (SELECT y, CASE WHEN ($z) > 0 THEN 1 ELSE 0 END AS pred
+    "q157_linear_quality_classifier",
+    (lqcOraclePrefix +
+      s""",
+        |p AS (SELECT y, CASE WHEN ($ZSql) > 0 THEN 1 ELSE 0 END AS pred
         |      FROM x CROSS JOIN w3t)
         |SELECT (SELECT w1 FROM w3t) AS w_ntok, (SELECT w2 FROM w3t) AS w_ndist,
         |  (SELECT w3 FROM w3t) AS w_toklen, (SELECT wb FROM w3t) AS w_bias,
@@ -332,43 +346,9 @@ object Advanced15 {
         |  CAST(COUNT(CASE WHEN pred = 0 AND y = 0 THEN 1 END) AS BIGINT) AS tn,
         |  CAST(COUNT(CASE WHEN pred = 0 AND y = 1000000 THEN 1 END) AS BIGINT) AS fn,
         |  ${hudSql("(COUNT(CASE WHEN (pred = 1 AND y = 1000000) OR (pred = 0 AND y = 0) THEN 1 END)) * 1000000", "COUNT(*)")} AS acc_ppm
-        |FROM p""".stripMargin
-    }) { (s, d) =>
+        |FROM p""".stripMargin)) { (s, d) =>
     val micro = 1000000L
-    val nToks = size(split(col("text"), " ")).cast("long")
-    val raw = Tables.documents(s, d).select(col("doc_id"),
-      when(col("n_chars") > 300, micro).otherwise(0L).as("y"),
-      least(lit(micro), Det.halfUpDiv(nToks * micro, lit(100L))).as("r1"),
-      least(lit(micro), Det.halfUpDiv(
-        size(array_distinct(split(col("text"), " "))).cast("long") * micro,
-        lit(60L))).as("r2"),
-      least(lit(micro), Det.halfUpDiv(col("n_chars") * micro, lit(8L) * nToks)).as("r3"))
-      .localCheckpoint() // feature table: scanned once per GD step below
-    val Array(nL, s1, s2c, s3c) = raw
-      .agg(count(lit(1)), sum(col("r1")), sum(col("r2")), sum(col("r3")))
-      .collect()(0).toSeq.map(v => v.toString.toLong).toArray
-    def hudL(num: Long, den: Long): Long =
-      (2 * num + (if (num < 0) -den else den)) / (2 * den)
-    val mus = Array(hudL(s1, nL), hudL(s2c, nL), hudL(s3c, nL))
-    val x = raw.select(col("doc_id"), col("y"),
-      (col("r1") - mus(0)).as("f1"), (col("r2") - mus(1)).as("f2"),
-      (col("r3") - mus(2)).as("f3"))
-    var w = Array(0L, 0L, 0L, 0L) // w1, w2, w3, bias — micro-units
-    for (_ <- 1 to 3) {
-      val zc = Det.halfUpDiv(
-        lit(w(0)) * col("f1") + lit(w(1)) * col("f2") + lit(w(2)) * col("f3") +
-          lit(w(3)) * micro, lit(micro))
-      val sg = least(lit(micro), greatest(lit(0L),
-        Det.halfUpDiv(zc + lit(2000000L), lit(4L))))
-      val err = (sg - col("y")).as("err")
-      val g = x.select(col("f1"), col("f2"), col("f3"), err)
-        .agg(sum(Det.halfUpDiv(col("err") * col("f1"), lit(micro))),
-          sum(Det.halfUpDiv(col("err") * col("f2"), lit(micro))),
-          sum(Det.halfUpDiv(col("err") * col("f3"), lit(micro))),
-          sum(col("err")))
-        .collect()(0).toSeq.map(v => v.toString.toLong).toArray
-      w = w.zip(g).map { case (wi, gi) => wi - 4 * hudL(gi, nL) }
-    }
+    val (x, w) = trainedModel(s, d)
     val zF = Det.halfUpDiv(
       lit(w(0)) * col("f1") + lit(w(1)) * col("f2") + lit(w(2)) * col("f3") +
         lit(w(3)) * micro, lit(micro))
@@ -385,6 +365,109 @@ object Advanced15 {
           col("tp") + col("fp") + col("tn") + col("fn")).as("acc_ppm"))
   }
 
+  private def hudL(num: Long, den: Long): Long =
+    (2 * num + (if (num < 0) -den else den)) / (2 * den)
+
+  /** Centered feature table (session-shared; one flat projection,
+    * materialized once) and the trained weight vector — computed once
+    * per (session, dataset) and reused by q157's eval and q158's
+    * sampler, the same train-once serve-many economics as the
+    * Lloyd/PQ quantizers. The weight cache piggybacks on the feature
+    * DataFrame identity from [[graft.Shared]], so session eviction
+    * there invalidates here too.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.DataFrame, Array[Long]]()
+  private def trainedModel(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Array[Long]) = {
+    val micro = 1000000L
+    val x = graft.Shared.materialized(s, s"lqc-centered@$d") {
+      val nToks = size(split(col("text"), " ")).cast("long")
+      val raw = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        when(col("n_chars") > 300, micro).otherwise(0L).as("y"),
+        least(lit(micro), Det.halfUpDiv(nToks * micro, lit(100L))).as("r1"),
+        least(lit(micro), Det.halfUpDiv(
+          size(array_distinct(split(col("text"), " "))).cast("long") * micro,
+          lit(60L))).as("r2"),
+        least(lit(micro), Det.halfUpDiv(col("n_chars") * micro, lit(8L) * nToks)).as("r3"))
+        .localCheckpoint()
+      val Array(nL, s1, s2c, s3c) = raw
+        .agg(count(lit(1)), sum(col("r1")), sum(col("r2")), sum(col("r3")))
+        .collect()(0).toSeq.map(v => v.toString.toLong).toArray
+      val mus = Array(hudL(s1, nL), hudL(s2c, nL), hudL(s3c, nL))
+      raw.select(col("doc_id"), col("source"), col("y"), lit(nL).as("n"),
+        (col("r1") - mus(0)).as("f1"), (col("r2") - mus(1)).as("f2"),
+        (col("r3") - mus(2)).as("f3"))
+    }
+    val w = modelCache.computeIfAbsent(x, _ => {
+      val nL = x.select(col("n")).limit(1).collect()(0).getLong(0)
+      var w = Array(0L, 0L, 0L, 0L) // w1, w2, w3, bias — micro-units
+      for (_ <- 1 to 3) {
+        val zc = Det.halfUpDiv(
+          lit(w(0)) * col("f1") + lit(w(1)) * col("f2") + lit(w(2)) * col("f3") +
+            lit(w(3)) * micro, lit(micro))
+        val sg = least(lit(micro), greatest(lit(0L),
+          Det.halfUpDiv(zc + lit(2000000L), lit(4L))))
+        val err = (sg - col("y")).as("err")
+        val g = x.select(col("f1"), col("f2"), col("f3"), err)
+          .agg(sum(Det.halfUpDiv(col("err") * col("f1"), lit(micro))),
+            sum(Det.halfUpDiv(col("err") * col("f2"), lit(micro))),
+            sum(Det.halfUpDiv(col("err") * col("f3"), lit(micro))),
+            sum(col("err")))
+          .collect()(0).toSeq.map(v => v.toString.toLong).toArray
+        w = w.zip(g).map { case (wi, gi) => wi - 4 * hudL(gi, nL) }
+      }
+      w
+    })
+    (x, w)
+  }
+
+  /** Model-scored quality sampling — the step after q157 trains the
+    * scorer: every document keeps with probability proportional to its
+    * hard-sigmoid quality score (rate = score/2, so even a perfect doc
+    * keeps at 50% — a downsampling pass, not a gate), decided by the
+    * shared deterministic md5-hash threshold (chars 25-31, independent
+    * of the q60/q121/q155 slices). The comparison is pure integers
+    * (h < ⌈score/2⌉ in micro-units), so the sample is reproducible
+    * under reruns, repartitioning, and incremental extension, and the
+    * oracle replays training AND sampling end-to-end. Output: the
+    * per-source funnel (docs, mean score, kept) — the dataset-card row
+    * a curation run publishes. Scale: scoring is a projection over the
+    * shared feature table; the aggregate is source-sized.
+    */
+  val qualityWeightedSample = Q(
+    "q158_quality_weighted_sample",
+    (lqcOraclePrefix +
+      s""",
+        |sc AS (SELECT doc_id, source, ($SigSql) AS sig,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 7))::BIGINT
+        |          % 1000000 AS hv
+        |       FROM x CROSS JOIN w3t)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  ${hudSql("CAST(SUM(sig) AS BIGINT)", "COUNT(*)")} AS mean_score_ppm,
+        |  CAST(COUNT(CASE WHEN hv < ${hudSql("sig", "2")} THEN 1 END) AS BIGINT)
+        |    AS n_sampled
+        |FROM sc GROUP BY source
+        |ORDER BY source""".stripMargin)) { (s, d) =>
+    val micro = 1000000L
+    val (x, w) = trainedModel(s, d)
+    val zF = Det.halfUpDiv(
+      lit(w(0)) * col("f1") + lit(w(1)) * col("f2") + lit(w(2)) * col("f3") +
+        lit(w(3)) * micro, lit(micro))
+    val sig = least(lit(micro), greatest(lit(0L),
+      Det.halfUpDiv(zF + lit(2000000L), lit(4L))))
+    x.select(col("source"), sig.as("sig"),
+      expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 25, 7), 16, 10) AS BIGINT) % 1000000")
+        .as("hv"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        Det.halfUpDiv(sum(col("sig")), count(lit(1))).as("mean_score_ppm"),
+        count(when(col("hv") < Det.halfUpDiv(col("sig"), lit(2L)), 1))
+          .as("n_sampled"))
+      .orderBy(col("source"))
+  }
+
   def specs: Seq[Q] = Seq(bigramLmScore, splitLeakageGuard, temperatureMixture,
-    linearQualityClassifier)
+    linearQualityClassifier, qualityWeightedSample)
 }

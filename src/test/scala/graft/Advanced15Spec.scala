@@ -100,4 +100,24 @@ class Advanced15Spec extends SparkSuite {
     val b = Advanced15.linearQualityClassifier.run(spark, sf0001).collect().toSeq
     assert(a == b)
   }
+
+  test("q158: sampling follows the learned score — every source keeps roughly mean_score/2 and never more than all") {
+    val rows = Advanced15.qualityWeightedSample.run(spark, sf0001).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val k = r.getAs[Long]("n_sampled")
+      val mean = r.getAs[Long]("mean_score_ppm")
+      assert(k >= 0 && k <= n)
+      assert(mean >= 0 && mean <= 1000000)
+      // unbiased hash thresholding: expected keeps = Σ score/2 ≈ n·mean/2;
+      // allow a generous binomial band on 25-doc sources
+      val expected = n * mean / 2000000.0
+      assert(math.abs(k - expected) <= math.max(6.0, 3 * math.sqrt(expected + 1)),
+        s"source kept $k vs expected ~$expected of $n")
+    }
+    // the sampler must actually thin: total keeps strictly between 0 and all
+    val (tot, kept) = (rows.map(_.getAs[Long]("n_docs")).sum,
+      rows.map(_.getAs[Long]("n_sampled")).sum)
+    assert(kept > 0 && kept < tot)
+  }
 }

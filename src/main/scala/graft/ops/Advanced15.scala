@@ -195,7 +195,7 @@ object Advanced15 {
     * perfect-square boundary cannot flip the result. Exact for every
     * x < 2^52; identical in DuckDB (same correction spelled in SQL).
     */
-  private def isqrt(x: org.apache.spark.sql.Column) = {
+  private[graft] def isqrt(x: org.apache.spark.sql.Column) = {
     val r0 = floor(sqrt(x.cast("double"))).cast("long")
     r0 + when((r0 + 1) * (r0 + 1) <= x, 1L).otherwise(0L) -
       when(r0 * r0 > x, 1L).otherwise(0L)

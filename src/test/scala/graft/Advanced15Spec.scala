@@ -120,4 +120,22 @@ class Advanced15Spec extends SparkSuite {
       rows.map(_.getAs[Long]("n_sampled")).sum)
     assert(kept > 0 && kept < tot)
   }
+
+  test("isqrt law: exact floor square root at perfect-square boundaries and near 2^50") {
+    import spark.implicits._
+    // adversarial set: squares, squares ±1, and values where double sqrt
+    // rounding would be off by one ulp without the integer correction
+    val probes = (0L to 70L).flatMap(k => Seq(k * k - 1, k * k, k * k + 1)) ++
+      Seq(1L << 40, (1L << 40) - 1, (1L << 50) - 1, 1L << 50,
+        ((1L << 25) - 1) * ((1L << 25) - 1),
+        ((1L << 25) - 1) * ((1L << 25) - 1) - 1) filter (_ >= 0)
+    val got = probes.toDF("x")
+      .select(org.apache.spark.sql.functions.col("x"),
+        Advanced15.isqrt(org.apache.spark.sql.functions.col("x")).as("r"))
+      .collect()
+    got.foreach { row =>
+      val (x, r) = (row.getLong(0), row.getLong(1))
+      assert(r * r <= x && (r + 1) * (r + 1) > x, s"isqrt($x) = $r violates the law")
+    }
+  }
 }

@@ -86,6 +86,16 @@ object IndexBench {
     timed("dedup_query_100docs") {
       ops.DedupIndex.queryBatch(spark, s"$tmp/dix", probe100).count()
     }
+
+    // Persisted bigram LM: ingestion-batch quality-score latency. Same
+    // contract — scoring joins the vocab-sized model tables (broadcast),
+    // so batch cost should hold flat while train cost scales with n.
+    t0 = System.nanoTime()
+    ops.LmModel.write(spark, docs, s"$tmp/lm")
+    println(f"IXBENCH lm_train                     ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    timed("lm_score_100docs") {
+      ops.LmModel.scoreBatch(spark, s"$tmp/lm", probe100).count()
+    }
     spark.stop()
   }
 }

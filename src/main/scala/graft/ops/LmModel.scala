@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED bigram language model — the servable form of q154's
+  * corpus-trained scorer and the fourth member of the persisted-index
+  * family ([[AnnIndex]], [[TextIndex]], [[DedupIndex]]): train once on
+  * the released corpus, then score every later ingestion batch in
+  * O(batch) — batch transitions join the stored (vocab-sized) tables,
+  * the corpus is never re-scanned.
+  *
+  * Model layout under `dir` (plain parquet, all content-diversity
+  * sized):
+  *  - `bigrams/` (gram, p_cond, p_uni) — the enriched transition table,
+  *    λ-interpolation precomputed in exact ppm integers (q154's `bie`).
+  *  - `unigrams/` (w, p_uni) — the unigram backoff: a transition whose
+  *    bigram was never seen in training scores (1−λ)·P(w2) — real LM
+  *    backoff behavior, not a silent zero; a w2 outside the training
+  *    vocabulary scores 0 (maximally surprising).
+  *
+  * The arithmetic is the ONE q154 recipe ([[Det.halfUpDiv]] ppm
+  * integers, λ = 0.9), so LmModelSpec can pin saved-model
+  * [[scoreBatch]] BIT-IDENTICAL to the live q154 values on in-corpus
+  * documents — an index built yesterday and a batch scored today
+  * cannot disagree on smoothing or interpolation.
+  *
+  * 100 TB shape: training is q154's build side only (two corpus scans
+  * into vocab-sized aggregates — the per-doc instance join never runs);
+  * the written tables are megabytes where the corpus is terabytes, so
+  * serve-time they BROADCAST and a batch pays two flat projections plus
+  * one broadcast join. The model is an immutable snapshot by design —
+  * a corpus release trains a new one (Release's delta machinery applies
+  * to the indexes whose content must track membership; a probability
+  * model should be versioned, not incrementally mutated).
+  */
+object LmModel {
+
+  private val Micro = 1000000L
+
+  private def transitions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.NGrams.ngrams(split(col("text"), " "), 2)).as("gram"))
+
+  /** Train on `docs` and persist under `dir`. Overwrites. */
+  def write(s: SparkSession, docs: DataFrame, dir: String): Unit = {
+    val uni = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds both marginal joins + the total, once
+    val tot = uni.agg(sum(col("c")).as("n"))
+    val bie = transitions(docs)
+      .groupBy(col("gram")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("gram"),
+        Det.halfUpDiv(col("c12") * Micro, col("c1")).as("p_cond"),
+        Det.halfUpDiv(col("c2") * Micro, col("n")).as("p_uni"))
+    bie.write.mode("overwrite").parquet(s"$dir/bigrams")
+    uni.crossJoin(broadcast(tot))
+      .select(col("w"), Det.halfUpDiv(col("c") * Micro, col("n")).as("p_uni"))
+      .write.mode("overwrite").parquet(s"$dir/unigrams")
+  }
+
+  /** Score a document batch against the persisted model: q154's output
+    * shape (n_trans, rarest_ppm, mean_ppm per doc), with unigram
+    * backoff for transitions unseen in training. Cost is O(batch):
+    * two flat projections of the batch + broadcast joins against the
+    * vocab-sized model tables.
+    */
+  def scoreBatch(s: SparkSession, dir: String, docs: DataFrame): DataFrame = {
+    val bie = s.read.parquet(s"$dir/bigrams")
+    val uni = s.read.parquet(s"$dir/unigrams")
+    val t = transitions(docs)
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
+      .join(broadcast(bie), Seq("gram"), "left")
+      .join(broadcast(uni.select(col("w").as("w2"), col("p_uni").as("bo"))),
+        Seq("w2"), "left")
+      .select(col("doc_id"),
+        when(col("p_cond").isNotNull,
+          Det.halfUpDiv(lit(9) * col("p_cond") + col("p_uni"), lit(10)))
+          .otherwise( // backoff: bigram unseen -> (1-λ)·P(w2); OOV w2 -> 0
+            Det.halfUpDiv(coalesce(col("bo"), lit(0L)), lit(10)))
+          .as("s"))
+    t.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"), min(col("s")).as("rarest_ppm"),
+        sum(col("s")).as("sum_s"))
+      .select(col("doc_id"), col("n_trans"), col("rarest_ppm"),
+        Det.halfUpDiv(col("sum_s"), col("n_trans")).as("mean_ppm"))
+  }
+}

@@ -138,6 +138,25 @@ class DedupIndexSpec extends SparkSuite {
       s"streaming gate admitted the wrong set: $indexed")
   }
 
+  test("degenerate boilerplate corpus: the hot-bucket cap bounds queryBatch fan-out") {
+    import spark.implicits._
+    // 2000 identical documents: every band signature collides, so an
+    // uncapped bucket join would fan |corpus|x|batch| per band; the
+    // persisted serve path must ride LshGuard's corpus-side cap instead.
+    val boiler = "the same boilerplate template text repeated everywhere verbatim"
+    val corpus2k = (0L until 2000L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_dix_degen").toString
+    DedupIndex.write(spark, corpus2k, dir)
+    val batch = (9000L until 9005L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val got = DedupIndex.queryBatch(spark, dir, batch).collect()
+    // every batch doc matches (est 1.0) but against at most CAP corpus
+    // docs — the guard bounds candidates, it must not erase recall
+    assert(got.nonEmpty && got.forall(_.getAs[Double]("est_jaccard") == 1.0))
+    val perBatchDoc = got.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perBatchDoc.values.forall(n => n > 0 && n <= graft.ops.LshGuard.BucketCap),
+      s"fan-out ${perBatchDoc.values.max} exceeds the bucket cap")
+  }
+
   test("Forget.forget scrubs the near-dup surface too") {
     val dir = Files.createTempDirectory("graft-dix-forget").toString
     DedupIndex.write(spark, corpus, dir)

@@ -45,6 +45,27 @@ class LmModelSpec extends SparkSuite {
     assert(s2 > 0L && s2 <= 1000000L)
   }
 
+  test("q154 semantics on a crafted corpus: hand-computed interpolated scores, 1-token docs drop") {
+    // corpus: d0 = "a b", d1 = "a b", d2 = "a c", d3 = "x" (no transition)
+    // tokens: a×3 b×2 c×1 x×1 (N=7); bigrams: "a b"×2, "a c"×1
+    val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "a c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val d = Files.createTempDirectory("graft_lm_crafted").toString
+    LmModel.write(spark, docs, d)
+    val got = LmModel.scoreBatch(spark, d, docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // hud = round-half-away integer div. "a b": p_cond = hud(2e6, 3) =
+    // 666667, p_uni(b) = hud(2e6, 7) = 285714 →
+    // s = hud(9·666667 + 285714, 10) = hud(6285717, 10) = 628572
+    assert(got(0L) == ((1L, 628572L, 628572L)))
+    assert(got(1L) == got(0L))
+    // "a c": p_cond = hud(1e6,3) = 333333, p_uni(c) = hud(1e6,7) = 142857
+    // s = hud(9·333333 + 142857, 10) = hud(3142854, 10) = 314285
+    assert(got(2L) == ((1L, 314285L, 314285L)))
+    // 1-token doc: no transitions -> absent from the scored output
+    assert(!got.contains(3L))
+  }
+
   test("ingestion gate shape: a garbage batch scores far below the corpus median") {
     val corpusScores = LmModel.scoreBatch(spark, dir, Tables.documents(spark, sf0001))
       .select(col("mean_ppm")).as[Long].collect().sorted

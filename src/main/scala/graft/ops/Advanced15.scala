@@ -69,30 +69,12 @@ object Advanced15 {
       |  CAST((2 * SUM(s) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_ppm
       |FROM sc GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    // transitions as codegen'd 2-grams ("w1 w2") — unambiguous since
-    // split-on-space tokens cannot contain the separator
-    val g = Tables.documents(s, d).select(col("doc_id"),
-      explode(graft.functions.NGrams.ngrams(split(col("text"), " "), 2)).as("gram"))
-    // vocab-sized unigram table, checkpointed: it feeds BOTH marginal
-    // joins and the total, and must not replay its corpus scan per use
-    val uni = Tables.documents(s, d)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
-    val tot = uni.agg(sum(col("c")).as("n"))
-    val bi = g.groupBy(col("gram")).agg(count(lit(1)).as("c12"))
-      .withColumn("w1", split(col("gram"), " ").getItem(0))
-      .withColumn("w2", split(col("gram"), " ").getItem(1))
-    // vocab-side enrichment: marginals + total land on the bigram table
-    // (diversity-sized joins), so the corpus-sized side joins ONCE below
-    val bie = bi
-      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
-      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
-      .crossJoin(broadcast(tot))
-      .select(col("gram"),
-        Det.halfUpDiv(col("c12") * lit(1000000L), col("c1")).as("p_cond"),
-        Det.halfUpDiv(col("c2") * lit(1000000L), col("n")).as("p_uni"))
-    g.join(bie, Seq("gram"))
+    // ONE model-build path shared with the persisted ops.LmModel (the
+    // codegen'd gram transitions + vocab-side-enriched bigram table) —
+    // the live scorer and the servable model cannot desynchronize
+    val docs = Tables.documents(s, d)
+    val (bie, _, _) = LmModel.modelTables(docs)
+    LmModel.transitions(docs).join(bie, Seq("gram"))
       .select(col("doc_id"),
         Det.halfUpDiv(lit(9) * col("p_cond") + col("p_uni"), lit(10)).as("s"))
       .groupBy(col("doc_id"))
@@ -165,6 +147,10 @@ object Advanced15 {
       |ORDER BY split""").stripMargin) { (s, d) =>
     val labels = DedupClusters.clusterLabels(s, d)
       .select(col("node"), col("label"))
+    // sp feeds THREE plan branches (both leak-join sides + the final
+    // groupBy); Spark does not dedup common subplans, so materialize the
+    // narrow 4-column table once (the q32 multi-branch-base pattern)
+    // instead of scanning + label-joining the corpus three times.
     val sp = Tables.documents(s, d).select(col("doc_id"))
       .join(broadcast(labels), col("doc_id") === col("node"), "left")
       .select(col("doc_id"),
@@ -172,6 +158,7 @@ object Advanced15 {
       .select(col("doc_id"), col("rep"),
         splitName(splitBucket("doc_id")).as("naive_split"),
         splitName(splitBucket("rep")).as("split"))
+      .localCheckpoint()
     val edges = TextOps.minhashCandidates(s, d)
     val leak = edges
       .join(sp.select(col("doc_id"), col("naive_split").as("na"),
@@ -214,7 +201,10 @@ object Advanced15 {
     * α = 1/2, which upweights low-resource languages relative to their
     * raw share. Weights are EXACT integer square roots (no float pow),
     * per-language doc targets are half-up rationals of a fixed 200-doc
-    * budget, and membership is the shared deterministic hash compared
+    * budget, and membership is a SALTED deterministic md5 hash
+    * ('tmix:' prefix — every md5 hex slice is already claimed by
+    * q60/q121 (1-7), the corpus mixture (9-15), q155's split (17-23)
+    * and q158 (25-31), so decorrelation comes from a salt) compared
     * by integer cross-multiplication (keep ⇔ h·n_ℓ < target_ℓ·10^6 —
     * no float division), so the sample is reproducible under reruns,
     * repartitioning, and incremental extension. A language whose target
@@ -232,7 +222,7 @@ object Advanced15 {
       |          (2 * 200 * wt + total_w) // (2 * total_w) AS target
       |        FROM w CROSS JOIN tw),
       |s AS (SELECT d.doc_id, d.lang, t.n, t.wt, t.target,
-      |        ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+      |        ('0x' || substr(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
       |          % 1000000 AS hv
       |      FROM documents d JOIN tgt t USING (lang))
       |SELECT lang, MAX(n) AS n_docs, MAX(wt) AS weight,
@@ -250,7 +240,7 @@ object Advanced15 {
         Det.halfUpDiv(lit(200L) * col("wt"), col("total_w")).as("target"))
     docs.join(broadcast(tgt), Seq("lang"))
       .withColumn("hv",
-        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 1000000"))
+        expr("CAST(conv(substr(md5(concat('tmix:', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT) % 1000000"))
       .groupBy(col("lang"))
       .agg(max(col("n")).as("n_docs"), max(col("wt")).as("weight"),
         max(col("target")).as("target_docs"),
@@ -372,13 +362,11 @@ object Advanced15 {
     * materialized once) and the trained weight vector — computed once
     * per (session, dataset) and reused by q157's eval and q158's
     * sampler, the same train-once serve-many economics as the
-    * Lloyd/PQ quantizers. The weight cache piggybacks on the feature
-    * DataFrame identity from [[graft.Shared]], so session eviction
-    * there invalidates here too.
+    * Lloyd/PQ quantizers. The weights live in a 1-row DataFrame under
+    * the SAME [[graft.Shared]] cache as the feature table (not a
+    * side map), so session eviction releases both — no JVM-lifetime
+    * retention of checkpointed blocks across cycled sessions.
     */
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      org.apache.spark.sql.DataFrame, Array[Long]]()
   private def trainedModel(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, Array[Long]) = {
     val micro = 1000000L
@@ -400,7 +388,7 @@ object Advanced15 {
         (col("r1") - mus(0)).as("f1"), (col("r2") - mus(1)).as("f2"),
         (col("r3") - mus(2)).as("f3"))
     }
-    val w = modelCache.computeIfAbsent(x, _ => {
+    val wDf = graft.Shared.materialized(s, s"lqc-weights@$d") {
       val nL = x.select(col("n")).limit(1).collect()(0).getLong(0)
       var w = Array(0L, 0L, 0L, 0L) // w1, w2, w3, bias — micro-units
       for (_ <- 1 to 3) {
@@ -418,9 +406,11 @@ object Advanced15 {
           .collect()(0).toSeq.map(v => v.toString.toLong).toArray
         w = w.zip(g).map { case (wi, gi) => wi - 4 * hudL(gi, nL) }
       }
-      w
-    })
-    (x, w)
+      import s.implicits._
+      Seq((w(0), w(1), w(2), w(3))).toDF("w1", "w2", "w3", "wb")
+    }
+    val r = wDf.collect()(0)
+    (x, Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
   }
 
   /** Model-scored quality sampling — the step after q157 trains the

@@ -39,12 +39,21 @@ object LmModel {
 
   private val Micro = 1000000L
 
-  private def transitions(docs: DataFrame): DataFrame =
+  /** The corpus transition stream: codegen'd 2-grams ("w1 w2") —
+    * unambiguous since split-on-space tokens cannot contain the
+    * separator. ONE definition shared with the live q154 scorer.
+    */
+  private[ops] def transitions(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(graft.functions.NGrams.ngrams(split(col("text"), " "), 2)).as("gram"))
 
-  /** Train on `docs` and persist under `dir`. Overwrites. */
-  def write(s: SparkSession, docs: DataFrame, dir: String): Unit = {
+  /** The trained model tables — (enriched bigram table, unigram count
+    * table with its corpus scan checkpointed, 1-row total). ONE builder
+    * shared by the live q154 scorer and [[write]], so a smoothing or
+    * interpolation change cannot desynchronize the persisted model from
+    * the registered query.
+    */
+  private[ops] def modelTables(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val uni = docs.select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .localCheckpoint() // feeds both marginal joins + the total, once
@@ -59,6 +68,12 @@ object LmModel {
       .select(col("gram"),
         Det.halfUpDiv(col("c12") * Micro, col("c1")).as("p_cond"),
         Det.halfUpDiv(col("c2") * Micro, col("n")).as("p_uni"))
+    (bie, uni, tot)
+  }
+
+  /** Train on `docs` and persist under `dir`. Overwrites. */
+  def write(s: SparkSession, docs: DataFrame, dir: String): Unit = {
+    val (bie, uni, tot) = modelTables(docs)
     bie.write.mode("overwrite").parquet(s"$dir/bigrams")
     uni.crossJoin(broadcast(tot))
       .select(col("w"), Det.halfUpDiv(col("c") * Micro, col("n")).as("p_uni"))

@@ -140,21 +140,23 @@ class DedupIndexSpec extends SparkSuite {
 
   test("degenerate boilerplate corpus: the hot-bucket cap bounds queryBatch fan-out") {
     import spark.implicits._
-    // 2000 identical documents: every band signature collides, so an
-    // uncapped bucket join would fan |corpus|x|batch| per band; the
-    // persisted serve path must ride LshGuard's corpus-side cap instead.
+    // MORE identical documents than LshGuard.BucketCap (4096), so the
+    // bound actually BINDS: every band signature collides, an uncapped
+    // bucket join would fan |corpus|x|batch| per band, and a corpus at
+    // or under the cap would pass this test even with the guard removed.
+    val nDocs = graft.ops.LshGuard.BucketCap + 1000
     val boiler = "the same boilerplate template text repeated everywhere verbatim"
-    val corpus2k = (0L until 2000L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val corpusBig = (0L until nDocs.toLong).map(i => (i, boiler)).toDF("doc_id", "text")
     val dir = Files.createTempDirectory("graft_dix_degen").toString
-    DedupIndex.write(spark, corpus2k, dir)
-    val batch = (9000L until 9005L).map(i => (i, boiler)).toDF("doc_id", "text")
+    DedupIndex.write(spark, corpusBig, dir)
+    val batch = (9000000L until 9000005L).map(i => (i, boiler)).toDF("doc_id", "text")
     val got = DedupIndex.queryBatch(spark, dir, batch).collect()
-    // every batch doc matches (est 1.0) but against at most CAP corpus
-    // docs — the guard bounds candidates, it must not erase recall
+    // every batch doc matches (est 1.0) against EXACTLY the cap's worth
+    // of corpus docs — the guard bounds candidates without erasing recall
     assert(got.nonEmpty && got.forall(_.getAs[Double]("est_jaccard") == 1.0))
     val perBatchDoc = got.groupBy(_.getLong(0)).view.mapValues(_.length)
-    assert(perBatchDoc.values.forall(n => n > 0 && n <= graft.ops.LshGuard.BucketCap),
-      s"fan-out ${perBatchDoc.values.max} exceeds the bucket cap")
+    assert(perBatchDoc.values.forall(_ == graft.ops.LshGuard.BucketCap),
+      s"fan-out ${perBatchDoc.values.toSeq.distinct} != cap on a $nDocs-doc degenerate corpus")
   }
 
   test("Forget.forget scrubs the near-dup surface too") {

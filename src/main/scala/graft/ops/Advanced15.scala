@@ -458,6 +458,60 @@ object Advanced15 {
       .orderBy(col("source"))
   }
 
+  /** Incremental LM scoring under the hard gate — q153's pattern for
+    * the language model: the arriving delta (doc_id ≥ 400, q65's
+    * convention) is scored against a model trained ONLY on the existing
+    * corpus (doc_id < 400), through the SAME [[LmModel.scoreAgainst]]
+    * join the persisted model serves — including the unigram-backoff
+    * branch for transitions the training corpus never saw and the
+    * 0-floor for out-of-vocabulary tokens, which q154 (self-trained)
+    * can never exercise. LmModelSpec additionally pins this live form
+    * bit-identical to a write + scoreBatch roundtrip.
+    */
+  val incrementalLmScore = Q(
+    "q159_incremental_lm_score",
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+      |cx AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '), 1) AS pos FROM corpus),
+      |uni AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c FROM cx GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+      |cbg AS (SELECT tok AS w1,
+      |          lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM cx),
+      |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM cbg
+      |       WHERE w2 IS NOT NULL GROUP BY w1, w2),
+      |bie AS (SELECT b.w1, b.w2,
+      |          ${hudSql("b.c12 * 1000000", "u1.c")} AS p_cond,
+      |          ${hudSql("u2.c * 1000000", "t0.n")} AS p_uni
+      |        FROM bi b JOIN uni u1 ON u1.w = b.w1
+      |                  JOIN uni u2 ON u2.w = b.w2
+      |                  CROSS JOIN tot t0),
+      |bx AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '), 1) AS pos
+      |       FROM documents WHERE doc_id >= 400),
+      |bbg AS (SELECT doc_id, tok AS w1,
+      |          lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM bx),
+      |sc AS (SELECT g.doc_id,
+      |         CASE WHEN e.p_cond IS NOT NULL
+      |              THEN ${hudSql("9 * e.p_cond + e.p_uni", "10")}
+      |              ELSE ${hudSql(s"COALESCE(${hudSql("u2b.c * 1000000", "t0.n")}, 0)", "10")}
+      |         END AS s
+      |       FROM bbg g
+      |       LEFT JOIN bie e ON e.w1 = g.w1 AND e.w2 = g.w2
+      |       LEFT JOIN uni u2b ON u2b.w = g.w2
+      |       CROSS JOIN tot t0
+      |       WHERE g.w2 IS NOT NULL)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+      |  CAST(MIN(s) AS BIGINT) AS rarest_ppm,
+      |  CAST((2 * SUM(s) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_ppm
+      |FROM sc GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (bie, uni, tot) = LmModel.modelTables(docs.filter(col("doc_id") < 400))
+    LmModel.scoreAgainst(bie, LmModel.unigramP(uni, tot),
+      docs.filter(col("doc_id") >= 400))
+      .orderBy(col("doc_id"))
+  }
+
   def specs: Seq[Q] = Seq(bigramLmScore, splitLeakageGuard, temperatureMixture,
-    linearQualityClassifier, qualityWeightedSample)
+    linearQualityClassifier, qualityWeightedSample, incrementalLmScore)
 }

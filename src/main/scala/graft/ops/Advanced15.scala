@@ -21,6 +21,40 @@ import org.apache.spark.sql.expressions.Window
   */
 object Advanced15 {
 
+  /** The shared LM oracle core, parameterized by the training-corpus
+    * relation: tokenize-with-position → unigram counts + total →
+    * lead() transition pairs → enriched bigram table (λ=0.9
+    * interpolation terms in exact ppm). ONE copy serving q154 (trains
+    * and scores on the full corpus) and q159 (trains on the existing
+    * corpus, scores the delta), mirroring the single Spark-side
+    * builder [[LmModel.modelTables]] — a smoothing edit is one edit
+    * per engine, not three.
+    */
+  private def lmOracleCore(corpusSql: String): String =
+    s"""cx AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '), 1) AS pos
+      |       FROM $corpusSql),
+      |uni AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c FROM cx GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+      |cbg AS (SELECT doc_id, tok AS w1,
+      |          lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM cx),
+      |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM cbg
+      |       WHERE w2 IS NOT NULL GROUP BY w1, w2),
+      |bie AS (SELECT b.w1, b.w2,
+      |          ${hudSql("b.c12 * 1000000", "u1.c")} AS p_cond,
+      |          ${hudSql("u2.c * 1000000", "t0.n")} AS p_uni
+      |        FROM bi b JOIN uni u1 ON u1.w = b.w1
+      |                  JOIN uni u2 ON u2.w = b.w2
+      |                  CROSS JOIN tot t0)""".stripMargin
+
+  /** The per-document aggregation tail shared by the LM oracles. */
+  private def LmAggTail: String =
+    """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+      |  CAST(MIN(s) AS BIGINT) AS rarest_ppm,
+      |  CAST((2 * SUM(s) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_ppm
+      |FROM sc GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Interpolated bigram-LM score per document — the workhorse of
     * CCNet-style quality filtering: train an LM on the corpus, score
     * each document by how expected its token transitions are, and cut
@@ -45,30 +79,13 @@ object Advanced15 {
     */
   val bigramLmScore = Q(
     "q154_bigram_lm_score",
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |x AS (SELECT doc_id, unnest(toks) AS tok,
-      |        generate_subscripts(toks, 1) AS pos FROM t),
-      |bg AS (SELECT doc_id, tok AS w1,
-      |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM x),
-      |uni AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY tok),
-      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),
-      |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg
-      |       WHERE w2 IS NOT NULL GROUP BY w1, w2),
-      |bie AS (SELECT b.w1, b.w2,
-      |          (2 * b.c12 * 1000000 + u1.c) // (2 * u1.c) AS p_cond,
-      |          (2 * u2.c * 1000000 + t0.n) // (2 * t0.n) AS p_uni
-      |        FROM bi b JOIN uni u1 ON u1.w = b.w1
-      |                  JOIN uni u2 ON u2.w = b.w2
-      |                  CROSS JOIN tot t0),
+    (s"WITH ${lmOracleCore("documents")}" +
+      s""",
       |sc AS (SELECT g.doc_id,
-      |         (2 * (9 * e.p_cond + e.p_uni) + 10) // 20 AS s
-      |       FROM bg g JOIN bie e ON e.w1 = g.w1 AND e.w2 = g.w2
+      |         ${hudSql("9 * e.p_cond + e.p_uni", "10")} AS s
+      |       FROM cbg g JOIN bie e ON e.w1 = g.w1 AND e.w2 = g.w2
       |       WHERE g.w2 IS NOT NULL)
-      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
-      |  CAST(MIN(s) AS BIGINT) AS rarest_ppm,
-      |  CAST((2 * SUM(s) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_ppm
-      |FROM sc GROUP BY doc_id
-      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |$LmAggTail""").stripMargin) { (s, d) =>
     // ONE model-build path shared with the persisted ops.LmModel (the
     // codegen'd gram transitions + vocab-side-enriched bigram table) —
     // the live scorer and the servable model cannot desynchronize
@@ -463,28 +480,19 @@ object Advanced15 {
     * convention) is scored against a model trained ONLY on the existing
     * corpus (doc_id < 400), through the SAME [[LmModel.scoreAgainst]]
     * join the persisted model serves — including the unigram-backoff
-    * branch for transitions the training corpus never saw and the
-    * 0-floor for out-of-vocabulary tokens, which q154 (self-trained)
-    * can never exercise. LmModelSpec additionally pins this live form
-    * bit-identical to a write + scoreBatch roundtrip.
+    * branch for transitions the training corpus never saw, which q154
+    * (self-trained) can never exercise; the testdata delta carries such
+    * transitions at every SF and LmModelSpec asserts that fact so a
+    * regeneration that silently removed them (reducing this gate to
+    * q154's shape) fails loudly. The OOV 0-floor has no oracle
+    * coverage (the delta shares the corpus vocabulary) — it is pinned
+    * by LmModelSpec's crafted OOV batch instead. LmModelSpec also pins
+    * this live form bit-identical to a write + scoreBatch roundtrip.
     */
   val incrementalLmScore = Q(
     "q159_incremental_lm_score",
-    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
-      |cx AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
-      |         generate_subscripts(string_split(text,' '), 1) AS pos FROM corpus),
-      |uni AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c FROM cx GROUP BY tok),
-      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
-      |cbg AS (SELECT tok AS w1,
-      |          lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM cx),
-      |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM cbg
-      |       WHERE w2 IS NOT NULL GROUP BY w1, w2),
-      |bie AS (SELECT b.w1, b.w2,
-      |          ${hudSql("b.c12 * 1000000", "u1.c")} AS p_cond,
-      |          ${hudSql("u2.c * 1000000", "t0.n")} AS p_uni
-      |        FROM bi b JOIN uni u1 ON u1.w = b.w1
-      |                  JOIN uni u2 ON u2.w = b.w2
-      |                  CROSS JOIN tot t0),
+    (s"WITH ${lmOracleCore("(SELECT doc_id, text FROM documents WHERE doc_id < 400)")}" +
+      s""",
       |bx AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
       |         generate_subscripts(string_split(text,' '), 1) AS pos
       |       FROM documents WHERE doc_id >= 400),
@@ -500,11 +508,7 @@ object Advanced15 {
       |       LEFT JOIN uni u2b ON u2b.w = g.w2
       |       CROSS JOIN tot t0
       |       WHERE g.w2 IS NOT NULL)
-      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
-      |  CAST(MIN(s) AS BIGINT) AS rarest_ppm,
-      |  CAST((2 * SUM(s) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_ppm
-      |FROM sc GROUP BY doc_id
-      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |$LmAggTail""").stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val (bie, uni, tot) = LmModel.modelTables(docs.filter(col("doc_id") < 400))
     LmModel.scoreAgainst(bie, LmModel.unigramP(uni, tot),

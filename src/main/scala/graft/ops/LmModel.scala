@@ -43,7 +43,7 @@ object LmModel {
     * unambiguous since split-on-space tokens cannot contain the
     * separator. ONE definition shared with the live q154 scorer.
     */
-  private[ops] def transitions(docs: DataFrame): DataFrame =
+  private[graft] def transitions(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(graft.functions.NGrams.ngrams(split(col("text"), " "), 2)).as("gram"))
 

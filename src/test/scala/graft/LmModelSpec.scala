@@ -74,9 +74,15 @@ class LmModelSpec extends SparkSuite {
     val served = LmModel.scoreBatch(spark, d2, docs.filter(col("doc_id") >= 400))
       .orderBy(col("doc_id")).collect().toSeq
     assert(live == served)
-    // the batch must exercise the backoff/OOV branch somewhere: if every
-    // batch transition were in-model this gate would be q154 in disguise
-    assert(live.nonEmpty)
+    // the delta must actually exercise the backoff branch: count its
+    // transitions whose bigram the training corpus never saw — if this
+    // drops to zero after a testdata regeneration, q159 has silently
+    // become q154 in disguise and the gate's extra coverage is gone
+    val corpusGrams = LmModel.transitions(docs.filter(col("doc_id") < 400))
+      .select(col("gram")).distinct()
+    val unseen = LmModel.transitions(docs.filter(col("doc_id") >= 400))
+      .join(corpusGrams, Seq("gram"), "left_anti").count()
+    assert(unseen > 0, "delta shares every bigram with the corpus — backoff branch untested by q159")
   }
 
   test("ingestion gate shape: a garbage batch scores far below the corpus median") {

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Det, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** PERSISTED bigram language model — the servable form of q154's
@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   *
   * Model layout under `dir` (plain parquet, all content-diversity
   * sized):
-  *  - `bigrams/` (gram, p_cond, p_uni) — the enriched transition table,
+  *  - `bigrams/` (gram, p_cond, p_uni), partitioned by
+  *    `bkt = pmod(xxhash64(gram), 64)` — the enriched transition table,
   *    λ-interpolation precomputed in exact ppm integers (q154's `bie`).
-  *  - `unigrams/` (w, p_uni) — the unigram backoff: a transition whose
-  *    bigram was never seen in training scores (1−λ)·P(w2) — real LM
-  *    backoff behavior, not a silent zero; a w2 outside the training
-  *    vocabulary scores 0 (maximally surprising).
+  *  - `unigrams/` (w, p_uni), partitioned by `bkt = pmod(xxhash64(w),
+  *    64)` — the unigram backoff: a transition whose bigram was never
+  *    seen in training scores (1−λ)·P(w2) — real LM backoff behavior,
+  *    not a silent zero; a w2 outside the training vocabulary scores 0
+  *    (maximally surprising).
   *
   * The arithmetic is the ONE q154 recipe ([[Det.halfUpDiv]] ppm
   * integers, λ = 0.9), so LmModelSpec can pin saved-model
@@ -27,10 +29,16 @@ import org.apache.spark.sql.functions._
   * cannot disagree on smoothing or interpolation.
   *
   * 100 TB shape: training is q154's build side only (two corpus scans
-  * into vocab-sized aggregates — the per-doc instance join never runs);
-  * the written tables are megabytes where the corpus is terabytes, so
-  * serve-time they BROADCAST and a batch pays two flat projections plus
-  * one broadcast join. The model is an immutable snapshot by design —
+  * into vocab-sized aggregates — the per-doc instance join never runs).
+  * The model tables grow with CONTENT DIVERSITY — for a web-scale
+  * corpus distinct bigrams are far past any broadcast threshold — so
+  * the serve path must NOT assume they broadcast. [[scoreBatch]]
+  * therefore reads them through gram-hash PARTITION pruning (the
+  * [[TextIndex.Buckets]] recipe): the batch's transitions name their
+  * bucket set, each model read opens only those directories, and the
+  * join strategy is left to AQE — broadcast when the pruned slice is
+  * small (every tested scale), shuffled hash when it is not, never a
+  * pinned-hint OOM. The model is an immutable snapshot by design —
   * a corpus release trains a new one (Release's delta machinery applies
   * to the indexes whose content must track membership; a probability
   * model should be versioned, not incrementally mutated).
@@ -38,6 +46,25 @@ import org.apache.spark.sql.functions._
 object LmModel {
 
   private val Micro = 1000000L
+
+  /** Gram-hash partition count for the persisted tables — the
+    * [[TextIndex.Buckets]] rationale: coarse enough that a corpus-scale
+    * build writes large files per bucket, fine enough that a small
+    * batch's gram set prunes most of a diversity-sized model before any
+    * file is opened.
+    */
+  private[graft] val Buckets = 64
+
+  private def bktOf(c: Column): Column =
+    pmod(xxhash64(c), lit(Buckets.toLong)).cast("int")
+
+  /** Distinct partition buckets of `keys` under the SAME xxhash64
+    * expression the write side uses — ≤ [[Buckets]] ints, driver-bounded
+    * regardless of batch size.
+    */
+  private def bucketsOf(keys: DataFrame): Seq[Int] =
+    keys.select(bktOf(keys.columns.map(col).head).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
 
   /** The corpus transition stream: codegen'd 2-grams ("w1 w2") —
     * unambiguous since split-on-space tokens cannot contain the
@@ -76,34 +103,54 @@ object LmModel {
     uni.crossJoin(broadcast(tot))
       .select(col("w"), Det.halfUpDiv(col("c") * Micro, col("n")).as("p_uni"))
 
-  /** Train on `docs` and persist under `dir`. Overwrites. */
+  /** Train on `docs` and persist under `dir`, gram-hash partitioned so
+    * [[scoreBatch]] prunes before it reads. Overwrites.
+    */
   def write(s: SparkSession, docs: DataFrame, dir: String): Unit = {
     val (bie, uni, tot) = modelTables(docs)
-    bie.write.mode("overwrite").parquet(s"$dir/bigrams")
-    unigramP(uni, tot).write.mode("overwrite").parquet(s"$dir/unigrams")
+    bie.withColumn("bkt", bktOf(col("gram")))
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/bigrams")
+    unigramP(uni, tot).withColumn("bkt", bktOf(col("w")))
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/unigrams")
   }
 
   /** Score a document batch against the persisted model: q154's output
     * shape (n_trans, rarest_ppm, mean_ppm per doc), with unigram
-    * backoff for transitions unseen in training. Cost is O(batch):
-    * two flat projections of the batch + broadcast joins against the
-    * vocab-sized model tables.
+    * backoff for transitions unseen in training. Cost is O(batch +
+    * pruned model slice): one batch transition pass (checkpointed — the
+    * batch is read once), bucket-pruned model scans, AQE-chosen joins.
     */
-  def scoreBatch(s: SparkSession, dir: String, docs: DataFrame): DataFrame =
-    scoreAgainst(s.read.parquet(s"$dir/bigrams"),
-      s.read.parquet(s"$dir/unigrams"), docs)
+  def scoreBatch(s: SparkSession, dir: String, docs: DataFrame): DataFrame = {
+    val t = transitions(docs)
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
+      .localCheckpoint() // batch-sized; feeds bucket discovery + the score join
+    val bie = s.read.parquet(s"$dir/bigrams")
+      .filter(col("bkt").isin(bucketsOf(t.select(col("gram"))): _*))
+      .drop("bkt")
+    val uniP = s.read.parquet(s"$dir/unigrams")
+      .filter(col("bkt").isin(bucketsOf(t.select(col("w2"))): _*))
+      .drop("bkt")
+    scoreTransitions(bie, uniP, t)
+  }
 
   /** The serve-time scoring join against model tables in their persisted
     * shapes — ONE definition used by [[scoreBatch]] (parquet-backed) and
     * the registered q159 (in-memory tables), so the hard gate exercises
-    * the identical plan the persisted path serves.
+    * the identical join the persisted path serves. No broadcast hint:
+    * the model tables are diversity-sized (unbounded at 100 TB), so the
+    * strategy is AQE's call — broadcast when the (bucket-pruned) slice
+    * is small, shuffled hash join when it is not.
     */
   private[ops] def scoreAgainst(bie: DataFrame, uniP: DataFrame,
-      docs: DataFrame): DataFrame = {
-    val t = transitions(docs)
-      .withColumn("w2", split(col("gram"), " ").getItem(1))
-      .join(broadcast(bie), Seq("gram"), "left")
-      .join(broadcast(uniP.select(col("w").as("w2"), col("p_uni").as("bo"))),
+      docs: DataFrame): DataFrame =
+    scoreTransitions(bie, uniP,
+      transitions(docs).withColumn("w2", split(col("gram"), " ").getItem(1)))
+
+  private def scoreTransitions(bie: DataFrame, uniP: DataFrame,
+      trans: DataFrame): DataFrame = {
+    val t = trans
+      .join(bie, Seq("gram"), "left")
+      .join(uniP.select(col("w").as("w2"), col("p_uni").as("bo")),
         Seq("w2"), "left")
       .select(col("doc_id"),
         when(col("p_cond").isNotNull,

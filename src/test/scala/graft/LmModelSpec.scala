@@ -85,6 +85,23 @@ class LmModelSpec extends SparkSuite {
     assert(unseen > 0, "delta shares every bigram with the corpus — backoff branch untested by q159")
   }
 
+  test("serve path prunes model partitions by the batch's gram buckets and pins no broadcast") {
+    val batch = Seq((9200001L, "the quick brown")).toDF("doc_id", "text")
+    val plan = LmModel.scoreBatch(spark, dir, batch)
+      .queryExecution.executedPlan.toString
+    // both model scans must carry the bucket predicate as a PARTITION
+    // filter (it prunes directories, not rows) — the 100 TB contract
+    assert(plan.contains("PartitionFilters") && plan.contains("bkt#"),
+      plan.take(3000))
+    // and the model side must not be pinned to a broadcast: a
+    // diversity-sized table under a forced hint OOMs instead of degrading.
+    // AQE may still CHOOSE broadcast here (the pruned slice is tiny) —
+    // what we assert is the absence of the hint in the analyzed plan.
+    val analyzed = LmModel.scoreBatch(spark, dir, batch)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.toLowerCase.contains("hint"), analyzed.take(3000))
+  }
+
   test("ingestion gate shape: a garbage batch scores far below the corpus median") {
     val corpusScores = LmModel.scoreBatch(spark, dir, Tables.documents(spark, sf0001))
       .select(col("mean_ppm")).as[Long].collect().sorted

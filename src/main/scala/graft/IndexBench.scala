@@ -87,12 +87,22 @@ object IndexBench {
       ops.DedupIndex.queryBatch(spark, s"$tmp/dix", probe100).count()
     }
 
-    // Persisted bigram LM: ingestion-batch quality-score latency. Same
-    // contract — scoring joins the vocab-sized model tables (broadcast),
-    // so batch cost should hold flat while train cost scales with n.
+    // Persisted bigram LM: ingestion-batch quality-score latency. The
+    // contract — scoring reads a bucket-pruned slice of the
+    // diversity-sized model tables (strategy AQE's), so batch cost
+    // should track the batch + pruned slice while train cost scales
+    // with n. Model table rows/bytes are printed because DIVERSITY (not
+    // row count) is the axis they grow on — the --diversity rehearsal
+    // reads these to check the "vocab-sized" claims against measured
+    // sizes.
     t0 = System.nanoTime()
     ops.LmModel.write(spark, docs, s"$tmp/lm")
     println(f"IXBENCH lm_train                     ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val lmBi = spark.read.parquet(s"$tmp/lm/bigrams")
+    val lmBytes = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/lm"))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    println(s"IXBENCH lm_model_size                ${lmBi.count()} bigram rows, $lmBytes bytes on disk")
     timed("lm_score_100docs") {
       ops.LmModel.scoreBatch(spark, s"$tmp/lm", probe100).count()
     }

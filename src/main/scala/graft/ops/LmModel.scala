@@ -58,13 +58,16 @@ object LmModel {
   private def bktOf(c: Column): Column =
     pmod(xxhash64(c), lit(Buckets.toLong)).cast("int")
 
-  /** Distinct partition buckets of `keys` under the SAME xxhash64
-    * expression the write side uses — ≤ [[Buckets]] ints, driver-bounded
-    * regardless of batch size.
+  /** Distinct partition buckets of the batch's (gram, w2) pairs under
+    * the SAME xxhash64 expression the write side uses — one job, ≤
+    * [[Buckets]]² pair rows, driver-bounded regardless of batch size.
     */
-  private def bucketsOf(keys: DataFrame): Seq[Int] =
-    keys.select(bktOf(keys.columns.map(col).head).as("b")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+  private def bucketsOf(trans: DataFrame): (Seq[Int], Seq[Int]) = {
+    val pairs = trans
+      .select(bktOf(col("gram")).as("bg"), bktOf(col("w2")).as("bw"))
+      .distinct().collect()
+    (pairs.map(_.getInt(0)).distinct.toSeq, pairs.map(_.getInt(1)).distinct.toSeq)
+  }
 
   /** The corpus transition stream: codegen'd 2-grams ("w1 w2") —
     * unambiguous since split-on-space tokens cannot contain the
@@ -124,12 +127,11 @@ object LmModel {
     val t = transitions(docs)
       .withColumn("w2", split(col("gram"), " ").getItem(1))
       .localCheckpoint() // batch-sized; feeds bucket discovery + the score join
+    val (bg, bw) = bucketsOf(t)
     val bie = s.read.parquet(s"$dir/bigrams")
-      .filter(col("bkt").isin(bucketsOf(t.select(col("gram"))): _*))
-      .drop("bkt")
+      .filter(col("bkt").isin(bg: _*)).drop("bkt")
     val uniP = s.read.parquet(s"$dir/unigrams")
-      .filter(col("bkt").isin(bucketsOf(t.select(col("w2"))): _*))
-      .drop("bkt")
+      .filter(col("bkt").isin(bw: _*)).drop("bkt")
     scoreTransitions(bie, uniP, t)
   }
 

@@ -149,10 +149,19 @@ object AnnIndex {
     * so searches never surface deleted ids), and the index files are
     * untouched until [[compact]] rewrites them. O(batch) per delete,
     * O(index) only at compaction — never a rewrite on the delete path.
+    *
+    * The ledger is a broadcast side on every load, so it must stay
+    * broadcast-sized between compacts: when a delete pushes it past
+    * `autoCompactAt` rows (the count is parquet-footer metadata, not a
+    * scan), [[compact]] runs inline — a long delete sequence stays
+    * bounded without an operator remembering to compact.
     */
-  def delete(s: SparkSession, dir: String, ids: DataFrame): Index = {
+  def delete(s: SparkSession, dir: String, ids: DataFrame,
+      autoCompactAt: Long = Tombstones.AutoCompactRows): Index = {
     ids.select(col("vec_id")).write.mode("append").parquet(s"$dir/tombstones")
-    load(s, dir)
+    if (s.read.parquet(s"$dir/tombstones").count() >= autoCompactAt)
+      compact(s, dir)
+    else load(s, dir)
   }
 
   /** Fold accumulated tombstones into the index files: rewrite assigned

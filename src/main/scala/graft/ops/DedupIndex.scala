@@ -121,11 +121,16 @@ object DedupIndex {
 
   /** O(batch) delete: tombstone append; rows vanish from [[load]] (and
     * so every [[queryBatch]]) immediately, files are untouched until
-    * [[compact]].
+    * [[compact]] — which runs inline once the ledger outgrows
+    * `autoCompactAt` rows ([[Tombstones.AutoCompactRows]]), so a long
+    * delete sequence keeps the broadcast side bounded by construction.
     */
-  def delete(s: SparkSession, dir: String, ids: DataFrame): Index = {
+  def delete(s: SparkSession, dir: String, ids: DataFrame,
+      autoCompactAt: Long = Tombstones.AutoCompactRows): Index = {
     ids.select(col("doc_id")).write.mode("append").parquet(s"$dir/tombstones")
-    load(s, dir)
+    if (s.read.parquet(s"$dir/tombstones").count() >= autoCompactAt)
+      compact(s, dir)
+    else load(s, dir)
   }
 
   /** Fold tombstones into rewritten band/sig files (keeping the

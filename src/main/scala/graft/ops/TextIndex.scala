@@ -165,10 +165,15 @@ object TextIndex {
     * O(batch + #docs) per delete — index files untouched until
     * [[compact]]. A tombstoned id blocks that id entirely; re-adding it
     * via [[append]] requires compacting first (same contract as
-    * AnnIndex).
+    * AnnIndex). Once the ledger outgrows `autoCompactAt` rows
+    * ([[Tombstones.AutoCompactRows]]) the delete compacts inline, so
+    * the broadcast side stays bounded over any delete sequence.
     */
-  def delete(s: SparkSession, dir: String, ids: DataFrame): Index = {
+  def delete(s: SparkSession, dir: String, ids: DataFrame,
+      autoCompactAt: Long = Tombstones.AutoCompactRows): Index = {
     ids.select(col("doc_id")).write.mode("append").parquet(s"$dir/tombstones")
+    if (s.read.parquet(s"$dir/tombstones").count() >= autoCompactAt)
+      return compact(s, dir) // refreshes stats itself after the rewrite
     refreshStats(s, dir)
     load(s, dir)
   }

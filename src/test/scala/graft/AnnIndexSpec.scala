@@ -135,6 +135,31 @@ class AnnIndexSpec extends SparkSuite {
       "compaction changed search results")
   }
 
+  test("deletes past the auto-compact threshold fold the ledger in without a manual compact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annix-auto").toString
+    AnnIndex.write(spark, sf0001, dir)
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    val queries = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"v")
+    val victims = Seq(100L, 101L, 102L, 103L)
+    var ix: ops.AnnIndex.Index = null
+    victims.foreach { v =>
+      ix = AnnIndex.delete(spark, dir, Seq(v).toDF("vec_id"), autoCompactAt = 2L)
+      val t = new java.io.File(s"$dir/tombstones")
+      val rows = if (t.exists) spark.read.parquet(t.toString).count() else 0L
+      assert(rows < 2L, s"ledger grew to $rows rows despite the auto-compact threshold")
+    }
+    // the physically-compacted index ranks like an allow-list of the complement
+    val got = AnnIndex.search(spark, ix, queries, nprobe = 16, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val want = AnnIndex.search(spark, AnnIndex.load(spark, dir), queries,
+        nprobe = 16, k = 3,
+        allowed = Some(e.filter(!$"vec_id".isin(victims: _*)).select($"vec_id")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.sorted.sameElements(want.sorted),
+      s"auto-compacted ranking diverged:\n got ${got.sorted.toSeq}\nwant ${want.sorted.toSeq}")
+  }
+
   test("codes scan is pruned to the probed inverted-list directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annix8").toString
     AnnIndex.write(spark, sf0001, dir)

@@ -97,6 +97,30 @@ class DedupIndexSpec extends SparkSuite {
       .exists(_.getLong(0) == victim), "compact kept the deleted sig row")
   }
 
+  test("a long delete sequence auto-compacts: the ledger stays bounded without a manual compact") {
+    val dir = Files.createTempDirectory("graft-dix-auto").toString
+    DedupIndex.write(spark, corpus, dir)
+    import spark.implicits._
+    val victims = expectedIdentityIds.toSeq.sorted.take(6)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // threshold 2: every second single-id delete must trip the inline
+    // compact, so the observed ledger NEVER reaches the threshold
+    victims.foreach { v =>
+      DedupIndex.delete(spark, dir, Seq(v).toDF("doc_id"), autoCompactAt = 2L)
+      val rows = if (fs.exists(p)) spark.read.parquet(p.toString).count() else 0L
+      assert(rows < 2L, s"ledger grew to $rows rows despite the auto-compact threshold")
+    }
+    // end state serves exactly like a fresh build over the remainder
+    val q = copies.localCheckpoint(true)
+    val got = DedupIndex.queryBatch(spark, dir, q).collect().toSeq
+    val fresh = Files.createTempDirectory("graft-dix-auto-fresh").toString
+    DedupIndex.write(spark, corpus.filter(!col("doc_id").isin(victims: _*)), fresh)
+    val want = DedupIndex.queryBatch(spark, fresh, q).collect().toSeq
+    assert(got.nonEmpty && got == want,
+      s"auto-compacted index diverged from a fresh build: ${got.size} vs ${want.size} rows")
+  }
+
   test("streaming ingestion gate drops near-dups across micro-batches (foreachBatch)") {
     val dir = Files.createTempDirectory("graft-dix-stream").toString
     DedupIndex.write(spark, corpus, dir)

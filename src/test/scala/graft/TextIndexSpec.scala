@@ -131,6 +131,35 @@ class TextIndexSpec extends SparkSuite {
       s"streamed index diverged from union rebuild:\n got ${got.toSeq}\nwant ${want.toSeq}")
   }
 
+  test("deletes auto-compact past the threshold and keep BM25 identical to a rebuild") {
+    val dir = Files.createTempDirectory("graft-tix-auto").toString
+    TextIndex.write(spark, sf0001, dir)
+    val victims = Seq(10L, 11L, 12L, 13L)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var ix: TextIndex.Index = null
+    victims.foreach { v =>
+      ix = TextIndex.delete(spark, dir, Seq(v).toDF("doc_id"), autoCompactAt = 2L)
+      val rows = if (fs.exists(p)) spark.read.parquet(p.toString).count() else 0L
+      assert(rows < 2L, s"ledger grew to $rows rows despite the auto-compact threshold")
+    }
+    val got = TextIndex.search(spark, ix, terms, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // fresh build over the remaining corpus must rank identically
+    // (stats refreshed by the inline compacts)
+    val freshDir = Files.createTempDirectory("graft-tix-auto-fresh").toString
+    val remaining = Tables.documents(spark, sf0001)
+      .filter(!col("doc_id").isin(victims: _*))
+    remaining.write.mode("overwrite")
+      .parquet(s"$freshDir/documents.parquet")
+    TextIndex.write(spark, freshDir, s"$freshDir/ix")
+    val want = TextIndex.search(spark,
+        TextIndex.load(spark, s"$freshDir/ix"), terms, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty && got.sameElements(want),
+      s"auto-compacted BM25 diverged from rebuild:\n got ${got.toSeq}\nwant ${want.toSeq}")
+  }
+
   test("append is idempotent under replay and heals a torn batch") {
     val dir = Files.createTempDirectory("graft-tix5").toString
     TextIndex.write(spark, sf0001, dir)

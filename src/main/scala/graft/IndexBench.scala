@@ -106,6 +106,22 @@ object IndexBench {
     timed("lm_score_100docs") {
       ops.LmModel.scoreBatch(spark, s"$tmp/lm", probe100).count()
     }
+
+    // Composed ingestion gate (dedup-check -> LM-score): the decision
+    // latency an intake stream pays per micro-batch, against the
+    // indexes built above. decide() is pure (no appends), so repeated
+    // timing runs see identical index state. Half the probe batch is
+    // exact dups (rejected by the index check), half is token-reversed
+    // (novel shingles, in-vocab tokens — survives to the LM stage), so
+    // BOTH stages do real work.
+    val gateCfg = ops.IngestionGate.Config(s"$tmp/dix", s"$tmp/lm", s"$tmp/acc")
+    val gateProbe = probe100.limit(50).unionAll(
+      probe100.limit(50).withColumn("doc_id", col("doc_id") + 3000000L)
+        .withColumn("text", concat_ws(" ", reverse(split(col("text"), " ")))))
+      .localCheckpoint()
+    timed("gate_decide_100docs") {
+      ops.IngestionGate.decide(spark, gateCfg, gateProbe).count()
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.{DedupIndex, IngestionGate, LmModel}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The composed streaming ingestion gate (dedup-check → LM-score →
+  * append): micro-batched streaming execution must land the exact
+  * accepted set and index state the same batches produce through direct
+  * batch calls, the crafted rejections must each fire (corpus dup,
+  * cross-batch dup, OOV garbage, unscoreable short doc), and a replayed
+  * batch must be a no-op on both sinks.
+  */
+class IngestionGateSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus: DataFrame =
+    Tables.documents(spark, sf0001).filter(col("doc_id") < 400)
+
+  // distinctive two-token patterns: in-vocab (so the LM scores them
+  // well above the floor) but a shingle set no ~56-token corpus doc can
+  // minhash-agree with at the 0.5 verification bar
+  private val acceptA = Array.fill(6)("spark spark table table").mkString(" ")
+  private val acceptB = Array.fill(6)("vector vector hash hash").mkString(" ")
+
+  private def buildSide(base: String, tag: String): IngestionGate.Config = {
+    DedupIndex.write(spark, corpus, s"$base/$tag/dix")
+    LmModel.write(spark, corpus, s"$base/$tag/lm")
+    IngestionGate.Config(s"$base/$tag/dix", s"$base/$tag/lm", s"$base/$tag/accepted")
+  }
+
+  private def acceptedIds(cfg: IngestionGate.Config): Set[Long] =
+    IngestionGate.accepted(spark, cfg)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+  private def indexedIds(cfg: IngestionGate.Config): Set[Long] =
+    spark.read.parquet(s"${cfg.dedupDir}/sigs")
+      .filter(col("doc_id") >= 9000L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+  test("streaming gate equals the batch pipeline and every crafted rejection fires") {
+    val base = Files.createTempDirectory("graft-gate").toString
+    val sCfg = buildSide(base, "s") // driven by foreachBatch
+    val bCfg = buildSide(base, "b") // driven by direct calls
+    val dupText = corpus.filter(size(split(col("text"), " ")) >= 3)
+      .orderBy(col("doc_id")).limit(1).collect()(0).getString(1)
+    val incoming = Seq(
+      9001L -> dupText,                    // b1: exact dup of the corpus -> reject
+      9002L -> acceptA,                    // b1: novel, in-vocab -> accept
+      9101L -> acceptA,                    // b2: dup of 9002, accepted ONE BATCH EARLIER -> reject
+      9102L -> "zzq zzw zze zzr zzt zzy",  // b2: fully OOV, LM mean 0 -> reject
+      9103L -> "spark",                    // b2: 1 token, unscoreable -> reject
+      9104L -> acceptB                     // b2: novel, in-vocab -> accept
+    ).toDF("doc_id", "text").localCheckpoint(true)
+    val batches = Seq(Seq(9001L, 9002L), Seq(9101L, 9102L, 9103L, 9104L))
+    def slice(ids: Seq[Long]): DataFrame =
+      incoming.filter(col("doc_id").isin(ids: _*))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = streaming.EventStream.toForeachBatch(
+        input.toDF().toDF("in_id"), s"$base/ckpt") { (batch, _) =>
+      if (!batch.isEmpty) {
+        val ids = batch.collect().map(_.getLong(0)).toSeq
+        IngestionGate.gateBatch(spark, sCfg, slice(ids))
+        ()
+      }
+    }
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    batches.foreach { ids => IngestionGate.gateBatch(spark, bCfg, slice(ids)) }
+
+    val want = Set(9002L, 9104L)
+    assert(acceptedIds(sCfg) == want,
+      s"streaming gate admitted the wrong set: ${acceptedIds(sCfg)}")
+    assert(acceptedIds(bCfg) == want,
+      s"batch pipeline admitted the wrong set: ${acceptedIds(bCfg)}")
+    // the index grew by exactly the admitted documents on both sides,
+    // which is what made the cross-batch 9101 rejection possible
+    assert(indexedIds(sCfg) == want && indexedIds(bCfg) == want,
+      s"index state diverged: ${indexedIds(sCfg)} vs ${indexedIds(bCfg)}")
+
+    // at-least-once replay of the second batch: every doc is either
+    // already admitted (behind the sigs done-marker) or still rejected,
+    // so BOTH sinks stay byte-for-byte put
+    val accBefore = IngestionGate.accepted(spark, bCfg).count()
+    val sigBefore = spark.read.parquet(s"${bCfg.dedupDir}/sigs").count()
+    val replayed = IngestionGate.gateBatch(spark, bCfg, slice(batches(1)))
+    assert(replayed.isEmpty, "replay re-admitted documents")
+    assert(IngestionGate.accepted(spark, bCfg).count() == accBefore,
+      "replay grew the accepted sink")
+    assert(spark.read.parquet(s"${bCfg.dedupDir}/sigs").count() == sigBefore,
+      "replay grew the dedup index")
+  }
+}

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Q
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -66,9 +67,12 @@ object AnnIndex {
     * codes are identical to [[write]]'s, and the produced layout is
     * loaded/searched/appended/compacted by the SAME code paths — only
     * `centroids` and `assigned` differ. The registered q49/q140 oracles
-    * stay on the static 16-list recipe (a DuckDB oracle cannot adapt to
-    * n); this is the production build entry. `nListsOverride` pins an
-    * explicit list count (still sample-trained) for tuned deployments.
+    * stay on the static 16-list recipe; the sample-trained path itself
+    * is oracle-gated by [[scaledIvfBuild]] (q160) at an explicit
+    * non-degenerate sizing, since the md5-prefix sample membership and
+    * the seeded Lloyd are both DuckDB-replayable. `nListsOverride` pins
+    * an explicit list count (still sample-trained) for tuned
+    * deployments.
     */
   def writeScaled(s: SparkSession, d: String, dir: String,
       nListsOverride: Option[Int] = None): Unit = {
@@ -80,17 +84,30 @@ object AnnIndex {
     val n = e.count()
     val nLists = nListsOverride.getOrElse(math.max(16L, math.min(65536L,
       math.ceil(math.sqrt(n.toDouble)).toLong)).toInt)
-    // Lloyd is iters·|train|·k distance evaluations — training on the
-    // full corpus would be iters·n·√n. Train on a deterministic
-    // ~50-vectors-per-list hash sample (the standard IVF recipe) and
-    // pay n·k once, at the final full-corpus assignment below.
-    val mod = math.max(1L, n / (50L * nLists))
+    writeCore(s, d, dir, scaledSampleCentroids(e, nLists, perList = 50L))
+  }
+
+  /** The sample-trained Lloyd behind [[writeScaled]], with explicit
+    * sizing so q160 can gate it at a non-degenerate small-n setting.
+    * Lloyd is iters·|train|·k distance evaluations — training on the
+    * full corpus would be iters·n·√n. Train on a deterministic
+    * ~`perList`-vectors-per-list hash sample (the standard IVF recipe;
+    * membership by the shared md5-prefix hash the split/sampling
+    * queries use, so a DuckDB oracle computes the SAME sample) and pay
+    * n·k once, at the final full-corpus assignment.
+    */
+  private[ops] def scaledSampleCentroids(e: DataFrame, nLists: Int,
+      perList: Long): DataFrame = {
+    val n = e.count()
+    val mod = math.max(1L, n / (perList * nLists))
     val sample = e
-      .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+      .filter(expr(
+        "CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 7), 16, 10) AS BIGINT)")
+        % mod === 0)
       .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
         .cast("long").as("vec_id"), col("v"))
       .localCheckpoint()
-    writeCore(s, d, dir, Quantizer.trainCentroids(sample, nLists, Quantizer.Iters))
+    Quantizer.trainCentroids(sample, nLists, Quantizer.Iters)
   }
 
   /** The ONE index build path (round 9): persist `centroids`, the
@@ -312,4 +329,54 @@ object AnnIndex {
       .select(col("qid"), col("rnk"), col("cand"),
         (col("adist_micro") / 1000000.0).as("approx_dist"))
   }
+
+  /** [[writeScaled]]'s sample-trained Lloyd under the hard gate — the
+    * round-9 verdict's challenge ("the sample-trained Lloyd is
+    * deterministic, so a small-n oracle replay may be writable"): run
+    * [[scaledSampleCentroids]] at an explicit NON-degenerate sizing
+    * (nLists=32 ≠ the static 16; perList=2 so the md5 sample filter
+    * actually rejects vectors at sf0.01's corpus size instead of
+    * sampling everyone) and emit each trained centroid's full-corpus
+    * member count plus its 6-decimal self-dot fingerprint. The oracle
+    * recomputes the sample membership (shared md5-prefix hash), renames
+    * ids, replays the seeded 2-pass Lloyd ([[Quantizer
+    * .centroidTrainCtes]] pointed at the sample CTE), and re-derives
+    * the same assignment — so sampling, seeding, training AND final
+    * assignment are all value-gated, not just row-counted.
+    */
+  val scaledIvfBuild = Q(
+    "q160_scaled_ivf_build",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |prm AS (SELECT GREATEST(1, COUNT(*) // 64) AS m FROM e),
+      |samp AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS vec_id, v
+      |  FROM e, prm
+      |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT % m = 0),
+      |${Quantizer.centroidTrainCtes(32, "samp")},
+      |cents AS (SELECT cid, cv FROM ${Quantizer.centFinal}),
+      |asg AS (
+      |  SELECT e.vec_id, cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ROUND(list_dot_product(v,v) - 2*list_dot_product(v,cv)
+      |        + list_dot_product(cv,cv), 6), cid) AS rn
+      |  FROM e CROSS JOIN cents QUALIFY rn = 1),
+      |cnt AS (SELECT cid, COUNT(*) AS n FROM asg GROUP BY cid)
+      |SELECT c.cid, CAST(COALESCE(n, 0) AS BIGINT) AS n_members,
+      |  ROUND(list_dot_product(cv, cv), 6) AS cnorm
+      |FROM cents c LEFT JOIN cnt USING (cid)
+      |ORDER BY cid""".stripMargin) { (s, d) =>
+    graft.functions.DotProduct.register(s)
+    val e = graft.Tables.embeddings(s, d).select(col("vec_id"),
+      graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    val cents = scaledSampleCentroids(e, nLists = 32, perList = 2L)
+    val counts = Quantizer.assignFull(e, cents)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    cents.join(counts, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("n"), lit(0L)).as("n_members"),
+        round(expr("graft_dot(cv, cv)"), 6).as("cnorm"))
+      .orderBy(col("cid"))
+  }
+
+  def specs: Seq[Q] = Seq(scaledIvfBuild)
 }

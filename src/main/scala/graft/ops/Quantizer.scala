@@ -54,7 +54,7 @@ object Quantizer {
     * aggregate collapses k candidate rows to 1 before the shuffle
     * (q80's plan shape).
     */
-  private def assignFull(e: DataFrame, cent: DataFrame): DataFrame = {
+  private[ops] def assignFull(e: DataFrame, cent: DataFrame): DataFrame = {
     val eVv = e.withColumn("vv", expr("graft_dot(v, v)"))
     eVv.crossJoin(broadcast(cent.withColumn("cc", expr("graft_dot(cv, cv)"))))
       .select(col("vec_id"), col("v"),
@@ -144,19 +144,22 @@ object Quantizer {
     s"ROUND(list_dot_product($x,$x) - 2*list_dot_product($x,$c) + list_dot_product($c,$c), 6)"
 
   /** DuckDB CTE chain training the coarse centroids from a prior CTE
-    * `e(vec_id, v)`. Emits `ic0 … ic$Iters`; the trained table is
-    * `ic$Iters(cid, cv)`. Same dataflow as [[ivfCentroids]].
+    * `src(vec_id, v)` (default `e`; q160 trains from its `samp` CTE —
+    * the source is aliased `e` inside the chain, so the emitted text is
+    * identical dataflow either way). Emits `ic0 … ic$Iters`; the
+    * trained table is `ic$Iters(cid, cv)`. Same dataflow as
+    * [[ivfCentroids]].
     */
-  def centroidTrainCtes(k: Int): String = {
-    val seed = s"ic0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < $k)"
+  def centroidTrainCtes(k: Int, src: String = "e"): String = {
+    val seed = s"ic0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM $src WHERE vec_id < $k)"
     val iters = (1 to Iters).map { i =>
       s"""ia$i AS (
          |  SELECT e.vec_id, cid,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${l2Sql("v", "cv")}, cid) AS rn
-         |  FROM e CROSS JOIN ic${i - 1} QUALIFY rn = 1),
+         |  FROM $src e CROSS JOIN ic${i - 1} QUALIFY rn = 1),
          |im$i AS (
          |  SELECT a.cid, u.dim, CAST(SUM(CAST(u.val AS DECIMAL(20,10))) AS DOUBLE)/COUNT(*) AS cval
-         |  FROM ia$i a JOIN e USING (vec_id),
+         |  FROM ia$i a JOIN $src e USING (vec_id),
          |    LATERAL (SELECT unnest(e.v) AS val, generate_subscripts(e.v,1) AS dim) u
          |  GROUP BY a.cid, u.dim),
          |ic$i AS (SELECT cid, list(cval ORDER BY dim) AS cv FROM im$i GROUP BY cid)""".stripMargin

@@ -30,7 +30,7 @@ object Advanced15 {
     * builder [[LmModel.modelTables]] — a smoothing edit is one edit
     * per engine, not three.
     */
-  private def lmOracleCore(corpusSql: String): String =
+  private[ops] def lmOracleCore(corpusSql: String): String =
     s"""cx AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
       |         generate_subscripts(string_split(text,' '), 1) AS pos
       |       FROM $corpusSql),
@@ -271,7 +271,7 @@ object Advanced15 {
     * features go negative, so the short non-negative form is WRONG here;
     * see the Det scaladoc).
     */
-  private def hudSql(num: String, den: String): String =
+  private[ops] def hudSql(num: String, den: String): String =
     s"((2*($num) + CASE WHEN ($num) < 0 THEN -($den) ELSE ($den) END) // (2*($den)))"
 
   /** Trainable linear quality classifier — the FineWeb-Edu distillation

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -90,4 +91,88 @@ object IngestionGate {
     */
   def accepted(s: SparkSession, cfg: Config): DataFrame =
     s.read.parquet(cfg.acceptedDir).dropDuplicates("doc_id")
+
+  /** The COMPOSED admission decision under the hard gate — q153 (dedup
+    * serve join) and q159 (LM serve join) gate the stages separately;
+    * this gates their composition: the arriving delta (doc_id ≥ 400)
+    * against the existing corpus (doc_id < 400), admitted iff no
+    * corpus near-dup at est_jaccard ≥ 0.5 AND LM mean ≥ 32000 ppm (a
+    * threshold chosen to actually split sf0.01's delta — 9 docs fail
+    * the dup check and the sub-median half fails the score check, so
+    * BOTH rejection branches carry oracle coverage;
+    * IngestionGateSpec pins the persisted [[decide]] bit-identical to
+    * this live form on the same split). The oracle replays the full
+    * composition: MinHash/LSH banding + hot-bucket cap + candidate
+    * verification on one side, LM training + interpolated scoring with
+    * unigram backoff on the other, then the admit filter.
+    */
+  val composedDecide = Q(
+    "q161_ingestion_gate_decide",
+    (TextOps.lshOracleSql() +
+      """,
+      |corpusb AS (SELECT doc_id, b, s1, s2 FROM bands WHERE doc_id < 400),
+      |""" + LshGuard.capCteSql("ccap", "corpusb",
+        Seq("doc_id", "b", "s1", "s2"), Seq("b", "s1", "s2"), "doc_id") +
+      """,
+      |batchb AS (SELECT doc_id, b, s1, s2 FROM bands WHERE doc_id >= 400),
+      |cand AS (
+      |  SELECT DISTINCT q.doc_id AS batch_id, c.doc_id AS corpus_id
+      |  FROM batchb q JOIN ccap c
+      |    ON q.b = c.b AND q.s1 = c.s1 AND q.s2 = c.s2),
+      |dup AS (
+      |  SELECT DISTINCT batch_id AS doc_id FROM cand
+      |  JOIN sigs sa ON sa.doc_id = batch_id
+      |  JOIN sigs sb ON sb.doc_id = corpus_id
+      |  WHERE ROUND(list_sum(list_transform(range(1, 17),
+      |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0, 6) >= 0.5),
+      |""" + Advanced15.lmOracleCore(
+        "(SELECT doc_id, text FROM documents WHERE doc_id < 400)") +
+      s""",
+      |bx AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '), 1) AS pos
+      |       FROM documents WHERE doc_id >= 400),
+      |bbg AS (SELECT doc_id, tok AS w1,
+      |          lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM bx),
+      |sc AS (SELECT g.doc_id,
+      |         CASE WHEN e.p_cond IS NOT NULL
+      |              THEN ${Advanced15.hudSql("9 * e.p_cond + e.p_uni", "10")}
+      |              ELSE ${Advanced15.hudSql(
+                       s"COALESCE(${Advanced15.hudSql("u2b.c * 1000000", "t0.n")}, 0)", "10")}
+      |         END AS s
+      |       FROM bbg g
+      |       LEFT JOIN bie e ON e.w1 = g.w1 AND e.w2 = g.w2
+      |       LEFT JOIN uni u2b ON u2b.w = g.w2
+      |       CROSS JOIN tot t0
+      |       WHERE g.w2 IS NOT NULL),
+      |scored AS (
+      |  SELECT doc_id, CAST((2 * SUM(s) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_ppm
+      |  FROM sc GROUP BY doc_id)
+      |SELECT doc_id, mean_ppm FROM scored
+      |WHERE mean_ppm >= 32000 AND doc_id NOT IN (SELECT doc_id FROM dup)
+      |ORDER BY doc_id""").stripMargin) { (s, d) =>
+    val sigs = TextOps.minhashSigs(s, d)
+    val corpusSigs = sigs.filter(col("doc_id") < 400)
+    val batchSigs = sigs.filter(col("doc_id") >= 400)
+    val pairs = DedupIndex.candidatePairs(s,
+      TextOps.bandsOf(corpusSigs), TextOps.bandsOf(batchSigs))
+    val agree = (1 to 16).map { i =>
+      when(element_at(col("sa.sig"), i) === element_at(col("sb.sig"), i), 1).otherwise(0)
+    }.reduce(_ + _)
+    val dup = pairs
+      .join(sigs.as("sa"), col("batch_id") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("corpus_id") === col("sb.doc_id"))
+      .select(col("batch_id").as("doc_id"), round(agree / lit(16.0), 6).as("est"))
+      .filter(col("est") >= 0.5)
+      .select(col("doc_id")).distinct()
+    val docs = Tables.documents(s, d)
+    val (bie, uni, tot) = LmModel.modelTables(docs.filter(col("doc_id") < 400))
+    LmModel.scoreAgainst(bie, LmModel.unigramP(uni, tot),
+        docs.filter(col("doc_id") >= 400))
+      .filter(col("mean_ppm") >= 32000L)
+      .join(dup, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("mean_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  def specs: Seq[Q] = Seq(composedDecide)
 }

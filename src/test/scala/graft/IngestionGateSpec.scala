@@ -39,6 +39,34 @@ class IngestionGateSpec extends SparkSuite {
       .filter(col("doc_id") >= 9000L)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
 
+  test("persisted decide() is id-identical to the live q161 form, and both rejection branches fire") {
+    val base = Files.createTempDirectory("graft-gate-q161").toString
+    DedupIndex.write(spark, corpus, s"$base/dix")
+    LmModel.write(spark, corpus, s"$base/lm")
+    val cfg = IngestionGate.Config(s"$base/dix", s"$base/lm", s"$base/acc",
+      maxJaccard = 0.5, minMeanPpm = 32000L)
+    val delta = Tables.documents(spark, sf0001).filter(col("doc_id") >= 400)
+    val served = IngestionGate.decide(spark, cfg, delta)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val live = IngestionGate.composedDecide.run(spark, sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(served == live,
+      s"persisted gate diverged from the registered q161: ${served -- live} / ${live -- served}")
+    // the gate's oracle coverage is only real while BOTH branches bite:
+    // some delta docs must fail each check at this SF — if a testdata
+    // regeneration collapses either set, q161 silently degrades to a
+    // single-stage gate and this pin fails loudly
+    val deltaIds = delta.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val rejected = deltaIds -- live
+    assert(rejected.nonEmpty, "no delta doc is rejected — the gate filters nothing")
+    val dupRejected = ops.DedupIndex.queryBatch(spark, s"$base/dix", delta)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("batch_id")).collect().map(_.getLong(0)).toSet
+    assert(dupRejected.nonEmpty, "dup branch fires on no delta doc")
+    val lmRejected = rejected -- dupRejected
+    assert(lmRejected.nonEmpty, "LM branch fires on no delta doc")
+  }
+
   test("streaming gate equals the batch pipeline and every crafted rejection fires") {
     val base = Files.createTempDirectory("graft-gate").toString
     val sCfg = buildSide(base, "s") // driven by foreachBatch

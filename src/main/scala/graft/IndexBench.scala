@@ -107,6 +107,16 @@ object IndexBench {
       ops.LmModel.scoreBatch(spark, s"$tmp/lm", probe100).count()
     }
 
+    // Persisted quality classifier: batch scoring latency. The model is
+    // one row inlined as literals, so scoring is a pure projection —
+    // the floor any serve path in this family can hit.
+    t0 = System.nanoTime()
+    ops.QualityModel.write(spark, docs, s"$tmp/qm")
+    println(f"IXBENCH quality_train                ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    timed("quality_score_100docs") {
+      ops.QualityModel.scoreBatch(spark, s"$tmp/qm", probe100).count()
+    }
+
     // Composed ingestion gate (dedup-check -> LM-score): the decision
     // latency an intake stream pays per micro-batch, against the
     // indexes built above. decide() is pure (no appends), so repeated

@@ -372,8 +372,76 @@ object Advanced15 {
           col("tp") + col("fp") + col("tn") + col("fn")).as("acc_ppm"))
   }
 
-  private def hudL(num: Long, den: Long): Long =
+  private[ops] def hudL(num: Long, den: Long): Long =
     (2 * num + (if (num < 0) -den else den)) / (2 * den)
+
+  /** Raw quality features from (doc_id, text) — batch-generic: n_chars
+    * derives from `length(text)` (equal to the documents table's
+    * `n_chars` column at every SF, so the oracle's column-based form is
+    * value-identical) and `extra` columns are carried through. ONE
+    * definition shared by q157/q158's trainer and the persisted
+    * [[QualityModel]], so the feature recipe cannot fork between the
+    * gated queries and the serve path.
+    */
+  private[ops] def lqcRawFeatures(docs: org.apache.spark.sql.DataFrame,
+      extra: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val micro = 1000000L
+    val nToks = size(split(col("text"), " ")).cast("long")
+    val nChars = length(col("text")).cast("long")
+    docs.select(Seq(col("doc_id")) ++ extra.map(col) ++ Seq(
+      when(nChars > 300, micro).otherwise(0L).as("y"),
+      least(lit(micro), Det.halfUpDiv(nToks * micro, lit(100L))).as("r1"),
+      least(lit(micro), Det.halfUpDiv(
+        size(array_distinct(split(col("text"), " "))).cast("long") * micro,
+        lit(60L))).as("r2"),
+      least(lit(micro), Det.halfUpDiv(nChars * micro, lit(8L) * nToks)).as("r3")): _*)
+  }
+
+  /** Exact integer feature means over a raw feature table: (n, mus). */
+  private[ops] def lqcMeans(raw: org.apache.spark.sql.DataFrame): (Long, Array[Long]) = {
+    val Array(nL, s1, s2c, s3c) = raw
+      .agg(count(lit(1)), sum(col("r1")), sum(col("r2")), sum(col("r3")))
+      .collect()(0).toSeq.map(v => v.toString.toLong).toArray
+    (nL, Array(hudL(s1, nL), hudL(s2c, nL), hudL(s3c, nL)))
+  }
+
+  /** The 3-step hard-sigmoid gradient descent over a centered feature
+    * table `x(f1, f2, f3, y)` — each step ONE partial-agg'd scan
+    * collecting 4 longs (the Lloyd-trainer bounded-read pattern).
+    * Returns (w1, w2, w3, bias) in micro-units. ONE definition behind
+    * q157/q158 and the persisted [[QualityModel]].
+    */
+  private[ops] def lqcTrain(x: org.apache.spark.sql.DataFrame, nL: Long): Array[Long] = {
+    val micro = 1000000L
+    var w = Array(0L, 0L, 0L, 0L) // w1, w2, w3, bias — micro-units
+    for (_ <- 1 to 3) {
+      val zc = Det.halfUpDiv(
+        lit(w(0)) * col("f1") + lit(w(1)) * col("f2") + lit(w(2)) * col("f3") +
+          lit(w(3)) * micro, lit(micro))
+      val sg = least(lit(micro), greatest(lit(0L),
+        Det.halfUpDiv(zc + lit(2000000L), lit(4L))))
+      val err = (sg - col("y")).as("err")
+      val g = x.select(col("f1"), col("f2"), col("f3"), err)
+        .agg(sum(Det.halfUpDiv(col("err") * col("f1"), lit(micro))),
+          sum(Det.halfUpDiv(col("err") * col("f2"), lit(micro))),
+          sum(Det.halfUpDiv(col("err") * col("f3"), lit(micro))),
+          sum(col("err")))
+        .collect()(0).toSeq.map(v => v.toString.toLong).toArray
+      w = w.zip(g).map { case (wi, gi) => wi - 4 * hudL(gi, nL) }
+    }
+    w
+  }
+
+  /** The clamped hard-sigmoid score (ppm) from centered features under
+    * weights `w` — the serving arithmetic of the q157/q158 family.
+    */
+  private[ops] def lqcSig(w: Array[Long]): org.apache.spark.sql.Column = {
+    val micro = 1000000L
+    val z = Det.halfUpDiv(
+      lit(w(0)) * col("f1") + lit(w(1)) * col("f2") + lit(w(2)) * col("f3") +
+        lit(w(3)) * micro, lit(micro))
+    least(lit(micro), greatest(lit(0L), Det.halfUpDiv(z + lit(2000000L), lit(4L))))
+  }
 
   /** Centered feature table (session-shared; one flat projection,
     * materialized once) and the trained weight vector — computed once
@@ -386,43 +454,17 @@ object Advanced15 {
     */
   private def trainedModel(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, Array[Long]) = {
-    val micro = 1000000L
     val x = graft.Shared.materialized(s, s"lqc-centered@$d") {
-      val nToks = size(split(col("text"), " ")).cast("long")
-      val raw = Tables.documents(s, d).select(col("doc_id"), col("source"),
-        when(col("n_chars") > 300, micro).otherwise(0L).as("y"),
-        least(lit(micro), Det.halfUpDiv(nToks * micro, lit(100L))).as("r1"),
-        least(lit(micro), Det.halfUpDiv(
-          size(array_distinct(split(col("text"), " "))).cast("long") * micro,
-          lit(60L))).as("r2"),
-        least(lit(micro), Det.halfUpDiv(col("n_chars") * micro, lit(8L) * nToks)).as("r3"))
+      val raw = lqcRawFeatures(Tables.documents(s, d), Seq("source"))
         .localCheckpoint()
-      val Array(nL, s1, s2c, s3c) = raw
-        .agg(count(lit(1)), sum(col("r1")), sum(col("r2")), sum(col("r3")))
-        .collect()(0).toSeq.map(v => v.toString.toLong).toArray
-      val mus = Array(hudL(s1, nL), hudL(s2c, nL), hudL(s3c, nL))
+      val (nL, mus) = lqcMeans(raw)
       raw.select(col("doc_id"), col("source"), col("y"), lit(nL).as("n"),
         (col("r1") - mus(0)).as("f1"), (col("r2") - mus(1)).as("f2"),
         (col("r3") - mus(2)).as("f3"))
     }
     val wDf = graft.Shared.materialized(s, s"lqc-weights@$d") {
       val nL = x.select(col("n")).limit(1).collect()(0).getLong(0)
-      var w = Array(0L, 0L, 0L, 0L) // w1, w2, w3, bias — micro-units
-      for (_ <- 1 to 3) {
-        val zc = Det.halfUpDiv(
-          lit(w(0)) * col("f1") + lit(w(1)) * col("f2") + lit(w(2)) * col("f3") +
-            lit(w(3)) * micro, lit(micro))
-        val sg = least(lit(micro), greatest(lit(0L),
-          Det.halfUpDiv(zc + lit(2000000L), lit(4L))))
-        val err = (sg - col("y")).as("err")
-        val g = x.select(col("f1"), col("f2"), col("f3"), err)
-          .agg(sum(Det.halfUpDiv(col("err") * col("f1"), lit(micro))),
-            sum(Det.halfUpDiv(col("err") * col("f2"), lit(micro))),
-            sum(Det.halfUpDiv(col("err") * col("f3"), lit(micro))),
-            sum(col("err")))
-          .collect()(0).toSeq.map(v => v.toString.toLong).toArray
-        w = w.zip(g).map { case (wi, gi) => wi - 4 * hudL(gi, nL) }
-      }
+      val w = lqcTrain(x, nL)
       import s.implicits._
       Seq((w(0), w(1), w(2), w(3))).toDF("w1", "w2", "w3", "wb")
     }

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.{Advanced15, QualityModel}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The persisted quality classifier serves q158's exact decisions on
+  * the training corpus, scores new batches independently of their
+  * batch-mates (training-mean centering), and its keep decision is
+  * deterministic.
+  */
+class QualityModelSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_quality_model").toString
+    QualityModel.write(spark, Tables.documents(spark, sf0001), d)
+    d
+  }
+
+  test("persisted scoreBatch reproduces the live q158 per-source funnel bit-identically") {
+    val docs = Tables.documents(spark, sf0001)
+    val served = QualityModel.scoreBatch(spark, dir, docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        Det.halfUpDiv(sum(col("score_ppm")), count(lit(1))).as("mean_score_ppm"),
+        count(when(col("keep"), 1)).as("n_sampled"))
+      .orderBy(col("source"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val live = Advanced15.qualityWeightedSample.run(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(served.nonEmpty && served.sameElements(live),
+      s"persisted funnel diverged:\n got ${served.toSeq}\nwant ${live.toSeq}")
+  }
+
+  test("a document's score is batch-composition-independent (training-mean centering)") {
+    val doc = Seq((9400001L, Array.fill(40)("spark table query data").mkString(" ")))
+      .toDF("doc_id", "text")
+    val alone = QualityModel.scoreBatch(spark, dir, doc)
+      .collect()(0).getAs[Long]("score_ppm")
+    val crowd = Seq.tabulate(50)(i => (9500000L + i, "tiny")).toDF("doc_id", "text")
+    val together = QualityModel.scoreBatch(spark, dir, doc.unionAll(crowd))
+      .filter(col("doc_id") === 9400001L).collect()(0).getAs[Long]("score_ppm")
+    assert(alone == together,
+      s"score moved with batch composition: $alone vs $together — centering leaked onto the batch")
+  }
+
+  test("the learned model separates long from short documents and keep is deterministic") {
+    val batch = Seq(
+      (9600001L, Array.fill(40)("spark table query data").mkString(" ")), // long, high quality label
+      (9600002L, "tiny doc")                                              // short
+    ).toDF("doc_id", "text")
+    val got = QualityModel.scoreBatch(spark, dir, batch)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(9600001L)._1 > got(9600002L)._1,
+      s"long doc did not outscore short doc: $got")
+    val again = QualityModel.scoreBatch(spark, dir, batch)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == again, "keep decision not deterministic across runs")
+  }
+}

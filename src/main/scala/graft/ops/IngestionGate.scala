@@ -4,15 +4,16 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The COMPOSED streaming ingestion gate — the three persisted-index
-  * serve paths chained the way a production corpus intake actually runs
-  * them: an arriving document batch is (1) near-dup-checked against the
-  * persisted [[DedupIndex]], (2) quality-scored against the persisted
-  * [[LmModel]], and (3) the survivors are appended to the dedup index
-  * (so the NEXT batch deduplicates against them) and landed in the
-  * accepted-corpus sink. The LM model stays frozen — a probability
-  * model is versioned per corpus release, not incrementally mutated
-  * (see [[LmModel]]'s object doc).
+/** The COMPOSED streaming ingestion gate — the persisted serve paths
+  * chained the way a production corpus intake actually runs them: an
+  * arriving document batch is (1) near-dup-checked against the
+  * persisted [[DedupIndex]], (2) LM-scored against the persisted
+  * [[LmModel]], (3) optionally classifier-scored against the persisted
+  * [[QualityModel]], and (4) the survivors are appended to the dedup
+  * index (so the NEXT batch deduplicates against them) and landed in
+  * the accepted-corpus sink. The LM and classifier models stay frozen —
+  * a probability model is versioned per corpus release, not
+  * incrementally mutated (see [[LmModel]]'s object doc).
   *
   * Every stage is O(batch + pruned index slice): the dedup check is the
   * band-bucket-pruned [[DedupIndex.queryBatch]], the score is the
@@ -37,11 +38,14 @@ import org.apache.spark.sql.functions._
   */
 object IngestionGate {
 
-  /** Gate configuration: the two persisted model locations, the
-    * accepted-corpus sink, and the admission thresholds.
+  /** Gate configuration: the persisted model locations, the
+    * accepted-corpus sink, and the admission thresholds. `qualityDir`
+    * adds the optional third stage — the persisted [[QualityModel]]
+    * classifier, admitting only docs scoring ≥ `minQualityPpm`.
     */
   case class Config(dedupDir: String, lmDir: String, acceptedDir: String,
-    maxJaccard: Double = 0.5, minMeanPpm: Long = 1L)
+    maxJaccard: Double = 0.5, minMeanPpm: Long = 1L,
+    qualityDir: Option[String] = None, minQualityPpm: Long = 500000L)
 
   /** The pure decision: which of `batch(doc_id, text)` would the gate
     * admit right now, against the CURRENT index state? No writes — this
@@ -49,7 +53,7 @@ object IngestionGate {
     * mutating [[gateBatch]] composes.
     */
   def decide(s: SparkSession, cfg: Config, batch: DataFrame): DataFrame = {
-    val b = batch.localCheckpoint(true) // batch-sized; read by both checks
+    val b = batch.localCheckpoint(true) // batch-sized; read by every check
     val dups = DedupIndex.queryBatch(s, cfg.dedupDir, b)
       .filter(col("est_jaccard") >= cfg.maxJaccard)
       .select(col("batch_id").as("doc_id")).distinct()
@@ -59,7 +63,15 @@ object IngestionGate {
     val passing = LmModel.scoreBatch(s, cfg.lmDir, novel)
       .filter(col("mean_ppm") >= cfg.minMeanPpm)
       .select(col("doc_id"))
-    novel.join(passing, Seq("doc_id"), "left_semi")
+    val lmAdmitted = novel.join(passing, Seq("doc_id"), "left_semi")
+    cfg.qualityDir.fold(lmAdmitted) { qd =>
+      // third stage: the persisted classifier — a joinless projection
+      // of the survivors, so the extra stage costs one batch pass
+      val good = QualityModel.scoreBatch(s, qd, lmAdmitted)
+        .filter(col("score_ppm") >= cfg.minQualityPpm)
+        .select(col("doc_id"))
+      lmAdmitted.join(good, Seq("doc_id"), "left_semi")
+    }
   }
 
   /** One full gate pass: decide, land the admitted documents in the

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{DedupIndex, IngestionGate, LmModel}
+import graft.ops.{DedupIndex, IngestionGate, LmModel, QualityModel}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
@@ -38,6 +38,27 @@ class IngestionGateSpec extends SparkSuite {
     spark.read.parquet(s"${cfg.dedupDir}/sigs")
       .filter(col("doc_id") >= 9000L)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+  test("the optional quality stage rejects low scorers that pass dedup and LM") {
+    val base = Files.createTempDirectory("graft-gate-q").toString
+    DedupIndex.write(spark, corpus, s"$base/dix")
+    LmModel.write(spark, corpus, s"$base/lm")
+    QualityModel.write(spark, corpus, s"$base/qm")
+    val cfg = IngestionGate.Config(s"$base/dix", s"$base/lm", s"$base/acc",
+      qualityDir = Some(s"$base/qm"))
+    val batch = Seq(
+      (9700001L, Array.fill(40)("spark table query data").mkString(" ")), // novel, in-vocab, long
+      (9700002L, "spark table") // novel, LM-scoreable, but a low-quality shred
+    ).toDF("doc_id", "text")
+    def ids(c: IngestionGate.Config) = IngestionGate.decide(spark, c, batch)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids(cfg) == Set(9700001L),
+      s"quality stage admitted the wrong set: ${ids(cfg)}")
+    // same batch with the stage disabled: both docs pass the first two
+    // stages — proof the rejection above came from the classifier alone
+    assert(ids(cfg.copy(qualityDir = None)) == Set(9700001L, 9700002L),
+      "baseline (no quality stage) admissions changed")
+  }
 
   test("persisted decide() is id-identical to the live q161 form, and both rejection branches fire") {
     val base = Files.createTempDirectory("graft-gate-q161").toString

@@ -102,6 +102,13 @@ class LmModelSpec extends SparkSuite {
     assert(!analyzed.toLowerCase.contains("hint"), analyzed.take(3000))
   }
 
+  test("a batch with no scoreable transitions (1-token docs) returns empty, not an error") {
+    // empty bucket discovery -> isin() over no values -> empty model
+    // slices -> empty result; the edge the bucket-pruned path added
+    val batch = Seq((9300001L, "spark"), (9300002L, "x")).toDF("doc_id", "text")
+    assert(LmModel.scoreBatch(spark, dir, batch).count() == 0L)
+  }
+
   test("ingestion gate shape: a garbage batch scores far below the corpus median") {
     val corpusScores = LmModel.scoreBatch(spark, dir, Tables.documents(spark, sf0001))
       .select(col("mean_ppm")).as[Long].collect().sorted

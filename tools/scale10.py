@@ -29,16 +29,20 @@ import sys
 
 import duckdb
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
+argv = sys.argv[1:]
+diversity = "--diversity" in argv
+only = None
+skip = set()
+for i, a in enumerate(argv):
+    if a == "--tables" and i + 1 < len(argv):
+        only = set(argv[i + 1].split(","))
+        skip.add(i + 1)
+    elif a.startswith("--tables="):
+        only = set(a.split("=", 1)[1].split(","))
+args = [a for i, a in enumerate(argv)
+        if not a.startswith("--") and i not in skip]
 src, dst = args[0], args[1]
 n = int(args[2]) if len(args) > 2 else 10
-diversity = "--diversity" in sys.argv
-only = None
-for a in sys.argv[1:]:
-    if a.startswith("--tables"):
-        only = set(a.split("=", 1)[1].split(",")) if "=" in a else None
-if only is None and "--tables" in sys.argv:
-    only = set(sys.argv[sys.argv.index("--tables") + 1].split(","))
 OFF = 100_000_000
 
 con = duckdb.connect()

@@ -132,6 +132,24 @@ object IndexBench {
     timed("gate_decide_100docs") {
       ops.IngestionGate.decide(spark, gateCfg, gateProbe).count()
     }
+
+    // Streaming-intake rehearsal: 10 sequential micro-batches through
+    // the MUTATING gate (decide + index append + sink). The contract
+    // under test is stability: per-batch cost must stay flat while the
+    // index absorbs each batch's admissions — batch 10 paying more than
+    // batch 1 would mean serve cost leaks corpus size.
+    val intake = docs.orderBy(col("doc_id")).limit(1000)
+      .withColumn("doc_id", col("doc_id") + 5000000L)
+      .withColumn("text", concat_ws(" ", reverse(split(col("text"), " "))))
+      .localCheckpoint()
+    val perBatch = (0 until 10).map { i =>
+      val batch = intake.filter(pmod(col("doc_id"), lit(10)) === i)
+      val t = System.nanoTime()
+      val n = ops.IngestionGate.gateBatch(spark, gateCfg, batch).count()
+      ((System.nanoTime() - t) / 1e9, n)
+    }
+    println(f"IXBENCH gate_ingest_10x100           first=${perBatch.head._1}%.3f s last=${perBatch.last._1}%.3f s " +
+      f"median=${perBatch.map(_._1).sorted.apply(5)}%.3f s admitted=${perBatch.map(_._2).sum}")
     spark.stop()
   }
 }

@@ -97,6 +97,16 @@ class DedupIndexSpec extends SparkSuite {
       .exists(_.getLong(0) == victim), "compact kept the deleted sig row")
   }
 
+  test("queryBatch reads only the batch's band buckets (partition filter reaches the scan)") {
+    val dir = Files.createTempDirectory("graft-dix-prune").toString
+    DedupIndex.write(spark, corpus, dir)
+    val batch = copies.orderBy(col("doc_id")).limit(3).localCheckpoint(true)
+    val plan = DedupIndex.queryBatch(spark, dir, batch)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bkt#"),
+      plan.take(3000))
+  }
+
   test("a long delete sequence auto-compacts: the ledger stays bounded without a manual compact") {
     val dir = Files.createTempDirectory("graft-dix-auto").toString
     DedupIndex.write(spark, corpus, dir)

@@ -16,6 +16,13 @@ Two content modes for the text-bearing tables:
                  duplicating. This is the axis the LM model tables, BPE
                  vocab and q103 source-overlap actually grow on — the
                  round-9 verdict's "vocab-sized at scale" rehearsal gap.
+                 Embedding vectors are likewise diversified: copy i
+                 rotates each vector's dimensions by i (mod 64) — an
+                 orthogonal transform, so WITHIN-copy geometry
+                 (norms, distances, cosines) is exactly preserved while
+                 cross-copy exact/near duplicates vanish, making the
+                 ANN/embedding-dedup rehearsals test genuinely distinct
+                 vectors instead of duplicate-heavy copies.
 
 --tables a,b,c limits generation to those tables; every other table is
 symlinked from the source dir (for documents-only 100x/1000x dirs that
@@ -85,6 +92,12 @@ for tbl, keys in SHIFTS.items():
                 return ("CASE WHEN i = 0 THEN text ELSE regexp_replace("
                         "text, '(\\S+)', '\\1~' || CAST(i AS VARCHAR), 'g') "
                         "END AS text")
+            if diversity and tbl == "embeddings" and c == "embedding":
+                # copy i rotates dimensions by i mod 64 — orthogonal, so
+                # within-copy geometry is preserved exactly
+                return ("CASE WHEN i % 64 = 0 THEN embedding ELSE "
+                        "embedding[(i % 64) + 1:] || embedding[:(i % 64)] "
+                        "END AS embedding")
             return c
         sel = ", ".join(expr(c) for c in cols)
         q = (f"SELECT {sel} FROM read_parquet('{src}/{tbl}.parquet'), "

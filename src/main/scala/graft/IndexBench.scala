@@ -56,6 +56,29 @@ object IndexBench {
       AnnIndex.search(spark, annS, queries, nprobe = 8, k = 10).count()
     }
 
+    // Recall at rehearsal scale: scaled-index IVF top-10 vs brute-force
+    // top-10 for the 16 probe queries. Latency rows can't see build
+    // quality — a degenerate quantizer (all vectors in one list) would
+    // stay fast; recall is the signal that the trained lists actually
+    // partition the space at this corpus.
+    {
+      graft.functions.CosineSim.register(spark)
+      import org.apache.spark.sql.expressions.Window
+      val wq = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+      val bfTop = queries.as("q").crossJoin(e.as("c"))
+        .filter(col("q.qid") =!= col("c.vec_id"))
+        .select(col("q.qid").as("qid"), col("c.vec_id").as("vec_id"),
+          expr("graft_cosine(q.v, c.v)").as("sim"))
+        .withColumn("rnk", row_number().over(wq))
+        .filter(col("rnk") <= 10)
+        .select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val annTop = AnnIndex.search(spark, annS, queries, nprobe = 8, k = 10)
+        .select(col("qid"), col("cand"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"IXBENCH annS_recall_at10             ${(annTop & bfTop).size.toDouble / bfTop.size}%.3f (nprobe=8, lists=${annS.centroids.count()})")
+    }
+
     t0 = System.nanoTime()
     TextIndex.write(spark, sfDir, s"$tmp/text")
     println(f"IXBENCH text_build                   ${(System.nanoTime() - t0) / 1e9}%.3f s")

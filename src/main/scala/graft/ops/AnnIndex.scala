@@ -95,18 +95,32 @@ object AnnIndex {
     * membership by the shared md5-prefix hash the split/sampling
     * queries use, so a DuckDB oracle computes the SAME sample) and pay
     * n·k once, at the final full-corpus assignment.
+    *
+    * The seed renumber (dense 0-based ids in vec_id order) runs as a
+    * DISTRIBUTED sort + `zipWithIndex`, not a global window: indices
+    * follow the total order alone — partition boundaries cannot change
+    * them — so the result is deterministic AND no single task ever
+    * holds the whole sample (at the 65536-list clamp the sample is
+    * ~3.3M vectors, past what a one-partition window should sort).
     */
   private[ops] def scaledSampleCentroids(e: DataFrame, nLists: Int,
       perList: Long): DataFrame = {
     val n = e.count()
     val mod = math.max(1L, n / (perList * nLists))
-    val sample = e
+    val sorted = e
       .filter(expr(
         "CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 7), 16, 10) AS BIGINT)")
         % mod === 0)
-      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1)
-        .cast("long").as("vec_id"), col("v"))
-      .localCheckpoint()
+      .select(col("vec_id"), col("v"))
+      .orderBy(col("vec_id"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      sorted.schema("v")))
+    val sample = e.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (row, i) =>
+        org.apache.spark.sql.Row(i, row.get(1))
+      }, schema).localCheckpoint()
     Quantizer.trainCentroids(sample, nLists, Quantizer.Iters)
   }
 

@@ -61,11 +61,12 @@ object IndexBench {
     // quality — a degenerate quantizer (all vectors in one list) would
     // stay fast; recall is the signal that the trained lists actually
     // partition the space at this corpus.
-    {
-      graft.functions.CosineSim.register(spark)
+    graft.functions.CosineSim.register(spark)
+    def bruteTop10(corpus: org.apache.spark.sql.DataFrame,
+        qs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
       import org.apache.spark.sql.expressions.Window
       val wq = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-      val bfTop = queries.as("q").crossJoin(e.as("c"))
+      qs.as("q").crossJoin(corpus.as("c"))
         .filter(col("q.qid") =!= col("c.vec_id"))
         .select(col("q.qid").as("qid"), col("c.vec_id").as("vec_id"),
           expr("graft_cosine(q.v, c.v)").as("sim"))
@@ -73,10 +74,69 @@ object IndexBench {
         .filter(col("rnk") <= 10)
         .select(col("qid"), col("vec_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val annTop = AnnIndex.search(spark, annS, queries, nprobe = 8, k = 10)
+    }
+    def recallAt10(ix: AnnIndex.Index, corpus: org.apache.spark.sql.DataFrame,
+        qs: org.apache.spark.sql.DataFrame): Double = {
+      val bfTop = bruteTop10(corpus, qs)
+      val annTop = AnnIndex.search(spark, ix, qs, nprobe = 8, k = 10)
         .select(col("qid"), col("cand"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      println(f"IXBENCH annS_recall_at10             ${(annTop & bfTop).size.toDouble / bfTop.size}%.3f (nprobe=8, lists=${annS.centroids.count()})")
+      (annTop & bfTop).size.toDouble / bfTop.size
+    }
+    println(f"IXBENCH annS_recall_at10             ${recallAt10(annS, e, queries)}%.3f (nprobe=8, lists=${annS.centroids.count()})")
+
+    // Planted-structure counterpoint: the row above measures the DATA's
+    // ceiling (this testdata is uniform random unit vectors, where any
+    // IVF degenerates to probed-fraction recall). Same corpus SIZE with
+    // 64 planted clusters (deterministic seeds), same build path, same
+    // measurement — high recall here is the quantizer's own evidence.
+    {
+      val nP = e.count().toInt
+      val seeded = new scala.util.Random(42)
+      val cents = Array.fill(64, 64)(seeded.nextGaussian())
+      val rows = (0 until nP).map { i =>
+        val c = cents(i % 64)
+        val r = new scala.util.Random(i + 1000)
+        val v = c.map(_ + r.nextGaussian() * 0.35)
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        (i.toLong, v.map(x => (x / nrm).toFloat))
+      }
+      import spark.implicits._
+      rows.toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$tmp/planted/embeddings.parquet")
+      AnnIndex.writeScaled(spark, s"$tmp/planted", s"$tmp/annP")
+      val annP = AnnIndex.load(spark, s"$tmp/annP")
+      val eP = Tables.embeddings(spark, s"$tmp/planted")
+        .select(col("vec_id"), functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+        .localCheckpoint()
+      val qP = eP.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("v")).localCheckpoint()
+      // (a) list quality: how much of the ADC top-10 lands in the
+      // query's true cluster (vec_id ≡ qid mod 64)? This is what the
+      // trained inverted lists control.
+      val adcTop = AnnIndex.search(spark, annP, qP, nprobe = 8, k = 10)
+        .select(col("qid"), col("cand")).collect()
+      val contain = adcTop.count(r => r.getLong(1) % 64 == r.getLong(0) % 64)
+        .toDouble / adcTop.length
+      // (b) end-to-end quality through q143's production read path: ADC
+      // shortlist k=100, EXACT cosine re-rank, top-10 vs brute force.
+      // Within a tight cluster every member is near-equidistant, so raw
+      // ADC order is PQ-resolution-limited by construction — the
+      // re-rank is the read path that resolves it.
+      import org.apache.spark.sql.expressions.Window
+      val shortlist = AnnIndex.search(spark, annP, qP, nprobe = 8, k = 400)
+        .select(col("qid"), col("cand"))
+      val wr = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cand"))
+      val rerTop = shortlist
+        .join(eP.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+        .join(eP.select(col("vec_id").as("cand"), col("v").as("cv")), Seq("cand"))
+        .select(col("qid"), col("cand"), expr("graft_cosine(qv, cv)").as("sim"))
+        .withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= 10)
+        .select(col("qid"), col("cand"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bfP = bruteTop10(eP, qP)
+      println(f"IXBENCH annP_planted_cluster_containment ${contain}%.3f (nprobe=8, lists=${annP.centroids.count()})")
+      println(f"IXBENCH annP_planted_rerank_recall10 ${(rerTop & bfP).size.toDouble / bfP.size}%.3f (shortlist=400 > cluster size)")
     }
 
     t0 = System.nanoTime()

@@ -295,8 +295,8 @@ object Advanced15 {
     * the learned weights as literals. Learned check: accuracy lands
     * ~96% against a ~50% class prior (Advanced15Spec).
     */
-  private val ZSql = hudSql("w1*f1 + w2*f2 + w3*f3 + wb*1000000", "1000000")
-  private val SigSql =
+  private[ops] val ZSql = hudSql("w1*f1 + w2*f2 + w3*f3 + wb*1000000", "1000000")
+  private[ops] val SigSql =
     s"LEAST(1000000, GREATEST(0, ${hudSql(s"($ZSql) + 2000000", "4")}))"
 
   /** The shared oracle prefix of the q157/q158 family: feature
@@ -306,10 +306,16 @@ object Advanced15 {
     * the sampling tail). ONE definition so the two oracles cannot
     * desynchronize their training replays.
     */
-  private def lqcOraclePrefix: String = {
-    val f1raw = hudSql("CAST(len(string_split(text,' ')) AS BIGINT) * 1000000", "100")
-    val f2raw = hudSql("CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) * 1000000", "60")
-    val f3raw = hudSql("n_chars * 1000000", "8 * CAST(len(string_split(text,' ')) AS BIGINT)")
+  /** The three raw-feature SQL expressions (ppm, uncentered) — shared
+    * by [[lqcOraclePrefix]] and q162's delta-side feature CTE.
+    */
+  private[ops] def lqcRawSql: (String, String, String) = (
+    s"LEAST(1000000, ${hudSql("CAST(len(string_split(text,' ')) AS BIGINT) * 1000000", "100")})",
+    s"LEAST(1000000, ${hudSql("CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) * 1000000", "60")})",
+    s"LEAST(1000000, ${hudSql("n_chars * 1000000", "8 * CAST(len(string_split(text,' ')) AS BIGINT)")})")
+
+  private[ops] def lqcOraclePrefix(corpusSql: String = "documents"): String = {
+    val (r1s, r2s, r3s) = lqcRawSql
     def gradStep(prev: String, errTbl: String): String =
       s"""(SELECT
          |  MAX(w1) - 4 * ${hudSql(s"CAST(SUM(${hudSql("err * f1", "1000000")}) AS BIGINT)", "n")} AS w1,
@@ -319,10 +325,10 @@ object Advanced15 {
          | FROM $errTbl CROSS JOIN $prev CROSS JOIN n0 GROUP BY n)""".stripMargin
     s"""WITH raw AS (
       |  SELECT doc_id, source, CASE WHEN n_chars > 300 THEN 1000000 ELSE 0 END AS y,
-      |    LEAST(1000000, $f1raw) AS r1,
-      |    LEAST(1000000, $f2raw) AS r2,
-      |    LEAST(1000000, $f3raw) AS r3
-      |  FROM documents),
+      |    $r1s AS r1,
+      |    $r2s AS r2,
+      |    $r3s AS r3
+      |  FROM $corpusSql),
       |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM raw),
       |mu AS (SELECT ${hudSql("CAST(SUM(r1) AS BIGINT)", "n")} AS m1,
       |        ${hudSql("CAST(SUM(r2) AS BIGINT)", "n")} AS m2,
@@ -342,7 +348,7 @@ object Advanced15 {
 
   val linearQualityClassifier = Q(
     "q157_linear_quality_classifier",
-    (lqcOraclePrefix +
+    (lqcOraclePrefix() +
       s""",
         |p AS (SELECT y, CASE WHEN ($ZSql) > 0 THEN 1 ELSE 0 END AS pred
         |      FROM x CROSS JOIN w3t)
@@ -487,7 +493,7 @@ object Advanced15 {
     */
   val qualityWeightedSample = Q(
     "q158_quality_weighted_sample",
-    (lqcOraclePrefix +
+    (lqcOraclePrefix() +
       s""",
         |sc AS (SELECT doc_id, source, ($SigSql) AS sig,
         |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 7))::BIGINT

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.Det
+import graft.{Det, Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -77,4 +77,58 @@ object QualityModel {
         (col("hv") < Det.halfUpDiv(col("score_ppm"), lit(2L))).as("keep"))
       .orderBy(col("doc_id"))
   }
+
+  /** The persisted-classifier SERVE semantics under the hard gate —
+    * q159/q153's pattern for the quality model: train on the existing
+    * corpus (doc_id < 400), score the arriving delta (doc_id ≥ 400)
+    * with the TRAINING means and weights, emit q158's keep decision.
+    * This puts the training-mean centering — the property that makes a
+    * served score batch-composition-independent — inside the oracle:
+    * the oracle centers the delta's raw features with `mu` computed
+    * over the TRAINING corpus only, exactly as [[scoreBatch]] does with
+    * the persisted means. QualityModelSpec pins a write + scoreBatch
+    * roundtrip bit-identical to this live form.
+    */
+  val incrementalQualityScore = Q(
+    "q162_incremental_quality_score",
+    (Advanced15.lqcOraclePrefix(
+      "(SELECT * FROM documents WHERE doc_id < 400)") + {
+      val (r1s, r2s, r3s) = Advanced15.lqcRawSql
+      s""",
+      |braw AS (
+      |  SELECT doc_id,
+      |    $r1s AS r1,
+      |    $r2s AS r2,
+      |    $r3s AS r3
+      |  FROM documents WHERE doc_id >= 400),
+      |bx AS (SELECT doc_id, r1 - m1 AS f1, r2 - m2 AS f2, r3 - m3 AS f3
+      |       FROM braw CROSS JOIN mu),
+      |scj AS (SELECT doc_id, (${Advanced15.SigSql}) AS score_ppm,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 7))::BIGINT
+      |           % 1000000 AS hv
+      |        FROM bx CROSS JOIN w3t)
+      |SELECT doc_id, CAST(score_ppm AS BIGINT) AS score_ppm,
+      |  hv < ${Advanced15.hudSql("score_ppm", "2")} AS keep
+      |FROM scj ORDER BY doc_id""" }).stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val raw = Advanced15.lqcRawFeatures(docs.filter(col("doc_id") < 400))
+      .localCheckpoint()
+    val (nL, mus) = Advanced15.lqcMeans(raw)
+    val x = raw.select(col("y"),
+      (col("r1") - mus(0)).as("f1"), (col("r2") - mus(1)).as("f2"),
+      (col("r3") - mus(2)).as("f3"))
+    val w = Advanced15.lqcTrain(x, nL)
+    Advanced15.lqcRawFeatures(docs.filter(col("doc_id") >= 400))
+      .select(col("doc_id"),
+        (col("r1") - mus(0)).as("f1"), (col("r2") - mus(1)).as("f2"),
+        (col("r3") - mus(2)).as("f3"))
+      .select(col("doc_id"), Advanced15.lqcSig(w).as("score_ppm"),
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 25, 7), 16, 10) AS BIGINT) % 1000000")
+          .as("hv"))
+      .select(col("doc_id"), col("score_ppm"),
+        (col("hv") < Det.halfUpDiv(col("score_ppm"), lit(2L))).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  def specs: Seq[Q] = Seq(incrementalQualityScore)
 }

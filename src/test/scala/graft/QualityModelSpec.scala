@@ -34,6 +34,18 @@ class QualityModelSpec extends SparkSuite {
       s"persisted funnel diverged:\n got ${served.toSeq}\nwant ${live.toSeq}")
   }
 
+  test("q162 (live incremental scoring) is bit-identical to a persisted write + scoreBatch roundtrip") {
+    val docs = Tables.documents(spark, sf0001)
+    val live = QualityModel.incrementalQualityScore.run(spark, sf0001)
+      .collect().toSeq
+    val d2 = Files.createTempDirectory("graft_qm_rt").toString
+    QualityModel.write(spark, docs.filter(col("doc_id") < 400), d2)
+    val served = QualityModel.scoreBatch(spark, d2, docs.filter(col("doc_id") >= 400))
+      .collect().toSeq
+    assert(live.nonEmpty && live == served,
+      s"persisted roundtrip diverged from q162: ${live.size} vs ${served.size} rows")
+  }
+
   test("a document's score is batch-composition-independent (training-mean centering)") {
     val doc = Seq((9400001L, Array.fill(40)("spark table query data").mkString(" ")))
       .toDF("doc_id", "text")

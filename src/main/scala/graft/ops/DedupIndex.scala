@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   *
   * Index layout under `dir` (plain parquet):
   *  - `bands/` (doc_id, b, s1, s2), partitioned by `bkt =
-  *    pmod(xxhash64(b, s1, s2), 64)` — the LSH bucket table. Serve-time
+  *    pmod(xxhash64(b, s1, s2), buckets)` with a CORPUS-SIZED bucket
+  *    count (n/[[DocsPerBucket]] clamped to [64, 4096], persisted in
+  *    `meta/` — [[bucketsFor]]) — the LSH bucket table. Serve-time
   *    batches name their band signatures, so bucketing turns the band
   *    equi-join into PARTITION pruning: a small batch (the interactive
-  *    "is this document a near-dup?" case) opens ≤ 8·|batch| of the 64
-  *    directories, never the whole table.
+  *    "is this document a near-dup?" case) opens ≤ 8·|batch| of the
+  *    directories, each bounded at ~tens of MB, never the whole table.
   *  - `sigs/`  (doc_id, sig: array of 16 longs) — for the estimated-
   *    Jaccard verification of candidates, and [[append]]'s done-marker.
   *  - `tombstones/` (doc_id) — [[delete]]'s O(batch) ledger, folded in
@@ -48,21 +50,61 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
-  case class Index(bands: DataFrame, sigs: DataFrame)
+  case class Index(bands: DataFrame, sigs: DataFrame, buckets: Int)
 
-  /** Band-bucket partition count (same rationale as
-    * [[TextIndex.Buckets]]: coarse enough for corpus-scale files, fine
-    * enough that a small batch prunes to a fraction of the table).
+  /** Bucket-count floor, and the assumed count for layouts written
+    * before the count was persisted (rounds ≤ 10 always wrote 64).
     */
-  private[graft] val Buckets = 64
+  private[graft] val DefaultBuckets = 64
 
-  private def bktCol: Column =
-    pmod(xxhash64(col("b"), col("s1"), col("s2")), lit(Buckets.toLong)).cast("int")
+  /** Target documents per band bucket: ~160k docs ≈ 1.3M band rows ≈
+    * tens of MB per bucket directory — the file-sizing argument, not
+    * √n. A √n experiment (2237 buckets at the 5M-doc rehearsal) was
+    * MEASURED WORSE on both sides: build 36 → 302 s (a small-file
+    * explosion — partitionBy dirs × task count) and 100-doc query
+    * 10.7 → 16.0 s (a wide batch names most buckets, so extra
+    * directories only add listing/open overhead). Bytes-per-bucket is
+    * what actually bounds both the write and the pruned read.
+    */
+  private[graft] val DocsPerBucket = 160000L
 
-  private def writeBatch(sigs: DataFrame, dir: String, mode: String): Unit = {
+  /** CORPUS-SIZED band-bucket count: n/[[DocsPerBucket]] clamped to
+    * [64, 4096] — the floor binds below ~10M docs (every local bench
+    * keeps 64 directories and pays no small-file tax), and a corpus
+    * that outgrows it gets proportionally more buckets so pruned-bucket
+    * serve reads stay directory-bounded. Decided once at [[write]],
+    * persisted in `meta/`, and reused by every append/compact/serve —
+    * mixing counts within one layout would silently break the bucket
+    * equi-pruning (spec-covered via an override-built layout).
+    */
+  private[graft] def bucketsFor(nDocs: Long): Int =
+    math.max(DefaultBuckets.toLong,
+      math.min(4096L, nDocs / DocsPerBucket)).toInt
+
+  private def bktCol(nB: Int): Column =
+    pmod(xxhash64(col("b"), col("s1"), col("s2")), lit(nB.toLong)).cast("int")
+
+  private def writeMeta(s: SparkSession, dir: String, nB: Int): Unit = {
+    import s.implicits._
+    Seq(nB).toDF("buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** The layout's bucket count — persisted at [[write]]; absent on
+    * pre-round-11 layouts, which were all written with 64.
+    */
+  private def readBuckets(s: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      s.read.parquet(p.toString).collect()(0).getInt(0)
+    else DefaultBuckets
+  }
+
+  private def writeBatch(sigs: DataFrame, dir: String, mode: String,
+      nB: Int): Unit = {
     // bands first, sigs LAST: sigs is append's done-marker (see object doc)
     TextOps.bandsOf(sigs)
-      .withColumn("bkt", bktCol)
+      .withColumn("bkt", bktCol(nB))
       .write.partitionBy("bkt").mode(mode).parquet(s"$dir/bands")
     sigs.write.mode(mode).parquet(s"$dir/sigs")
   }
@@ -70,11 +112,15 @@ object DedupIndex {
   /** Build the index from `docs(doc_id, text)`, replacing anything at
     * `dir`. The signature pass is the same one-shuffle shape as live
     * q32: flat codegen'd shingle hashing, 16-min partial aggregation
-    * before the exchange.
+    * before the exchange. The band layout gets a corpus-sized bucket
+    * count ([[bucketsFor]]), persisted for the layout's lifetime.
     */
-  def write(s: SparkSession, docs: DataFrame, dir: String): Index = {
+  def write(s: SparkSession, docs: DataFrame, dir: String,
+      bucketsOverride: Option[Int] = None): Index = {
     val sigs = TextOps.sigsOf(docs).localCheckpoint(true)
-    writeBatch(sigs, dir, "overwrite")
+    val nB = bucketsOverride.getOrElse(bucketsFor(sigs.count()))
+    writeMeta(s, dir, nB)
+    writeBatch(sigs, dir, "overwrite", nB)
     val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     load(s, dir)
@@ -96,7 +142,8 @@ object DedupIndex {
       t.fold(df)(ids => df.join(broadcast(ids), Seq("doc_id"), "left_anti"))
     Index(
       live(s.read.parquet(s"$dir/bands")),
-      live(s.read.parquet(s"$dir/sigs")))
+      live(s.read.parquet(s"$dir/sigs")),
+      readBuckets(s, dir))
   }
 
   /** Append a document batch using the frozen hash recipe. Idempotent
@@ -115,7 +162,7 @@ object DedupIndex {
       .join(sigs.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"))
     val fresh = sigs.join(done, Seq("doc_id"), "left_anti").localCheckpoint(true)
-    writeBatch(fresh, dir, "append")
+    writeBatch(fresh, dir, "append", readBuckets(s, dir))
     load(s, dir)
   }
 
@@ -184,9 +231,9 @@ object DedupIndex {
   def queryBatch(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
     val bSigs = TextOps.sigsOf(batch).localCheckpoint(true)
     val bBands = TextOps.bandsOf(bSigs)
-    val bkts = bBands.select(bktCol.as("bkt")).distinct()
-      .collect().map(_.getInt(0)).toSeq // ≤ Buckets values, driver-bounded
-    val ix = load(s, dir)
+    val ix = load(s, dir) // carries the layout's persisted bucket count
+    val bkts = bBands.select(bktCol(ix.buckets).as("bkt")).distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ buckets values, driver-bounded
     val corpusBands = ix.bands.filter(col("bkt").isin(bkts: _*))
     val pairs = candidatePairs(s, corpusBands, bBands)
     val agree = (1 to 16).map { i =>

@@ -97,6 +97,41 @@ class DedupIndexSpec extends SparkSuite {
       .exists(_.getLong(0) == victim), "compact kept the deleted sig row")
   }
 
+  test("the band layout's bucket count is corpus-sized, persisted, and serve paths honor it") {
+    import spark.implicits._
+    // the sizing function: floor below ~10M docs, proportional above,
+    // capped where directory counts stop paying for themselves
+    assert(graft.ops.DedupIndex.bucketsFor(10000L) == 64)
+    assert(graft.ops.DedupIndex.bucketsFor(20000000L) == 125)
+    assert(graft.ops.DedupIndex.bucketsFor(Long.MaxValue / 2) == 4096)
+    // a NON-default layout (override stands in for a >10M-doc corpus):
+    // every serve path must honor the persisted count, because bands
+    // hashed mod 100 are invisible to a reader assuming 64
+    val big = (0L until 10000L).map(i =>
+      (i, s"tok${i % 997} tok${(i * 7) % 997} tok${(i * 13) % 997} tok${(i * 29) % 997}"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-dix-sized").toString
+    val ix = DedupIndex.write(spark, big, dir, bucketsOverride = Some(100))
+    assert(ix.buckets == 100, s"persisted bucket count not honored: ${ix.buckets}")
+    // serve through the sized layout: planted exact copies surface at 1.0
+    val probe = big.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 900000L).localCheckpoint(true)
+    val got = DedupIndex.queryBatch(spark, dir, probe)
+      .filter(col("est_jaccard") === 1.0).collect()
+    assert((0L until 5L).forall(i =>
+      got.exists(r => r.getLong(0) == 900000L + i && r.getLong(1) == i)),
+      s"identity pairs missing through the sized layout: ${got.toSeq.take(10)}")
+    // append must reuse the persisted count (a mismatched count would
+    // land new bands in buckets serve-time pruning never opens)
+    DedupIndex.append(spark, dir,
+      Seq((950000L, "zzqa zzqb zzqc zzqd zzqe")).toDF("doc_id", "text"))
+    val got2 = DedupIndex.queryBatch(spark, dir,
+        Seq((960000L, "zzqa zzqb zzqc zzqd zzqe")).toDF("doc_id", "text")
+          .localCheckpoint(true)).collect()
+    assert(got2.exists(r => r.getLong(1) == 950000L && r.getDouble(2) == 1.0),
+      s"appended doc not served through the sized layout: ${got2.toSeq}")
+  }
+
   test("queryBatch reads only the batch's band buckets (partition filter reaches the scan)") {
     val dir = Files.createTempDirectory("graft-dix-prune").toString
     DedupIndex.write(spark, corpus, dir)

@@ -9,10 +9,20 @@ import org.apache.spark.sql.functions._
   * search-job (not the build job) pays, which is what the round-8
   * partition layouts (codes by IVF list, postings by term hash) are
   * for. Prints per-op medians of 5 post-warmup runs.
+  *
+  * `SPARK_GRAFT_IXBENCH_SECTIONS=text,lm` limits the run to named
+  * sections (ann/text/dedup/lm/quality/gate) — rehearsal dirs at the
+  * 5M-doc scale make a full sweep ~25 min, and a growth-term question
+  * is usually about ONE index family. `gate` composes the dedup and lm
+  * layouts, so it requires both their sections.
   */
 object IndexBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sections = sys.env.get("SPARK_GRAFT_IXBENCH_SECTIONS")
+      .map(_.split(",").map(_.trim).toSet)
+    def section(name: String)(body: => Unit): Unit =
+      if (sections.forall(_.contains(name))) body
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -35,6 +45,14 @@ object IndexBench {
       println(f"IXBENCH $label%-28s ${med}%.3f s (rows=${ts.head._2})")
     }
 
+    // shared by the dedup/lm/quality/gate sections (≤100-row checkpoints)
+    val docs = Tables.documents(spark, sfDir)
+    val probe16 = docs.orderBy(col("doc_id")).limit(16)
+      .withColumn("doc_id", col("doc_id") + 1000000L).localCheckpoint()
+    val probe100 = docs.orderBy(col("doc_id")).limit(100)
+      .withColumn("doc_id", col("doc_id") + 2000000L).localCheckpoint()
+
+    section("ann") {
     var t0 = System.nanoTime()
     AnnIndex.write(spark, sfDir, s"$tmp/ann")
     println(f"IXBENCH ann_build                    ${(System.nanoTime() - t0) / 1e9}%.3f s")
@@ -138,8 +156,10 @@ object IndexBench {
       println(f"IXBENCH annP_planted_cluster_containment ${contain}%.3f (nprobe=8, lists=${annP.centroids.count()})")
       println(f"IXBENCH annP_planted_rerank_recall10 ${(rerTop & bfP).size.toDouble / bfP.size}%.3f (shortlist=400 > cluster size)")
     }
+    }
 
-    t0 = System.nanoTime()
+    section("text") {
+    val t0 = System.nanoTime()
     TextIndex.write(spark, sfDir, s"$tmp/text")
     println(f"IXBENCH text_build                   ${(System.nanoTime() - t0) / 1e9}%.3f s")
     val tix = TextIndex.load(spark, s"$tmp/text")
@@ -149,25 +169,23 @@ object IndexBench {
     timed("phrase_search_2terms") {
       TextIndex.phraseSearch(spark, tix, Seq("table", "hash")).count()
     }
+    }
 
     // Near-dup signature index: ingestion-batch dedup-check latency
     // against the persisted corpus. The contract under test is that the
     // serve cost tracks the BATCH (signature pass + pruned band-bucket
     // join), not the corpus — at 10x/100x the same probes should hold
     // roughly flat while the index build scales with n.
-    t0 = System.nanoTime()
-    val docs = Tables.documents(spark, sfDir)
+    section("dedup") {
+    val t0 = System.nanoTime()
     ops.DedupIndex.write(spark, docs, s"$tmp/dix")
     println(f"IXBENCH dedup_build                  ${(System.nanoTime() - t0) / 1e9}%.3f s")
-    val probe16 = docs.orderBy(col("doc_id")).limit(16)
-      .withColumn("doc_id", col("doc_id") + 1000000L).localCheckpoint()
-    val probe100 = docs.orderBy(col("doc_id")).limit(100)
-      .withColumn("doc_id", col("doc_id") + 2000000L).localCheckpoint()
     timed("dedup_query_16docs") {
       ops.DedupIndex.queryBatch(spark, s"$tmp/dix", probe16).count()
     }
     timed("dedup_query_100docs") {
       ops.DedupIndex.queryBatch(spark, s"$tmp/dix", probe100).count()
+    }
     }
 
     // Persisted bigram LM: ingestion-batch quality-score latency. The
@@ -178,7 +196,8 @@ object IndexBench {
     // row count) is the axis they grow on — the --diversity rehearsal
     // reads these to check the "vocab-sized" claims against measured
     // sizes.
-    t0 = System.nanoTime()
+    section("lm") {
+    val t0 = System.nanoTime()
     ops.LmModel.write(spark, docs, s"$tmp/lm")
     println(f"IXBENCH lm_train                     ${(System.nanoTime() - t0) / 1e9}%.3f s")
     val lmBi = spark.read.parquet(s"$tmp/lm/bigrams")
@@ -189,15 +208,18 @@ object IndexBench {
     timed("lm_score_100docs") {
       ops.LmModel.scoreBatch(spark, s"$tmp/lm", probe100).count()
     }
+    }
 
     // Persisted quality classifier: batch scoring latency. The model is
     // one row inlined as literals, so scoring is a pure projection —
     // the floor any serve path in this family can hit.
-    t0 = System.nanoTime()
+    section("quality") {
+    val t0 = System.nanoTime()
     ops.QualityModel.write(spark, docs, s"$tmp/qm")
     println(f"IXBENCH quality_train                ${(System.nanoTime() - t0) / 1e9}%.3f s")
     timed("quality_score_100docs") {
       ops.QualityModel.scoreBatch(spark, s"$tmp/qm", probe100).count()
+    }
     }
 
     // Composed ingestion gate (dedup-check -> LM-score): the decision
@@ -207,6 +229,7 @@ object IndexBench {
     // exact dups (rejected by the index check), half is token-reversed
     // (novel shingles, in-vocab tokens — survives to the LM stage), so
     // BOTH stages do real work.
+    section("gate") {
     val gateCfg = ops.IngestionGate.Config(s"$tmp/dix", s"$tmp/lm", s"$tmp/acc")
     val gateProbe = probe100.limit(50).unionAll(
       probe100.limit(50).withColumn("doc_id", col("doc_id") + 3000000L)
@@ -233,6 +256,7 @@ object IndexBench {
     }
     println(f"IXBENCH gate_ingest_10x100           first=${perBatch.head._1}%.3f s last=${perBatch.last._1}%.3f s " +
       f"median=${perBatch.map(_._1).sorted.apply(5)}%.3f s admitted=${perBatch.map(_._2).sum}")
+    }
     spark.stop()
   }
 }

@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
   *    equi-join into PARTITION pruning: a small batch (the interactive
   *    "is this document a near-dup?" case) opens ≤ 8·|batch| of the
   *    directories, each bounded at ~tens of MB, never the whole table.
-  *  - `sigs/`  (doc_id, sig: array of 16 longs) — for the estimated-
+  *  - `sigs/`  (doc_id, sig: array of 16 longs), partitioned by
+  *    `sbkt = pmod(xxhash64(doc_id), buckets)` — for the estimated-
   *    Jaccard verification of candidates, and [[append]]'s done-marker.
+  *    Both reads prune to the ids they actually need (candidate ids /
+  *    the arriving batch's ids), so the verification read is
+  *    candidate-bucket-bounded, not corpus-bounded. Pre-bucketed
+  *    layouts (no `sbkt` in the schema) fall back to the full read.
   *  - `tombstones/` (doc_id) — [[delete]]'s O(batch) ledger, folded in
   *    by [[compact]].
   *
@@ -84,6 +89,31 @@ object DedupIndex {
   private def bktCol(nB: Int): Column =
     pmod(xxhash64(col("b"), col("s1"), col("s2")), lit(nB.toLong)).cast("int")
 
+  private def sbktCol(nB: Int): Column =
+    pmod(xxhash64(col("doc_id")), lit(nB.toLong)).cast("int")
+
+  /** Ids of `ids` already present in the sigs done-marker — the pruned
+    * O(batch) replay check shared by [[append]] and the ingestion
+    * gate's sink-side marker.
+    */
+  private[graft] def doneIds(s: SparkSession, dir: String,
+      ids: DataFrame): DataFrame =
+    pruneSigs(s.read.parquet(s"$dir/sigs"), readBuckets(s, dir), ids)
+      .join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"))
+
+  /** Prune a bucketed sigs read to the partitions holding `ids` —
+    * driver-bounded (≤ the layout's bucket count distinct values). No-op
+    * on pre-bucketed layouts (no `sbkt` partition column).
+    */
+  private def pruneSigs(sigs: DataFrame, nB: Int, ids: DataFrame): DataFrame =
+    if (!sigs.columns.contains("sbkt")) sigs
+    else {
+      val wanted = ids.select(sbktCol(nB).as("sbkt")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      sigs.filter(col("sbkt").isin(wanted: _*))
+    }
+
   private def writeMeta(s: SparkSession, dir: String, nB: Int): Unit = {
     import s.implicits._
     Seq(nB).toDF("buckets").coalesce(1)
@@ -101,12 +131,18 @@ object DedupIndex {
   }
 
   private def writeBatch(sigs: DataFrame, dir: String, mode: String,
-      nB: Int): Unit = {
+      nB: Int, sigsBucketed: Boolean = true): Unit = {
     // bands first, sigs LAST: sigs is append's done-marker (see object doc)
     TextOps.bandsOf(sigs)
       .withColumn("bkt", bktCol(nB))
       .write.partitionBy("bkt").mode(mode).parquet(s"$dir/bands")
-    sigs.write.mode(mode).parquet(s"$dir/sigs")
+    // appends must match the existing sigs layout — mixing flat files
+    // with sbkt= partition dirs under one root is unreadable; a flat
+    // (pre-round-10) layout stays flat until compact upgrades it whole
+    if (sigsBucketed)
+      sigs.withColumn("sbkt", sbktCol(nB))
+        .write.partitionBy("sbkt").mode(mode).parquet(s"$dir/sigs")
+    else sigs.write.mode(mode).parquet(s"$dir/sigs")
   }
 
   /** Build the index from `docs(doc_id, text)`, replacing anything at
@@ -158,11 +194,15 @@ object DedupIndex {
     */
   def append(s: SparkSession, dir: String, docs: DataFrame): Index = {
     val sigs = TextOps.sigsOf(docs).localCheckpoint(true)
-    val done = s.read.parquet(s"$dir/sigs")
+    val nB = readBuckets(s, dir)
+    val existing = s.read.parquet(s"$dir/sigs")
+    // done-marker check reads only the batch ids' sig buckets
+    val done = pruneSigs(existing, nB, sigs)
       .join(sigs.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"))
     val fresh = sigs.join(done, Seq("doc_id"), "left_anti").localCheckpoint(true)
-    writeBatch(fresh, dir, "append", readBuckets(s, dir))
+    writeBatch(fresh, dir, "append", nB,
+      sigsBucketed = existing.columns.contains("sbkt"))
     load(s, dir)
   }
 
@@ -181,17 +221,21 @@ object DedupIndex {
   }
 
   /** Fold tombstones into rewritten band/sig files (keeping the
-    * band-bucket partitioning) and drop the ledger. Also materializes
-    * the torn-append heal: duplicate band rows from replayed appends are
-    * collapsed by the rewrite's dropDuplicates.
+    * band- and sig-bucket partitioning — a pre-bucketed sigs layout is
+    * upgraded in place here, since the rewrite re-derives `sbkt`) and
+    * drop the ledger. Also materializes the torn-append heal: duplicate
+    * band rows from replayed appends are collapsed by the rewrite's
+    * dropDuplicates.
     */
   def compact(s: SparkSession, dir: String): Index = {
     tombstones(s, dir).foreach { _ =>
       val live = load(s, dir)
+      val nB = readBuckets(s, dir)
       live.bands.dropDuplicates("doc_id", "b").localCheckpoint(true)
         .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/bands")
-      live.sigs.dropDuplicates("doc_id").localCheckpoint(true)
-        .write.mode("overwrite").parquet(s"$dir/sigs")
+      live.sigs.select(col("doc_id"), col("sig")).dropDuplicates("doc_id")
+        .withColumn("sbkt", sbktCol(nB)).localCheckpoint(true)
+        .write.partitionBy("sbkt").mode("overwrite").parquet(s"$dir/sigs")
       val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     }
@@ -209,7 +253,21 @@ object DedupIndex {
     */
   def candidatePairs(s: SparkSession, corpusBands: DataFrame,
       batchBands: DataFrame, tag: String = "dedup-index"): DataFrame = {
-    val capped = LshGuard.capBuckets(s, corpusBands, Seq("b", "s1", "s2"),
+    // Confine the corpus side to the batch's band signatures BEFORE the
+    // rank-cap window. A bucket here IS its (b, s1, s2) triple, and the
+    // semi-join filters on exactly those keys, so every surviving
+    // bucket keeps its COMPLETE membership — ranks, the cap, and the
+    // resulting pairs are identical to capping first (the oracle's ccap
+    // CTE still replays this). What changes is cost: without this, the
+    // window's row_number shuffles every band row in the batch's
+    // pruned BUCKETS (≈ corpus/buckets × named dirs — 20-80M rows at a
+    // 20M-doc corpus, measured 14-35 s/query); confined, it sorts only
+    // rows matching the batch's ≤8·|batch| signatures. The batch side
+    // is serve-contract bounded, so its distinct triple set broadcasts.
+    val confined = corpusBands.join(
+      broadcast(batchBands.select(col("b"), col("s1"), col("s2")).distinct()),
+      Seq("b", "s1", "s2"), "left_semi")
+    val capped = LshGuard.capBuckets(s, confined, Seq("b", "s1", "s2"),
       "doc_id", tag = tag)
     batchBands.as("q")
       .join(capped.as("c"),
@@ -235,13 +293,18 @@ object DedupIndex {
     val bkts = bBands.select(bktCol(ix.buckets).as("bkt")).distinct()
       .collect().map(_.getInt(0)).toSeq // ≤ buckets values, driver-bounded
     val corpusBands = ix.bands.filter(col("bkt").isin(bkts: _*))
-    val pairs = candidatePairs(s, corpusBands, bBands)
+    // candidate-sized (cap-bounded) — checkpointed because the pair set
+    // is consumed twice: once to name the sig buckets it needs, once in
+    // the verification join itself
+    val pairs = candidatePairs(s, corpusBands, bBands).localCheckpoint(true)
+    val corpusSigs = pruneSigs(ix.sigs, ix.buckets,
+      pairs.select(col("corpus_id").as("doc_id")))
     val agree = (1 to 16).map { i =>
       when(element_at(col("sa.sig"), i) === element_at(col("sb.sig"), i), 1).otherwise(0)
     }.reduce(_ + _)
     pairs
       .join(bSigs.as("sa"), col("batch_id") === col("sa.doc_id"))
-      .join(ix.sigs.as("sb"), col("corpus_id") === col("sb.doc_id"))
+      .join(corpusSigs.as("sb"), col("corpus_id") === col("sb.doc_id"))
       .select(col("batch_id"), col("corpus_id"),
         round(agree / lit(16.0), 6).as("est_jaccard"))
       .orderBy(col("batch_id"), col("corpus_id"))

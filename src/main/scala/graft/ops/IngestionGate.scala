@@ -88,9 +88,8 @@ object IngestionGate {
     */
   def gateBatch(s: SparkSession, cfg: Config, batch: DataFrame): DataFrame = {
     val decided = decide(s, cfg, batch).localCheckpoint(true)
-    val done = s.read.parquet(s"${cfg.dedupDir}/sigs")
-      .join(decided.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"))
+    // pruned to the batch ids' sig buckets, not a corpus-wide scan
+    val done = DedupIndex.doneIds(s, cfg.dedupDir, decided)
     val fresh = decided.join(done, Seq("doc_id"), "left_anti").localCheckpoint(true)
     fresh.write.mode("append").parquet(cfg.acceptedDir)
     DedupIndex.append(s, cfg.dedupDir, fresh)

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * for. Prints per-op medians of 5 post-warmup runs.
   *
   * `SPARK_GRAFT_IXBENCH_SECTIONS=text,lm` limits the run to named
-  * sections (ann/text/dedup/lm/quality/gate) — rehearsal dirs at the
+  * sections (ann/text/dedup/lm/quality/gate/release) — rehearsal dirs at the
   * 5M-doc scale make a full sweep ~25 min, and a growth-term question
   * is usually about ONE index family. `gate` composes the dedup and lm
   * layouts, so it requires both their sections.
@@ -256,6 +256,73 @@ object IndexBench {
     }
     println(f"IXBENCH gate_ingest_10x100           first=${perBatch.head._1}%.3f s last=${perBatch.last._1}%.3f s " +
       f"median=${perBatch.map(_._1).sorted.apply(5)}%.3f s admitted=${perBatch.map(_._2).sum}")
+    }
+
+    // Corpus release upgrade (Release.upgrade*: delta -> tombstone ->
+    // ONE compaction -> O(delta) append) vs a fresh v2 rebuild, per
+    // upgradeable index. The upgrade's linear term is the compaction,
+    // which rewrites the REDUCED tables (postings / bands+sigs / 4-byte
+    // codes) and never re-derives them from content — where the fresh
+    // build re-tokenizes / re-hashes / re-encodes the whole corpus and
+    // (for ANN) retrains centroids. Delta: ~7.7% changed, ~5.9%
+    // removed, 2% added — a plausible between-releases churn.
+    // Equivalence is ReleaseSpec's job; this section measures the cost
+    // gap those contracts buy.
+    section("release") {
+    val v2dir = s"$tmp/rel_v2"
+    val v1d = docs.localCheckpoint()
+    v1d.filter(col("doc_id") % 17 =!= 5)
+      .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(lit("rev "), col("text"))).otherwise(col("text")))
+      .unionByName(v1d.filter(col("doc_id") % 50 === 3)
+        .withColumn("doc_id", col("doc_id") + 50000000L))
+      .write.mode("overwrite").parquet(s"$v2dir/documents.parquet")
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.filter(col("vec_id") % 17 =!= 5)
+      .withColumn("embedding", when(col("vec_id") % 13 === 0,
+          transform(col("embedding"), x => (x * lit(-1)).cast("float")))
+        .otherwise(col("embedding")))
+      .unionByName(emb.filter(col("vec_id") % 50 === 3)
+        .withColumn("vec_id", col("vec_id") + 50000000L))
+      .write.mode("overwrite").parquet(s"$v2dir/embeddings.parquet")
+    val v2d = Tables.documents(spark, v2dir).localCheckpoint()
+
+    var t0 = System.nanoTime()
+    val dd = ops.Release.delta(v1d, v2d, "doc_id", md5(col("text")))
+    val (na, nc, nr) = dd.summary
+    println(f"IXBENCH rel_delta_docs               ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+      f"(added=$na changed=$nc removed=$nr)")
+
+    TextIndex.write(spark, sfDir, s"$tmp/rel_text")
+    t0 = System.nanoTime()
+    ops.Release.upgradeTextIndex(spark, s"$tmp/rel_text", v2d, dd)
+    println(f"IXBENCH rel_upgrade_text             ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    t0 = System.nanoTime()
+    TextIndex.write(spark, v2dir, s"$tmp/rel_text_fresh")
+    println(f"IXBENCH rel_fresh_text               ${(System.nanoTime() - t0) / 1e9}%.3f s")
+
+    ops.DedupIndex.write(spark, v1d, s"$tmp/rel_dix")
+    t0 = System.nanoTime()
+    ops.Release.upgradeDedupIndex(spark, s"$tmp/rel_dix", v2d, dd)
+    println(f"IXBENCH rel_upgrade_dedup            ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    t0 = System.nanoTime()
+    ops.DedupIndex.write(spark, v2d, s"$tmp/rel_dix_fresh")
+    println(f"IXBENCH rel_fresh_dedup              ${(System.nanoTime() - t0) / 1e9}%.3f s")
+
+    val asD = graft.functions.VectorFunctions.asDouble _
+    val v1v = emb.select(col("vec_id"), asD(col("embedding")).as("v")).localCheckpoint()
+    val v2v = Tables.embeddings(spark, v2dir)
+      .select(col("vec_id"), asD(col("embedding")).as("v")).localCheckpoint()
+    t0 = System.nanoTime()
+    val de = ops.Release.delta(v1v, v2v, "vec_id", xxhash64(col("v")))
+    println(f"IXBENCH rel_delta_vecs               ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    AnnIndex.write(spark, sfDir, s"$tmp/rel_ann")
+    t0 = System.nanoTime()
+    ops.Release.upgradeAnnIndex(spark, s"$tmp/rel_ann", v2v, de)
+    println(f"IXBENCH rel_upgrade_ann              ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    t0 = System.nanoTime()
+    AnnIndex.write(spark, v2dir, s"$tmp/rel_ann_fresh")
+    println(f"IXBENCH rel_fresh_ann                ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()
   }

@@ -258,16 +258,16 @@ object IndexBench {
       f"median=${perBatch.map(_._1).sorted.apply(5)}%.3f s admitted=${perBatch.map(_._2).sum}")
     }
 
-    // Corpus release upgrade (Release.upgrade*: delta -> tombstone ->
-    // ONE compaction -> O(delta) append) vs a fresh v2 rebuild, per
-    // upgradeable index. The upgrade's linear term is the compaction,
-    // which rewrites the REDUCED tables (postings / bands+sigs / 4-byte
-    // codes) and never re-derives them from content — where the fresh
-    // build re-tokenizes / re-hashes / re-encodes the whole corpus and
-    // (for ANN) retrains centroids. Delta: ~7.7% changed, ~5.9%
-    // removed, 2% added — a plausible between-releases churn.
-    // Equivalence is ReleaseSpec's job; this section measures the cost
-    // gap those contracts buy.
+    // Corpus release upgrade (Release.upgrade*) vs a fresh v2 rebuild,
+    // per upgradeable index. Text/dedup upgrades are O(delta) end to
+    // end on epoch layouts (delta -> epoch tombstone -> O(delta)
+    // append, NO compaction — the eager compact was measured
+    // rebuild-priced here in round 10 and removed); ANN keeps one
+    // compaction, which rewrites 4-byte codes (100-1000x smaller I/O
+    // than the vectors) and skips the Lloyd retrain via the frozen
+    // quantizers. Delta: ~7.7% changed, ~5.9% removed, 2% added — a
+    // plausible between-releases churn. Equivalence is ReleaseSpec's
+    // job; this section measures the cost gap those contracts buy.
     section("release") {
     val v2dir = s"$tmp/rel_v2"
     val v1d = docs.localCheckpoint()

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * stored band table, never a corpus re-shingle.
   *
   * Index layout under `dir` (plain parquet):
-  *  - `bands/` (doc_id, b, s1, s2), partitioned by `bkt =
+  *  - `bands/` (doc_id, b, s1, s2, ep), partitioned by `bkt =
   *    pmod(xxhash64(b, s1, s2), buckets)` with a CORPUS-SIZED bucket
   *    count (n/[[DocsPerBucket]] clamped to [64, 4096], persisted in
   *    `meta/` — [[bucketsFor]]) — the LSH bucket table. Serve-time
@@ -21,15 +21,18 @@ import org.apache.spark.sql.functions._
   *    equi-join into PARTITION pruning: a small batch (the interactive
   *    "is this document a near-dup?" case) opens ≤ 8·|batch| of the
   *    directories, each bounded at ~tens of MB, never the whole table.
-  *  - `sigs/`  (doc_id, sig: array of 16 longs), partitioned by
+  *  - `sigs/`  (doc_id, sig: array of 16 longs, ep), partitioned by
   *    `sbkt = pmod(xxhash64(doc_id), buckets)` — for the estimated-
   *    Jaccard verification of candidates, and [[append]]'s done-marker.
   *    Both reads prune to the ids they actually need (candidate ids /
   *    the arriving batch's ids), so the verification read is
   *    candidate-bucket-bounded, not corpus-bounded. Pre-bucketed
   *    layouts (no `sbkt` in the schema) fall back to the full read.
-  *  - `tombstones/` (doc_id) — [[delete]]'s O(batch) ledger, folded in
-  *    by [[compact]].
+  *  - `tombstones/` (doc_id, te) + `epoch/` — [[delete]]'s O(batch)
+  *    ledger and the [[Tombstones]] epoch marker: a row is live iff its
+  *    `ep` postdates its id's newest tombstone, so delete-then-reappend
+  *    needs no [[compact]] (the release-upgrade fast path); the ledger
+  *    folds in at compaction.
   *
   * The signature recipe is [[TextOps.sigsOf]]/[[TextOps.bandsOf]] —
   * the ONE definition shared with the live q32/q57 queries — so an
@@ -92,15 +95,31 @@ object DedupIndex {
   private def sbktCol(nB: Int): Column =
     pmod(xxhash64(col("doc_id")), lit(nB.toLong)).cast("int")
 
-  /** Ids of `ids` already present in the sigs done-marker — the pruned
-    * O(batch) replay check shared by [[append]] and the ingestion
-    * gate's sink-side marker.
+  /** Epoch layouts stamp every band/sig row with its batch epoch
+    * ([[Tombstones]]) so deferred deletes allow re-appends; pre-epoch
+    * layouts keep the legacy blocked-until-compact semantics.
+    */
+  private[graft] def isEpochLayout(s: SparkSession, dir: String): Boolean =
+    s.read.parquet(s"$dir/sigs").columns.contains("ep")
+
+  /** Ids of `ids` already present — and, on an epoch layout, LIVE — in
+    * the sigs done-marker: the pruned O(batch) replay check shared by
+    * [[append]] and the ingestion gate's sink-side marker. On epoch
+    * layouts a tombstoned id is NOT done (it re-appends at a fresh
+    * epoch); on legacy layouts presence alone blocks, the pre-epoch
+    * contract.
     */
   private[graft] def doneIds(s: SparkSession, dir: String,
-      ids: DataFrame): DataFrame =
-    pruneSigs(s.read.parquet(s"$dir/sigs"), readBuckets(s, dir), ids)
-      .join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      ids: DataFrame): DataFrame = {
+    val sigs = s.read.parquet(s"$dir/sigs")
+    val present = pruneSigs(sigs, readBuckets(s, dir), ids)
+    val live =
+      if (sigs.columns.contains("ep"))
+        Tombstones.liveByEpoch(present, Tombstones.tombMax(s, dir, "doc_id"), "doc_id")
+      else present
+    live.join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"))
+  }
 
   /** Prune a bucketed sigs read to the partitions holding `ids` —
     * driver-bounded (≤ the layout's bucket count distinct values). No-op
@@ -130,19 +149,28 @@ object DedupIndex {
     else DefaultBuckets
   }
 
+  /** `ep = None` writes the legacy (epoch-less) schema for a table —
+    * appends must match each existing table's columns, or mixed files
+    * under one root become unreadable. `bandsEp`/`sigsEp` are tracked
+    * separately for the same reason (a hand-downgraded sigs table must
+    * not force epoch-less band rows into an epoch-stamped bands dir).
+    */
   private def writeBatch(sigs: DataFrame, dir: String, mode: String,
-      nB: Int, sigsBucketed: Boolean = true): Unit = {
+      nB: Int, sigsBucketed: Boolean = true,
+      bandsEp: Option[Long] = Some(0L), sigsEp: Option[Long] = Some(0L)): Unit = {
+    def stamp(df: DataFrame, ep: Option[Long]): DataFrame =
+      ep.fold(df)(e => df.withColumn("ep", lit(e)))
     // bands first, sigs LAST: sigs is append's done-marker (see object doc)
-    TextOps.bandsOf(sigs)
+    stamp(TextOps.bandsOf(sigs), bandsEp)
       .withColumn("bkt", bktCol(nB))
       .write.partitionBy("bkt").mode(mode).parquet(s"$dir/bands")
     // appends must match the existing sigs layout — mixing flat files
     // with sbkt= partition dirs under one root is unreadable; a flat
     // (pre-round-10) layout stays flat until compact upgrades it whole
     if (sigsBucketed)
-      sigs.withColumn("sbkt", sbktCol(nB))
+      stamp(sigs, sigsEp).withColumn("sbkt", sbktCol(nB))
         .write.partitionBy("sbkt").mode(mode).parquet(s"$dir/sigs")
-    else sigs.write.mode(mode).parquet(s"$dir/sigs")
+    else stamp(sigs, sigsEp).write.mode(mode).parquet(s"$dir/sigs")
   }
 
   /** Build the index from `docs(doc_id, text)`, replacing anything at
@@ -159,6 +187,7 @@ object DedupIndex {
     writeBatch(sigs, dir, "overwrite", nB)
     val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    Tombstones.writeEpoch(s, dir, 0L)
     load(s, dir)
   }
 
@@ -169,13 +198,16 @@ object DedupIndex {
     else None
   }
 
-  /** Load the live index: both tables anti-joined against the tombstone
-    * ledger (broadcast-sized until [[compact]] folds it in).
+  /** Load the live index: both tables folded against the tombstone
+    * ledger (broadcast-sized until [[compact]] — epoch comparison per
+    * table when its rows carry `ep`, id anti-join otherwise).
     */
   def load(s: SparkSession, dir: String): Index = {
-    val t = tombstones(s, dir)
+    lazy val tMax = Tombstones.tombMax(s, dir, "doc_id")
+    lazy val tIds = tombstones(s, dir)
     def live(df: DataFrame): DataFrame =
-      t.fold(df)(ids => df.join(broadcast(ids), Seq("doc_id"), "left_anti"))
+      if (df.columns.contains("ep")) Tombstones.liveByEpoch(df, tMax, "doc_id")
+      else tIds.fold(df)(ids => df.join(broadcast(ids), Seq("doc_id"), "left_anti"))
     Index(
       live(s.read.parquet(s"$dir/bands")),
       live(s.read.parquet(s"$dir/sigs")),
@@ -188,21 +220,32 @@ object DedupIndex {
     * to batch-sized data by the semi-join, so replay cost is O(batch),
     * not O(index). A torn band write from a crashed append is re-written
     * whole (its doc_id never reached sigs); the duplicates it leaves are
-    * invisible to the DISTINCT candidate join. Note a tombstoned id
-    * blocks that id — re-adding requires [[compact]] first, as in
-    * [[AnnIndex.append]].
+    * invisible to the DISTINCT candidate join. On an epoch layout a
+    * tombstoned id RE-APPENDS at a fresh epoch (the release-upgrade
+    * fast path); on a legacy layout it stays blocked until [[compact]],
+    * as in [[AnnIndex.append]].
     */
   def append(s: SparkSession, dir: String, docs: DataFrame): Index = {
     val sigs = TextOps.sigsOf(docs).localCheckpoint(true)
     val nB = readBuckets(s, dir)
     val existing = s.read.parquet(s"$dir/sigs")
-    // done-marker check reads only the batch ids' sig buckets
-    val done = pruneSigs(existing, nB, sigs)
+    val epochMode = existing.columns.contains("ep")
+    // done-marker check reads only the batch ids' sig buckets; in epoch
+    // mode "done" means LIVE, so a deferred-deleted id re-appends
+    val present = pruneSigs(existing, nB, sigs)
+    val marker =
+      if (epochMode)
+        Tombstones.liveByEpoch(present, Tombstones.tombMax(s, dir, "doc_id"), "doc_id")
+      else present
+    val done = marker
       .join(sigs.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"))
     val fresh = sigs.join(done, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    val ep = if (epochMode) Some(Tombstones.bumpEpoch(s, dir)) else None
     writeBatch(fresh, dir, "append", nB,
-      sigsBucketed = existing.columns.contains("sbkt"))
+      sigsBucketed = existing.columns.contains("sbkt"),
+      bandsEp = if (s.read.parquet(s"$dir/bands").columns.contains("ep")) ep else None,
+      sigsEp = ep)
     load(s, dir)
   }
 
@@ -211,10 +254,15 @@ object DedupIndex {
     * [[compact]] — which runs inline once the ledger outgrows
     * `autoCompactAt` rows ([[Tombstones.AutoCompactRows]]), so a long
     * delete sequence keeps the broadcast side bounded by construction.
+    * On an epoch layout the tombstone records the current epoch, so a
+    * later [[append]] re-adds the id without compacting.
     */
   def delete(s: SparkSession, dir: String, ids: DataFrame,
       autoCompactAt: Long = Tombstones.AutoCompactRows): Index = {
-    ids.select(col("doc_id")).write.mode("append").parquet(s"$dir/tombstones")
+    val t = ids.select(col("doc_id"))
+    (if (isEpochLayout(s, dir))
+       t.withColumn("te", lit(Tombstones.readEpoch(s, dir)))
+     else t).write.mode("append").parquet(s"$dir/tombstones")
     if (s.read.parquet(s"$dir/tombstones").count() >= autoCompactAt)
       compact(s, dir)
     else load(s, dir)
@@ -231,13 +279,19 @@ object DedupIndex {
     tombstones(s, dir).foreach { _ =>
       val live = load(s, dir)
       val nB = readBuckets(s, dir)
-      live.bands.dropDuplicates("doc_id", "b").localCheckpoint(true)
+      // the rewrite restarts epoch history at 0 (no tombstones survive
+      // it) and upgrades legacy/hand-downgraded tables to the epoch
+      // schema, since every row is re-stamped
+      live.bands.dropDuplicates("doc_id", "b")
+        .drop("ep").withColumn("ep", lit(0L)).localCheckpoint(true)
         .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/bands")
       live.sigs.select(col("doc_id"), col("sig")).dropDuplicates("doc_id")
+        .withColumn("ep", lit(0L))
         .withColumn("sbkt", sbktCol(nB)).localCheckpoint(true)
         .write.partitionBy("sbkt").mode("overwrite").parquet(s"$dir/sigs")
       val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Tombstones.writeEpoch(s, dir, 0L)
     }
     load(s, dir)
   }

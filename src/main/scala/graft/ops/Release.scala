@@ -12,13 +12,24 @@ import org.apache.spark.sql.functions._
   *  - delta: one digest-only full-outer join (zero-shuffle when the
   *    snapshots are id-bucketed);
   *  - deletes (removed ∪ changed ids): O(batch) tombstone appends;
-  *  - ONE compaction per index per release (folds the tombstones in and
-  *    frees changed ids for re-append — the tombstone design blocks a
-  *    tombstoned id until compaction). Compaction rewrites only the
-  *    reduced index tables (postings / 4-byte codes), never the corpus;
   *  - appends (added ∪ changed ids): O(delta) rows semi-joined out of
   *    the new corpus, encoded with the index's frozen quantizers /
   *    serve-time df arithmetic.
+  *
+  * Text/dedup upgrades are O(delta) END TO END on epoch-aware layouts
+  * ([[Tombstones]]): a tombstone records the epoch it was laid at, so
+  * changed ids re-append at a fresh epoch WITHOUT a compaction, and the
+  * table rewrite amortizes across releases via the auto-compact
+  * threshold instead of landing on every one. That replaces the
+  * original compact-per-release recipe, which BENCH.md round 10
+  * measured REBUILD-PRICED for text/dedup (the postings/bands rewrite
+  * is corpus-order I/O — the one linear term dominated everything the
+  * delta math saved). Legacy (pre-epoch) layouts keep the eager
+  * compact, which also upgrades them in place. ANN keeps
+  * compact-per-release deliberately: its compaction rewrites 4-byte
+  * codes (a genuinely reduced table, 100-1000× smaller I/O than the
+  * vectors) and the upgrade already beats a fresh rebuild because the
+  * frozen quantizers skip the Lloyd retrain (measured 3.7 vs 4.6 s).
   *
   * Equivalence contracts (ReleaseSpec): an upgraded [[TextIndex]] ranks
   * BIT-IDENTICALLY to a fresh build over the new corpus (BM25's df and
@@ -54,15 +65,19 @@ object Release {
   }
 
   /** Roll a persisted [[TextIndex]] from the old corpus to `newCorpus`:
-    * tombstone removed ∪ changed, compact once, append added ∪ changed
-    * rows semi-joined from the new corpus. Returns the upgraded index —
+    * tombstone removed ∪ changed, then append added ∪ changed rows
+    * semi-joined from the new corpus — O(delta) on an epoch layout (no
+    * compaction; see object doc), with the eager compact kept only for
+    * legacy layouts (where it is required for the re-append AND
+    * upgrades the layout in place). Returns the upgraded index —
     * bit-identical to `TextIndex.write` over `newCorpus` (spec-pinned).
     */
   def upgradeTextIndex(s: SparkSession, dir: String, newCorpus: DataFrame,
       d: Delta): TextIndex.Index = {
     val gone = d.removed.unionByName(d.changed).select(col("id").as("doc_id"))
+    val epochMode = TextIndex.isEpochLayout(s, dir)
     TextIndex.delete(s, dir, gone)
-    TextIndex.compact(s, dir)
+    if (!epochMode) TextIndex.compact(s, dir)
     val freshIds = d.added.unionByName(d.changed).select(col("id").as("doc_id"))
     TextIndex.append(s, dir, newCorpus.join(freshIds, Seq("doc_id"), "left_semi"))
   }
@@ -80,17 +95,19 @@ object Release {
     AnnIndex.append(s, dir, newVectors.join(freshIds, Seq("vec_id"), "left_semi"))
   }
 
-  /** Roll a persisted [[DedupIndex]] to `newCorpus`: same
-    * delete-compact-append recipe. The signature hash is stateless (no
-    * trained quantizer), so the upgraded index is EXACTLY a fresh
-    * `DedupIndex.write` over `newCorpus` — ReleaseSpec pins
-    * bit-identical [[DedupIndex.queryBatch]] results.
+  /** Roll a persisted [[DedupIndex]] to `newCorpus`: tombstone, then
+    * append — O(delta) on an epoch layout, eager compact only for
+    * legacy layouts (as in [[upgradeTextIndex]]). The signature hash is
+    * stateless (no trained quantizer), so the upgraded index serves
+    * EXACTLY as a fresh `DedupIndex.write` over `newCorpus` —
+    * ReleaseSpec pins bit-identical [[DedupIndex.queryBatch]] results.
     */
   def upgradeDedupIndex(s: SparkSession, dir: String, newCorpus: DataFrame,
       d: Delta): DedupIndex.Index = {
     val gone = d.removed.unionByName(d.changed).select(col("id").as("doc_id"))
+    val epochMode = DedupIndex.isEpochLayout(s, dir)
     DedupIndex.delete(s, dir, gone)
-    DedupIndex.compact(s, dir)
+    if (!epochMode) DedupIndex.compact(s, dir)
     val freshIds = d.added.unionByName(d.changed).select(col("id").as("doc_id"))
     DedupIndex.append(s, dir, newCorpus.join(freshIds, Seq("doc_id"), "left_semi"))
   }

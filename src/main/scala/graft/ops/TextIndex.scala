@@ -12,10 +12,12 @@ import org.apache.spark.sql.types.DecimalType
   * without re-tokenizing the corpus.
   *
   * Index layout under `dir` (plain parquet):
-  *  - `postings/`  (term, doc_id, tf)  — the inverted index
-  *  - `doclens/`   (doc_id, dl)        — per-document token counts
-  *  - `stats/`     (n_docs, n_toks)    — one row of corpus aggregates
-  *  - `positions/` (term, doc_id, pos) — positional postings ([[phraseSearch]])
+  *  - `postings/`  (term, doc_id, tf, ep)  — the inverted index
+  *  - `doclens/`   (doc_id, dl, ep)        — per-document token counts
+  *  - `stats/`     (n_docs, n_toks)        — one row of corpus aggregates
+  *  - `positions/` (term, doc_id, pos, ep) — positional postings ([[phraseSearch]])
+  *  - `epoch/`, `tombstones/` — the [[Tombstones]] epoch marker and
+  *    ledger (epoch-aware deletes: re-append without compaction)
   *
   * [[search]] filters `postings` by the query terms FIRST — an `IN`
   * predicate that reaches the parquet scan, so serve cost is
@@ -75,21 +77,34 @@ object TextIndex {
       .collect().map(_.getInt(0)).toSeq
   }
 
-  private def writeBatch(docs: DataFrame, dir: String, mode: String): Unit = {
+  /** `ep = None` writes the legacy (epoch-less) schema — appends to a
+    * pre-epoch layout must match its files' columns.
+    */
+  private def writeBatch(docs: DataFrame, dir: String, mode: String,
+      ep: Option[Long]): Unit = {
     val t = toks(docs)
+    def stamp(df: DataFrame): DataFrame =
+      ep.fold(df)(e => df.withColumn("ep", lit(e)))
     // doclens is written LAST: it is [[append]]'s done-marker (the
     // anti-join target), so a crash mid-batch leaves at worst orphan
     // postings/positions for doc_ids absent from doclens — invisible to
     // BM25 only if the replay re-writes them, which the marker ensures.
-    t.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    stamp(t.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf")))
       .withColumn("bkt", bktCol)
       .write.partitionBy("bkt").mode(mode).parquet(s"$dir/postings")
-    t.select(col("term"), col("doc_id"), col("pos"))
+    stamp(t.select(col("term"), col("doc_id"), col("pos")))
       .withColumn("bkt", bktCol)
       .write.partitionBy("bkt").mode(mode).parquet(s"$dir/positions")
-    t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    stamp(t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
       .write.mode(mode).parquet(s"$dir/doclens")
   }
+
+  /** Epoch layouts stamp every row with its batch epoch
+    * ([[Tombstones]]); pre-epoch layouts keep the legacy id-only
+    * tombstone semantics until a [[compact]] upgrades them.
+    */
+  private[graft] def isEpochLayout(s: SparkSession, dir: String): Boolean =
+    s.read.parquet(s"$dir/doclens").columns.contains("ep")
 
   private def tombstones(s: SparkSession, dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
@@ -98,13 +113,23 @@ object TextIndex {
     else None
   }
 
+  /** The layout-appropriate liveness fold: epoch comparison on epoch
+    * layouts, id anti-join on legacy ones. Applied BEFORE any
+    * dedup-on-read, since an id re-appended after a deferred delete has
+    * rows at several epochs and only the liveness filter knows which
+    * one serves.
+    */
+  private def liveFold(s: SparkSession, dir: String, epochMode: Boolean)(
+      df: DataFrame): DataFrame =
+    if (epochMode) Tombstones.liveByEpoch(df, Tombstones.tombMax(s, dir, "doc_id"), "doc_id")
+    else tombstones(s, dir).fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
+
   /** doclens minus tombstones — the live document set every statistic
     * must be computed from once deletes exist.
     */
-  private def liveDoclens(s: SparkSession, dir: String): DataFrame = {
-    val raw = s.read.parquet(s"$dir/doclens").dropDuplicates("doc_id")
-    tombstones(s, dir).fold(raw)(t => raw.join(t, Seq("doc_id"), "left_anti"))
-  }
+  private def liveDoclens(s: SparkSession, dir: String): DataFrame =
+    liveFold(s, dir, isEpochLayout(s, dir))(s.read.parquet(s"$dir/doclens"))
+      .dropDuplicates("doc_id")
 
   /** Recompute the one-row stats from the LIVE doclens (doc-count rows —
     * one long pair per document, not corpus-sized) after a build, append,
@@ -122,9 +147,15 @@ object TextIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
-  /** Build and persist the index for the corpus at `d`. */
+  /** Build and persist the index for the corpus at `d`, replacing
+    * anything at `dir` — including a previous index's tombstone ledger
+    * and epoch marker, which would otherwise hide the new build's rows.
+    */
   def write(s: SparkSession, d: String, dir: String): Unit = {
-    writeBatch(Tables.documents(s, d), dir, "overwrite")
+    writeBatch(Tables.documents(s, d), dir, "overwrite", Some(0L))
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    Tombstones.writeEpoch(s, dir, 0L)
     refreshStats(s, dir)
   }
 
@@ -136,25 +167,21 @@ object TextIndex {
     * [[search]]'s term filter still pushes below it to the scan.
     */
   def load(s: SparkSession, dir: String): Index = {
-    // `bkt` is functionally determined by `term`, but including it in
-    // the dedup keys is what lets the serve-time bucket predicate push
-    // BELOW the dedup to the scan as a partition filter.
-    val raw = Index(
-      postings = s.read.parquet(s"$dir/postings")
+    // Liveness folds FIRST (deleted docs vanish from every serve
+    // surface — on epoch layouts a re-appended id also has dead
+    // lower-epoch rows that must not reach the dedup), then the
+    // defensive dedup. `bkt` is functionally determined by `term`, but
+    // including it in the dedup keys is what lets the serve-time bucket
+    // predicate push BELOW the dedup to the scan as a partition filter;
+    // the term/bucket predicates also push below the liveness join.
+    val live = liveFold(s, dir, isEpochLayout(s, dir)) _
+    Index(
+      postings = live(s.read.parquet(s"$dir/postings"))
         .dropDuplicates("bkt", "term", "doc_id"),
-      doclens = s.read.parquet(s"$dir/doclens").dropDuplicates("doc_id"),
+      doclens = live(s.read.parquet(s"$dir/doclens")).dropDuplicates("doc_id"),
       stats = s.read.parquet(s"$dir/stats"),
-      positions = s.read.parquet(s"$dir/positions")
+      positions = live(s.read.parquet(s"$dir/positions"))
         .dropDuplicates("bkt", "term", "doc_id", "pos"))
-    tombstones(s, dir).fold(raw) { t =>
-      // deleted docs vanish from every serve surface; the term/bucket
-      // predicates still push below the anti-join to the postings scan
-      Index(
-        postings = raw.postings.join(t, Seq("doc_id"), "left_anti"),
-        doclens = raw.doclens.join(t, Seq("doc_id"), "left_anti"),
-        stats = raw.stats,
-        positions = raw.positions.join(t, Seq("doc_id"), "left_anti"))
-    }
   }
 
   /** Delete documents by id — [[AnnIndex.delete]]'s tombstone design on
@@ -163,15 +190,20 @@ object TextIndex {
     * all serve from the live set), and the one-row stats refresh from
     * the live doclens so idf/avgdl shift exactly as a rebuild's would.
     * O(batch + #docs) per delete — index files untouched until
-    * [[compact]]. A tombstoned id blocks that id entirely; re-adding it
-    * via [[append]] requires compacting first (same contract as
-    * AnnIndex). Once the ledger outgrows `autoCompactAt` rows
+    * [[compact]]. On an epoch layout the tombstone records the current
+    * epoch, so a later [[append]] RE-ADDS the id without compacting
+    * (the release-upgrade fast path); on a legacy layout a tombstoned
+    * id blocks entirely until compact, as in [[AnnIndex]]. Once the
+    * ledger outgrows `autoCompactAt` rows
     * ([[Tombstones.AutoCompactRows]]) the delete compacts inline, so
     * the broadcast side stays bounded over any delete sequence.
     */
   def delete(s: SparkSession, dir: String, ids: DataFrame,
       autoCompactAt: Long = Tombstones.AutoCompactRows): Index = {
-    ids.select(col("doc_id")).write.mode("append").parquet(s"$dir/tombstones")
+    val t = ids.select(col("doc_id"))
+    (if (isEpochLayout(s, dir))
+       t.withColumn("te", lit(Tombstones.readEpoch(s, dir)))
+     else t).write.mode("append").parquet(s"$dir/tombstones")
     if (s.read.parquet(s"$dir/tombstones").count() >= autoCompactAt)
       return compact(s, dir) // refreshes stats itself after the rewrite
     refreshStats(s, dir)
@@ -186,16 +218,21 @@ object TextIndex {
     */
   def compact(s: SparkSession, dir: String): Index = {
     tombstones(s, dir).foreach { _ =>
-      val live = load(s, dir) // tombstones already anti-joined, rows deduped
+      val live = load(s, dir) // tombstones already folded, rows deduped
+      // the rewrite restarts epoch history at 0 (no tombstones survive
+      // it) — this is also where a legacy layout upgrades to the epoch
+      // schema, since every row is re-stamped
+      def ep0(df: DataFrame): DataFrame = df.drop("ep").withColumn("ep", lit(0L))
       // localCheckpoint so each rewrite doesn't race its own input scan
-      live.postings.localCheckpoint(true)
+      ep0(live.postings).localCheckpoint(true)
         .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/postings")
-      live.positions.localCheckpoint(true)
+      ep0(live.positions).localCheckpoint(true)
         .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/positions")
-      live.doclens.localCheckpoint(true)
+      ep0(live.doclens).localCheckpoint(true)
         .write.mode("overwrite").parquet(s"$dir/doclens")
       val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Tombstones.writeEpoch(s, dir, 0L)
       refreshStats(s, dir)
     }
     load(s, dir)
@@ -209,11 +246,29 @@ object TextIndex {
     * IDEMPOTENT under at-least-once replay: doc_ids already present in
     * doclens (written last — the batch's done-marker) are skipped, and a
     * torn batch's partial rows are healed by [[load]]'s dedup once the
-    * replay completes them.
+    * replay completes them. On an epoch layout "present" means LIVE —
+    * a tombstoned id re-appends at a fresh epoch (its dead rows stay
+    * invisible behind the tombstone); on a legacy layout it stays
+    * blocked until [[compact]].
     */
   def append(s: SparkSession, dir: String, docs: DataFrame): Index = {
-    val done = s.read.parquet(s"$dir/doclens").select(col("doc_id"))
-    writeBatch(docs.join(done, Seq("doc_id"), "left_anti"), dir, "append")
+    val epochMode = isEpochLayout(s, dir)
+    // epoch mode: done = LIVE ids (a tombstoned id re-appends); legacy:
+    // done = ids ever written (tombstoned ids stay blocked — the
+    // pre-epoch contract, byte-identical behavior)
+    val done =
+      if (epochMode)
+        liveFold(s, dir, epochMode)(s.read.parquet(s"$dir/doclens"))
+          .select(col("doc_id"))
+      else s.read.parquet(s"$dir/doclens").select(col("doc_id"))
+    val ep = if (epochMode) Some(Tombstones.bumpEpoch(s, dir)) else None
+    // batch-sized materialization: writeBatch runs THREE writes, and
+    // without the checkpoint each one lazily re-runs the anti-join and
+    // whatever lineage `docs` carries (for Release upgrades, a semi-join
+    // over the full new corpus — re-scanned 3x, the term that kept the
+    // upgrade rebuild-priced). Same recipe as [[DedupIndex.append]].
+    val fresh = docs.join(done, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    writeBatch(fresh, dir, "append", ep)
     refreshStats(s, dir)
     load(s, dir)
   }

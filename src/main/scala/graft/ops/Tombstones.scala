@@ -1,10 +1,36 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Shared tombstone-ledger policy for the persisted-index family
   * ([[AnnIndex]], [[TextIndex]], [[DedupIndex]]). Each index's `delete`
-  * appends ids to a `tombstones/` parquet ledger that `load` anti-joins
+  * appends ids to a `tombstones/` parquet ledger that `load` folds
   * (broadcast) onto every serve surface — O(batch) deletes, but the
   * ledger grows unboundedly between compacts.
+  *
+  * EPOCH-AWARE tombstones (round 10): layouts written by the current
+  * `write`/`compact` stamp every data row with the batch's epoch (`ep`,
+  * a monotone long handed out by the `epoch/` one-row marker), and
+  * tombstones record the epoch they were laid at (`te`). A row is live
+  * iff `ep > te` of its id's newest tombstone — so delete-then-reappend
+  * of an id works WITHOUT a compaction: the re-appended rows carry a
+  * higher epoch than the tombstone that killed the old ones. This is
+  * what makes a corpus-release upgrade O(delta): the eager
+  * compact-per-release (measured rebuild-priced on text/dedup — the
+  * postings/bands rewrite is corpus-order I/O, BENCH.md round 10) is
+  * replaced by the [[AutoCompactRows]] amortization. The marker is
+  * bumped BEFORE a batch's data lands, so a tombstone laid at the
+  * current marker always covers every row already written; the
+  * remaining at-least-once caveat (shared with the pre-epoch design) is
+  * that interleaving a delete between an append's crash and its replay
+  * re-lands the batch — the single-writer intake contract replays a
+  * failed batch before proceeding.
+  *
+  * Layouts written before the epoch column existed (no `ep` in the
+  * data, id-only tombstones) keep the legacy semantics end-to-end:
+  * anti-join liveness, re-append blocked until compact — and a compact
+  * upgrades them to the epoch layout in place.
   */
 object Tombstones {
 
@@ -18,4 +44,59 @@ object Tombstones {
     * with small ledgers.
     */
   val AutoCompactRows = 1000000L
+
+  /** Highest epoch handed out for writing at `dir` — 0 if the marker
+    * doesn't exist (fresh or legacy layout).
+    */
+  def readEpoch(s: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/epoch")
+    if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      s.read.parquet(p.toString).collect()(0).getLong(0)
+    else 0L
+  }
+
+  /** Persist the epoch marker (one driver-side row — never races a
+    * concurrent read of itself).
+    */
+  def writeEpoch(s: SparkSession, dir: String, e: Long): Unit = {
+    import s.implicits._
+    Seq(e).toDF("epoch").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/epoch")
+  }
+
+  /** Hand out the next epoch for an append batch: bump the marker FIRST
+    * (see object doc), then return the bumped value for the data rows.
+    */
+  def bumpEpoch(s: SparkSession, dir: String): Long = {
+    val next = readEpoch(s, dir) + 1L
+    writeEpoch(s, dir, next)
+    next
+  }
+
+  /** The newest tombstone epoch per id — the broadcast side of every
+    * epoch-aware liveness join. None when no ledger exists.
+    */
+  def tombMax(s: SparkSession, dir: String, idCol: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) {
+      val raw = s.read.parquet(p.toString)
+      // a legacy (te-less) ledger row kills the id at EVERY epoch —
+      // exactly the pre-epoch anti-join semantics it was written under
+      val te = if (raw.columns.contains("te")) raw
+        else raw.withColumn("te", lit(Long.MaxValue))
+      Some(te.groupBy(col(idCol)).agg(max(col("te")).as("te")))
+    } else None
+  }
+
+  /** Epoch-aware liveness: keep rows whose `ep` postdates their id's
+    * newest tombstone (or that have no tombstone at all). Same
+    * broadcast-join cost class as the legacy anti-join.
+    */
+  def liveByEpoch(df: DataFrame, tomb: Option[DataFrame],
+      idCol: String): DataFrame =
+    tomb.fold(df) { t =>
+      df.join(broadcast(t), Seq(idCol), "left")
+        .filter(col("te").isNull || col("ep") > col("te"))
+        .drop("te")
+    }
 }

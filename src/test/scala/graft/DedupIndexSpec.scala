@@ -97,6 +97,45 @@ class DedupIndexSpec extends SparkSuite {
       .exists(_.getLong(0) == victim), "compact kept the deleted sig row")
   }
 
+  test("a deleted id re-appends at a fresh epoch without compaction") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dix-epoch").toString
+    DedupIndex.write(spark, corpus, dir)
+    val victim = expectedIdentityIds.min
+    DedupIndex.delete(spark, dir, Seq(victim).toDF("doc_id"))
+    // re-append the id with DIFFERENT text — no compact in between
+    val revised = Seq((victim, "epochal fresh reindexed text row"))
+      .toDF("doc_id", "text")
+    DedupIndex.append(spark, dir, revised)
+    // the fast path really was deferred: ledger intact, dead sig row
+    // still on disk next to the re-appended one
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    assert(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      "re-append should not have compacted the ledger away")
+    assert(spark.read.parquet(s"$dir/sigs")
+      .filter(col("doc_id") === victim).count() == 2,
+      "expected the dead and the re-appended sig rows on disk")
+    // the live view serves exactly a fresh build over the revised corpus
+    val fresh = Files.createTempDirectory("graft-dix-epoch-fresh").toString
+    DedupIndex.write(spark,
+      corpus.filter(col("doc_id") =!= victim).unionByName(
+        revised.withColumn("lang", lit("en")).withColumn("source", lit("src"))
+          .withColumn("n_chars", length(col("text")).cast("long"))), fresh)
+    val probe = copies.unionByName(
+        Seq((8999L, "epochal fresh reindexed text row", "en", "src", 32L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .localCheckpoint(true)
+    val got = DedupIndex.queryBatch(spark, dir, probe).collect().toSeq
+    val want = DedupIndex.queryBatch(spark, fresh, probe).collect().toSeq
+    assert(got.nonEmpty && got == want,
+      s"epoch re-append diverged from fresh build: ${got.size} vs ${want.size} rows")
+    // the revised text is findable; the old text of the victim is not
+    assert(got.exists(r => r.getLong(0) == 8999L && r.getLong(1) == victim
+      && r.getDouble(2) == 1.0), "re-appended text not served")
+    assert(!got.exists(r => r.getLong(0) == victim + 9000L && r.getLong(1) == victim),
+      "the victim's dead pre-delete signature still matches its old copy")
+  }
+
   test("the band layout's bucket count is corpus-sized, persisted, and serve paths honor it") {
     import spark.implicits._
     // the sizing function: floor below ~10M docs, proportional above,

@@ -38,8 +38,9 @@ class ReleaseSpec extends SparkSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
     assert(got.nonEmpty && got.sameElements(want),
       s"upgraded index != fresh v2 build:\n got ${got.toSeq}\nwant ${want.toSeq}")
-    assert(spark.read.parquet(s"$dir/doclens").count() == v2.count(),
-      "doclens row parity with v2")
+    // live-view parity, not raw-file: the O(delta) epoch upgrade leaves
+    // dead rows in the files until auto-compact folds them
+    assert(ix.doclens.count() == v2.count(), "live doclens row parity with v2")
     // the upgrade actually served the delta: a revised doc leads the
     // "dup" ranking only if its new text is indexed
     assert(got.map(_._2).contains(9100L), "added doc not retrievable")

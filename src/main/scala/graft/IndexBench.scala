@@ -309,6 +309,14 @@ object IndexBench {
     ops.DedupIndex.write(spark, v2d, s"$tmp/rel_dix_fresh")
     println(f"IXBENCH rel_fresh_dedup              ${(System.nanoTime() - t0) / 1e9}%.3f s")
 
+    ops.LmModel.write(spark, v1d, s"$tmp/rel_lm")
+    t0 = System.nanoTime()
+    ops.Release.upgradeLmModel(spark, s"$tmp/rel_lm", v1d, v2d, dd)
+    println(f"IXBENCH rel_upgrade_lm               ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    t0 = System.nanoTime()
+    ops.LmModel.write(spark, v2d, s"$tmp/rel_lm_fresh")
+    println(f"IXBENCH rel_fresh_lm                 ${(System.nanoTime() - t0) / 1e9}%.3f s")
+
     val asD = graft.functions.VectorFunctions.asDouble _
     val v1v = emb.select(col("vec_id"), asD(col("embedding")).as("v")).localCheckpoint()
     val v2v = Tables.embeddings(spark, v2dir)

@@ -12,15 +12,23 @@ import org.apache.spark.sql.functions._
   * the corpus is never re-scanned.
   *
   * Model layout under `dir` (plain parquet, all content-diversity
-  * sized):
-  *  - `bigrams/` (gram, p_cond, p_uni), partitioned by
-  *    `bkt = pmod(xxhash64(gram), 64)` — the enriched transition table,
-  *    λ-interpolation precomputed in exact ppm integers (q154's `bie`).
-  *  - `unigrams/` (w, p_uni), partitioned by `bkt = pmod(xxhash64(w),
-  *    64)` — the unigram backoff: a transition whose bigram was never
-  *    seen in training scores (1−λ)·P(w2) — real LM backoff behavior,
-  *    not a silent zero; a w2 outside the training vocabulary scores 0
-  *    (maximally surprising).
+  * sized). Each table carries BOTH the exact counts and the baked ppm
+  * probabilities — the counts are what make [[upgrade]] exact (they
+  * are additive; the probabilities are not, since the token total `n`
+  * touches every row), and the baked ppm columns are what keep
+  * [[scoreBatch]] a two-join read (parquet column pruning skips the
+  * count pages at serve time):
+  *  - `bigrams/`  (gram, c12, p_cond, p_uni), partitioned by `bkt =
+  *    pmod(xxhash64(gram), 64)` — λ-interpolation inputs precomputed
+  *    in exact ppm integers (q154's `bie`).
+  *  - `unigrams/` (w, c, p_uni), partitioned by `bkt = pmod(
+  *    xxhash64(w), 64)` — the unigram backoff: a transition whose
+  *    bigram was never seen in training scores (1−λ)·P(w2) — real LM
+  *    backoff behavior, not a silent zero; a w2 outside the training
+  *    vocabulary scores 0 (maximally surprising).
+  *  - `total/`    (n) — one row, the corpus token count.
+  * Layouts written before the count columns existed serve unchanged
+  * (same baked columns); they just cannot [[upgrade]].
   *
   * The arithmetic is the ONE q154 recipe ([[Det.halfUpDiv]] ppm
   * integers, λ = 0.9), so LmModelSpec can pin saved-model
@@ -38,10 +46,17 @@ import org.apache.spark.sql.functions._
   * bucket set, each model read opens only those directories, and the
   * join strategy is left to AQE — broadcast when the pruned slice is
   * small (every tested scale), shuffled hash when it is not, never a
-  * pinned-hint OOM. The model is an immutable snapshot by design —
-  * a corpus release trains a new one (Release's delta machinery applies
-  * to the indexes whose content must track membership; a probability
-  * model should be versioned, not incrementally mutated).
+  * pinned-hint OOM.
+  *
+  * Corpus releases: [[upgrade]] merges delta counts (subtract the
+  * removed docs', add the added docs') by exact long addition, drops
+  * zero rows, and re-derives the baked ppm columns from the merged
+  * counts, so the upgraded model is BIT-IDENTICAL to a fresh train
+  * over the new corpus (ReleaseSpec pins table and serve equality).
+  * Cost is one delta tokenization plus a model-table-sized
+  * merge/re-enrich/rewrite — it saves the two full-corpus scans a
+  * retrain pays, the dominant term whenever the corpus dwarfs its
+  * distinct-bigram table (any natural corpus at scale).
   */
 object LmModel {
 
@@ -77,51 +92,123 @@ object LmModel {
     docs.select(col("doc_id"),
       explode(graft.functions.NGrams.ngrams(split(col("text"), " "), 2)).as("gram"))
 
-  /** The trained model tables — (enriched bigram table, unigram count
-    * table with its corpus scan checkpointed, 1-row total). ONE builder
-    * shared by the live q154 scorer and [[write]], so a smoothing or
-    * interpolation change cannot desynchronize the persisted model from
-    * the registered query.
+  /** The corpus count tables — (bigram counts, unigram counts with
+    * their corpus scan checkpointed). ONE tokenization shared by
+    * training, [[upgrade]]'s delta sides, and (through [[modelTables]])
+    * the live q154 scorer.
     */
-  private[ops] def modelTables(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  private def countTables(docs: DataFrame): (DataFrame, DataFrame) = {
     val uni = docs.select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .localCheckpoint() // feeds both marginal joins + the total, once
-    val tot = uni.agg(sum(col("c")).as("n"))
-    val bie = transitions(docs)
+    val bi = transitions(docs)
       .groupBy(col("gram")).agg(count(lit(1)).as("c12"))
-      .withColumn("w1", split(col("gram"), " ").getItem(0))
+    (bi, uni)
+  }
+
+  /** Enrich bigram counts into (gram, c12, p_cond ppm, p_uni ppm) by
+    * joining the unigram marginals — the ONE place the interpolation
+    * inputs are derived, shared by the live [[modelTables]], [[write]]
+    * and [[upgrade]], so a smoothing edit cannot desynchronize them.
+    */
+  private def enrich(bi: DataFrame, uni: DataFrame, tot: DataFrame): DataFrame =
+    bi.withColumn("w1", split(col("gram"), " ").getItem(0))
       .withColumn("w2", split(col("gram"), " ").getItem(1))
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
       .crossJoin(broadcast(tot))
-      .select(col("gram"),
+      .select(col("gram"), col("c12"),
         Det.halfUpDiv(col("c12") * Micro, col("c1")).as("p_cond"),
         Det.halfUpDiv(col("c2") * Micro, col("n")).as("p_uni"))
-    (bie, uni, tot)
+
+  /** The trained model tables in the live q154 scorer's shape —
+    * (enriched bigram table, unigram count table, 1-row total). Shared
+    * by the registered q154/q159 queries; [[write]] persists the same
+    * derivation.
+    */
+  private[ops] def modelTables(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val (bi, uni) = countTables(docs)
+    val tot = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+    (enrich(bi, uni, tot).drop("c12"), uni, tot)
   }
 
-  /** The unigram table in its persisted form: (w, p_uni ppm). */
+  /** The unigram table in its persisted serve form: (w, p_uni ppm). */
   private[ops] def unigramP(uni: DataFrame, tot: DataFrame): DataFrame =
     uni.crossJoin(broadcast(tot))
       .select(col("w"), Det.halfUpDiv(col("c") * Micro, col("n")).as("p_uni"))
 
+  /** Persist the count + baked tables derived from (bi, uni) counts —
+    * shared tail of [[write]] and [[upgrade]].
+    */
+  private def writeTables(s: SparkSession, dir: String, bi: DataFrame,
+      uni: DataFrame): Unit = {
+    val tot = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+    enrich(bi, uni, tot).withColumn("bkt", bktOf(col("gram")))
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/bigrams")
+    uni.crossJoin(broadcast(tot))
+      .select(col("w"), col("c"),
+        Det.halfUpDiv(col("c") * Micro, col("n")).as("p_uni"))
+      .withColumn("bkt", bktOf(col("w")))
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/unigrams")
+    tot.coalesce(1).write.mode("overwrite").parquet(s"$dir/total")
+  }
+
   /** Train on `docs` and persist under `dir`, gram-hash partitioned so
-    * [[scoreBatch]] prunes before it reads. Overwrites.
+    * [[scoreBatch]] prunes before it reads. Overwrites. (No checkpoint
+    * needed here: unlike [[upgrade]], nothing read from `dir` feeds the
+    * overwrite.)
     */
   def write(s: SparkSession, docs: DataFrame, dir: String): Unit = {
-    val (bie, uni, tot) = modelTables(docs)
-    bie.withColumn("bkt", bktOf(col("gram")))
-      .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/bigrams")
-    unigramP(uni, tot).withColumn("bkt", bktOf(col("w")))
-      .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/unigrams")
+    val (bi, uni) = countTables(docs)
+    writeTables(s, dir, bi, uni)
+  }
+
+  /** Layouts written before the count columns existed serve fine but
+    * carry no counts for the release algebra.
+    */
+  private[graft] def isLegacyLayout(s: SparkSession, dir: String): Boolean =
+    !s.read.parquet(s"$dir/bigrams").columns.contains("c12")
+
+  /** Roll the persisted model to a corpus release by exact count
+    * algebra: subtract `removeDocs`' transition/token counts, add
+    * `addDocs`', drop rows whose count reaches zero (a dropped bigram
+    * scores through backoff again; a dropped unigram is OOV again —
+    * exactly a fresh train's behavior), then re-derive the baked ppm
+    * columns from the merged counts. The merge reads and rewrites the
+    * model tables once (model-table-sized I/O, never the corpus) —
+    * [[Release.upgradeLmModel]] measures this against a fresh retrain.
+    * Requires the count layout; legacy baked-only layouts must retrain
+    * (their rows do not carry the counts the algebra needs).
+    */
+  def upgrade(s: SparkSession, dir: String, addDocs: DataFrame,
+      removeDocs: DataFrame): Unit = {
+    require(!isLegacyLayout(s, dir),
+      s"$dir is a baked-probability layout without counts; retrain with write() instead")
+    def delta(docs: DataFrame, sign: Int): (DataFrame, DataFrame) = {
+      val (bi, uni) = countTables(docs)
+      (bi.select(col("gram"), (col("c12") * sign).as("c12")),
+        uni.select(col("w"), (col("c") * sign).as("c")))
+    }
+    val (addBi, addUni) = delta(addDocs, 1)
+    val (remBi, remUni) = delta(removeDocs, -1)
+    val bi = s.read.parquet(s"$dir/bigrams").select(col("gram"), col("c12"))
+      .unionByName(addBi).unionByName(remBi)
+      .groupBy(col("gram")).agg(sum(col("c12")).as("c12"))
+      .filter(col("c12") > 0).localCheckpoint(true)
+    val uni = s.read.parquet(s"$dir/unigrams").select(col("w"), col("c"))
+      .unionByName(addUni).unionByName(remUni)
+      .groupBy(col("w")).agg(sum(col("c")).as("c"))
+      .filter(col("c") > 0).localCheckpoint(true)
+    writeTables(s, dir, bi, uni)
   }
 
   /** Score a document batch against the persisted model: q154's output
     * shape (n_trans, rarest_ppm, mean_ppm per doc), with unigram
     * backoff for transitions unseen in training. Cost is O(batch +
     * pruned model slice): one batch transition pass (checkpointed — the
-    * batch is read once), bucket-pruned model scans, AQE-chosen joins.
+    * batch is read once), bucket-pruned model scans reading only the
+    * baked ppm columns (column pruning skips the count pages),
+    * AQE-chosen joins.
     */
   def scoreBatch(s: SparkSession, dir: String, docs: DataFrame): DataFrame = {
     val t = transitions(docs)
@@ -129,9 +216,11 @@ object LmModel {
       .localCheckpoint() // batch-sized; feeds bucket discovery + the score join
     val (bg, bw) = bucketsOf(t)
     val bie = s.read.parquet(s"$dir/bigrams")
-      .filter(col("bkt").isin(bg: _*)).drop("bkt")
+      .filter(col("bkt").isin(bg: _*))
+      .select(col("gram"), col("p_cond"), col("p_uni"))
     val uniP = s.read.parquet(s"$dir/unigrams")
-      .filter(col("bkt").isin(bw: _*)).drop("bkt")
+      .filter(col("bkt").isin(bw: _*))
+      .select(col("w"), col("p_uni"))
     scoreTransitions(bie, uniP, t)
   }
 

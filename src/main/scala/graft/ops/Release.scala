@@ -111,4 +111,26 @@ object Release {
     val freshIds = d.added.unionByName(d.changed).select(col("id").as("doc_id"))
     DedupIndex.append(s, dir, newCorpus.join(freshIds, Seq("doc_id"), "left_semi"))
   }
+
+  /** Roll a persisted [[LmModel]] to `newCorpus` by exact count
+    * algebra: subtract the removed ∪ changed docs' OLD transition
+    * counts (which is why this upgrade, unlike the index ones, needs
+    * `oldCorpus` — tombstoning by id cannot un-count content), add the
+    * added ∪ changed docs' new counts. Counts are additive longs, so
+    * the upgraded model is BIT-IDENTICAL to a fresh train over
+    * `newCorpus` (ReleaseSpec pins scoreBatch equality). Cost: two
+    * snapshot semi-joins (checkpointed batch-sized), delta
+    * tokenization, one model-table-sized merge — never a corpus scan.
+    */
+  def upgradeLmModel(s: SparkSession, dir: String, oldCorpus: DataFrame,
+      newCorpus: DataFrame, d: Delta): Unit = {
+    val gone = d.removed.unionByName(d.changed).select(col("id").as("doc_id"))
+    val freshIds = d.added.unionByName(d.changed).select(col("id").as("doc_id"))
+    // batch-sized materialization: LmModel.upgrade scans each delta side
+    // twice (bigram + unigram counts) — without the checkpoint each scan
+    // would re-run the semi-join over the full snapshot
+    val rem = oldCorpus.join(gone, Seq("doc_id"), "left_semi").localCheckpoint(true)
+    val add = newCorpus.join(freshIds, Seq("doc_id"), "left_semi").localCheckpoint(true)
+    LmModel.upgrade(s, dir, addDocs = add, removeDocs = rem)
+  }
 }

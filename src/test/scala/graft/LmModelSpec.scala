@@ -102,6 +102,46 @@ class LmModelSpec extends SparkSuite {
     assert(!analyzed.toLowerCase.contains("hint"), analyzed.take(3000))
   }
 
+  test("a legacy baked-probability layout serves identically; upgrade refuses it") {
+    // reconstruct the pre-round-10 layout (bigrams carrying p_cond/p_uni
+    // ppm, unigrams carrying p_uni) from the count tables, byte-for-byte
+    // the old write's arithmetic
+    val legacy = Files.createTempDirectory("graft_lm_legacy").toString
+    val hud = graft.Det.halfUpDiv _
+    val bkt64 = (c: org.apache.spark.sql.Column) =>
+      pmod(xxhash64(c), lit(64L)).cast("int")
+    val uni = spark.read.parquet(s"$dir/unigrams").select($"w", $"c")
+    val n = lit(spark.read.parquet(s"$dir/total").collect()(0).getLong(0))
+    spark.read.parquet(s"$dir/bigrams").select($"gram", $"c12")
+      .withColumn("w1", split($"gram", " ").getItem(0))
+      .withColumn("w2", split($"gram", " ").getItem(1))
+      .join(uni.select($"w".as("w1"), $"c".as("c1")), Seq("w1"))
+      .join(uni.select($"w".as("w2"), $"c".as("c2")), Seq("w2"))
+      .select($"gram", hud($"c12" * 1000000L, $"c1").as("p_cond"),
+        hud($"c2" * 1000000L, n).as("p_uni"))
+      .withColumn("bkt", bkt64($"gram"))
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$legacy/bigrams")
+    uni.select($"w", hud($"c" * 1000000L, n).as("p_uni"))
+      .withColumn("bkt", bkt64($"w"))
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$legacy/unigrams")
+    val batch = Tables.documents(spark, sf0001).limit(60)
+      .unionByName(Seq((9400001L, "the zzleg quick", "en", "src", 17L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .localCheckpoint(true)
+    val got = LmModel.scoreBatch(spark, legacy, batch)
+      .orderBy($"doc_id").collect().toSeq
+    val want = LmModel.scoreBatch(spark, dir, batch)
+      .orderBy($"doc_id").collect().toSeq
+    assert(got.nonEmpty && got == want, "legacy layout served differently")
+    // the count algebra has nothing to merge into baked probabilities
+    val ex = intercept[IllegalArgumentException] {
+      LmModel.upgrade(spark, legacy,
+        Seq((1L, "a b")).toDF("doc_id", "text"),
+        Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    }
+    assert(ex.getMessage.contains("retrain"))
+  }
+
   test("a batch with no scoreable transitions (1-token docs) returns empty, not an error") {
     // empty bucket discovery -> isin() over no values -> empty model
     // slices -> empty result; the edge the bucket-pruned path added

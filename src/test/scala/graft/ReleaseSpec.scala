@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{AnnIndex, Release, TextIndex}
+import graft.ops.{AnnIndex, LmModel, Release, TextIndex}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -77,6 +77,49 @@ class ReleaseSpec extends SparkSuite {
     val all = AnnIndex.search(spark, ix, qAll, nprobe = 2, k = 5)
       .collect().map(_.getLong(2))
     assert(!all.exists(removedIds.contains), "a removed id surfaced in search")
+  }
+
+  test("upgraded LM model is bit-identical to a fresh train over the new corpus") {
+    val dir = Files.createTempDirectory("graft-rel-lm").toString
+    val v1 = Tables.documents(spark, sf0001).localCheckpoint(true)
+    LmModel.write(spark, v1, dir)
+    val v2 = v1.filter(col("doc_id") % 17 =!= 5)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(lit("dup spark "), col("text")))
+          .otherwise(col("text")))
+      .unionByName(Seq(
+        (9100L, "spark vector dup dup fresh release", "en", "src", 34L),
+        (9101L, "vector vector spark fresh", "en", "src", 25L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .localCheckpoint(true)
+    val d = Release.delta(v1, v2, "doc_id", md5(col("text")))
+    val (na, nc, nr) = d.summary
+    assert(na == 2 && nc > 0 && nr > 0, s"degenerate delta: $na/$nc/$nr")
+    Release.upgradeLmModel(spark, dir, v1, v2, d)
+    val fresh = Files.createTempDirectory("graft-rel-lm-fresh").toString
+    LmModel.write(spark, v2, fresh)
+    // raw-table equality — the strongest form: the count algebra must
+    // reproduce the fresh train's tables exactly, zero rows left behind
+    def tbl(root: String, t: String, cols: Seq[String]): Set[Seq[Any]] =
+      spark.read.parquet(s"$root/$t").select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    assert(tbl(dir, "bigrams", Seq("gram", "c12")) ==
+      tbl(fresh, "bigrams", Seq("gram", "c12")), "bigram counts diverged")
+    assert(tbl(dir, "unigrams", Seq("w", "c")) ==
+      tbl(fresh, "unigrams", Seq("w", "c")), "unigram counts diverged")
+    assert(tbl(dir, "total", Seq("n")) == tbl(fresh, "total", Seq("n")))
+    // and the serve surface agrees on a probe mixing revised, fresh,
+    // and OOV content
+    val probe = v2.limit(50).withColumn("doc_id", col("doc_id") + 30000L)
+      .unionByName(Seq((39999L, "zzrel zzrel zzrel", "en", "src", 17L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .localCheckpoint(true)
+    val got = LmModel.scoreBatch(spark, dir, probe)
+      .orderBy(col("doc_id")).collect().toSeq
+    val want = LmModel.scoreBatch(spark, fresh, probe)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(got.nonEmpty && got == want,
+      s"upgraded LM served differently: ${got.size} vs ${want.size} rows")
   }
 
   test("upgraded dedup index is bit-identical to a fresh build over the new corpus") {

@@ -24,7 +24,8 @@ object SparkEntry {
       ops.Advanced10.specs ++ ops.Advanced11.specs ++ ops.Advanced12.specs ++
       ops.ResidualPQ.specs ++ ops.Advanced13.specs ++ ops.Advanced14.specs ++
       ops.SnapshotDiff.specs ++ ops.DedupIndex.specs ++ ops.Advanced15.specs ++
-      ops.AnnIndex.specs ++ ops.IngestionGate.specs ++ ops.QualityModel.specs
+      ops.AnnIndex.specs ++ ops.IngestionGate.specs ++ ops.QualityModel.specs ++
+      ops.LmModel.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

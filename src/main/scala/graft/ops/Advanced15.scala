@@ -48,7 +48,7 @@ object Advanced15 {
       |                  CROSS JOIN tot t0)""".stripMargin
 
   /** The per-document aggregation tail shared by the LM oracles. */
-  private def LmAggTail: String =
+  private[ops] def LmAggTail: String =
     """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
       |  CAST(MIN(s) AS BIGINT) AS rarest_ppm,
       |  CAST((2 * SUM(s) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_ppm

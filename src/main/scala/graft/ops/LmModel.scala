@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Det, Tables}
+import graft.{Det, Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -236,6 +236,91 @@ object LmModel {
       docs: DataFrame): DataFrame =
     scoreTransitions(bie, uniP,
       transitions(docs).withColumn("w2", split(col("gram"), " ").getItem(1)))
+
+  /** The LM count algebra under the hard gate — q153/q159's pattern for
+    * the release upgrade: the Spark side rolls a v1-trained model to v2
+    * through the EXACT recipe [[upgrade]] runs (v1 counts, plus the
+    * added∪changed docs' counts, minus the removed∪changed docs' OLD
+    * counts via `Release.delta`'s digest classes, zero rows dropped,
+    * probabilities re-derived with [[enrich]]), while the ORACLE trains
+    * directly on v2 — an independent implementation that never sees the
+    * algebra. Hash equality on a probe mixing revised, surviving, and
+    * REMOVED-doc text (whose grams may have left the model — the
+    * subtraction branch) proves upgrade ≡ fresh-train end to end.
+    * ReleaseSpec pins the persisted write → upgrade → scoreBatch
+    * roundtrip set- and bit-identical to this algebra.
+    *
+    * Fixture: every doc's text carries a doc-unique suffix token
+    * (" t<doc_id>") — WITHOUT it, the testdata's shared vocabulary
+    * keeps every removed doc's gram alive in some survivor at every SF
+    * (measured: dropped-gram count 0), and the subtraction's
+    * zero-row-drop branch would never fire. With it, each removed doc
+    * contributes grams only it holds, so the upgrade MUST drop rows to
+    * match the oracle. v1 = suffixed docs without doc_id%17=5; v2 =
+    * suffixed docs without doc_id%19=3, prefixed "rev " when
+    * doc_id%13=0 — added/changed/removed all non-empty at every SF.
+    */
+  val lmReleaseUpgrade = Q(
+    "q163_lm_release_upgrade",
+    (s"""WITH base AS (SELECT doc_id,
+      |    text || ' t' || CAST(doc_id AS VARCHAR) AS text FROM documents),
+      |v2 AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0 THEN 'rev ' || text ELSE text END AS text
+      |  FROM base WHERE doc_id % 19 != 3),
+      |${Advanced15.lmOracleCore("v2")},
+      |probe AS (SELECT doc_id, text FROM v2 WHERE doc_id % 23 = 7
+      |          UNION ALL
+      |          SELECT doc_id + 100000 AS doc_id, text FROM base
+      |          WHERE doc_id % 19 = 3 AND doc_id % 17 != 5),
+      |bx AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '), 1) AS pos FROM probe),
+      |bbg AS (SELECT doc_id, tok AS w1,
+      |          lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM bx),
+      |sc AS (SELECT g.doc_id,
+      |         CASE WHEN e.p_cond IS NOT NULL
+      |              THEN ${Advanced15.hudSql("9 * e.p_cond + e.p_uni", "10")}
+      |              ELSE ${Advanced15.hudSql(
+                       s"COALESCE(${Advanced15.hudSql("u2b.c * 1000000", "t0.n")}, 0)", "10")}
+      |         END AS s
+      |       FROM bbg g
+      |       LEFT JOIN bie e ON e.w1 = g.w1 AND e.w2 = g.w2
+      |       LEFT JOIN uni u2b ON u2b.w = g.w2
+      |       CROSS JOIN tot t0
+      |       WHERE g.w2 IS NOT NULL)
+      |${Advanced15.LmAggTail}""").stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" t"), col("doc_id").cast("string")).as("text"))
+    val v1 = docs.filter(col("doc_id") % 17 =!= 5).localCheckpoint()
+    val v2 = docs.filter(col("doc_id") % 19 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(lit("rev "), col("text")))
+          .otherwise(col("text"))).localCheckpoint()
+    val dd = Release.delta(v1, v2, "doc_id", md5(col("text")))
+    val gone = dd.removed.unionByName(dd.changed).select(col("id").as("doc_id"))
+    val fresh = dd.added.unionByName(dd.changed).select(col("id").as("doc_id"))
+    val (v1bi, v1uni) = countTables(v1)
+    val (addBi, addUni) = countTables(v2.join(fresh, Seq("doc_id"), "left_semi"))
+    val (remBi, remUni) = countTables(v1.join(gone, Seq("doc_id"), "left_semi"))
+    val bi = v1bi
+      .unionByName(addBi)
+      .unionByName(remBi.select(col("gram"), (-col("c12")).as("c12")))
+      .groupBy(col("gram")).agg(sum(col("c12")).as("c12"))
+      .filter(col("c12") > 0)
+    val uni = v1uni
+      .unionByName(addUni)
+      .unionByName(remUni.select(col("w"), (-col("c")).as("c")))
+      .groupBy(col("w")).agg(sum(col("c")).as("c"))
+      .filter(col("c") > 0).localCheckpoint()
+    val tot = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+    val probe = v2.filter(col("doc_id") % 23 === 7)
+      .unionByName(docs
+        .filter(col("doc_id") % 19 === 3 && col("doc_id") % 17 =!= 5)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+    scoreAgainst(enrich(bi, uni, tot).drop("c12"), unigramP(uni, tot), probe)
+      .orderBy(col("doc_id"))
+  }
+
+  def specs: Seq[graft.Q] = Seq(lmReleaseUpgrade)
 
   private def scoreTransitions(bie: DataFrame, uniP: DataFrame,
       trans: DataFrame): DataFrame = {

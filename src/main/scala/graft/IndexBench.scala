@@ -109,18 +109,22 @@ object IndexBench {
     // 64 planted clusters (deterministic seeds), same build path, same
     // measurement — high recall here is the quantizer's own evidence.
     {
-      val nP = e.count().toInt
+      val nP = e.count()
       val seeded = new scala.util.Random(42)
       val cents = Array.fill(64, 64)(seeded.nextGaussian())
-      val rows = (0 until nP).map { i =>
-        val c = cents(i % 64)
-        val r = new scala.util.Random(i + 1000)
+      // generated DISTRIBUTED (spark.range + a deterministic per-row
+      // seed), never as a driver-side collection — at the 5M-doc
+      // rehearsal dirs this bench targets, materializing n×64 doubles
+      // on the driver is multi-GB; the per-row Random(i + 1000) keeps
+      // the vectors bit-identical to the old driver-side generation
+      import spark.implicits._
+      spark.range(nP).map { i =>
+        val c = cents((i % 64).toInt)
+        val r = new scala.util.Random(i.toInt + 1000)
         val v = c.map(_ + r.nextGaussian() * 0.35)
         val nrm = math.sqrt(v.map(x => x * x).sum)
-        (i.toLong, v.map(x => (x / nrm).toFloat))
-      }
-      import spark.implicits._
-      rows.toDF("vec_id", "embedding")
+        (i, v.map(x => (x / nrm).toFloat))
+      }.toDF("vec_id", "embedding")
         .write.mode("overwrite").parquet(s"$tmp/planted/embeddings.parquet")
       AnnIndex.writeScaled(spark, s"$tmp/planted", s"$tmp/annP")
       val annP = AnnIndex.load(spark, s"$tmp/annP")

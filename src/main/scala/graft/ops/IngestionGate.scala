@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   * (< 2 tokens ⇒ no transitions) are rejected — an unscoreable document
   * has no place in a training corpus this gate is guarding.
   *
+  * Intra-batch duplicates: by default the dedup guarantee is
+  * CROSS-BATCH — two near-identical novel documents arriving in the
+  * same micro-batch are both admitted (each is novel against the index
+  * at decision time; the next batch deduplicates against both). For
+  * intakes whose batches can self-collide, `selfDedup = true` adds a
+  * batch-self LSH pass (the batch's bands joined against themselves
+  * through the same capped [[DedupIndex.candidatePairs]] join, keeping
+  * the min doc_id of each verified near-dup pair) before the index
+  * check — still O(batch), since both join sides are the batch.
+  *
   * Streaming form: run [[gateBatch]] inside `foreachBatch`
   * ([[graft.streaming.EventStream.toForeachBatch]]) — IngestionGateSpec
   * proves micro-batched streaming execution lands the exact accepted
@@ -45,7 +55,8 @@ object IngestionGate {
     */
   case class Config(dedupDir: String, lmDir: String, acceptedDir: String,
     maxJaccard: Double = 0.5, minMeanPpm: Long = 1L,
-    qualityDir: Option[String] = None, minQualityPpm: Long = 500000L)
+    qualityDir: Option[String] = None, minQualityPpm: Long = 500000L,
+    selfDedup: Boolean = false)
 
   /** The pure decision: which of `batch(doc_id, text)` would the gate
     * admit right now, against the CURRENT index state? No writes — this
@@ -53,7 +64,25 @@ object IngestionGate {
     * mutating [[gateBatch]] composes.
     */
   def decide(s: SparkSession, cfg: Config, batch: DataFrame): DataFrame = {
-    val b = batch.localCheckpoint(true) // batch-sized; read by every check
+    val b0 = batch.localCheckpoint(true) // batch-sized; read by every check
+    // optional stage 0: batch-self near-dup pass (see object doc) — the
+    // SAME banded join + signature verification the index check runs,
+    // pointed at the batch's own bands; each verified pair keeps its min
+    // doc_id, so a self-colliding batch admits one representative
+    val b = if (!cfg.selfDedup) b0 else {
+      val sigs = TextOps.sigsOf(b0).localCheckpoint(true)
+      val bands = TextOps.bandsOf(sigs)
+      val agree = (1 to 16).map { i =>
+        when(element_at(col("sa.sig"), i) === element_at(col("sb.sig"), i), 1).otherwise(0)
+      }.reduce(_ + _)
+      val selfDups = DedupIndex.candidatePairs(s, bands, bands, tag = "gate-self")
+        .join(sigs.as("sa"), col("batch_id") === col("sa.doc_id"))
+        .join(sigs.as("sb"), col("corpus_id") === col("sb.doc_id"))
+        .filter(round(agree / lit(16.0), 6) >= cfg.maxJaccard &&
+          col("corpus_id") < col("batch_id"))
+        .select(col("batch_id").as("doc_id")).distinct()
+      b0.join(selfDups, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    }
     val dups = DedupIndex.queryBatch(s, cfg.dedupDir, b)
       .filter(col("est_jaccard") >= cfg.maxJaccard)
       .select(col("batch_id").as("doc_id")).distinct()

@@ -215,12 +215,17 @@ object LmModel {
       .withColumn("w2", split(col("gram"), " ").getItem(1))
       .localCheckpoint() // batch-sized; feeds bucket discovery + the score join
     val (bg, bw) = bucketsOf(t)
-    val bie = s.read.parquet(s"$dir/bigrams")
-      .filter(col("bkt").isin(bg: _*))
-      .select(col("gram"), col("p_cond"), col("p_uni"))
-    val uniP = s.read.parquet(s"$dir/unigrams")
-      .filter(col("bkt").isin(bw: _*))
-      .select(col("w"), col("p_uni"))
+    // bucket pruning only on layouts that carry the partition column — a
+    // pre-bkt (flat) layout falls back to the full-table read, the
+    // [[DedupIndex.pruneSigs]] pattern (serving it is the object doc's
+    // "pre-count layouts serve unchanged" contract)
+    def pruned(table: String, bkts: Seq[Int]): DataFrame = {
+      val raw = s.read.parquet(s"$dir/$table")
+      if (raw.columns.contains("bkt")) raw.filter(col("bkt").isin(bkts: _*))
+      else raw
+    }
+    val bie = pruned("bigrams", bg).select(col("gram"), col("p_cond"), col("p_uni"))
+    val uniP = pruned("unigrams", bw).select(col("w"), col("p_uni"))
     scoreTransitions(bie, uniP, t)
   }
 

@@ -45,23 +45,42 @@ object Tombstones {
     */
   val AutoCompactRows = 1000000L
 
-  /** Highest epoch handed out for writing at `dir` — 0 if the marker
-    * doesn't exist (fresh or legacy layout).
+  /** Highest epoch handed out for writing at `dir` — 0 if no marker
+    * exists (fresh or legacy layout). Falls back to the staging copy
+    * ([[writeEpoch]]'s `epoch.tmp`) when the final marker is missing: a
+    * crash between writeEpoch's delete and rename leaves exactly that
+    * state, and the staging copy was fully written before the delete —
+    * without the fallback the epoch would silently reset to 0, letting
+    * later tombstones land at te=0 (never killing live rows) and
+    * re-appends land at-or-below existing tombstone epochs (wrongly
+    * dead). Unlike the torn-append seam, batch replay does not heal an
+    * epoch reset, so the marker write itself must be crash-safe.
     */
   def readEpoch(s: SparkSession, dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/epoch")
-    if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
-      s.read.parquet(p.toString).collect()(0).getLong(0)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/epoch.tmp")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) s.read.parquet(p.toString).collect()(0).getLong(0)
+    else if (fs.exists(tmp)) s.read.parquet(tmp.toString).collect()(0).getLong(0)
     else 0L
   }
 
   /** Persist the epoch marker (one driver-side row — never races a
-    * concurrent read of itself).
+    * concurrent read of itself) crash-safely: stage the new value at
+    * `epoch.tmp`, then delete-and-rename into place. Every intermediate
+    * crash state is recoverable — a torn staging write leaves the old
+    * final marker intact, and a crash after the delete leaves the
+    * COMPLETE staging copy, which [[readEpoch]] falls back to.
     */
   def writeEpoch(s: SparkSession, dir: String, e: Long): Unit = {
     import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$dir/epoch")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/epoch.tmp")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     Seq(e).toDF("epoch").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/epoch")
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
   }
 
   /** Hand out the next epoch for an append batch: bump the marker FIRST

@@ -60,6 +60,26 @@ class IngestionGateSpec extends SparkSuite {
       "baseline (no quality stage) admissions changed")
   }
 
+  test("selfDedup admits one representative of an intra-batch near-dup pair; default admits both") {
+    val base = Files.createTempDirectory("graft-gate-self").toString
+    DedupIndex.write(spark, corpus, s"$base/dix")
+    LmModel.write(spark, corpus, s"$base/lm")
+    val cfg = IngestionGate.Config(s"$base/dix", s"$base/lm", s"$base/acc")
+    // two novel docs that are near-dups OF EACH OTHER (identical text →
+    // est_jaccard 1.0) but of nothing in the corpus
+    val batch = Seq(9800001L -> acceptA, 9800002L -> acceptA, 9800003L -> acceptB)
+      .toDF("doc_id", "text")
+    def ids(c: IngestionGate.Config) = IngestionGate.decide(spark, c, batch)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // default contract: cross-batch only — both copies are novel against
+    // the index at decision time, both admitted
+    assert(ids(cfg) == Set(9800001L, 9800002L, 9800003L),
+      s"default (cross-batch) contract changed: ${ids(cfg)}")
+    // selfDedup: the batch-self pass keeps the min doc_id of the pair
+    assert(ids(cfg.copy(selfDedup = true)) == Set(9800001L, 9800003L),
+      s"selfDedup admitted the wrong set: ${ids(cfg.copy(selfDedup = true))}")
+  }
+
   test("persisted decide() is id-identical to the live q161 form, and both rejection branches fire") {
     val base = Files.createTempDirectory("graft-gate-q161").toString
     DedupIndex.write(spark, corpus, s"$base/dix")

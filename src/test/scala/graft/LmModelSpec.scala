@@ -103,13 +103,13 @@ class LmModelSpec extends SparkSuite {
   }
 
   test("a legacy baked-probability layout serves identically; upgrade refuses it") {
-    // reconstruct the pre-round-10 layout (bigrams carrying p_cond/p_uni
-    // ppm, unigrams carrying p_uni) from the count tables, byte-for-byte
-    // the old write's arithmetic
+    // reconstruct the HISTORICAL pre-round-10 layout: bigrams carrying
+    // p_cond/p_uni ppm, unigrams carrying p_uni, and NO bkt partition
+    // column at all (flat tables — bucket partitioning arrived with the
+    // counts), byte-for-byte the old write's arithmetic. Serving it
+    // exercises scoreBatch's no-bkt fallback read.
     val legacy = Files.createTempDirectory("graft_lm_legacy").toString
     val hud = graft.Det.halfUpDiv _
-    val bkt64 = (c: org.apache.spark.sql.Column) =>
-      pmod(xxhash64(c), lit(64L)).cast("int")
     val uni = spark.read.parquet(s"$dir/unigrams").select($"w", $"c")
     val n = lit(spark.read.parquet(s"$dir/total").collect()(0).getLong(0))
     spark.read.parquet(s"$dir/bigrams").select($"gram", $"c12")
@@ -119,11 +119,9 @@ class LmModelSpec extends SparkSuite {
       .join(uni.select($"w".as("w2"), $"c".as("c2")), Seq("w2"))
       .select($"gram", hud($"c12" * 1000000L, $"c1").as("p_cond"),
         hud($"c2" * 1000000L, n).as("p_uni"))
-      .withColumn("bkt", bkt64($"gram"))
-      .write.partitionBy("bkt").mode("overwrite").parquet(s"$legacy/bigrams")
+      .write.mode("overwrite").parquet(s"$legacy/bigrams")
     uni.select($"w", hud($"c" * 1000000L, n).as("p_uni"))
-      .withColumn("bkt", bkt64($"w"))
-      .write.partitionBy("bkt").mode("overwrite").parquet(s"$legacy/unigrams")
+      .write.mode("overwrite").parquet(s"$legacy/unigrams")
     val batch = Tables.documents(spark, sf0001).limit(60)
       .unionByName(Seq((9400001L, "the zzleg quick", "en", "src", 17L))
         .toDF("doc_id", "text", "lang", "source", "n_chars"))

@@ -200,10 +200,10 @@ object Advanced13 {
     * generated (never copied) so q146 and q147 express the identical
     * scoring semantics; the [[LshGuard.capCteSql]] precedent.
     */
-  private[ops] def bm25AggCtes(terms: Seq[String]): String = {
+  private[ops] def bm25AggCtes(terms: Seq[String], src: String = "documents"): String = {
     val in = terms.map(t => s"'$t'").mkString(", ")
     s"""toks AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM $src),
        |tf AS (
        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
        |  WHERE term IN ($in) GROUP BY doc_id, term),
@@ -211,7 +211,7 @@ object Advanced13 {
        |df AS (
        |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
        |  WHERE term IN ($in) GROUP BY term),
-       |g AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |g AS (SELECT COUNT(*) AS n_docs FROM $src),
        |t AS (SELECT COUNT(*) AS n_toks FROM toks),
        |scored AS (
        |  SELECT tf.doc_id,

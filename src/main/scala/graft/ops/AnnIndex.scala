@@ -124,6 +124,37 @@ object AnnIndex {
     Quantizer.trainCentroids(sample, nLists, Quantizer.Iters)
   }
 
+  /** Nearest-list assignment for `batch(vec_id, v)` against
+    * `cent(c_id, cv)` — the ONE affinity recipe (6-decimal cosine desc,
+    * c_id tie-break) shared by [[writeCore]], [[writeVectors]] and
+    * [[append]], so an appended vector can never land on a different
+    * list than a build-time one.
+    */
+  private def assignVectors(batch: DataFrame, cent: DataFrame): DataFrame = {
+    val wAff = Window.partitionBy(col("vec_id")).orderBy(col("ca").desc, col("c_id"))
+    batch.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_id"),
+        round(expr("graft_cosine(v, cv)"), 6).as("ca"))
+      .withColumn("crank", row_number().over(wAff))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("c_id"))
+  }
+
+  /** 4-byte PQ codes for `batch(vec_id, v)` against a trained
+    * `codebook(b, cid, cv)` — the packed-minimum argmin ([[Advanced8]]'s
+    * pk = dist_micro·100 + cid recipe), shared by [[writeVectors]] and
+    * [[append]] so build-time and append-time codes are one definition.
+    */
+  private def encodeVectors(batch: DataFrame, codebook: DataFrame): DataFrame =
+    Quantizer.subBlocks(batch.select(col("vec_id"), col("v")))
+      .join(broadcast(codebook), Seq("b"))
+      .select(col("vec_id"), col("b"),
+        (expr(Advanced8.distMicroSql("sv", "cv", "graft_dot")) * 100 +
+          col("cid")).as("pk"))
+      .groupBy(col("vec_id"), col("b"))
+      .agg(min(col("pk")).as("mk"))
+      .select(col("vec_id"), col("b"), (col("mk") % 100).cast("int").as("code"))
+
   /** The ONE index build path (round 9): persist `centroids`, the
     * session-shared PQ codebook, the full-corpus assignment against
     * those centroids (the ivfAffinity crank=1 recipe), and the codes
@@ -141,18 +172,39 @@ object AnnIndex {
       graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
     val cent = s.read.parquet(s"$dir/centroids")
       .select(col("cid").as("c_id"), col("cv"))
-    val wAff = Window.partitionBy(col("vec_id")).orderBy(col("ca").desc, col("c_id"))
-    e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("c_id"),
-        round(expr("graft_cosine(v, cv)"), 6).as("ca"))
-      .withColumn("crank", row_number().over(wAff))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("c_id"))
+    assignVectors(e, cent)
       .write.mode("overwrite").parquet(s"$dir/assigned")
     Advanced8.pqAssign(s, d)
       .select(col("vec_id"), col("b"), (col("mk") % 100).cast("int").as("code"))
       .join(s.read.parquet(s"$dir/assigned"), Seq("vec_id"))
       .write.partitionBy("c_id").mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Build and persist an index over an EXPLICIT vector frame
+    * `e0(vec_id, v)`, training both quantizers on exactly those vectors
+    * (the fixed 16-list / 4×8-codebook q49/q108 recipe) — the
+    * corpus-versioning entry point: [[Release]] builds v1 indexes from
+    * filtered snapshots, and q166 gates the upgrade path against an
+    * oracle that trains fresh. Same layout and serve paths as [[write]];
+    * replaces anything at `dir`, including a previous tombstone ledger.
+    */
+  def writeVectors(s: SparkSession, e0: DataFrame, dir: String): Unit = {
+    graft.functions.DotProduct.register(s)
+    graft.functions.CosineSim.register(s)
+    val e = e0.select(col("vec_id"), col("v")).localCheckpoint(true)
+    Quantizer.trainCentroids(e, 16, Quantizer.Iters)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    Quantizer.trainPqBlocks(Quantizer.subBlocks(e), 8, Quantizer.Iters)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    val cent = s.read.parquet(s"$dir/centroids")
+      .select(col("cid").as("c_id"), col("cv"))
+    assignVectors(e, cent)
+      .write.mode("overwrite").parquet(s"$dir/assigned")
+    encodeVectors(e, s.read.parquet(s"$dir/codebook"))
+      .join(s.read.parquet(s"$dir/assigned"), Seq("vec_id"))
+      .write.partitionBy("c_id").mode("overwrite").parquet(s"$dir/codes")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   def load(s: SparkSession, dir: String): Index = {
@@ -243,21 +295,8 @@ object AnnIndex {
     graft.functions.CosineSim.register(s)
     val ix = load(s, dir)
     val cent = ix.centroids.select(col("cid").as("c_id"), col("cv"))
-    val wAff = Window.partitionBy(col("vec_id")).orderBy(col("ca").desc, col("c_id"))
-    val newAssigned = batch.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("c_id"),
-        round(expr("graft_cosine(v, cv)"), 6).as("ca"))
-      .withColumn("crank", row_number().over(wAff))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("c_id"))
-    val newCodes = Quantizer.subBlocks(batch.select(col("vec_id"), col("v")))
-      .join(broadcast(ix.codebook), Seq("b"))
-      .select(col("vec_id"), col("b"),
-        (expr(Advanced8.distMicroSql("sv", "cv", "graft_dot")) * 100 +
-          col("cid")).as("pk"))
-      .groupBy(col("vec_id"), col("b"))
-      .agg(min(col("pk")).as("mk"))
-      .select(col("vec_id"), col("b"), (col("mk") % 100).cast("int").as("code"))
+    val newAssigned = assignVectors(batch, cent)
+    val newCodes = encodeVectors(batch, ix.codebook)
     // ids already COMPLETE in codes (all blocks present): the groupBy is
     // confined to batch-sized data by the semi-join, so replay cost is
     // O(batch), not O(index)

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -133,4 +134,176 @@ object Release {
     val add = newCorpus.join(freshIds, Seq("doc_id"), "left_semi").localCheckpoint(true)
     LmModel.upgrade(s, dir, addDocs = add, removeDocs = rem)
   }
+
+  // ------------------------------------------------- oracle-gated upgrades
+  //
+  // q164/q165/q166 put the three index upgrade paths under the hard gate
+  // the way q163 gated the LM's: the Spark side runs the REAL persisted
+  // lifecycle on a temp dir — build the v1 index with the production
+  // write path, compute the digest delta, roll it forward with the same
+  // upgradeTextIndex/upgradeDedupIndex/upgradeAnnIndex a deployment
+  // calls (epoch tombstones, done-marker anti-joins, frozen quantizers
+  // and all) — while the ORACLE builds fresh from v2 and never sees the
+  // delta algebra, the tombstone ledger, or the epoch liveness rule.
+  // Hash equality on the serve surface proves upgrade ≡ rebuild end to
+  // end through the actual parquet layouts, not an in-memory emulation.
+  //
+  // Shared fixture (the q163 version scheme, all classes non-empty at
+  // every SF): v1 = corpus without doc_id%17=5; v2 = corpus without
+  // doc_id%19=3, "rev dup "-prefixed when doc_id%13=0 (the extra "dup"
+  // token shifts the revised docs' BM25 and shingle sets, so a missed
+  // re-encode cannot hash-match).
+
+  private def docVersions(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val v1 = docs.filter(col("doc_id") % 17 =!= 5).localCheckpoint(true)
+    val v2 = docs.filter(col("doc_id") % 19 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(lit("rev dup "), col("text")))
+          .otherwise(col("text")))
+      .localCheckpoint(true)
+    (v1, v2)
+  }
+
+  private val docV2Cte =
+    """v2 AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0 THEN 'rev dup ' || text ELSE text END AS text
+      |  FROM documents WHERE doc_id % 19 != 3)""".stripMargin
+
+  /** [[upgradeTextIndex]] under the hard gate: v1 built by
+    * [[TextIndex.writeDocs]], rolled to v2 through the epoch-tombstone
+    * delete + O(delta) append, then served with [[TextIndex.search]]
+    * (df and avgdl derived from the LIVE postings/doclens — the
+    * statistics a stale upgrade would corrupt first). The oracle
+    * computes BM25 directly over v2 with q146's generated CTE chain.
+    */
+  val textReleaseUpgrade = Q(
+    "q164_text_release_upgrade",
+    s"""WITH $docV2Cte,
+      |${Advanced13.bm25AggCtes(Advanced13.BmQueryTerms, "v2")},
+      |r AS (
+      |  SELECT doc_id, bm25,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rnk
+      |  FROM agg)
+      |SELECT rnk, doc_id, bm25 FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, d) =>
+    val (v1, v2) = docVersions(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q164_tix").toString
+    TextIndex.writeDocs(s, v1, dir)
+    val ix = upgradeTextIndex(s, dir, v2, delta(v1, v2, "doc_id", md5(col("text"))))
+    TextIndex.search(s, ix, Advanced13.BmQueryTerms, 20)
+  }
+
+  /** [[upgradeDedupIndex]] under the hard gate: v1 built by
+    * [[DedupIndex.write]], rolled to v2, then near-dup-checked with the
+    * production [[DedupIndex.queryBatch]] against a probe mixing
+    * surviving docs (+100000 — must match their in-index selves,
+    * including REVISED content) and REMOVED docs (+200000 — their v1
+    * selves must be gone; a missed tombstone surfaces here as an extra
+    * est=1.0 pair the fresh-build oracle doesn't have). The oracle
+    * replays the full LSH serve composition over v2 ∪ probe.
+    */
+  val dedupReleaseUpgrade = Q(
+    "q165_dedup_release_upgrade",
+    (TextOps.lshOracleSql(src = "alldocs", pre =
+      docV2Cte + """,
+      |probe AS (SELECT doc_id + 100000 AS doc_id, text FROM v2 WHERE doc_id % 23 = 7
+      |          UNION ALL
+      |          SELECT doc_id + 200000 AS doc_id, text FROM documents
+      |          WHERE doc_id % 19 = 3 AND doc_id % 17 != 5),
+      |alldocs AS (SELECT doc_id, text FROM v2 UNION ALL SELECT doc_id, text FROM probe),
+      |""".stripMargin) +
+      """,
+      |corpusb AS (SELECT doc_id, b, s1, s2 FROM bands WHERE doc_id < 100000),
+      |""" + LshGuard.capCteSql("ccap", "corpusb",
+        Seq("doc_id", "b", "s1", "s2"), Seq("b", "s1", "s2"), "doc_id") +
+      """,
+      |batchb AS (SELECT doc_id, b, s1, s2 FROM bands WHERE doc_id >= 100000),
+      |cand AS (
+      |  SELECT DISTINCT q.doc_id AS batch_id, c.doc_id AS corpus_id
+      |  FROM batchb q JOIN ccap c
+      |    ON q.b = c.b AND q.s1 = c.s1 AND q.s2 = c.s2)
+      |SELECT batch_id, corpus_id,
+      |  ROUND(list_sum(list_transform(range(1, 17),
+      |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0, 6) AS est_jaccard
+      |FROM cand
+      |JOIN sigs sa ON sa.doc_id = batch_id
+      |JOIN sigs sb ON sb.doc_id = corpus_id
+      |ORDER BY batch_id, corpus_id""").stripMargin) { (s, d) =>
+    val (v1, v2) = docVersions(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q165_dix").toString
+    DedupIndex.write(s, v1, dir)
+    upgradeDedupIndex(s, dir, v2, delta(v1, v2, "doc_id", md5(col("text"))))
+    val probe = v2.filter(col("doc_id") % 23 === 7)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .unionByName(Tables.documents(s, d)
+        .filter(col("doc_id") % 19 === 3 && col("doc_id") % 17 =!= 5)
+        .withColumn("doc_id", col("doc_id") + 200000L))
+    DedupIndex.queryBatch(s, dir, probe)
+  }
+
+  /** [[upgradeAnnIndex]] under the hard gate — the frozen-quantizer
+    * contract made oracle-checkable: because PQ encoding is a
+    * deterministic function of (vector, quantizers), an upgraded index
+    * must hold EXACTLY the rows of "assign + encode v2 with the
+    * v1-trained quantizers". The Spark side runs the real lifecycle
+    * ([[AnnIndex.writeVectors]] on v1 → delete/compact/append) and dumps
+    * the full content fingerprint (vec_id, list id, all 4 code blocks);
+    * the oracle trains the quantizers on v1 with the generated Lloyd
+    * CTE chains and encodes v2 directly — it never sees the delta, the
+    * tombstones, or the append path. Changed vectors (+0.25 per
+    * component) move to new codes/lists; removed ids must be absent.
+    * All-integer output — no float comparison slack anywhere.
+    */
+  val annReleaseUpgrade = Q(
+    "q166_ann_release_upgrade",
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |v1 AS (SELECT vec_id, v FROM e0 WHERE vec_id % 17 != 5),
+      |v2 AS (SELECT vec_id,
+      |    CASE WHEN vec_id % 13 = 0 THEN list_transform(v, x -> x + 0.25) ELSE v END AS v
+      |  FROM e0 WHERE vec_id % 19 != 3),
+      |${Quantizer.centroidTrainCtes(16, "v1")},
+      |${Quantizer.pqTrainCtes(8, "v1")},
+      |cents AS (SELECT cid AS c_id, cv FROM ${Quantizer.centFinal}),
+      |asg AS (
+      |  SELECT q.vec_id, c_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY ROUND(list_dot_product(v, cv)
+      |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6)
+      |        DESC, c_id) AS crank
+      |  FROM v2 q, cents QUALIFY crank = 1),
+      |sub2 AS (
+      |  SELECT vec_id, bb.b AS b, list_slice(v, 16*bb.b+1, 16*bb.b+16) AS sv
+      |  FROM v2 CROSS JOIN (VALUES (0),(1),(2),(3)) bb(b)),
+      |pk2 AS (
+      |  SELECT s.vec_id, s.b,
+      |    ${Advanced8.distMicroSql("sv", "cv", "list_dot_product")} * 100 + cid AS pk
+      |  FROM sub2 s JOIN ${Quantizer.pqFinal} USING (b)),
+      |codes AS (
+      |  SELECT vec_id, b, CAST(MIN(pk) % 100 AS INTEGER) AS code
+      |  FROM pk2 GROUP BY vec_id, b)
+      |SELECT c.vec_id, CAST(a.c_id AS INTEGER) AS c_id,
+      |  CAST(c.b AS INTEGER) AS b, c.code
+      |FROM codes c JOIN asg a USING (vec_id)
+      |ORDER BY vec_id, b""".stripMargin) { (s, d) =>
+    graft.functions.DotProduct.register(s)
+    graft.functions.CosineSim.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .localCheckpoint(true)
+    val v1 = e.filter(col("vec_id") % 17 =!= 5).localCheckpoint(true)
+    val v2 = e.filter(col("vec_id") % 19 =!= 3)
+      .withColumn("v",
+        when(col("vec_id") % 13 === 0, transform(col("v"), x => x + lit(0.25)))
+          .otherwise(col("v")))
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q166_ann").toString
+    AnnIndex.writeVectors(s, v1, dir)
+    val ix = upgradeAnnIndex(s, dir, v2, delta(v1, v2, "vec_id", xxhash64(col("v"))))
+    ix.codes
+      .select(col("vec_id"), col("c_id").cast("int").as("c_id"),
+        col("b"), col("code"))
+      .orderBy(col("vec_id"), col("b"))
+  }
+
+  def specs: Seq[Q] = Seq(textReleaseUpgrade, dedupReleaseUpgrade, annReleaseUpgrade)
 }

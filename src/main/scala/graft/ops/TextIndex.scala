@@ -151,8 +151,15 @@ object TextIndex {
     * anything at `dir` — including a previous index's tombstone ledger
     * and epoch marker, which would otherwise hide the new build's rows.
     */
-  def write(s: SparkSession, d: String, dir: String): Unit = {
-    writeBatch(Tables.documents(s, d), dir, "overwrite", Some(0L))
+  def write(s: SparkSession, d: String, dir: String): Unit =
+    writeDocs(s, Tables.documents(s, d), dir)
+
+  /** [[write]] over an explicit `docs(doc_id, text, …)` frame — the
+    * corpus-versioning entry point ([[Release]] fixtures build v1
+    * indexes from filtered snapshots).
+    */
+  def writeDocs(s: SparkSession, docs: DataFrame, dir: String): Unit = {
+    writeBatch(docs, dir, "overwrite", Some(0L))
     val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     Tombstones.writeEpoch(s, dir, 0L)

@@ -181,12 +181,17 @@ object TextOps {
     * desynchronize one copy from the shared Spark base
     * ([[minhashSigs]]/[[minhashCandidates]]). `recursive` = the tail
     * uses a recursive CTE (DuckDB requires RECURSIVE on the WITH).
+    * `src` re-points the preamble at a caller-supplied doc CTE and
+    * `pre` injects those CTE definitions ahead of it (the release-
+    * upgrade oracle signs a versioned corpus, not raw `documents`).
     */
-  private[ops] def lshOracleSql(recursive: Boolean = false): String =
-    ("WITH " + (if (recursive) "RECURSIVE " else "") +
-      """toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3),
+  private[ops] def lshOracleSql(recursive: Boolean = false,
+      src: String = "documents", pre: String = ""): String =
+    ("WITH " + (if (recursive) "RECURSIVE " else "") + pre +
+      s"""toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM $src
+      |  WHERE len(string_split(text, ' ')) >= 3),""".stripMargin + "\n" +
+      """
       |hs AS (
       |  SELECT doc_id, unnest(list_distinct(
       |    list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS s

@@ -146,8 +146,13 @@ object IngestionGate {
     * verification on one side, LM training + interpolated scoring with
     * unigram backoff on the other, then the admit filter.
     */
-  val composedDecide = Q(
-    "q161_ingestion_gate_decide",
+  /** The shared stage-1+2 oracle chain (LSH dup check + LM score),
+    * ending in `lmadm(doc_id, mean_ppm)` — the LM-admitted delta. ONE
+    * definition consumed by q161 (its whole result) and q167 (which
+    * appends the classifier stage), so the two gates' first stages
+    * cannot drift.
+    */
+  private def gate12CteSql: String =
     (TextOps.lshOracleSql() +
       """,
       |corpusb AS (SELECT doc_id, b, s1, s2 FROM bands WHERE doc_id < 400),
@@ -186,10 +191,16 @@ object IngestionGate {
       |       WHERE g.w2 IS NOT NULL),
       |scored AS (
       |  SELECT doc_id, CAST((2 * SUM(s) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_ppm
-      |  FROM sc GROUP BY doc_id)
-      |SELECT doc_id, mean_ppm FROM scored
-      |WHERE mean_ppm >= 32000 AND doc_id NOT IN (SELECT doc_id FROM dup)
-      |ORDER BY doc_id""").stripMargin) { (s, d) =>
+      |  FROM sc GROUP BY doc_id),
+      |lmadm AS (
+      |  SELECT doc_id, mean_ppm FROM scored
+      |  WHERE mean_ppm >= 32000 AND doc_id NOT IN (SELECT doc_id FROM dup))""").stripMargin
+
+  /** The shared live stage-1+2 dataflow: the LM-admitted delta
+    * (doc_id, mean_ppm), un-ordered — q161 orders it directly, q167
+    * joins the classifier stage onto it.
+    */
+  private def liveDecide12(s: SparkSession, d: String): DataFrame = {
     val sigs = TextOps.minhashSigs(s, d)
     val corpusSigs = sigs.filter(col("doc_id") < 400)
     val batchSigs = sigs.filter(col("doc_id") >= 400)
@@ -211,8 +222,67 @@ object IngestionGate {
       .filter(col("mean_ppm") >= 32000L)
       .join(dup, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("mean_ppm"))
+  }
+
+  val composedDecide = Q(
+    "q161_ingestion_gate_decide",
+    gate12CteSql + "\nSELECT doc_id, mean_ppm FROM lmadm ORDER BY doc_id") { (s, d) =>
+    liveDecide12(s, d).orderBy(col("doc_id"))
+  }
+
+  /** The FULL three-stage admission decision under the hard gate — q167
+    * glues q162's classifier stage onto q161's dedup + LM chain: the
+    * delta survivors of both first stages are scored by the linear
+    * quality classifier TRAINED ON THE CORPUS (doc_id < 400, q157's
+    * exact integer GD recipe with training-mean centering) and admitted
+    * at score_ppm ≥ 500000 — a threshold that splits the LM-admitted
+    * set at sf0.01 (46 pass / 30 fail), so the third rejection branch
+    * carries real oracle coverage. The oracle replays the ENTIRE
+    * composition in one DuckDB chain: MinHash/LSH banding + cap + LM
+    * backoff + integer gradient descent + hard-sigmoid scoring + all
+    * three admit filters. IngestionGateSpec pins the persisted
+    * three-stage [[decide]] id-identical to this live form.
+    */
+  val composedDecide3 = Q(
+    "q167_ingestion_gate_decide3",
+    (gate12CteSql + "," + "\n" +
+      Advanced15.lqcOraclePrefix(
+        "(SELECT * FROM documents WHERE doc_id < 400)").stripPrefix("WITH ") + {
+      val (r1s, r2s, r3s) = Advanced15.lqcRawSql
+      s""",
+      |qraw AS (
+      |  SELECT doc_id,
+      |    $r1s AS r1,
+      |    $r2s AS r2,
+      |    $r3s AS r3
+      |  FROM documents WHERE doc_id >= 400),
+      |qx AS (SELECT doc_id, r1 - m1 AS f1, r2 - m2 AS f2, r3 - m3 AS f3
+      |       FROM qraw CROSS JOIN mu),
+      |qs AS (SELECT doc_id, (${Advanced15.SigSql}) AS score_ppm
+      |       FROM qx CROSS JOIN w3t)
+      |SELECT a.doc_id, a.mean_ppm, CAST(q.score_ppm AS BIGINT) AS score_ppm
+      |FROM lmadm a JOIN qs q USING (doc_id)
+      |WHERE q.score_ppm >= 500000
+      |ORDER BY doc_id""".stripMargin })) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val raw = Advanced15.lqcRawFeatures(docs.filter(col("doc_id") < 400))
+      .localCheckpoint()
+    val (nL, mus) = Advanced15.lqcMeans(raw)
+    val x = raw.select(col("y"),
+      (col("r1") - mus(0)).as("f1"), (col("r2") - mus(1)).as("f2"),
+      (col("r3") - mus(2)).as("f3"))
+    val w = Advanced15.lqcTrain(x, nL)
+    val qs = Advanced15.lqcRawFeatures(docs.filter(col("doc_id") >= 400))
+      .select(col("doc_id"),
+        (col("r1") - mus(0)).as("f1"), (col("r2") - mus(1)).as("f2"),
+        (col("r3") - mus(2)).as("f3"))
+      .select(col("doc_id"), Advanced15.lqcSig(w).as("score_ppm"))
+      .filter(col("score_ppm") >= 500000L)
+    liveDecide12(s, d)
+      .join(qs, Seq("doc_id"))
+      .select(col("doc_id"), col("mean_ppm"), col("score_ppm"))
       .orderBy(col("doc_id"))
   }
 
-  def specs: Seq[Q] = Seq(composedDecide)
+  def specs: Seq[Q] = Seq(composedDecide, composedDecide3)
 }

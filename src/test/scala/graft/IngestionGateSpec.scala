@@ -108,6 +108,30 @@ class IngestionGateSpec extends SparkSuite {
     assert(lmRejected.nonEmpty, "LM branch fires on no delta doc")
   }
 
+  test("persisted 3-stage decide() is id-identical to the live q167 form; the classifier branch fires") {
+    val base = Files.createTempDirectory("graft-gate-q167").toString
+    DedupIndex.write(spark, corpus, s"$base/dix")
+    LmModel.write(spark, corpus, s"$base/lm")
+    QualityModel.write(spark, corpus, s"$base/qm")
+    val cfg = IngestionGate.Config(s"$base/dix", s"$base/lm", s"$base/acc",
+      maxJaccard = 0.5, minMeanPpm = 32000L,
+      qualityDir = Some(s"$base/qm"), minQualityPpm = 500000L)
+    val delta = Tables.documents(spark, sf0001).filter(col("doc_id") >= 400)
+    val served = IngestionGate.decide(spark, cfg, delta)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val live = IngestionGate.composedDecide3.run(spark, sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(served == live,
+      s"persisted 3-stage gate diverged from q167: ${served -- live} / ${live -- served}")
+    // the third stage must reject someone the first two admitted, or
+    // q167 is q161 in disguise
+    val twoStage = IngestionGate.composedDecide.run(spark, sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert((twoStage -- live).nonEmpty,
+      "classifier stage rejected nobody the LM admitted")
+    assert(live.subsetOf(twoStage), "q167 admitted someone q161 rejected")
+  }
+
   test("streaming gate equals the batch pipeline and every crafted rejection fires") {
     val base = Files.createTempDirectory("graft-gate").toString
     val sCfg = buildSide(base, "s") // driven by foreachBatch

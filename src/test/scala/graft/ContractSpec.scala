@@ -20,6 +20,17 @@ class ContractSpec extends SparkSuite {
     assert(all.size == qs.size)
   }
 
+  test("COVERAGE.md's totals line matches the live registry size") {
+    // doc totals drifted stale-by-N twice in two rounds (157-vs-166,
+    // 169-vs-170) — so the sync is now build-locked: the spec fails the
+    // moment a query registers without the totals line moving
+    val totals = """\*\*Totals: (\d+) registered queries""".r
+    val text = new String(Files.readAllBytes(Paths.get("COVERAGE.md")))
+    val documented = totals.findFirstMatchIn(text).map(_.group(1).toInt)
+    assert(documented.contains(SparkEntry.allSpecs.size),
+      s"COVERAGE.md totals line says $documented, registry has ${SparkEntry.allSpecs.size}")
+  }
+
   test("Verify.main writes parsable oracle_sql.json and per-query parquet") {
     val out = Files.createTempDirectory("graft_contract").toString
     Verify.dump(spark, sf0001, out) // full dump at the smallest SF

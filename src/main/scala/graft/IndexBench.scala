@@ -94,14 +94,20 @@ object IndexBench {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }
     def recallAt10(ix: AnnIndex.Index, corpus: org.apache.spark.sql.DataFrame,
-        qs: org.apache.spark.sql.DataFrame): Double = {
+        qs: org.apache.spark.sql.DataFrame, nprobe: Int): Double = {
       val bfTop = bruteTop10(corpus, qs)
-      val annTop = AnnIndex.search(spark, ix, qs, nprobe = 8, k = 10)
+      val annTop = AnnIndex.search(spark, ix, qs, nprobe, k = 10)
         .select(col("qid"), col("cand"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       (annTop & bfTop).size.toDouble / bfTop.size
     }
-    println(f"IXBENCH annS_recall_at10             ${recallAt10(annS, e, queries)}%.3f (nprobe=8, lists=${annS.centroids.count()})")
+    println(f"IXBENCH annS_recall_at10             ${recallAt10(annS, e, queries, 8)}%.3f (nprobe=8, lists=${annS.centroids.count()})")
+    // auto-nprobe: hold the PROBED FRACTION (not the probe count) as the
+    // list count grows ~sqrt(n) — on this isotropic testdata recall ≈
+    // probed fraction, so this row staying ~flat across 1x/10x dirs is
+    // the evidence the fixed-nprobe recall shrink is cured
+    val npAuto = AnnIndex.autoNprobe(annS, 0.15)
+    println(f"IXBENCH annS_recall_at10_auto        ${recallAt10(annS, e, queries, npAuto)}%.3f (frac=0.15 -> nprobe=$npAuto, lists=${annS.centroids.count()})")
 
     // Planted-structure counterpoint: the row above measures the DATA's
     // ceiling (this testdata is uniform random unit vectors, where any

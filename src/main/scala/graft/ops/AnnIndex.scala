@@ -383,6 +383,31 @@ object AnnIndex {
         (col("adist_micro") / 1000000.0).as("approx_dist"))
   }
 
+  /** nprobe for a TARGET PROBED-LIST FRACTION over the loaded index:
+    * ceil(frac · nLists) clamped to [1, nLists]. [[writeScaled]] sizes
+    * the list count ~√n, so a FIXED nprobe silently shrinks the probed
+    * fraction — and with it the recall ceiling on weakly-clustered data
+    * (measured 0.231 → 0.100 as lists grew 45 → 142, BENCH.md round
+    * 10) — as the corpus grows. Deriving nprobe from the persisted list
+    * count holds the fraction, and therefore the isotropic-data recall
+    * floor, steady across corpus sizes; the centroid count read is
+    * parquet-footer metadata, not a scan. Probe cost stays sub-linear:
+    * probed rows ≈ frac · n while candidate lists lengthen as √n.
+    */
+  def autoNprobe(ix: Index, frac: Double): Int = {
+    val n = ix.centroids.count()
+    math.max(1L, math.min(n, math.ceil(frac * n).toLong)).toInt
+  }
+
+  /** [[search]] with the probed-list COUNT derived from a target probed
+    * fraction ([[autoNprobe]]) instead of a fixed nprobe — the serve
+    * call that survives a writeScaled re-size without a config change.
+    */
+  def searchAuto(s: SparkSession, ix: Index, queries: DataFrame, k: Int,
+      frac: Double = 0.15, excludeSelf: Boolean = false,
+      allowed: Option[DataFrame] = None): DataFrame =
+    search(s, ix, queries, autoNprobe(ix, frac), k, excludeSelf, allowed)
+
   /** [[writeScaled]]'s sample-trained Lloyd under the hard gate — the
     * round-9 verdict's challenge ("the sample-trained Lloyd is
     * deterministic, so a small-n oracle replay may be writable"): run

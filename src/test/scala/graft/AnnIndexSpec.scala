@@ -291,6 +291,36 @@ class AnnIndexSpec extends SparkSuite {
       s"perturbed queries missed their originals: $top")
   }
 
+  test("autoNprobe holds the probed fraction across writeScaled list counts") {
+    // two sizings of the SAME corpus — the writeScaled re-size a growing
+    // deployment performs; a fixed nprobe would shrink the probed
+    // fraction 4x between them, autoNprobe must not
+    val frac = 0.25
+    val dirs = Seq(16, 64).map { k =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-annauto$k").toString
+      AnnIndex.writeScaled(spark, sf0001, dir, nListsOverride = Some(k))
+      AnnIndex.load(spark, dir)
+    }
+    val fracs = dirs.map { ix =>
+      val n = ix.centroids.count()
+      val np = AnnIndex.autoNprobe(ix, frac)
+      // the ceil contract: frac <= np/n < frac + 1/n — the fraction is
+      // pinned within one list of the target at ANY list count
+      assert(np >= frac * n && np < frac * n + 1, s"np=$np lists=$n")
+      np.toDouble / n
+    }
+    assert(fracs.forall(f => f >= frac && f < frac + 1.0 / 16),
+      s"probed fractions drifted: $fracs")
+    // and the derived nprobe actually serves: full k rows per query
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    val queries = e.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"v").localCheckpoint()
+    val got = AnnIndex.searchAuto(spark, dirs(1), queries, k = 5, frac = frac)
+      .groupBy($"qid").count().collect().map(_.getLong(1))
+    assert(got.length == 4 && got.forall(_ == 5L))
+  }
+
   test("streaming appends maintain the index incrementally (foreachBatch)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annix7").toString
     AnnIndex.write(spark, sf0001, dir)

@@ -342,6 +342,76 @@ object IndexBench {
     AnnIndex.write(spark, v2dir, s"$tmp/rel_ann_fresh")
     println(f"IXBENCH rel_fresh_ann                ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
+
+    section("release_cycle") {
+    // The realistic "corpus v2 ships" sequence END TO END: one digest
+    // delta per id space, all four indexes rolled forward in order,
+    // then the NEXT intake batch gated against the upgraded serving
+    // state — total upgrade wall vs total rebuild wall, plus an
+    // upgraded-gate ≡ fresh-gate decision check (the composition the
+    // per-index rel_* rows can't see).
+    val v2dir = s"$tmp/cyc_v2"
+    val v1d = docs.localCheckpoint()
+    v1d.filter(col("doc_id") % 17 =!= 5)
+      .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(lit("rev "), col("text"))).otherwise(col("text")))
+      .unionByName(v1d.filter(col("doc_id") % 50 === 3)
+        .withColumn("doc_id", col("doc_id") + 50000000L))
+      .write.mode("overwrite").parquet(s"$v2dir/documents.parquet")
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.filter(col("vec_id") % 17 =!= 5)
+      .withColumn("embedding", when(col("vec_id") % 13 === 0,
+          transform(col("embedding"), x => (x * lit(-1)).cast("float")))
+        .otherwise(col("embedding")))
+      .unionByName(emb.filter(col("vec_id") % 50 === 3)
+        .withColumn("vec_id", col("vec_id") + 50000000L))
+      .write.mode("overwrite").parquet(s"$v2dir/embeddings.parquet")
+    val v2d = Tables.documents(spark, v2dir).localCheckpoint()
+    val asD = graft.functions.VectorFunctions.asDouble _
+    val v1v = emb.select(col("vec_id"), asD(col("embedding")).as("v")).localCheckpoint()
+    val v2v = Tables.embeddings(spark, v2dir)
+      .select(col("vec_id"), asD(col("embedding")).as("v")).localCheckpoint()
+
+    // v1 serving state — build cost is NOT part of the cycle comparison
+    TextIndex.writeDocs(spark, v1d, s"$tmp/cyc_text")
+    ops.DedupIndex.write(spark, v1d, s"$tmp/cyc_dix")
+    ops.LmModel.write(spark, v1d, s"$tmp/cyc_lm")
+    AnnIndex.writeVectors(spark, v1v, s"$tmp/cyc_ann")
+
+    var t0 = System.nanoTime()
+    val dd = ops.Release.delta(v1d, v2d, "doc_id", md5(col("text")))
+    val de = ops.Release.delta(v1v, v2v, "vec_id", xxhash64(col("v")))
+    ops.Release.upgradeTextIndex(spark, s"$tmp/cyc_text", v2d, dd)
+    ops.Release.upgradeDedupIndex(spark, s"$tmp/cyc_dix", v2d, dd)
+    ops.Release.upgradeLmModel(spark, s"$tmp/cyc_lm", v1d, v2d, dd)
+    ops.Release.upgradeAnnIndex(spark, s"$tmp/cyc_ann", v2v, de)
+    println(f"IXBENCH cycle_upgrade_total          ${(System.nanoTime() - t0) / 1e9}%.3f s (2 deltas + 4 upgrades)")
+
+    t0 = System.nanoTime()
+    TextIndex.writeDocs(spark, v2d, s"$tmp/cyc_text_f")
+    ops.DedupIndex.write(spark, v2d, s"$tmp/cyc_dix_f")
+    ops.LmModel.write(spark, v2d, s"$tmp/cyc_lm_f")
+    AnnIndex.writeVectors(spark, v2v, s"$tmp/cyc_ann_f")
+    println(f"IXBENCH cycle_rebuild_total          ${(System.nanoTime() - t0) / 1e9}%.3f s (4 fresh builds)")
+
+    // post-release intake: 50 exact dups of v2 + 50 token-reversed
+    // novelties (different shingles, same vocabulary — LM-scoreable),
+    // gated against the UPGRADED serving state
+    val half = v2d.orderBy(col("doc_id")).limit(50).localCheckpoint()
+    val batch = half.withColumn("doc_id", col("doc_id") + 70000000L)
+      .unionByName(half.withColumn("doc_id", col("doc_id") + 80000000L)
+        .withColumn("text", concat_ws(" ", reverse(split(col("text"), " ")))))
+      .localCheckpoint()
+    val cfgU = ops.IngestionGate.Config(s"$tmp/cyc_dix", s"$tmp/cyc_lm", s"$tmp/cyc_accU")
+    val cfgF = ops.IngestionGate.Config(s"$tmp/cyc_dix_f", s"$tmp/cyc_lm_f", s"$tmp/cyc_accF")
+    t0 = System.nanoTime()
+    val admittedU = ops.IngestionGate.decide(spark, cfgU, batch)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    println(f"IXBENCH cycle_post_gate_decide       ${(System.nanoTime() - t0) / 1e9}%.3f s (admitted=${admittedU.size}/100)")
+    val admittedF = ops.IngestionGate.decide(spark, cfgF, batch)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    println(s"IXBENCH cycle_gate_matches_fresh     ${admittedU == admittedF} (upgraded-index gate == fresh-index gate)")
+    }
     spark.stop()
   }
 }

@@ -122,6 +122,63 @@ class ReleaseSpec extends SparkSuite {
       s"upgraded LM served differently: ${got.size} vs ${want.size} rows")
   }
 
+  test("full release cycle: one delta rolls all four indexes and the gate serves the upgraded state exactly") {
+    val tmp = Files.createTempDirectory("graft-rel-cycle").toString
+    val v1 = Tables.documents(spark, sf0001).localCheckpoint(true)
+    val v2 = v1.filter(col("doc_id") % 17 =!= 5)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(lit("rev dup "), col("text")))
+          .otherwise(col("text")))
+      .unionByName(Seq((9100L, "spark vector dup dup near", "en", "src", 25L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .localCheckpoint(true)
+    val ev1 = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+      .localCheckpoint(true)
+    val ev2 = ev1.filter($"vec_id" % 19 =!= 2)
+      .withColumn("v",
+        when($"vec_id" % 23 === 1, transform($"v", x => x * -1)).otherwise($"v"))
+      .localCheckpoint(true)
+    // v1 serving state, then ONE delta per id space rolls all four
+    TextIndex.writeDocs(spark, v1, s"$tmp/text")
+    ops.DedupIndex.write(spark, v1, s"$tmp/dix")
+    LmModel.write(spark, v1, s"$tmp/lm")
+    AnnIndex.writeVectors(spark, ev1, s"$tmp/ann")
+    val dd = Release.delta(v1, v2, "doc_id", md5(col("text")))
+    val de = Release.delta(ev1, ev2, "vec_id", xxhash64($"v"))
+    Release.upgradeTextIndex(spark, s"$tmp/text", v2, dd)
+    Release.upgradeDedupIndex(spark, s"$tmp/dix", v2, dd)
+    Release.upgradeLmModel(spark, s"$tmp/lm", v1, v2, dd)
+    Release.upgradeAnnIndex(spark, s"$tmp/ann", ev2, de)
+    // the post-release intake gate over the upgraded dedup+LM state
+    // decides EXACTLY as over fresh v2 builds — the composition the
+    // per-index equivalence tests can't see
+    ops.DedupIndex.write(spark, v2, s"$tmp/dixf")
+    LmModel.write(spark, v2, s"$tmp/lmf")
+    val half = v2.orderBy($"doc_id").limit(30).localCheckpoint(true)
+    val batch = half.withColumn("doc_id", $"doc_id" + 70000L)
+      .unionByName(half.withColumn("doc_id", $"doc_id" + 80000L)
+        .withColumn("text", concat_ws(" ", reverse(split($"text", " ")))))
+      .localCheckpoint(true)
+    val cfgU = ops.IngestionGate.Config(s"$tmp/dix", s"$tmp/lm", s"$tmp/accU")
+    val cfgF = ops.IngestionGate.Config(s"$tmp/dixf", s"$tmp/lmf", s"$tmp/accF")
+    def ids(c: ops.IngestionGate.Config) =
+      ops.IngestionGate.decide(spark, c, batch)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val aU = ids(cfgU)
+    assert(aU == ids(cfgF), "upgraded-index gate diverged from fresh-index gate")
+    assert(aU.nonEmpty && aU.size < 60,
+      s"degenerate gate split: ${aU.size}/60 admitted — both branches must fire")
+    // the upgraded ANN serves through the auto-nprobe path: a changed
+    // (negated) vector retrieves its new self
+    val changedId = de.changed.orderBy($"id").collect()(0).getLong(0)
+    val q = ev2.filter($"vec_id" === changedId).select($"vec_id".as("qid"), $"v")
+    val hits = AnnIndex.searchAuto(spark, AnnIndex.load(spark, s"$tmp/ann"), q,
+      k = 3, frac = 0.15).collect().map(_.getLong(2))
+    assert(hits.contains(changedId),
+      s"changed vector not retrievable after the cycle: ${hits.toSeq}")
+  }
+
   test("upgraded dedup index is bit-identical to a fresh build over the new corpus") {
     val dir = Files.createTempDirectory("graft-rel-dix").toString
     val v1 = Tables.documents(spark, sf0001).localCheckpoint(true)

@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   * [[scoreBatch]] a two-join read (parquet column pruning skips the
   * count pages at serve time):
   *  - `bigrams/`  (gram, c12, p_cond, p_uni), partitioned by `bkt =
-  *    pmod(xxhash64(gram), 64)` — λ-interpolation inputs precomputed
-  *    in exact ppm integers (q154's `bie`).
+  *    pmod(xxhash64(gram), buckets)` with a MODEL-SIZED bucket count
+  *    ([[bucketsFor]], persisted in `meta/`) — λ-interpolation inputs
+  *    precomputed in exact ppm integers (q154's `bie`).
   *  - `unigrams/` (w, c, p_uni), partitioned by `bkt = pmod(
-  *    xxhash64(w), 64)` — the unigram backoff: a transition whose
+  *    xxhash64(w), buckets)` — the unigram backoff: a transition whose
   *    bigram was never seen in training scores (1−λ)·P(w2) — real LM
   *    backoff behavior, not a silent zero; a w2 outside the training
   *    vocabulary scores 0 (maximally surprising).
@@ -42,7 +43,7 @@ import org.apache.spark.sql.functions._
   * corpus distinct bigrams are far past any broadcast threshold — so
   * the serve path must NOT assume they broadcast. [[scoreBatch]]
   * therefore reads them through gram-hash PARTITION pruning (the
-  * [[TextIndex.Buckets]] recipe): the batch's transitions name their
+  * [[TextIndex.DefaultBuckets]] recipe): the batch's transitions name their
   * bucket set, each model read opens only those directories, and the
   * join strategy is left to AQE — broadcast when the pruned slice is
   * small (every tested scale), shuffled hash when it is not, never a
@@ -63,25 +64,66 @@ object LmModel {
   private val Micro = 1000000L
 
   /** Gram-hash partition count for the persisted tables — the
-    * [[TextIndex.Buckets]] rationale: coarse enough that a corpus-scale
-    * build writes large files per bucket, fine enough that a small
-    * batch's gram set prunes most of a diversity-sized model before any
-    * file is opened.
+    * [[TextIndex.DefaultBuckets]] rationale: coarse enough that a
+    * corpus-scale build writes large files per bucket, fine enough that
+    * a small batch's gram set prunes most of a diversity-sized model
+    * before any file is opened. Floor of the sized count, and the
+    * assumed count for layouts written before it was persisted (rounds
+    * ≤ 10 always wrote 64).
     */
-  private[graft] val Buckets = 64
+  private[graft] val DefaultBuckets = 64
 
-  private def bktOf(c: Column): Column =
-    pmod(xxhash64(c), lit(Buckets.toLong)).cast("int")
-
-  /** Distinct partition buckets of the batch's (gram, w2) pairs under
-    * the SAME xxhash64 expression the write side uses — one job, ≤
-    * [[Buckets]]² pair rows, driver-bounded regardless of batch size.
+  /** Target distinct bigrams per bucket — the model grows with content
+    * DIVERSITY (verbatim copies add nothing), so the sizing driver is
+    * the bigram-table row count, not the corpus: ~1M bigram rows ≈
+    * ~20 MB per bucket directory (measured 18.1 MB for 931k rows,
+    * BENCH.md round 10). The floor binds below ~64M distinct bigrams;
+    * a web-scale vocabulary past it gets proportionally more buckets so
+    * a batch's pruned model read stays byte-bounded.
     */
-  private def bucketsOf(trans: DataFrame): (Seq[Int], Seq[Int]) = {
-    val pairs = trans
-      .select(bktOf(col("gram")).as("bg"), bktOf(col("w2")).as("bw"))
+  private[graft] val GramsPerBucket = 1000000L
+
+  /** MODEL-SIZED bucket count, clamped to [64, 4096] — decided at
+    * [[write]] (and re-derived at [[upgrade]], which rewrites every
+    * row anyway), persisted in `meta/`, and used by every
+    * [[scoreBatch]] so serve-side pruning hashes with the layout's
+    * actual count.
+    */
+  private[graft] def bucketsFor(nGrams: Long): Int =
+    math.max(DefaultBuckets.toLong,
+      math.min(4096L, nGrams / GramsPerBucket)).toInt
+
+  private def bktOf(c: Column, nB: Int): Column =
+    pmod(xxhash64(c), lit(nB.toLong)).cast("int")
+
+  private def writeMeta(s: SparkSession, dir: String, nB: Int): Unit = {
+    import s.implicits._
+    Seq(nB).toDF("buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** The layout's bucket count — persisted at [[write]]; absent on
+    * pre-round-11 layouts, which were all written with 64.
+    */
+  private def readBuckets(s: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      s.read.parquet(p.toString).collect()(0).getInt(0)
+    else DefaultBuckets
+  }
+
+  /** Distinct partition buckets of the batch's grams and w2 tokens under
+    * the SAME xxhash64 expression the write side uses — one job, and
+    * the two sets are collected SEPARATELY (each ≤ nB ≤ 4096 rows):
+    * collecting distinct (bg, bw) PAIRS would be nB²-bounded, a driver
+    * hazard once the count is model-sized.
+    */
+  private def bucketsOf(trans: DataFrame, nB: Int): (Seq[Int], Seq[Int]) = {
+    val rows = trans.select(bktOf(col("gram"), nB).as("b"), lit(0).as("side"))
+      .unionByName(trans.select(bktOf(col("w2"), nB).as("b"), lit(1).as("side")))
       .distinct().collect()
-    (pairs.map(_.getInt(0)).distinct.toSeq, pairs.map(_.getInt(1)).distinct.toSeq)
+    (rows.filter(_.getInt(1) == 0).map(_.getInt(0)).toSeq,
+      rows.filter(_.getInt(1) == 1).map(_.getInt(0)).toSeq)
   }
 
   /** The corpus transition stream: codegen'd 2-grams ("w1 w2") —
@@ -141,26 +183,30 @@ object LmModel {
     * shared tail of [[write]] and [[upgrade]].
     */
   private def writeTables(s: SparkSession, dir: String, bi: DataFrame,
-      uni: DataFrame): Unit = {
+      uni: DataFrame, nB: Int): Unit = {
+    writeMeta(s, dir, nB)
     val tot = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
-    enrich(bi, uni, tot).withColumn("bkt", bktOf(col("gram")))
+    enrich(bi, uni, tot).withColumn("bkt", bktOf(col("gram"), nB))
       .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/bigrams")
     uni.crossJoin(broadcast(tot))
       .select(col("w"), col("c"),
         Det.halfUpDiv(col("c") * Micro, col("n")).as("p_uni"))
-      .withColumn("bkt", bktOf(col("w")))
+      .withColumn("bkt", bktOf(col("w"), nB))
       .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/unigrams")
     tot.coalesce(1).write.mode("overwrite").parquet(s"$dir/total")
   }
 
-  /** Train on `docs` and persist under `dir`, gram-hash partitioned so
-    * [[scoreBatch]] prunes before it reads. Overwrites. (No checkpoint
-    * needed here: unlike [[upgrade]], nothing read from `dir` feeds the
-    * overwrite.)
+  /** Train on `docs` and persist under `dir`, gram-hash partitioned
+    * with a model-sized bucket count ([[bucketsFor]]) so [[scoreBatch]]
+    * prunes before it reads. Overwrites. The bigram table is
+    * checkpointed (model-table-sized) so the sizing count and the write
+    * share one corpus aggregation.
     */
-  def write(s: SparkSession, docs: DataFrame, dir: String): Unit = {
-    val (bi, uni) = countTables(docs)
-    writeTables(s, dir, bi, uni)
+  def write(s: SparkSession, docs: DataFrame, dir: String,
+      bucketsOverride: Option[Int] = None): Unit = {
+    val (bi0, uni) = countTables(docs)
+    val bi = bi0.localCheckpoint(true)
+    writeTables(s, dir, bi, uni, bucketsOverride.getOrElse(bucketsFor(bi.count())))
   }
 
   /** Layouts written before the count columns existed serve fine but
@@ -199,7 +245,10 @@ object LmModel {
       .unionByName(addUni).unionByName(remUni)
       .groupBy(col("w")).agg(sum(col("c")).as("c"))
       .filter(col("c") > 0).localCheckpoint(true)
-    writeTables(s, dir, bi, uni)
+    // re-derive the sized count from the MERGED table — the rewrite is
+    // total anyway, so a model that grew across releases keeps its
+    // bytes-per-bucket bound instead of inheriting v1's count forever
+    writeTables(s, dir, bi, uni, bucketsFor(bi.count()))
   }
 
   /** Score a document batch against the persisted model: q154's output
@@ -214,7 +263,7 @@ object LmModel {
     val t = transitions(docs)
       .withColumn("w2", split(col("gram"), " ").getItem(1))
       .localCheckpoint() // batch-sized; feeds bucket discovery + the score join
-    val (bg, bw) = bucketsOf(t)
+    val (bg, bw) = bucketsOf(t, readBuckets(s, dir))
     // bucket pruning only on layouts that carry the partition column — a
     // pre-bkt (flat) layout falls back to the full-table read, the
     // [[DedupIndex.pruneSigs]] pattern (serving it is the object doc's

@@ -39,15 +39,16 @@ import org.apache.spark.sql.types.DecimalType
   * rewritten files only at compaction.
   *
   * At 100 TB: postings ≈ one row per distinct (term, doc) — written once
-  * per corpus build, PARTITIONED by a 64-way term hash (round 8), so a
-  * query's term predicate prunes to its buckets' directories before any
-  * file is opened; doclens is #docs rows; stats is one row. Serving
-  * never scans the corpus.
+  * per corpus build, PARTITIONED by a corpus-sized term hash (64-way
+  * floor; [[bucketsFor]], persisted in `meta/`), so a query's term
+  * predicate prunes to its buckets' directories before any file is
+  * opened; doclens is #docs rows; stats is one row. Serving never scans
+  * the corpus.
   */
 object TextIndex {
 
   case class Index(postings: DataFrame, doclens: DataFrame, stats: DataFrame,
-    positions: DataFrame)
+    positions: DataFrame, buckets: Int = DefaultBuckets)
 
   /** q146's whitespace tokenization, verbatim — parity is the contract;
     * positions carried for the phrase index.
@@ -59,21 +60,58 @@ object TextIndex {
   /** Term-hash partition count for the postings/positions layout. Serve
     * queries name their terms, so bucketing by `xxhash64(term)` turns
     * the term predicate into PARTITION pruning — each query term opens
-    * one directory of the index, never the whole postings table. 64
-    * buckets keeps directories coarse enough that a corpus-scale build
-    * still writes large files per bucket.
+    * one directory of the index, never the whole postings table.
+    * Bucket-count floor, and the assumed count for layouts written
+    * before the count was persisted (rounds ≤ 10 always wrote 64).
     */
-  private[graft] val Buckets = 64
+  private[graft] val DefaultBuckets = 64
 
-  private def bktCol: Column = pmod(xxhash64(col("term")), lit(Buckets.toLong)).cast("int")
+  /** Target documents per term-hash bucket — [[DedupIndex.DocsPerBucket]]'s
+    * bytes-per-bucket argument for the positional layout: positions is
+    * one row per token OCCURRENCE (the heaviest table, ~40 testdata /
+    * hundreds web-scale tokens per doc), so ~40k docs ≈ single-digit-
+    * millions of position rows ≈ tens of MB per bucket directory. The
+    * floor binds below ~2.5M docs; a corpus past it gets proportionally
+    * more buckets so a query term's pruned directory read stays
+    * byte-bounded instead of growing with the corpus.
+    */
+  private[graft] val DocsPerBucket = 40000L
+
+  /** CORPUS-SIZED bucket count, clamped to [64, 4096] — decided once at
+    * [[writeDocs]], persisted in `meta/`, reused by every
+    * append/compact/serve (mixing counts within one layout would break
+    * the serve-time bucket equi-pruning).
+    */
+  private[graft] def bucketsFor(nDocs: Long): Int =
+    math.max(DefaultBuckets.toLong,
+      math.min(4096L, nDocs / DocsPerBucket)).toInt
+
+  private def bktCol(nB: Int): Column =
+    pmod(xxhash64(col("term")), lit(nB.toLong)).cast("int")
+
+  private def writeMeta(s: SparkSession, dir: String, nB: Int): Unit = {
+    import s.implicits._
+    Seq(nB).toDF("buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** The layout's bucket count — persisted at [[writeDocs]]; absent on
+    * pre-round-11 layouts, which were all written with 64.
+    */
+  private def readBuckets(s: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      s.read.parquet(p.toString).collect()(0).getInt(0)
+    else DefaultBuckets
+  }
 
   /** Partition buckets of the query terms — computed with the SAME
     * xxhash64 expression the write side uses, via a row-per-term local
     * projection (no scan, no shuffle).
     */
-  private def bucketsOf(s: SparkSession, terms: Seq[String]): Seq[Int] = {
+  private def bucketsOf(s: SparkSession, terms: Seq[String], nB: Int): Seq[Int] = {
     import s.implicits._
-    terms.toDF("term").select(bktCol.as("b")).distinct()
+    terms.toDF("term").select(bktCol(nB).as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq
   }
 
@@ -81,7 +119,7 @@ object TextIndex {
     * pre-epoch layout must match its files' columns.
     */
   private def writeBatch(docs: DataFrame, dir: String, mode: String,
-      ep: Option[Long]): Unit = {
+      ep: Option[Long], nB: Int): Unit = {
     val t = toks(docs)
     def stamp(df: DataFrame): DataFrame =
       ep.fold(df)(e => df.withColumn("ep", lit(e)))
@@ -90,10 +128,10 @@ object TextIndex {
     // postings/positions for doc_ids absent from doclens — invisible to
     // BM25 only if the replay re-writes them, which the marker ensures.
     stamp(t.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf")))
-      .withColumn("bkt", bktCol)
+      .withColumn("bkt", bktCol(nB))
       .write.partitionBy("bkt").mode(mode).parquet(s"$dir/postings")
     stamp(t.select(col("term"), col("doc_id"), col("pos")))
-      .withColumn("bkt", bktCol)
+      .withColumn("bkt", bktCol(nB))
       .write.partitionBy("bkt").mode(mode).parquet(s"$dir/positions")
     stamp(t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
       .write.mode(mode).parquet(s"$dir/doclens")
@@ -156,10 +194,14 @@ object TextIndex {
 
   /** [[write]] over an explicit `docs(doc_id, text, …)` frame — the
     * corpus-versioning entry point ([[Release]] fixtures build v1
-    * indexes from filtered snapshots).
+    * indexes from filtered snapshots). The layout gets a corpus-sized
+    * bucket count ([[bucketsFor]]), persisted for its lifetime.
     */
-  def writeDocs(s: SparkSession, docs: DataFrame, dir: String): Unit = {
-    writeBatch(docs, dir, "overwrite", Some(0L))
+  def writeDocs(s: SparkSession, docs: DataFrame, dir: String,
+      bucketsOverride: Option[Int] = None): Unit = {
+    val nB = bucketsOverride.getOrElse(bucketsFor(docs.count()))
+    writeMeta(s, dir, nB)
+    writeBatch(docs, dir, "overwrite", Some(0L), nB)
     val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     Tombstones.writeEpoch(s, dir, 0L)
@@ -188,7 +230,8 @@ object TextIndex {
       doclens = live(s.read.parquet(s"$dir/doclens")).dropDuplicates("doc_id"),
       stats = s.read.parquet(s"$dir/stats"),
       positions = live(s.read.parquet(s"$dir/positions"))
-        .dropDuplicates("bkt", "term", "doc_id", "pos"))
+        .dropDuplicates("bkt", "term", "doc_id", "pos"),
+      buckets = readBuckets(s, dir))
   }
 
   /** Delete documents by id — [[AnnIndex.delete]]'s tombstone design on
@@ -275,7 +318,7 @@ object TextIndex {
     // over the full new corpus — re-scanned 3x, the term that kept the
     // upgrade rebuild-priced). Same recipe as [[DedupIndex.append]].
     val fresh = docs.join(done, Seq("doc_id"), "left_anti").localCheckpoint(true)
-    writeBatch(fresh, dir, "append", ep)
+    writeBatch(fresh, dir, "append", ep, readBuckets(s, dir))
     refreshStats(s, dir)
     load(s, dir)
   }
@@ -285,7 +328,7 @@ object TextIndex {
     */
   def search(s: SparkSession, ix: Index, terms: Seq[String], k: Int): DataFrame = {
     val tf = ix.postings.filter(
-      col("bkt").isin(bucketsOf(s, terms): _*) && col("term").isin(terms: _*))
+      col("bkt").isin(bucketsOf(s, terms, ix.buckets): _*) && col("term").isin(terms: _*))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = ix.stats
     val wk = Window.orderBy(col("bm25").desc, col("doc_id"))
@@ -310,6 +353,6 @@ object TextIndex {
     */
   def phraseSearch(s: SparkSession, ix: Index, phrase: Seq[String]): DataFrame =
     Advanced14.phraseHits(
-      ix.positions.filter(col("bkt").isin(bucketsOf(s, phrase): _*)),
+      ix.positions.filter(col("bkt").isin(bucketsOf(s, phrase, ix.buckets): _*)),
       phrase).orderBy(col("doc_id"))
 }

@@ -93,21 +93,64 @@ object IndexBench {
         .select(col("qid"), col("vec_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }
-    def recallAt10(ix: AnnIndex.Index, corpus: org.apache.spark.sql.DataFrame,
-        qs: org.apache.spark.sql.DataFrame, nprobe: Int): Double = {
-      val bfTop = bruteTop10(corpus, qs)
-      val annTop = AnnIndex.search(spark, ix, qs, nprobe, k = 10)
+    // THREE recall surfaces, separated on purpose (confounding them is
+    // how round 11's first auto-nprobe row read as a regression):
+    //  - cand  = candidate COVERAGE: the fraction of true top-10 whose
+    //    assigned list is probed. This is the ONLY thing nprobe
+    //    controls, and the quantity auto-nprobe holds flat across
+    //    writeScaled re-sizes.
+    //  - adc   = raw ADC top-10: coverage AND PQ resolution at once. On
+    //    isotropic data every true cosine gap is smaller than the PQ
+    //    quantization error, so a LARGER candidate pool scores WORSE
+    //    here (more quantized-noise winners crowd the cut) — a bigger
+    //    nprobe legitimately lowers this number. Not the quality path.
+    //  - rrk   = ADC shortlist + exact cosine re-rank (q143's read
+    //    path): coverage-bound again, so auto-nprobe's held coverage
+    //    carries through to the answer the user sees.
+    val bfS = bruteTop10(e, queries)
+    val bfSDf = spark.createDataFrame(bfS.toSeq).toDF("qid", "vec_id")
+      .localCheckpoint()
+    def candRecall(ix: AnnIndex.Index, nprobe: Int): Double = {
+      import org.apache.spark.sql.expressions.Window
+      val wAff = Window.partitionBy(col("qid")).orderBy(col("ca").desc, col("c_id"))
+      val probes = queries.crossJoin(
+          broadcast(ix.centroids.select(col("cid").as("c_id"), col("cv"))))
+        .select(col("qid"), col("c_id"),
+          round(expr("graft_cosine(v, cv)"), 6).as("ca"))
+        .withColumn("crank", row_number().over(wAff))
+        .filter(col("crank") <= nprobe)
+        .select(col("qid"), col("c_id"))
+      val hit = probes.join(ix.assigned, Seq("c_id"))
+        .join(bfSDf, Seq("qid", "vec_id"), "left_semi").count()
+      hit.toDouble / bfS.size
+    }
+    def adcRecall(ix: AnnIndex.Index, nprobe: Int): Double = {
+      val annTop = AnnIndex.search(spark, ix, queries, nprobe, k = 10)
         .select(col("qid"), col("cand"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      (annTop & bfTop).size.toDouble / bfTop.size
+      (annTop & bfS).size.toDouble / bfS.size
     }
-    println(f"IXBENCH annS_recall_at10             ${recallAt10(annS, e, queries, 8)}%.3f (nprobe=8, lists=${annS.centroids.count()})")
-    // auto-nprobe: hold the PROBED FRACTION (not the probe count) as the
-    // list count grows ~sqrt(n) — on this isotropic testdata recall ≈
-    // probed fraction, so this row staying ~flat across 1x/10x dirs is
-    // the evidence the fixed-nprobe recall shrink is cured
+    def rerankRecall(ix: AnnIndex.Index, nprobe: Int, shortlist: Int): Double = {
+      import org.apache.spark.sql.expressions.Window
+      val wr = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cand"))
+      val top = AnnIndex.search(spark, ix, queries, nprobe, k = shortlist)
+        .select(col("qid"), col("cand"))
+        .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+        .join(e.select(col("vec_id").as("cand"), col("v").as("cv")), Seq("cand"))
+        .select(col("qid"), col("cand"), expr("graft_cosine(qv, cv)").as("sim"))
+        .withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= 10)
+        .select(col("qid"), col("cand"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (top & bfS).size.toDouble / bfS.size
+    }
+    val nLists = annS.centroids.count()
     val npAuto = AnnIndex.autoNprobe(annS, 0.15)
-    println(f"IXBENCH annS_recall_at10_auto        ${recallAt10(annS, e, queries, npAuto)}%.3f (frac=0.15 -> nprobe=$npAuto, lists=${annS.centroids.count()})")
+    for ((tag, np) <- Seq(("fixed8", 8), ("auto", npAuto))) {
+      val lbl = if (tag == "auto") s"frac=0.15 -> nprobe=$npAuto" else s"nprobe=$np"
+      println(f"IXBENCH annS_cand_recall10_$tag%-7s  ${candRecall(annS, np)}%.3f ($lbl, lists=$nLists)")
+      println(f"IXBENCH annS_adc_recall10_$tag%-7s   ${adcRecall(annS, np)}%.3f ($lbl, lists=$nLists)")
+      println(f"IXBENCH annS_rerank_recall10_$tag%-7s ${rerankRecall(annS, np, 400)}%.3f ($lbl, shortlist=400, lists=$nLists)")
+    }
 
     // Planted-structure counterpoint: the row above measures the DATA's
     // ceiling (this testdata is uniform random unit vectors, where any
@@ -147,12 +190,17 @@ object IndexBench {
       val contain = adcTop.count(r => r.getLong(1) % 64 == r.getLong(0) % 64)
         .toDouble / adcTop.length
       // (b) end-to-end quality through q143's production read path: ADC
-      // shortlist k=100, EXACT cosine re-rank, top-10 vs brute force.
-      // Within a tight cluster every member is near-equidistant, so raw
-      // ADC order is PQ-resolution-limited by construction — the
-      // re-rank is the read path that resolves it.
+      // shortlist, EXACT cosine re-rank, top-10 vs brute force. Within
+      // a tight cluster every member is near-equidistant, so raw ADC
+      // order is PQ-resolution-limited by construction — the re-rank is
+      // the read path that resolves it. The shortlist scales with the
+      // planted CLUSTER size (nP/64 — this fixture holds cluster count
+      // fixed, so clusters grow with the corpus): a fixed 400 covers
+      // 5% of a 10x cluster and the row would measure shortlist
+      // truncation, not index quality.
       import org.apache.spark.sql.expressions.Window
-      val shortlist = AnnIndex.search(spark, annP, qP, nprobe = 8, k = 400)
+      val slK = math.max(400L, 2L * nP / 64).toInt
+      val shortlist = AnnIndex.search(spark, annP, qP, nprobe = 8, k = slK)
         .select(col("qid"), col("cand"))
       val wr = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cand"))
       val rerTop = shortlist
@@ -164,7 +212,7 @@ object IndexBench {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val bfP = bruteTop10(eP, qP)
       println(f"IXBENCH annP_planted_cluster_containment ${contain}%.3f (nprobe=8, lists=${annP.centroids.count()})")
-      println(f"IXBENCH annP_planted_rerank_recall10 ${(rerTop & bfP).size.toDouble / bfP.size}%.3f (shortlist=400 > cluster size)")
+      println(f"IXBENCH annP_planted_rerank_recall10 ${(rerTop & bfP).size.toDouble / bfP.size}%.3f (shortlist=$slK ~ 2x cluster size)")
     }
     }
 

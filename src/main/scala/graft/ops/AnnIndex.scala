@@ -386,13 +386,21 @@ object AnnIndex {
   /** nprobe for a TARGET PROBED-LIST FRACTION over the loaded index:
     * ceil(frac · nLists) clamped to [1, nLists]. [[writeScaled]] sizes
     * the list count ~√n, so a FIXED nprobe silently shrinks the probed
-    * fraction — and with it the recall ceiling on weakly-clustered data
-    * (measured 0.231 → 0.100 as lists grew 45 → 142, BENCH.md round
-    * 10) — as the corpus grows. Deriving nprobe from the persisted list
-    * count holds the fraction, and therefore the isotropic-data recall
-    * floor, steady across corpus sizes; the centroid count read is
-    * parquet-footer metadata, not a scan. Probe cost stays sub-linear:
-    * probed rows ≈ frac · n while candidate lists lengthen as √n.
+    * fraction — and with it candidate COVERAGE (the share of true
+    * neighbors whose list is probed at all; measured ADC recall 0.231 →
+    * 0.100 as lists grew 45 → 142, BENCH.md round 10) — as the corpus
+    * grows. Deriving nprobe from the persisted list count holds the
+    * fraction, and therefore coverage, steady across corpus sizes; the
+    * centroid count read is parquet-footer metadata, not a scan. Probe
+    * cost stays sub-linear: probed rows ≈ frac · n while candidate
+    * lists lengthen as √n. Coverage is the ONLY recall surface nprobe
+    * controls: the round-11 10x measurement (BENCH.md) showed raw ADC
+    * top-k can legitimately FALL as nprobe rises on weakly-clustered
+    * data (PQ quantization error outweighs the true cosine gaps, so a
+    * larger candidate pool crowds the cut with noise winners) — the
+    * quality path is [[searchAuto]] with a shortlist k plus an exact
+    * re-rank (q143's shape), which is coverage-bound and inherits the
+    * held fraction.
     */
   def autoNprobe(ix: Index, frac: Double): Int = {
     val n = ix.centroids.count()

@@ -140,6 +140,27 @@ class LmModelSpec extends SparkSuite {
     assert(ex.getMessage.contains("retrain"))
   }
 
+  test("a model-sized (non-64) bucket layout scores identically and prunes with the persisted count") {
+    // bucketsFor only leaves its 64 floor past ~64M distinct bigrams —
+    // unreachable at oracle scale — so a non-default count is exercised
+    // by override: serve values must not move, and the serve-side
+    // pruning must hash with the layout's persisted count (a 64-hash
+    // probe against a 5-bucket layout would read wrong directories)
+    val d5 = Files.createTempDirectory("graft_lm_b5").toString
+    LmModel.write(spark, Tables.documents(spark, sf0001), d5,
+      bucketsOverride = Some(5))
+    val probe = Tables.documents(spark, sf0001).limit(40)
+      .withColumn("doc_id", col("doc_id") + 5000L)
+    def scored(m: String) = LmModel.scoreBatch(spark, m, probe)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = scored(d5)
+    assert(got.nonEmpty && got == scored(dir),
+      "bucket count changed scores — it must be physical layout only")
+    val bkts = spark.read.parquet(s"$d5/bigrams")
+      .select(col("bkt")).distinct().collect().map(_.getInt(0))
+    assert(bkts.nonEmpty && bkts.forall(_ < 5), s"layout not 5-bucketed: ${bkts.toSeq}")
+  }
+
   test("a batch with no scoreable transitions (1-token docs) returns empty, not an error") {
     // empty bucket discovery -> isin() over no values -> empty model
     // slices -> empty result; the edge the bucket-pruned path added

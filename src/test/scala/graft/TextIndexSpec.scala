@@ -101,6 +101,38 @@ class TextIndexSpec extends SparkSuite {
     assert(all > terms.size, s"degenerate bucketing: only $all buckets")
   }
 
+  test("a sized (non-64) bucket layout serves identically and appends with the persisted count") {
+    // the corpus-sized count only leaves its 64 floor past ~2.5M docs,
+    // so no oracle-scale corpus exercises a non-default count — build
+    // one by override and prove the whole lifecycle sticks to it
+    val dir = Files.createTempDirectory("graft-tix7").toString
+    val dir64 = Files.createTempDirectory("graft-tix7b").toString
+    val docs = Tables.documents(spark, sf0001)
+    TextIndex.writeDocs(spark, docs, dir, bucketsOverride = Some(7))
+    TextIndex.writeDocs(spark, docs, dir64)
+    def run(d: String) = {
+      val ix = TextIndex.load(spark, d)
+      (TextIndex.search(spark, ix, terms, 10)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq,
+        TextIndex.phraseSearch(spark, ix, Seq("table", "hash"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    }
+    val (bm7, ph7) = run(dir)
+    assert(bm7.nonEmpty && ph7.nonEmpty)
+    assert((bm7, ph7) == run(dir64),
+      "bucket count changed serve results — it must be physical layout only")
+    assert(TextIndex.load(spark, dir).buckets == 7)
+    // append must hash new rows with the LAYOUT's persisted count, not
+    // the default: all buckets stay < 7 afterwards
+    TextIndex.append(spark, dir, Seq((9100L, "dup vector spark")).toDF("doc_id", "text"))
+    val bkts = spark.read.parquet(s"$dir/postings")
+      .select(col("bkt")).distinct().collect().map(_.getInt(0))
+    assert(bkts.forall(_ < 7), s"append ignored the persisted count: ${bkts.toSeq}")
+    assert(TextIndex.search(spark, TextIndex.load(spark, dir), terms, 10)
+      .collect().exists(_.getLong(1) == 9100L),
+      "appended doc not served through the sized layout")
+  }
+
   test("streaming appends maintain the index incrementally (foreachBatch)") {
     val dir = Files.createTempDirectory("graft-tix3").toString
     TextIndex.write(spark, sf0001, dir)

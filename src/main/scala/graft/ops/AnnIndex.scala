@@ -464,5 +464,63 @@ object AnnIndex {
       .orderBy(col("cid"))
   }
 
-  def specs: Seq[Q] = Seq(scaledIvfBuild)
+  /** The fraction-derived serve entry point under the hard gate — the
+    * round-11 twin of q160: the Spark side runs the REAL persisted
+    * lifecycle (writeScaled at an explicit 32-list sizing onto a temp
+    * dir, [[load]], [[searchAuto]] at frac = 0.2 → nprobe 7), while the
+    * oracle replays the whole chain from public parts it already owns —
+    * q160's md5-prefix sample + seeded Lloyd (writeScaled's REAL
+    * perList = 50 this time, so the sample rule is gated at production
+    * sizing too), q140's probe/candidate/PQ/ADC CTEs at the SAME
+    * ceil(frac · nLists) probe count. Hash equality proves the
+    * persisted sample-trained index and the auto-probed ADC read are
+    * ONE semantics end to end — the layout roundtrip cannot drift from
+    * the arithmetic. `excludeSelf = true` matches the q140 family's
+    * corpus-member-query semantics (the oracle's candidate CTE drops
+    * self).
+    */
+  val scaledSearchAuto = Q(
+    "q168_scaled_searchauto",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |prm AS (SELECT GREATEST(1, COUNT(*) // ${50 * 32}) AS m FROM e),
+      |samp AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS vec_id, v
+      |  FROM e, prm
+      |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT % m = 0),
+      |${Quantizer.centroidTrainCtes(32, "samp")},
+      |${Quantizer.ivfProbeCtes(math.ceil(0.2 * 32).toInt, 5)},
+      |${Quantizer.ivfCandCte(keepListId = false)},
+      |${Quantizer.pqTrainCtes(8)},
+      |${Advanced8.pqPkCteSql},
+      |codes AS (SELECT vec_id, b, CAST(MIN(pk) % 100 AS INTEGER) AS code
+      |          FROM pk GROUP BY vec_id, b),
+      |dtab AS (
+      |  SELECT s.vec_id AS qid, b, cid,
+      |    ${Advanced8.distMicroSql("sv", "cv", "list_dot_product")} AS dm
+      |  FROM sub s JOIN ${Quantizer.pqFinal} USING (b) WHERE s.vec_id < 5),
+      |ad AS (
+      |  SELECT x.qid, x.cand, CAST(SUM(d.dm) AS BIGINT) AS adist_micro
+      |  FROM candp x
+      |  JOIN codes cd ON cd.vec_id = x.cand
+      |  JOIN dtab d ON d.qid = x.qid AND d.b = cd.b AND d.cid = cd.code
+      |  GROUP BY x.qid, x.cand),
+      |r AS (
+      |  SELECT qid, cand, adist_micro,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY adist_micro, cand) AS INTEGER) AS rnk
+      |  FROM ad QUALIFY rnk <= 3)
+      |SELECT qid, rnk, cand, adist_micro / 1000000.0 AS approx_dist
+      |FROM r ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q168").toString
+    writeScaled(s, d, tmp, nListsOverride = Some(32))
+    val ix = load(s, tmp)
+    val queries = graft.Tables.embeddings(s, d)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    searchAuto(s, ix, queries, k = 3, frac = 0.2, excludeSelf = true)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  def specs: Seq[Q] = Seq(scaledIvfBuild, scaledSearchAuto)
 }

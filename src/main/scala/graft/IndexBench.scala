@@ -151,6 +151,20 @@ object IndexBench {
       println(f"IXBENCH annS_adc_recall10_$tag%-7s   ${adcRecall(annS, np)}%.3f ($lbl, lists=$nLists)")
       println(f"IXBENCH annS_rerank_recall10_$tag%-7s ${rerankRecall(annS, np, 400)}%.3f ($lbl, shortlist=400, lists=$nLists)")
     }
+    // the searchRerank API: probe count AND shortlist both index-derived
+    // (shortlist = 64/probe). The row to compare against is
+    // rerank_recall10_auto — same probes, fixed-400 shortlist.
+    {
+      val apiTop = AnnIndex.searchRerank(spark, annS, e, queries, k = 10,
+          frac = 0.15, excludeSelf = true)
+        .select(col("qid"), col("cand"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"IXBENCH annS_api_rerank_recall10     ${(apiTop & bfS).size.toDouble / bfS.size}%.3f (frac=0.15 -> nprobe=$npAuto, shortlist=${math.max(10, 64 * npAuto)}, lists=$nLists)")
+      timed("annS_api_rerank_16q") {
+        AnnIndex.searchRerank(spark, annS, e, queries, k = 10,
+          frac = 0.15, excludeSelf = true).count()
+      }
+    }
 
     // Planted-structure counterpoint: the row above measures the DATA's
     // ceiling (this testdata is uniform random unit vectors, where any

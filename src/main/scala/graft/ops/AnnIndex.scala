@@ -416,6 +416,51 @@ object AnnIndex {
       allowed: Option[DataFrame] = None): DataFrame =
     search(s, ix, queries, autoNprobe(ix, frac), k, excludeSelf, allowed)
 
+  /** The two-stage QUALITY read path over a persisted index — q143's
+    * shortlist-then-rerank shape as a serve API: [[search]] produces an
+    * ADC shortlist, and only shortlist rows fetch raw vectors (from
+    * `vectors(vec_id, v)` — the store the index was built from) for an
+    * exact re-rank in q143's integer micro-unit distances. Both the
+    * probe count AND the shortlist scale with the index: nprobe =
+    * [[autoNprobe]] (frac), shortlist = `shortlistPerProbe · nprobe`.
+    * The scaling matters — the round-11 10x rehearsal (BENCH.md)
+    * measured a FIXED 400-row shortlist re-truncating exactly the
+    * coverage auto-nprobe had held (end-to-end recall 0.431 vs 0.813
+    * coverage at 68 probes): with ~1k-row lists, more probed candidates
+    * need a proportionally larger ADC cut for the true neighbors to
+    * survive into the exact stage. Per-probe sizing keeps the shortlist
+    * a constant fraction of the candidate pool as both grow.
+    *
+    * At 100 TB: everything upstream of the re-rank is [[search]]'s
+    * codes-only plan; the re-rank reads `queries × shortlist` vector
+    * rows by id — the shortlist side carries q143's broadcast hints
+    * (without them a static planner estimate can shuffle the whole
+    * vector store for a point-lookup-sized probe set), so serve batches
+    * should stay interactive-sized; corpus-scale scoring jobs belong on
+    * the batch operators, not this path.
+    */
+  def searchRerank(s: SparkSession, ix: Index, vectors: DataFrame,
+      queries: DataFrame, k: Int, frac: Double = 0.15,
+      shortlistPerProbe: Int = 64, excludeSelf: Boolean = false,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val np = autoNprobe(ix, frac)
+    val shortK = math.max(k, shortlistPerProbe * np)
+    val short = search(s, ix, queries, np, shortK, excludeSelf, allowed)
+      .select(col("qid"), col("cand"))
+    val withQ = broadcast(broadcast(short)
+      .join(queries.select(col("qid"), col("v").as("qv2")), Seq("qid")))
+    val er = withQ
+      .join(vectors.select(col("vec_id").as("cand"), col("v").as("cv3")), Seq("cand"))
+      .select(col("qid"), col("cand"),
+        expr(Advanced8.distMicroSql("qv2", "cv3", "graft_dot")).as("edist_micro"))
+    val wR = Window.partitionBy(col("qid")).orderBy(col("edist_micro"), col("cand"))
+    er.withColumn("rnk", row_number().over(wR))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cand"),
+        (col("edist_micro") / 1000000.0).as("exact_dist"))
+  }
+
   /** [[writeScaled]]'s sample-trained Lloyd under the hard gate — the
     * round-9 verdict's challenge ("the sample-trained Lloyd is
     * deterministic, so a small-n oracle replay may be writable"): run
@@ -522,5 +567,68 @@ object AnnIndex {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  def specs: Seq[Q] = Seq(scaledIvfBuild, scaledSearchAuto)
+  /** [[searchRerank]] under the hard gate — q168's persisted
+    * sample-trained lifecycle extended through the exact re-rank stage:
+    * the Spark side runs writeScaled → load → searchRerank (frac = 0.2
+    * → nprobe 7, shortlist = 64·7 = 448) and the oracle replays the
+    * full chain — q160's sample + Lloyd, q140's probe/candidate/PQ/ADC,
+    * then q143's shortlist + exact-micro-distance re-rank — at the same
+    * derived constants. The ADC stage uses the same CTEs as q168, so a
+    * drift between the one-stage and two-stage serve paths would break
+    * exactly one of the two gates and name the stage.
+    */
+  val scaledSearchRerank = Q(
+    "q169_scaled_search_rerank",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |prm AS (SELECT GREATEST(1, COUNT(*) // ${50 * 32}) AS m FROM e),
+      |samp AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS vec_id, v
+      |  FROM e, prm
+      |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT % m = 0),
+      |${Quantizer.centroidTrainCtes(32, "samp")},
+      |${Quantizer.ivfProbeCtes(math.ceil(0.2 * 32).toInt, 5)},
+      |${Quantizer.ivfCandCte(keepListId = false)},
+      |${Quantizer.pqTrainCtes(8)},
+      |${Advanced8.pqPkCteSql},
+      |codes AS (SELECT vec_id, b, CAST(MIN(pk) % 100 AS INTEGER) AS code
+      |          FROM pk GROUP BY vec_id, b),
+      |dtab AS (
+      |  SELECT s.vec_id AS qid, b, cid,
+      |    ${Advanced8.distMicroSql("sv", "cv", "list_dot_product")} AS dm
+      |  FROM sub s JOIN ${Quantizer.pqFinal} USING (b) WHERE s.vec_id < 5),
+      |ad AS (
+      |  SELECT x.qid, x.cand, CAST(SUM(d.dm) AS BIGINT) AS adist_micro
+      |  FROM candp x
+      |  JOIN codes cd ON cd.vec_id = x.cand
+      |  JOIN dtab d ON d.qid = x.qid AND d.b = cd.b AND d.cid = cd.code
+      |  GROUP BY x.qid, x.cand),
+      |short AS (
+      |  SELECT qid, cand,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY adist_micro, cand) AS INTEGER) AS srnk
+      |  FROM ad QUALIFY srnk <= ${64 * math.ceil(0.2 * 32).toInt}),
+      |er AS (
+      |  SELECT sh.qid, sh.cand,
+      |    ${Advanced8.distMicroSql("q.v", "c.v", "list_dot_product")} AS edist_micro
+      |  FROM short sh JOIN e q ON q.vec_id = sh.qid JOIN e c ON c.vec_id = sh.cand),
+      |r AS (
+      |  SELECT qid, cand, edist_micro,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY edist_micro, cand) AS INTEGER) AS rnk
+      |  FROM er QUALIFY rnk <= 3)
+      |SELECT qid, rnk, cand, edist_micro / 1000000.0 AS exact_dist
+      |FROM r ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q169").toString
+    writeScaled(s, d, tmp, nListsOverride = Some(32))
+    val ix = load(s, tmp)
+    val e = graft.Tables.embeddings(s, d).select(col("vec_id"),
+      graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v"))
+    searchRerank(s, ix, e, queries, k = 3, frac = 0.2,
+        shortlistPerProbe = 64, excludeSelf = true)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  def specs: Seq[Q] = Seq(scaledIvfBuild, scaledSearchAuto, scaledSearchRerank)
 }

@@ -79,7 +79,13 @@ object LmModel {
     * ~20 MB per bucket directory (measured 18.1 MB for 931k rows,
     * BENCH.md round 10). The floor binds below ~64M distinct bigrams;
     * a web-scale vocabulary past it gets proportionally more buckets so
-    * a batch's pruned model read stays byte-bounded.
+    * a batch's pruned model read stays byte-bounded. The HIGH floor is
+    * measurement-backed, not caution: over-bucketing the largest
+    * locally-buildable model (931k bigrams at 256 buckets,
+    * TextLmScaleBench round 11) cost 2.3x on build AND 2.2x on serve —
+    * a scoring batch's grams hash into nearly every bucket, so below
+    * the bytes-per-bucket knee extra directories are pure overhead on
+    * both sides.
     */
   private[graft] val GramsPerBucket = 1000000L
 

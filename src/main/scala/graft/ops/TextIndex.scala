@@ -67,15 +67,19 @@ object TextIndex {
   private[graft] val DefaultBuckets = 64
 
   /** Target documents per term-hash bucket — [[DedupIndex.DocsPerBucket]]'s
-    * bytes-per-bucket argument for the positional layout: positions is
-    * one row per token OCCURRENCE (the heaviest table, ~40 testdata /
-    * hundreds web-scale tokens per doc), so ~40k docs ≈ single-digit-
-    * millions of position rows ≈ tens of MB per bucket directory. The
-    * floor binds below ~2.5M docs; a corpus past it gets proportionally
-    * more buckets so a query term's pruned directory read stays
-    * byte-bounded instead of growing with the corpus.
+    * bytes-per-bucket argument, CALIBRATED BY MEASUREMENT at the 5M-doc
+    * diversity rehearsal (TextLmScaleBench, BENCH.md round 11): unlike
+    * the dedup bands, postings reads carry a `term IN` predicate that
+    * dictionary-filters within a bucket, so 64 buckets at 5M docs
+    * (~3M posting rows ≈ tens of MB per directory) served EQUAL to a
+    * 125-bucket sized layout while building 34% faster — extra
+    * directories are pure listing overhead until per-bucket bytes
+    * outgrow that knee. 80k docs/bucket puts the floor exit right at
+    * the measured-good point: the floor binds to ~5M docs, and a
+    * corpus past it keeps per-bucket bytes at the knee instead of
+    * growing linearly with the corpus.
     */
-  private[graft] val DocsPerBucket = 40000L
+  private[graft] val DocsPerBucket = 80000L
 
   /** CORPUS-SIZED bucket count, clamped to [64, 4096] — decided once at
     * [[writeDocs]], persisted in `meta/`, reused by every

@@ -321,6 +321,41 @@ class AnnIndexSpec extends SparkSuite {
     assert(got.length == 4 && got.forall(_ == 5L))
   }
 
+  test("searchRerank at full coverage equals the exact brute-force top-k") {
+    // frac = 1.0 probes every list and the per-probe shortlist keeps
+    // every candidate, so the two-stage path's only remaining deviation
+    // from exact search would be a bug in the shortlist/re-rank plumbing
+    // — the degenerate setting where approximate MUST equal exact. The
+    // production-fraction behavior (recall vs coverage vs shortlist) is
+    // measured, not asserted, in IndexBench (BENCH.md round 11).
+    val dir = java.nio.file.Files.createTempDirectory("graft-annrr").toString
+    AnnIndex.writeScaled(spark, sf0001, dir, nListsOverride = Some(16))
+    val ix = AnnIndex.load(spark, dir)
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+      .localCheckpoint(true)
+    val queries = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"v")
+    val got = AnnIndex.searchRerank(spark, ix, e, queries, k = 4, frac = 1.0,
+        shortlistPerProbe = 1000, excludeSelf = true)
+      .orderBy($"qid", $"rnk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // exact oracle: q143's integer micro-unit distance, brute force
+    graft.functions.DotProduct.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"edist_micro", $"cand")
+    val want = queries.as("q").crossJoin(e.as("c"))
+      .filter($"q.qid" =!= $"c.vec_id")
+      .select($"q.qid".as("qid"), $"c.vec_id".as("cand"),
+        expr("CAST(ROUND((graft_dot(q.v, q.v) - 2 * graft_dot(q.v, c.v) + graft_dot(c.v, c.v)) * 1000000) AS BIGINT)")
+          .as("edist_micro"))
+      .withColumn("rnk", row_number().over(w)).filter($"rnk" <= 4)
+      .select($"qid", $"rnk", $"cand", ($"edist_micro" / 1000000.0).as("exact_dist"))
+      .orderBy($"qid", $"rnk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.sameElements(want),
+      s"two-stage path diverged from exact:\n got ${got.toSeq}\nwant ${want.toSeq}")
+  }
+
   test("streaming appends maintain the index incrementally (foreachBatch)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annix7").toString
     AnnIndex.write(spark, sf0001, dir)

@@ -509,6 +509,22 @@ object AnnIndex {
       .orderBy(col("cid"))
   }
 
+  /** One writeScaled layout per (session, corpus, sizing), shared by the
+    * q168/q169 gates through [[graft.Shared]] (the cached frame is just
+    * the 1-row temp-dir path; Shared's listener evicts it with the
+    * session): the two queries exercise different READ paths over the
+    * same deterministic build, so building it twice per Verify/Bench
+    * run would only re-measure the trainer.
+    */
+  private def sharedScaledDir(s: SparkSession, d: String, nLists: Int): String = {
+    import s.implicits._
+    graft.Shared.materialized(s, s"annix-scaled-$d-$nLists") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scaledix").toString
+      writeScaled(s, d, tmp, nListsOverride = Some(nLists))
+      Seq(tmp).toDF("dir")
+    }.collect()(0).getString(0)
+  }
+
   /** The fraction-derived serve entry point under the hard gate — the
     * round-11 twin of q160: the Spark side runs the REAL persisted
     * lifecycle (writeScaled at an explicit 32-list sizing onto a temp
@@ -556,9 +572,7 @@ object AnnIndex {
       |  FROM ad QUALIFY rnk <= 3)
       |SELECT qid, rnk, cand, adist_micro / 1000000.0 AS approx_dist
       |FROM r ORDER BY qid, rnk""".stripMargin) { (s, d) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q168").toString
-    writeScaled(s, d, tmp, nListsOverride = Some(32))
-    val ix = load(s, tmp)
+    val ix = load(s, sharedScaledDir(s, d, 32))
     val queries = graft.Tables.embeddings(s, d)
       .filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"),
@@ -618,9 +632,7 @@ object AnnIndex {
       |  FROM er QUALIFY rnk <= 3)
       |SELECT qid, rnk, cand, edist_micro / 1000000.0 AS exact_dist
       |FROM r ORDER BY qid, rnk""".stripMargin) { (s, d) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q169").toString
-    writeScaled(s, d, tmp, nListsOverride = Some(32))
-    val ix = load(s, tmp)
+    val ix = load(s, sharedScaledDir(s, d, 32))
     val e = graft.Tables.embeddings(s, d).select(col("vec_id"),
       graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
     val queries = e.filter(col("vec_id") < 5)

@@ -25,7 +25,8 @@ object SparkEntry {
       ops.ResidualPQ.specs ++ ops.Advanced13.specs ++ ops.Advanced14.specs ++
       ops.SnapshotDiff.specs ++ ops.DedupIndex.specs ++ ops.Advanced15.specs ++
       ops.AnnIndex.specs ++ ops.IngestionGate.specs ++ ops.QualityModel.specs ++
-      ops.LmModel.specs ++ ops.Release.specs ++ ops.Advanced16.specs
+      ops.LmModel.specs ++ ops.Release.specs ++ ops.Advanced16.specs ++
+      ops.Advanced17.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

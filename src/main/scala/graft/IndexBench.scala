@@ -166,6 +166,31 @@ object IndexBench {
       }
     }
 
+    // Late-interaction (q170/q178) serve paths: brute MaxSim is the
+    // quality ceiling AND a corpus-sized cross scan; the indexed path
+    // (q178's maxSimRerank) runs the codes-only ADC shortlist first and
+    // scores the 64-sub-dot MaxSim on shortlist rows only. Agreement =
+    // top-10 overlap vs the brute ranking — like adc/rrk above it is
+    // coverage-bound, so auto-nprobe's held fraction carries over.
+    {
+      val qm = queries.select(col("qid"), col("v").as("qv"))
+      timed("maxsim_brute_16q") {
+        ops.Advanced16.lateInteractionTopK(e, qm, 10).count()
+      }
+      val bfM = ops.Advanced16.lateInteractionTopK(e, qm, 10)
+        .select(col("qid"), col("cand"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      timed("maxsim_indexed_16q") {
+        ops.Advanced16.maxSimRerank(spark, annS, e, queries, k = 10,
+          frac = 0.15, shortlistPerProbe = 64, excludeSelf = true).count()
+      }
+      val ixM = ops.Advanced16.maxSimRerank(spark, annS, e, queries, k = 10,
+          frac = 0.15, shortlistPerProbe = 64, excludeSelf = true)
+        .select(col("qid"), col("cand"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"IXBENCH maxsim_indexed_agree10       ${(ixM & bfM).size.toDouble / bfM.size}%.3f (frac=0.15 -> nprobe=$npAuto, shortlist=${64 * npAuto}, lists=$nLists)")
+    }
+
     // Planted-structure counterpoint: the row above measures the DATA's
     // ceiling (this testdata is uniform random unit vectors, where any
     // IVF degenerates to probed-fraction recall). Same corpus SIZE with

@@ -376,6 +376,93 @@ object Advanced16 {
       .orderBy(col("qid"))
   }
 
+  // ---------------------------------------------------------------- q178
+
+  /** Library form: MaxSim re-rank served over a persisted IVF index —
+    * q170's scoring at corpus scale. Stage 1 is [[AnnIndex.search]]'s
+    * codes-only ADC shortlist (probe count from the target fraction,
+    * shortlist ∝ probes — q169's scaling); only shortlist rows fetch
+    * raw vectors for the MaxSim stage, so the 64-sub-dot projection
+    * runs on `queries × shortlist` rows, never the corpus. The
+    * shortlist side carries q143's broadcast hints for the same reason
+    * [[AnnIndex.searchRerank]]'s does.
+    */
+  private[graft] def maxSimRerank(s: SparkSession, ix: AnnIndex.Index,
+      vectors: DataFrame, queries: DataFrame, k: Int, frac: Double,
+      shortlistPerProbe: Int, excludeSelf: Boolean): DataFrame = {
+    DotProduct.register(s)
+    val np = AnnIndex.autoNprobe(ix, frac)
+    val shortK = math.max(k, shortlistPerProbe * np)
+    val short = AnnIndex.search(s, ix, queries, np, shortK, excludeSelf)
+      .select(col("qid"), col("cand"))
+    val withQ = broadcast(broadcast(short)
+      .join(queries.select(col("qid"), col("v").as("qv")), Seq("qid")))
+    val er = withQ
+      .join(vectors.select(col("vec_id").as("cand"), col("v").as("cv")), Seq("cand"))
+      .select(col("qid"), col("cand"), maxSimCol("qv", "cv").as("maxsim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("maxsim").desc, col("cand"))
+    er.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cand"), col("maxsim"))
+  }
+
+  /** q178: [[maxSimRerank]] under the hard gate — q169's persisted
+    * sample-trained lifecycle (the SAME session-shared writeScaled
+    * layout; zero extra build) with the exact-cosine re-rank stage
+    * swapped for q170's MaxSim algebra. The oracle replays q169's
+    * chain through the ADC shortlist, then scores the shortlist with
+    * the identical 8×8 sub-vector MaxSim expression ordered DESC —
+    * so the one- and two-stage late-interaction paths share every CTE
+    * up to the final scoring, and a drift names the stage.
+    */
+  val scaledMaxSim = Q(
+    "q178_scaled_maxsim",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |prm AS (SELECT GREATEST(1, COUNT(*) // ${50 * 32}) AS m FROM e),
+      |samp AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS vec_id, v
+      |  FROM e, prm
+      |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT % m = 0),
+      |${Quantizer.centroidTrainCtes(32, "samp")},
+      |${Quantizer.ivfProbeCtes(math.ceil(0.2 * 32).toInt, 5)},
+      |${Quantizer.ivfCandCte(keepListId = false)},
+      |${Quantizer.pqTrainCtes(8)},
+      |${Advanced8.pqPkCteSql},
+      |codes AS (SELECT vec_id, b, CAST(MIN(pk) % 100 AS INTEGER) AS code
+      |          FROM pk GROUP BY vec_id, b),
+      |dtab AS (
+      |  SELECT s.vec_id AS qid, b, cid,
+      |    ${Advanced8.distMicroSql("sv", "cv", "list_dot_product")} AS dm
+      |  FROM sub s JOIN ${Quantizer.pqFinal} USING (b) WHERE s.vec_id < 5),
+      |ad AS (
+      |  SELECT x.qid, x.cand, CAST(SUM(d.dm) AS BIGINT) AS adist_micro
+      |  FROM candp x
+      |  JOIN codes cd ON cd.vec_id = x.cand
+      |  JOIN dtab d ON d.qid = x.qid AND d.b = cd.b AND d.cid = cd.code
+      |  GROUP BY x.qid, x.cand),
+      |short AS (
+      |  SELECT qid, cand,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY adist_micro, cand) AS INTEGER) AS srnk
+      |  FROM ad QUALIFY srnk <= ${64 * math.ceil(0.2 * 32).toInt}),
+      |er AS (
+      |  SELECT sh.qid, sh.cand, ${maxSimSql("q.v", "c.v")} AS maxsim
+      |  FROM short sh JOIN e q ON q.vec_id = sh.qid JOIN e c ON c.vec_id = sh.cand),
+      |r AS (
+      |  SELECT qid, cand, maxsim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY maxsim DESC, cand) AS INTEGER) AS rnk
+      |  FROM er QUALIFY rnk <= 3)
+      |SELECT qid, rnk, cand, maxsim FROM r ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    val ix = AnnIndex.load(s, AnnIndex.sharedScaledDir(s, d, 32))
+    val e = emb(s, d)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v"))
+    maxSimRerank(s, ix, e, queries, k = 3, frac = 0.2,
+        shortlistPerProbe = 64, excludeSelf = true)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val specs: Seq[Q] = Seq(lateInteraction, matryoshkaRerank, shardManifest,
-    contextPack, ndcgEval)
+    contextPack, ndcgEval, scaledMaxSim)
 }

@@ -516,7 +516,7 @@ object AnnIndex {
     * same deterministic build, so building it twice per Verify/Bench
     * run would only re-measure the trainer.
     */
-  private def sharedScaledDir(s: SparkSession, d: String, nLists: Int): String = {
+  private[ops] def sharedScaledDir(s: SparkSession, d: String, nLists: Int): String = {
     import s.implicits._
     graft.Shared.materialized(s, s"annix-scaled-$d-$nLists") {
       val tmp = java.nio.file.Files.createTempDirectory("graft-scaledix").toString

@@ -124,6 +124,36 @@ class Advanced16Spec extends SparkSuite {
     }
   }
 
+  test("q178 served MaxSim scores match the driver reference and rank correctly") {
+    val got = ops.Advanced16.scaledMaxSim.run(spark, sf0001).collect()
+    assert(got.length == 5 * 3, s"5 queries x top-3, got ${got.length}")
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def sub(v: Array[Double], i: Int): Array[Double] = v.slice(i * 8, i * 8 + 8)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def maxsim(q: Array[Double], c: Array[Double]): Double =
+      (0 until 8).map { qt =>
+        (0 until 8).map(dt => round6(dot(sub(q, qt), sub(c, dt)))).max
+      }.sum.toDouble
+    got.foreach { r =>
+      assert(r.getLong(2) != r.getLong(0), "self excluded")
+      assert(r.getDouble(3) == maxsim(vecs(r.getLong(0)), vecs(r.getLong(2))),
+        s"served maxsim diverges from reference at $r")
+    }
+    got.groupBy(_.getLong(0)).values.foreach { qr =>
+      val sorted = qr.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 3))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(3) > b.getDouble(3) ||
+            (a.getDouble(3) == b.getDouble(3) && a.getLong(2) < b.getLong(2)))
+        case _ =>
+      }
+    }
+  }
+
   test("q174 NDCG identities: idcg is the closed-form constant, dcg <= idcg, ndcg in (0,1]") {
     val rows = ops.Advanced16.ndcgEval.run(spark, sf0001).collect()
     assert(rows.length == 8)

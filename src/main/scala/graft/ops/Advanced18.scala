@@ -1,0 +1,194 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 continuation: the two tokenization-adjacent reshapes every
+  * LM data pipeline runs between curation and the trainer.
+  *
+  *  - q179 OVERLAPPING CHUNKING: split each document into fixed-size
+  *    token windows with a stride (chunk i covers tokens
+  *    [i·stride, i·stride + size)), the unit RAG embeddings and long-doc
+  *    indexing operate on. Chunk count per doc is closed-form
+  *    (1 + max(0, ceil((n − size)/stride))), the starts explode from a
+  *    codegen'd `sequence`, and each chunk carries provenance (doc_id,
+  *    start offset) plus an md5 content digest so a receiving side can
+  *    verify chunks independently. Rows ∝ corpus tokens / stride;
+  *    nothing shuffles until a consumer aggregates.
+  *  - q180 SEQUENCE PACKING (concat-and-split): lay all documents out on
+  *    one token axis in doc_id order and cut it every `seqLen` tokens —
+  *    exactly how LM trainers pack heterogeneous documents into
+  *    fixed-length sequences. Each doc's token span [cum, cum+n) maps to
+  *    sequences floor(cum/L)..floor((cum+n−1)/L); the per-(doc, seq)
+  *    contribution is the interval overlap, all integer arithmetic. The
+  *    global running sum orders doc METADATA only (doc_id, n_toks); at
+  *    extreme corpus sizes the prefix sum distributes the same way
+  *    q177's rank does. Output is the per-sequence composition a trainer
+  *    audits: fill (always exactly L except the tail), document count,
+  *    and how many docs were split across a boundary.
+  */
+object Advanced18 {
+
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+
+  // ---------------------------------------------------------------- q179
+
+  private val ChunkSize   = 64
+  private val ChunkStride = 48
+
+  /** Library form: overlapping token chunks of `docs(doc_id, text)`.
+    * Emits (doc_id, chunk_id, start_tok, n_chunk_toks, chunk_md5).
+    */
+  private[graft] def chunkDocs(docs: DataFrame, chunk: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && chunk >= stride,
+      s"need 1 <= stride <= chunk, got chunk=$chunk stride=$stride")
+    // nc = 1 + max(0, ceil((n - chunk)/stride)) = 1 + max(0, (n - chunk + stride - 1) div stride)
+    val withN = withToks(docs)
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .withColumn("nc",
+        lit(1) + greatest(lit(0), expr(s"(n - $chunk + ${stride - 1}) div $stride")))
+    withN
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("nc") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        least(lit(chunk), col("n") - col("chunk_id") * stride).as("n_chunk_toks"),
+        md5(array_join(slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"), lit(chunk)), " "))
+          .as("chunk_md5"))
+  }
+
+  /** q179: 64-token chunks at stride 48 (16-token overlap) over
+    * `documents`, with per-chunk provenance and content digest.
+    */
+  val chunking = Q(
+    "q179_chunking",
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, tk, n,
+       |    unnest(generate_series(0,
+       |      GREATEST(0, (n - $ChunkSize + ${ChunkStride - 1}) // $ChunkStride))) AS chunk_id
+       |  FROM t)
+       |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       |  CAST(chunk_id * $ChunkStride AS INTEGER) AS start_tok,
+       |  CAST(LEAST($ChunkSize, n - chunk_id * $ChunkStride) AS INTEGER) AS n_chunk_toks,
+       |  md5(array_to_string(tk[chunk_id * $ChunkStride + 1 :
+       |    chunk_id * $ChunkStride + $ChunkSize], ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    chunkDocs(Tables.documents(s, d), ChunkSize, ChunkStride)
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        col("start_tok").cast("int").as("start_tok"),
+        col("n_chunk_toks").cast("int").as("n_chunk_toks"),
+        col("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  // ---------------------------------------------------------------- q180
+
+  private val SeqLen = 128
+
+  /** Library form: concat-and-split packing of `toks(doc_id, n_toks)`
+    * into `seqLen`-token sequences in doc_id order. One row per
+    * (doc, sequence) fragment with the token contribution.
+    */
+  private[graft] def packSequences(toks: DataFrame, seqLen: Int): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cum_end", sum(col("n_toks")).over(w))
+      .withColumn("cum", col("cum_end") - col("n_toks"))
+      .filter(col("n_toks") > 0)
+      .withColumn("seq_id",
+        explode(sequence(expr(s"cum div $seqLen"), expr(s"(cum_end - 1) div $seqLen"))))
+      .withColumn("contrib",
+        least(col("cum_end"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("cum"), col("seq_id") * seqLen))
+  }
+
+  /** q180: 128-token sequence packing audit — per-sequence fill (exactly
+    * 128 everywhere but the tail), document count, split-document count,
+    * and the id range of contributing docs.
+    */
+  val sequencePack = Q(
+    "q180_sequence_pack",
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_toks,
+       |    CAST(SUM(n_toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end,
+       |    CAST(SUM(n_toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_toks AS BIGINT) AS cum
+       |  FROM t),
+       |f AS (
+       |  SELECT doc_id, n_toks, cum, cum_end,
+       |    unnest(generate_series(cum // $SeqLen, (cum_end - 1) // $SeqLen)) AS seq_id
+       |  FROM c WHERE n_toks > 0),
+       |g AS (
+       |  SELECT doc_id, n_toks, seq_id,
+       |    LEAST(cum_end, (seq_id + 1) * $SeqLen) - GREATEST(cum, seq_id * $SeqLen) AS contrib
+       |  FROM f)
+       |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(contrib) AS BIGINT) AS n_toks,
+       |  CAST(SUM(CASE WHEN contrib < n_toks THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+       |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+       |FROM g GROUP BY seq_id ORDER BY seq_id""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    packSequences(toks, SeqLen)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("contrib")).as("n_toks"),
+        sum(when(col("contrib") < col("n_toks"), 1L).otherwise(0L)).as("n_split_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("seq_id"))
+  }
+
+  // ---------------------------------------------------------------- q181
+
+  private val CurriculumBins = 4
+
+  /** q181: CURRICULUM BINNING — quartile the corpus by q154's
+    * interpolated bigram-LM mean transition score (highest = most
+    * predictable = "easiest" first), the assignment a curriculum
+    * scheduler feeds the trainer. Composes the SHARED q154 machinery on
+    * both sides: Spark re-runs [[Advanced15.bigramLmScore]]'s exact
+    * integer-ppm pipeline ([[LmModel.modelTables]] — one model-build
+    * path), the oracle re-uses [[Advanced15.lmOracleCore]] verbatim and
+    * adds one NTILE. Docs without transitions (single-token) are out of
+    * scope on both sides, exactly as in q154. The NTILE window orders
+    * (mean_ppm, doc_id) — doc METADATA, same scale shape as q177's
+    * rank.
+    */
+  val curriculumBins = Q(
+    "q181_curriculum_bins",
+    (s"WITH ${Advanced15.lmOracleCore("documents")}" +
+      s""",
+      |sc AS (SELECT g.doc_id,
+      |         ${Advanced15.hudSql("9 * e.p_cond + e.p_uni", "10")} AS s
+      |       FROM cbg g JOIN bie e ON e.w1 = g.w1 AND e.w2 = g.w2
+      |       WHERE g.w2 IS NOT NULL),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+      |          CAST((2 * SUM(s) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_ppm
+      |        FROM sc GROUP BY doc_id)
+      |SELECT doc_id, n_trans, mean_ppm,
+      |  CAST(NTILE($CurriculumBins) OVER (ORDER BY mean_ppm DESC, doc_id) AS INTEGER) AS bin
+      |FROM agg ORDER BY doc_id""").stripMargin) { (s, d) =>
+    val scored = Advanced15.bigramLmScore.run(s, d)
+      .select(col("doc_id"), col("n_trans"), col("mean_ppm"))
+    scored
+      .withColumn("bin", ntile(CurriculumBins)
+        .over(Window.orderBy(col("mean_ppm").desc, col("doc_id"))))
+      .orderBy(col("doc_id"))
+  }
+
+  val specs: Seq[Q] = Seq(chunking, sequencePack, curriculumBins)
+}

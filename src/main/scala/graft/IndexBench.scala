@@ -252,6 +252,20 @@ object IndexBench {
       val bfP = bruteTop10(eP, qP)
       println(f"IXBENCH annP_planted_cluster_containment ${contain}%.3f (nprobe=8, lists=${annP.centroids.count()})")
       println(f"IXBENCH annP_planted_rerank_recall10 ${(rerTop & bfP).size.toDouble / bfP.size}%.3f (shortlist=$slK ~ 2x cluster size)")
+      // MaxSim served over the same planted index — the counterpart of
+      // maxsim_indexed_agree10 above: on clusterable data the cosine-
+      // partitioned lists DO concentrate MaxSim winners, so the shortlist
+      // path recovers the brute MaxSim ranking the isotropic row can't.
+      val qmP = qP.select(col("qid"), col("v").as("qv"))
+      val bfMP = ops.Advanced16.lateInteractionTopK(eP, qmP, 10)
+        .select(col("qid"), col("cand"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val slPP = math.max(64, slK / math.max(1, AnnIndex.autoNprobe(annP, 0.15)))
+      val ixMP = ops.Advanced16.maxSimRerank(spark, annP, eP, qP, k = 10,
+          frac = 0.15, shortlistPerProbe = slPP, excludeSelf = true)
+        .select(col("qid"), col("cand"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"IXBENCH annP_planted_maxsim_agree10  ${(ixMP & bfMP).size.toDouble / bfMP.size}%.3f (frac=0.15, shortlist/probe=$slPP)")
     }
     }
 

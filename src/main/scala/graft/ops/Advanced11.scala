@@ -409,6 +409,38 @@ object Advanced11 {
       .orderBy(col("lang"), col("pack_id"))
   }
 
+  /** q183: TOKENIZER FERTILITY per language — BPE tokens per whitespace
+    * word (the metric multilingual curation watches: a language the
+    * tokenizer serves poorly pays more context per word, so its
+    * effective token budget shrinks). q135's vocabulary-confined encode
+    * ([[bpeVocabCounts]] / [[bpeCteSql]] — the ONE shared sweep kernel)
+    * aggregated per lang instead of per doc; fertility kept in exact
+    * half-up ppm integers like every LM-side ratio.
+    */
+  val bpeFertility = Q(
+    "q183_bpe_fertility",
+    (bpeCteSql +
+      """
+      |SELECT t.lang, CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(c.n_bpe) AS BIGINT) AS n_bpe_tokens,
+      |  CAST((2 * SUM(c.n_bpe) * 1000000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+      |    AS fertility_ppm
+      |FROM t JOIN c USING (tok)
+      |GROUP BY t.lang
+      |ORDER BY t.lang""").stripMargin) { (s, d) =>
+    val (t, words) = bpeWordCounts(s, d)
+    t.join(broadcast(words), Seq("tok"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_bpe")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe_tokens"),
+        Det.halfUpDiv(col("n_bpe_tokens") * 1000000, col("n_words"))
+          .as("fertility_ppm"))
+      .orderBy(col("lang"))
+  }
+
   val specs: Seq[Q] = Seq(fullMoments, lexicalDiversity, clusterKeepBest,
-    semdedupPrune, splitContamination, bpeEncode, bpePacking)
+    semdedupPrune, splitContamination, bpeEncode, bpePacking, bpeFertility)
 }

@@ -190,5 +190,56 @@ object Advanced18 {
       .orderBy(col("doc_id"))
   }
 
-  val specs: Seq[Q] = Seq(chunking, sequencePack, curriculumBins)
+  // ---------------------------------------------------------------- q182
+
+  /** q182: N-GRAM DIVERSITY per source — distinct-1/distinct-2 (Li et
+    * al. 2016's distinct-n over the source's concatenated docs), the
+    * corpus-health metric a curation loop watches for mode collapse in
+    * synthetic/filtered data. Both gram families ride the same tagged
+    * one-pass explode as q175; the two exact distinct-counts cost one
+    * Expand (Spark's multi-distinct shape) whose exchange carries
+    * (source, n, gram)-deduped rows — at extreme vocabularies the HLL
+    * sketch family (q22b) is the documented estimate path.
+    */
+  val ngramDiversity = Q(
+    "q182_ngram_diversity",
+    """WITH t AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+      |g AS (
+      |  SELECT source, 1 AS n, unnest(tk) AS gram FROM t
+      |  UNION ALL
+      |  SELECT source, 2 AS n,
+      |    unnest(list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')))
+      |  FROM t)
+      |SELECT source,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unigrams,
+      |  CAST(COUNT(DISTINCT CASE WHEN n = 1 THEN gram END) AS BIGINT) AS d_unigrams,
+      |  ROUND(COUNT(DISTINCT CASE WHEN n = 1 THEN gram END) * 1.0
+      |    / SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END), 6) AS distinct1,
+      |  CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bigrams,
+      |  CAST(COUNT(DISTINCT CASE WHEN n = 2 THEN gram END) AS BIGINT) AS d_bigrams,
+      |  ROUND(COUNT(DISTINCT CASE WHEN n = 2 THEN gram END) * 1.0
+      |    / SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END), 6) AS distinct2
+      |FROM g GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val base = withToks(Tables.documents(s, d))
+      .select(col("source"), size(col("toks")).as("len"),
+        posexplode(concat(
+          graft.functions.NGrams.ngrams(col("toks"), 1),
+          graft.functions.NGrams.ngrams(col("toks"), 2))))
+      .select(col("source"),
+        when(col("pos") < col("len"), 1).otherwise(2).as("n"),
+        col("col").as("gram"))
+    base.groupBy(col("source"))
+      .agg(
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_unigrams"),
+        countDistinct(when(col("n") === 1, col("gram"))).as("d_unigrams"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("n_bigrams"),
+        countDistinct(when(col("n") === 2, col("gram"))).as("d_bigrams"))
+      .select(col("source"), col("n_unigrams"), col("d_unigrams"),
+        round(col("d_unigrams") * 1.0 / col("n_unigrams"), 6).as("distinct1"),
+        col("n_bigrams"), col("d_bigrams"),
+        round(col("d_bigrams") * 1.0 / col("n_bigrams"), 6).as("distinct2"))
+      .orderBy(col("source"))
+  }
+
+  val specs: Seq[Q] = Seq(chunking, sequencePack, curriculumBins, ngramDiversity)
 }

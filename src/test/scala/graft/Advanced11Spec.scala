@@ -157,6 +157,27 @@ class Advanced11Spec extends SparkSuite {
     }
   }
 
+  test("q183 fertility matches a pure-Scala recompute and stays >= 1 token/word") {
+    def encode(w: String): Long =
+      SweepBpe.encode(w, ops.Advanced11.BpeMerges).length.toLong
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[String]("text").split(" ")))
+    val want = docs.groupBy(_._2).map { case (lang, ds) =>
+      val words = ds.map(_._3.length.toLong).sum
+      val bpe = ds.map(_._3.map(encode).sum).sum
+      lang -> (ds.length.toLong, words, bpe,
+        (2 * bpe * 1000000 + words) / (2 * words))
+    }
+    val got = ops.Advanced11.bpeFertility.run(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == want, s"fertility diverges:\n  got=$got\n  want=$want")
+    got.values.foreach { case (_, _, _, f) =>
+      assert(f >= 1000000L, "a word is never fewer than one BPE token")
+    }
+  }
+
   test("q134 agrees with a pure-Scala recomputation of the audit") {
     def md5hex(s: String): String =
       MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

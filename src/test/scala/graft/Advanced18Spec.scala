@@ -96,6 +96,27 @@ class Advanced18Spec extends SparkSuite {
       s"bin diverges from NTILE replay at doc ${r.getLong(0)}"))
   }
 
+  test("q182 diversity ratios match a driver-side reference per source") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).toSeq))
+    val want = docs.groupBy(_._1).map { case (src, rows) =>
+      val unis = rows.flatMap(_._2)
+      val bis = rows.flatMap { case (_, t) => t.sliding(2).filter(_.length == 2).map(_.mkString(" ")) }
+      (src, unis.length.toLong, unis.distinct.length.toLong,
+        bis.length.toLong, bis.distinct.length.toLong)
+    }.toSet
+    val got = ops.Advanced18.ngramDiversity.run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toSet
+    assert(got == want, s"diversity diverges:\n  extra=${got -- want}\n  missing=${want -- got}")
+    // ratio identities
+    ops.Advanced18.ngramDiversity.run(spark, sf0001).collect().foreach { r =>
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(6) >= r.getDouble(3),
+        "bigrams are near-unique on diverse text: distinct2 >= distinct1 here")
+    }
+  }
+
   test("q180 hand-built packing: spans and splits land where arithmetic says") {
     val toks = Seq((0L, 100L), (1L, 50L), (2L, 6L), (3L, 100L)).toDF("doc_id", "n_toks")
     val frags = ops.Advanced18.packSequences(toks, 128).collect()

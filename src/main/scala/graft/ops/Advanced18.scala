@@ -241,5 +241,51 @@ object Advanced18 {
       .orderBy(col("source"))
   }
 
-  val specs: Seq[Q] = Seq(chunking, sequencePack, curriculumBins, ngramDiversity)
+  // ---------------------------------------------------------------- q184
+
+  private val SpanSize = 16
+
+  /** q184: BOILERPLATE SPAN DETECTION — non-overlapping 16-token spans
+    * ([[chunkDocs]] at stride = size) fingerprinted by md5 and grouped
+    * across the corpus; a span appearing in >1 document is shared
+    * boilerplate (headers, templates, license blocks). The scale shape
+    * is exact dedup's (q30) applied to span fingerprints: one explode
+    * pass, one map-side-combinable groupBy on the 32-char hash — spans
+    * never pair with each other, so nothing is quadratic in the
+    * boilerplate frequency.
+    */
+  val boilerplateSpans = Q(
+    "q184_boilerplate_spans",
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, tk, n,
+       |    unnest(generate_series(0,
+       |      GREATEST(0, (n - $SpanSize + ${SpanSize - 1}) // $SpanSize))) AS chunk_id
+       |  FROM t),
+       |ch AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(tk[chunk_id * $SpanSize + 1 :
+       |      chunk_id * $SpanSize + $SpanSize], ' ')) AS span_md5
+       |  FROM c)
+       |SELECT span_md5,
+       |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+       |FROM ch GROUP BY span_md5
+       |HAVING COUNT(DISTINCT doc_id) > 1
+       |ORDER BY n_docs DESC, n_spans DESC, span_md5""".stripMargin) { (s, d) =>
+    chunkDocs(Tables.documents(s, d), SpanSize, SpanSize)
+      .groupBy(col("chunk_md5").as("span_md5"))
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("n_docs").desc, col("n_spans").desc, col("span_md5"))
+  }
+
+  val specs: Seq[Q] = Seq(chunking, sequencePack, curriculumBins, ngramDiversity,
+    boilerplateSpans)
 }

@@ -117,6 +117,28 @@ class Advanced18Spec extends SparkSuite {
     }
   }
 
+  test("q184 boilerplate spans match a driver-side reference and are genuinely cross-doc") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val spans = docs.flatMap { case (id, toks) =>
+      toks.grouped(16).map(g => (id, md5hex(g.mkString(" "))))
+    }
+    val want = spans.groupBy(_._2).collect {
+      case (h, occ) if occ.map(_._1).distinct.length > 1 =>
+        (h, occ.length.toLong, occ.map(_._1).distinct.length.toLong, occ.map(_._1).min)
+    }.toSet
+    val got = ops.Advanced18.boilerplateSpans.run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want,
+      s"boilerplate diverges:\n  extra=${(got -- want).take(3)}\n  missing=${(want -- got).take(3)}")
+    assert(got.nonEmpty, "the synthetic corpus is known to share spans — empty means broken")
+    got.foreach { case (_, nSpans, nDocs, _) => assert(nSpans >= nDocs && nDocs >= 2) }
+  }
+
   test("q180 hand-built packing: spans and splits land where arithmetic says") {
     val toks = Seq((0L, 100L), (1L, 50L), (2L, 6L), (3L, 100L)).toDF("doc_id", "n_toks")
     val frags = ops.Advanced18.packSequences(toks, 128).collect()

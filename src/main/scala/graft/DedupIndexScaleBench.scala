@@ -33,7 +33,7 @@ object DedupIndexScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val tmp = java.nio.file.Files.createTempDirectory("graft-dixscale").toString
+    val tmp = graft.TempDirs.create("graft-dixscale")
     def timed(label: String)(body: => Long): Unit = {
       val ts = (1 to 6).map { _ =>
         val t0 = System.nanoTime()

@@ -34,7 +34,7 @@ object IndexBench {
     spark.sparkContext.setLogLevel("ERROR")
     import ops.{AnnIndex, TextIndex}
 
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ixbench").toString
+    val tmp = graft.TempDirs.create("graft-ixbench")
     def timed(label: String)(body: => Long): Unit = {
       val ts = (1 to 6).map { _ =>
         val t0 = System.nanoTime()

@@ -44,7 +44,7 @@ object TextLmScaleBench {
     spark.sparkContext.setLogLevel("ERROR")
     import ops.{LmModel, TextIndex}
 
-    val tmp = java.nio.file.Files.createTempDirectory("graft-tlscale").toString
+    val tmp = graft.TempDirs.create("graft-tlscale")
     def timed(label: String)(body: => Long): Unit = {
       val ts = (1 to 6).map { _ =>
         val t0 = System.nanoTime()

@@ -27,9 +27,11 @@ import org.apache.spark.sql.functions._
   *    processing-time packing (complements q172's hash sharding: q172
   *    optimizes reproducibility, q177 optimizes shard balance for
   *    trainer stragglers). The global rank sorts doc METADATA only
-  *    (doc_id, n_toks — 16 bytes/doc; the text never rides the sort),
-  *    so even at 10^10 docs the sort input is ~160 GB, itself
-  *    range-partitioned by Spark's sort machinery.
+  *    (doc_id, n_toks — 16 bytes/doc; the text never rides the sort)
+  *    and runs in [[GlobalOrder]]'s two-phase distributed form —
+  *    range-partitioned partials plus broadcast prefix offsets, never
+  *    a single-partition window — so even at 10^10 docs no task holds
+  *    more than one key range.
   *
   * All ratios are integer-count quotients (bit-identical IEEE division in
   * both engines) rounded at 6 decimals; sums of counts cast BIGINT on the
@@ -178,15 +180,19 @@ object Advanced17 {
     * `toks(doc_id, n_toks)` across `shards` shards. Rank desc by size,
     * deal row r to shard (r-1)%s on even passes and s-1-(r-1)%s on odd
     * passes, so each pass pairs a heavy tail with a light head.
+    *
+    * The global rank is [[GlobalOrder.rank]]'s two-phase form (range
+    * partials + broadcast offsets + partition-local windows) — no
+    * single-partition window anywhere, so the rank distributes across
+    * the cluster at any corpus size (PlanSpec pins the shape).
     */
-  private[graft] def snakeShards(toks: DataFrame, shards: Int): DataFrame = {
-    val w = Window.orderBy(col("n_toks").desc, col("doc_id"))
-    toks.withColumn("rnk", row_number().over(w))
+  private[graft] def snakeShards(toks: DataFrame, shards: Int): DataFrame =
+    GlobalOrder.rank(toks, Seq(col("n_toks").desc, col("doc_id")), "rnk")
       .withColumn("shard",
         when(expr(s"(rnk - 1) div $shards % 2") === 0,
           expr(s"(rnk - 1) % $shards"))
-          .otherwise(expr(s"${shards - 1} - (rnk - 1) % $shards")))
-  }
+          .otherwise(expr(s"${shards - 1} - (rnk - 1) % $shards"))
+          .cast("int"))
 
   /** q177: 16-shard snake packing of `documents` by whitespace token
     * count, with per-shard totals and the balance ratio (shard tokens ×
@@ -223,11 +229,61 @@ object Advanced17 {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("sum_toks"),
         max(col("n_toks")).as("max_doc_toks"))
-    g.withColumn("balance",
-        round(col("sum_toks") * BalShards.toDouble /
-          sum(col("sum_toks")).over(Window.partitionBy()), 6))
+    // Corpus total as a broadcast 1-row aggregate (q176's pattern), not
+    // an empty-partition window — keeps the plan free of global windows.
+    val tot = toks.agg(sum(col("n_toks")).as("__tot"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("balance",
+        round(col("sum_toks") * BalShards.toDouble / col("__tot"), 6))
+      .drop("__tot")
       .orderBy(col("shard"))
   }
 
-  val specs: Seq[Q] = Seq(repetitionRules, tfIdf, balancedShards)
+  // ---------------------------------------------------------------- q187
+
+  /** q187: manifest for the BALANCED shards — the per-shard receipt a
+    * trainer actually consumes. q172 receipts the hash sharding
+    * (reproducibility-first) and q177 reports balance with no receipt;
+    * this composes them: q177's snake assignment, q172's audit columns,
+    * and the same XOR-fold 48-bit-md5 content checksum (BIGINT-exact in
+    * both engines, < 2^53 so any reader canonicalization round-trips
+    * it). Scale shape: [[snakeShards]]' distributed two-phase rank over
+    * doc metadata, then one map-side-combinable aggregation.
+    */
+  val balancedManifest = Q(
+    "q187_balanced_manifest",
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |    ('0x' || substr(md5(text), 1, 12))::BIGINT AS h48
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, n_toks, h48,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY n_toks DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM t),
+       |a AS (
+       |  SELECT doc_id, n_toks, h48,
+       |    CASE WHEN ((rnk - 1) // $BalShards) % 2 = 0 THEN (rnk - 1) % $BalShards
+       |         ELSE ${BalShards - 1} - (rnk - 1) % $BalShards END AS shard
+       |  FROM r)
+       |SELECT CAST(shard AS INTEGER) AS shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+       |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       |  CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+       |  bit_xor(h48) AS checksum
+       |FROM a GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"),
+      expr("CAST(conv(substr(md5(text), 1, 12), 16, 10) AS BIGINT)").as("h48"))
+    snakeShards(base, BalShards)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_toks"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(h48)").as("checksum"))
+      .orderBy(col("shard"))
+  }
+
+  val specs: Seq[Q] = Seq(repetitionRules, tfIdf, balancedShards, balancedManifest)
 }

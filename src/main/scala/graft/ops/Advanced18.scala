@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-11 continuation: the two tokenization-adjacent reshapes every
@@ -23,9 +22,10 @@ import org.apache.spark.sql.functions._
   *    fixed-length sequences. Each doc's token span [cum, cum+n) maps to
   *    sequences floor(cum/L)..floor((cum+n−1)/L); the per-(doc, seq)
   *    contribution is the interval overlap, all integer arithmetic. The
-  *    global running sum orders doc METADATA only (doc_id, n_toks); at
-  *    extreme corpus sizes the prefix sum distributes the same way
-  *    q177's rank does. Output is the per-sequence composition a trainer
+  *    global running sum orders doc METADATA only (doc_id, n_toks) and
+  *    runs in [[GlobalOrder]]'s two-phase distributed form (range
+  *    partials + broadcast prefix offsets — no single-partition
+  *    window). Output is the per-sequence composition a trainer
   *    audits: fill (always exactly L except the tail), document count,
   *    and how many docs were split across a boundary.
   */
@@ -97,10 +97,9 @@ object Advanced18 {
     * (doc, sequence) fragment with the token contribution.
     */
   private[graft] def packSequences(toks: DataFrame, seqLen: Int): DataFrame = {
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toks
-      .withColumn("cum_end", sum(col("n_toks")).over(w))
+    // Global prefix sum in GlobalOrder's two-phase distributed form
+    // (range partials + broadcast offsets) — no single-partition window.
+    GlobalOrder.runningSum(toks, Seq(col("doc_id")), col("n_toks"), "cum_end")
       .withColumn("cum", col("cum_end") - col("n_toks"))
       .filter(col("n_toks") > 0)
       .withColumn("seq_id",
@@ -164,9 +163,11 @@ object Advanced18 {
     * integer-ppm pipeline ([[LmModel.modelTables]] — one model-build
     * path), the oracle re-uses [[Advanced15.lmOracleCore]] verbatim and
     * adds one NTILE. Docs without transitions (single-token) are out of
-    * scope on both sides, exactly as in q154. The NTILE window orders
-    * (mean_ppm, doc_id) — doc METADATA, same scale shape as q177's
-    * rank.
+    * scope on both sides, exactly as in q154. The NTILE is computed
+    * WITHOUT a global window: [[GlobalOrder.rank]] on (mean_ppm desc,
+    * doc_id) — the two-phase distributed form — plus
+    * [[GlobalOrder.ntileFromRank]]'s closed form of (rank, total),
+    * which reproduces SQL NTILE's first-buckets-larger split exactly.
     */
   val curriculumBins = Q(
     "q181_curriculum_bins",
@@ -184,9 +185,13 @@ object Advanced18 {
       |FROM agg ORDER BY doc_id""").stripMargin) { (s, d) =>
     val scored = Advanced15.bigramLmScore.run(s, d)
       .select(col("doc_id"), col("n_trans"), col("mean_ppm"))
-    scored
-      .withColumn("bin", ntile(CurriculumBins)
-        .over(Window.orderBy(col("mean_ppm").desc, col("doc_id"))))
+      .localCheckpoint(true) // feeds rank partials + total + output: 3 reads
+    val ranked = GlobalOrder.rank(scored,
+      Seq(col("mean_ppm").desc, col("doc_id")), "__rnk")
+    val n = scored.agg(count(lit(1)).as("__n"))
+    GlobalOrder.ntileFromRank(
+        ranked.crossJoin(broadcast(n)), "__rnk", "__n", CurriculumBins, "bin")
+      .drop("__rnk", "__n")
       .orderBy(col("doc_id"))
   }
 
@@ -218,7 +223,7 @@ object Advanced18 {
       |  CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bigrams,
       |  CAST(COUNT(DISTINCT CASE WHEN n = 2 THEN gram END) AS BIGINT) AS d_bigrams,
       |  ROUND(COUNT(DISTINCT CASE WHEN n = 2 THEN gram END) * 1.0
-      |    / SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END), 6) AS distinct2
+      |    / NULLIF(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END), 0), 6) AS distinct2
       |FROM g GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
     val base = withToks(Tables.documents(s, d))
       .select(col("source"), size(col("toks")).as("len"),
@@ -237,7 +242,12 @@ object Advanced18 {
       .select(col("source"), col("n_unigrams"), col("d_unigrams"),
         round(col("d_unigrams") * 1.0 / col("n_unigrams"), 6).as("distinct1"),
         col("n_bigrams"), col("d_bigrams"),
-        round(col("d_bigrams") * 1.0 / col("n_bigrams"), 6).as("distinct2"))
+        // NULL, not NaN, when a source has no bigrams (all single-token
+        // docs): DuckDB's 0/0 answer depends on its ieee setting, so the
+        // quotient is guarded identically on both sides (NULLIF above).
+        when(col("n_bigrams") === 0, lit(null).cast("double"))
+          .otherwise(round(col("d_bigrams") * 1.0 / col("n_bigrams"), 6))
+          .as("distinct2"))
       .orderBy(col("source"))
   }
 

@@ -519,7 +519,7 @@ object AnnIndex {
   private[ops] def sharedScaledDir(s: SparkSession, d: String, nLists: Int): String = {
     import s.implicits._
     graft.Shared.materialized(s, s"annix-scaled-$d-$nLists") {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-scaledix").toString
+      val tmp = graft.TempDirs.create("graft-scaledix")
       writeScaled(s, d, tmp, nListsOverride = Some(nLists))
       Seq(tmp).toDF("dir")
     }.collect()(0).getString(0)

@@ -187,7 +187,7 @@ object Release {
       |  FROM agg)
       |SELECT rnk, doc_id, bm25 FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, d) =>
     val (v1, v2) = docVersions(s, d)
-    val dir = java.nio.file.Files.createTempDirectory("graft_q164_tix").toString
+    val dir = graft.TempDirs.create("graft_q164_tix")
     TextIndex.writeDocs(s, v1, dir)
     val ix = upgradeTextIndex(s, dir, v2, delta(v1, v2, "doc_id", md5(col("text"))))
     TextIndex.search(s, ix, Advanced13.BmQueryTerms, 20)
@@ -230,7 +230,7 @@ object Release {
       |JOIN sigs sb ON sb.doc_id = corpus_id
       |ORDER BY batch_id, corpus_id""").stripMargin) { (s, d) =>
     val (v1, v2) = docVersions(s, d)
-    val dir = java.nio.file.Files.createTempDirectory("graft_q165_dix").toString
+    val dir = graft.TempDirs.create("graft_q165_dix")
     DedupIndex.write(s, v1, dir)
     upgradeDedupIndex(s, dir, v2, delta(v1, v2, "doc_id", md5(col("text"))))
     val probe = v2.filter(col("doc_id") % 23 === 7)
@@ -296,7 +296,7 @@ object Release {
         when(col("vec_id") % 13 === 0, transform(col("v"), x => x + lit(0.25)))
           .otherwise(col("v")))
       .localCheckpoint(true)
-    val dir = java.nio.file.Files.createTempDirectory("graft_q166_ann").toString
+    val dir = graft.TempDirs.create("graft_q166_ann")
     AnnIndex.writeVectors(s, v1, dir)
     val ix = upgradeAnnIndex(s, dir, v2, delta(v1, v2, "vec_id", xxhash64(col("v"))))
     ix.codes

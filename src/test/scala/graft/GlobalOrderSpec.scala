@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.GlobalOrder
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Equivalence of [[GlobalOrder]]'s distributed two-phase primitives
+  * with Spark's own global-window forms (which are the SEMANTIC spec but
+  * plan a single-partition funnel — test-only here). Sizes straddle the
+  * interesting boundaries: empty, 1, fewer rows than partitions/buckets,
+  * non-divisible bucket splits, and ties on the primary sort key.
+  */
+class GlobalOrderSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def sample(n: Int) =
+    (1 to n).map(i => (i.toLong, ((i * 37) % 11 + 1).toLong)).toDF("id", "v")
+      .repartition(7) // physical layout unrelated to the order
+
+  test("rank matches row_number over a global window (ties on v, broken by id)") {
+    for (n <- Seq(0, 1, 3, 40, 257)) {
+      val df = sample(n)
+      val got = GlobalOrder.rank(df, Seq(col("v").desc, col("id")), "rnk", parts = 5)
+        .select(col("id"), col("rnk")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = df.withColumn("rnk",
+          row_number().over(Window.orderBy(col("v").desc, col("id"))).cast("long"))
+        .select(col("id"), col("rnk")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"n=$n")
+    }
+  }
+
+  test("runningSum matches an inclusive global-window sum") {
+    for (n <- Seq(0, 1, 40, 257)) {
+      val df = sample(n)
+      val got = GlobalOrder.runningSum(df, Seq(col("id")), col("v"), "cum", parts = 5)
+        .select(col("id"), col("cum")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = df.withColumn("cum",
+          sum(col("v")).over(Window.orderBy(col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("id"), col("cum")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"n=$n")
+    }
+  }
+
+  test("ntileFromRank reproduces SQL NTILE exactly, including n < buckets and remainders") {
+    for (n <- Seq(1, 3, 4, 5, 17, 40, 64); b <- Seq(3, 4, 16)) {
+      val df = sample(n)
+      val ranked = GlobalOrder.rank(df, Seq(col("id")), "rnk", parts = 5)
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("n_total"))))
+      val got = GlobalOrder.ntileFromRank(ranked, "rnk", "n_total", b, "bin")
+        .select(col("id"), col("bin")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = df.withColumn("bin", ntile(b).over(Window.orderBy(col("id"))))
+        .select(col("id"), col("bin")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == want, s"n=$n b=$b")
+    }
+  }
+}

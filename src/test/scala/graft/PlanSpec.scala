@@ -116,6 +116,26 @@ class PlanSpec extends SparkSuite {
     assert(generates <= 1, s"$generates tokenize passes in q146:\n${p.take(2000)}")
   }
 
+  test("q177/q180/q181/q187: no window runs on a single partition (two-phase global order)") {
+    // An empty-partition-spec window plans Window <- Sort <- Exchange
+    // SinglePartition — one task holding the whole input. The GlobalOrder
+    // rewrite partitions every window by the range-partition id; this pin
+    // fails if a refactor reintroduces the global-window funnel. (Global
+    // scalar AGGREGATES legitimately gather ≤ one row per partition into
+    // a SinglePartition exchange; only Window-adjacent ones are flagged.)
+    Seq("q177_balanced_shards", "q180_sequence_pack", "q181_curriculum_bins",
+        "q187_balanced_manifest").foreach { name =>
+      val lines = planOf(name).linesIterator.toVector
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (l.contains("Window")) {
+          val below = lines.slice(i + 1, i + 5)
+          assert(!below.exists(_.contains("Exchange SinglePartition")),
+            s"$name plans a single-partition window:\n${(l +: below).mkString("\n")}")
+        }
+      }
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if fn(spark, sf0001).queryExecution.executedPlan

@@ -26,7 +26,8 @@ object SparkEntry {
       ops.SnapshotDiff.specs ++ ops.DedupIndex.specs ++ ops.Advanced15.specs ++
       ops.AnnIndex.specs ++ ops.IngestionGate.specs ++ ops.QualityModel.specs ++
       ops.LmModel.specs ++ ops.Release.specs ++ ops.Advanced16.specs ++
-      ops.Advanced17.specs ++ ops.Advanced18.specs ++ ops.Advanced19.specs
+      ops.Advanced17.specs ++ ops.Advanced18.specs ++ ops.Advanced19.specs ++
+      ops.Advanced20.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,265 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-12 additions: three corpus-curation operators between scoring
+  * and export.
+  *
+  *  - q188 TOKEN-BUDGET SELECTION: the data-selection primitive — rank
+  *    the corpus by a quality score and admit documents in rank order
+  *    until a global token budget is exhausted (the greedy budget fill
+  *    every "train on the best N tokens" recipe reduces to). The global
+  *    running sum is [[GlobalOrder.runningSum]]'s two-phase distributed
+  *    form over doc metadata (score, n_toks — the text never rides the
+  *    sort); the score here is a self-contained lexical-diversity ×
+  *    length proxy (distinct-token ratio × ln(n+1)), the slot any
+  *    trained scorer (q157's classifier) plugs into.
+  *  - q189 EXACT LENGTH PERCENTILES per source: distributed selection
+  *    by rank arithmetic — row_number per source + the integer-exact
+  *    rank `(p·n + 99) div 100` (= ceil(p·n/100), no float percentile
+  *    semantics to desynchronize between engines). The window
+  *    partitions BY SOURCE, so scale is bounded by the largest single
+  *    source; at extreme per-source sizes the documented paths are
+  *    [[GlobalOrder]] per source or `approx_percentile` (estimate).
+  *  - q190 CROSS-SOURCE CONTAMINATION MATRIX: which source pairs share
+  *    near-duplicates — the audit that catches one feed re-crawling
+  *    another. Rides the ONE shared MinHash base ([[TextOps.minhashSigs]]
+  *    / [[TextOps.minhashCandidates]], `graft.Shared`-cached, LshGuard-
+  *    capped band join — never all-pairs), then joins doc→source and
+  *    aggregates pair counts per unordered source pair.
+  */
+object Advanced20 {
+
+  // ---------------------------------------------------------------- q188
+
+  private val TokenBudget = 10000
+
+  /** Library form: greedy budget fill of `scored(doc_id, n_toks, score)`
+    * — admit in (score desc, doc_id) order while the inclusive running
+    * token total stays within `budget`.
+    */
+  private[graft] def budgetSelect(scored: DataFrame, budget: Long): DataFrame =
+    GlobalOrder.runningSum(scored,
+        Seq(col("score").desc, col("doc_id")), col("n_toks"), "cum_toks")
+      .filter(col("cum_toks") <= budget)
+
+  /** q188: top-quality documents within a 10k-token budget. Score =
+    * round(distinct-token ratio × ln(n_toks + 1), 6) — integer-derived
+    * quotient times an engine-native ln, bit-identical in both engines;
+    * ties break on doc_id.
+    */
+  val budgetSelection = Q(
+    "q188_budget_select",
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |s AS (
+       |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
+       |    ROUND(len(list_distinct(tk)) * 1.0 / len(tk) * ln(len(tk) + 1), 6) AS score
+       |  FROM t),
+       |c AS (
+       |  SELECT doc_id, n_toks, score,
+       |    CAST(SUM(n_toks) OVER (ORDER BY score DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+       |  FROM s)
+       |SELECT doc_id, n_toks, score, cum_toks FROM c
+       |WHERE cum_toks <= $TokenBudget ORDER BY score DESC, doc_id""".stripMargin) { (s, d) =>
+    val scored = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        round(size(array_distinct(col("toks"))) * 1.0 / size(col("toks"))
+          * log(size(col("toks")) + 1), 6).as("score"))
+    budgetSelect(scored, TokenBudget)
+      .select(col("doc_id"), col("n_toks"), col("score"), col("cum_toks"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q189
+
+  /** q189: exact p50/p90/p99 token-count percentiles per source, by rank
+    * selection: value at rank ceil(p·n/100) in (n_toks, doc_id) order —
+    * all integer arithmetic, so both engines select the identical row.
+    */
+  val lengthPercentiles = Q(
+    "q189_length_percentiles",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, n_toks,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_toks, doc_id) AS rnk
+      |  FROM t),
+      |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM t GROUP BY source)
+      |SELECT r.source AS source, c.n_docs,
+      |  CAST(MAX(CASE WHEN rnk = (50 * n_docs + 99) // 100 THEN n_toks END) AS BIGINT) AS p50,
+      |  CAST(MAX(CASE WHEN rnk = (90 * n_docs + 99) // 100 THEN n_toks END) AS BIGINT) AS p90,
+      |  CAST(MAX(CASE WHEN rnk = (99 * n_docs + 99) // 100 THEN n_toks END) AS BIGINT) AS p99
+      |FROM r JOIN c ON r.source = c.source
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_toks"), col("doc_id"))
+    val r = t.withColumn("rnk", row_number().over(w).cast("long"))
+    val c = t.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    r.join(broadcast(c), Seq("source"))
+      .groupBy(col("source"), col("n_docs"))
+      .agg(
+        max(when(col("rnk") === expr("(50 * n_docs + 99) div 100"), col("n_toks"))).as("p50"),
+        max(when(col("rnk") === expr("(90 * n_docs + 99) div 100"), col("n_toks"))).as("p90"),
+        max(when(col("rnk") === expr("(99 * n_docs + 99) div 100"), col("n_toks"))).as("p99"))
+      .select(col("source"), col("n_docs"), col("p50"), col("p90"), col("p99"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------- q190
+
+  private val DupThreshold = 0.5
+
+  /** q190: near-dup pair counts per unordered source pair at estimated
+    * Jaccard ≥ 0.5, from the shared LSH candidate graph. max_est is a
+    * MAX of 6-decimal-rounded estimates — order-independent exact.
+    */
+  val crossSourceDups = Q(
+    "q190_cross_source_dups",
+    (TextOps.lshOracleSql() +
+      s""",
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM bcap a JOIN bcap b
+      |    ON a.b = b.b AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id),
+      |sim AS (
+      |  SELECT da, db,
+      |    ROUND(list_sum(list_transform(range(1, 17),
+      |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0, 6) AS est
+      |  FROM cand
+      |  JOIN sigs sa ON sa.doc_id = da
+      |  JOIN sigs sb ON sb.doc_id = db),
+      |p AS (
+      |  SELECT LEAST(x.source, y.source) AS source_a,
+      |    GREATEST(x.source, y.source) AS source_b, est
+      |  FROM sim
+      |  JOIN documents x ON x.doc_id = da
+      |  JOIN documents y ON y.doc_id = db
+      |  WHERE est >= $DupThreshold)
+      |SELECT source_a, source_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs, MAX(est) AS max_est
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin) { (s, d) =>
+    val sigs = TextOps.minhashSigs(s, d)
+    val cand = TextOps.minhashCandidates(s, d)
+    val agree = (1 to 16).map { i =>
+      when(element_at(col("sa.sig"), i) === element_at(col("sb.sig"), i), 1).otherwise(0)
+    }.reduce(_ + _)
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    cand
+      .join(sigs.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"), round(agree / lit(16.0), 6).as("est"))
+      .filter(col("est") >= DupThreshold)
+      .join(src.as("x"), col("da") === col("x.doc_id"))
+      .join(src.as("y"), col("db") === col("y.doc_id"))
+      .select(least(col("x.source"), col("y.source")).as("source_a"),
+        greatest(col("x.source"), col("y.source")).as("source_b"), col("est"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("est")).as("max_est"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  // ---------------------------------------------------------------- q192
+
+  /** q192: VOCABULARY COVERAGE CURVE — cumulative corpus-token coverage
+    * by term-frequency rank (what fraction of all tokens the top-k terms
+    * cover), the metric a tokenizer/vocab-size decision reads. One
+    * explode → vocab-sized tf aggregate (checkpointed once: it feeds the
+    * rank pass and the 1-row total), then [[GlobalOrder.rankAndRunningSum]]
+    * gives rank and cumulative count in ONE two-phase pass over vocab
+    * METADATA (term, cnt). Coverage in half-up ppm ([[graft.Det.halfUpDiv]];
+    * numerator 2·cum·10^6 bounds the exact-BIGINT form at ~4.6×10^12
+    * corpus tokens — past that, rescale to per-billion or widen to
+    * decimal intermediates, same receipt).
+    */
+  val vocabCoverage = Q(
+    "q192_vocab_coverage",
+    """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY term),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM c),
+      |r AS (SELECT term, cnt,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rnk,
+      |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+      |  FROM c)
+      |SELECT rnk, term, cnt, cum_toks,
+      |  (2 * cum_toks * 1000000 + tot) // (2 * tot) AS coverage_ppm
+      |FROM r CROSS JOIN t ORDER BY rnk""".stripMargin) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // vocab-sized; feeds rank partials + total
+    val ranked = GlobalOrder.rankAndRunningSum(tf,
+      Seq(col("cnt").desc, col("term")), col("cnt"), "rnk", "cum_toks")
+    val tot = tf.agg(sum(col("cnt")).as("tot"))
+    ranked.crossJoin(broadcast(tot))
+      .select(col("rnk"), col("term"), col("cnt"), col("cum_toks"),
+        graft.Det.halfUpDiv(col("cum_toks") * 1000000L, col("tot")).as("coverage_ppm"))
+      .orderBy(col("rnk"))
+  }
+
+  // ---------------------------------------------------------------- q193
+
+  /** q193: NEAR-DUP DEGREE AUDIT — the distribution of per-document
+    * candidate-graph degree at est ≥ 0.5: how many docs have 1 near-dup,
+    * how many are N-way "superconnectors" (the blast-radius histogram a
+    * dedup rollout is sized by; LshGuard's bucket caps are exactly the
+    * guard against the right tail). Degrees come from one union of the
+    * thresholded pair list's two sides + two map-side-combinable
+    * aggregations — never a pairwise expansion beyond the already-capped
+    * candidate graph.
+    */
+  val dupDegrees = Q(
+    "q193_dup_degree_hist",
+    (TextOps.lshOracleSql() +
+      s""",
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM bcap a JOIN bcap b
+      |    ON a.b = b.b AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id),
+      |sim AS (
+      |  SELECT da, db,
+      |    ROUND(list_sum(list_transform(range(1, 17),
+      |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0, 6) AS est
+      |  FROM cand
+      |  JOIN sigs sa ON sa.doc_id = da
+      |  JOIN sigs sb ON sb.doc_id = db),
+      |d0 AS (
+      |  SELECT da AS doc_id FROM sim WHERE est >= $DupThreshold
+      |  UNION ALL
+      |  SELECT db AS doc_id FROM sim WHERE est >= $DupThreshold),
+      |deg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM d0 GROUP BY doc_id)
+      |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MIN(doc_id) AS BIGINT) AS min_doc
+      |FROM deg GROUP BY degree ORDER BY degree""").stripMargin) { (s, d) =>
+    val sigs = TextOps.minhashSigs(s, d)
+    val cand = TextOps.minhashCandidates(s, d)
+    val agree = (1 to 16).map { i =>
+      when(element_at(col("sa.sig"), i) === element_at(col("sb.sig"), i), 1).otherwise(0)
+    }.reduce(_ + _)
+    val pairs = cand
+      .join(sigs.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"), round(agree / lit(16.0), 6).as("est"))
+      .filter(col("est") >= DupThreshold)
+      .localCheckpoint(true) // pair-sized; feeds both union branches
+    pairs.select(col("da").as("doc_id"))
+      .unionAll(pairs.select(col("db").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("degree"))
+  }
+
+  val specs: Seq[Q] = Seq(budgetSelection, lengthPercentiles, crossSourceDups,
+    vocabCoverage, dupDegrees)
+}

@@ -49,6 +49,35 @@ object GlobalOrder {
       outCol: String, parts: Int = 32): DataFrame =
     prefixAgg(df, order, value, outCol, parts)
 
+  /** Both at once — global rank AND inclusive running sum of `value` in
+    * the same total order — for ONE range exchange and ONE partition-
+    * local Window node (Spark fuses same-spec window functions), instead
+    * of two full two-phase passes.
+    */
+  def rankAndRunningSum(df: DataFrame, order: Seq[Column], value: Column,
+      rankCol: String, sumCol: String, parts: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn(Pid, spark_partition_id())
+    val partials = ranged.groupBy(col(Pid))
+      .agg(count(lit(1L)).as("pcnt"), sum(value).cast("long").as("psum"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var cAcc = 0L; var sAcc = 0L
+    val offsets = partials.toSeq.map { case (pid, pcnt, psum) =>
+      val o = (pid, cAcc, sAcc); cAcc += pcnt; sAcc += psum; o
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF(Pid, "__go_coff", "__go_soff")
+    val wRank = Window.partitionBy(col(Pid)).orderBy(order: _*)
+    val wSum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), Seq(Pid))
+      .withColumn(rankCol, row_number().over(wRank).cast("long") + col("__go_coff"))
+      .withColumn(sumCol, (sum(value).over(wSum) + col("__go_soff")).cast("long"))
+      .drop(Pid, "__go_coff", "__go_soff")
+  }
+
   /** Exact NTILE from a global rank, no window at all: with `n` rows and
     * `b` buckets, SQL NTILE gives the first `n % b` buckets
     * `n div b + 1` rows and the rest `n div b`, so the bucket is a

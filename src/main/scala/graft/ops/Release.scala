@@ -305,5 +305,64 @@ object Release {
       .orderBy(col("vec_id"), col("b"))
   }
 
-  def specs: Seq[Q] = Seq(textReleaseUpgrade, dedupReleaseUpgrade, annReleaseUpgrade)
+  // ---------------------------------------------------------------- q191
+
+  /** Shared oracle core for q191: q172's salted 16-way sharding + XOR
+    * 48-bit content checksum, aggregated per shard over a caller-named
+    * (doc_id, text) relation.
+    */
+  private def manifestCte(alias: String, src: String): String =
+    s"""$alias AS (
+       |  SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 16 AS shard,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_toks,
+       |    bit_xor(('0x' || substr(md5(text), 1, 12))::BIGINT) AS checksum
+       |  FROM $src GROUP BY 1)""".stripMargin
+
+  private def manifestOf(docs: DataFrame): DataFrame =
+    docs.withColumn("shard",
+        expr("CAST(conv(substr(md5(concat('shard:', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT) % 16"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("sum_toks"),
+        expr("bit_xor(CAST(conv(substr(md5(text), 1, 12), 16, 10) AS BIGINT))").as("checksum"))
+
+  /** q191: MANIFEST DRIFT across a corpus release — q172's per-shard
+    * receipt computed on v1 and v2 and diffed: document/token deltas per
+    * shard plus a `changed` flag from the XOR content checksums (null-
+    * safe, so a shard present on one side only still reports). This is
+    * the receipt a downstream consumer checks before deciding which
+    * export shards to re-pull after a release — the audit complement of
+    * the q164–q166 index upgrades, which the same v1→v2 fixture gates.
+    * Scale shape: two manifest aggregations (map-side-combinable) and a
+    * 16-row join; the shard assignment is content-independent, so drift
+    * localizes to the shards whose documents actually changed.
+    */
+  val manifestDrift = Q(
+    "q191_manifest_drift",
+    s"""WITH $docV2Cte,
+       |v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 != 5),
+       |${manifestCte("m1", "v1")},
+       |${manifestCte("m2", "v2")}
+       |SELECT COALESCE(m1.shard, m2.shard) AS shard,
+       |  COALESCE(m1.n_docs, 0) AS docs_v1, COALESCE(m2.n_docs, 0) AS docs_v2,
+       |  COALESCE(m1.sum_toks, 0) AS toks_v1, COALESCE(m2.sum_toks, 0) AS toks_v2,
+       |  (m1.checksum IS DISTINCT FROM m2.checksum) AS changed
+       |FROM m1 FULL OUTER JOIN m2 ON m1.shard = m2.shard
+       |ORDER BY shard""".stripMargin) { (s, d) =>
+    val (v1, v2) = docVersions(s, d)
+    val m1 = manifestOf(v1.select(col("doc_id"), col("text")))
+    val m2 = manifestOf(v2.select(col("doc_id"), col("text")))
+    m1.as("m1").join(m2.as("m2"), col("m1.shard") === col("m2.shard"), "full_outer")
+      .select(coalesce(col("m1.shard"), col("m2.shard")).as("shard"),
+        coalesce(col("m1.n_docs"), lit(0L)).as("docs_v1"),
+        coalesce(col("m2.n_docs"), lit(0L)).as("docs_v2"),
+        coalesce(col("m1.sum_toks"), lit(0L)).as("toks_v1"),
+        coalesce(col("m2.sum_toks"), lit(0L)).as("toks_v2"),
+        (!(col("m1.checksum") <=> col("m2.checksum"))).as("changed"))
+      .orderBy(col("shard"))
+  }
+
+  def specs: Seq[Q] = Seq(textReleaseUpgrade, dedupReleaseUpgrade,
+    annReleaseUpgrade, manifestDrift)
 }

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 curation surfaces: greedy budget-fill laws (q188), exact
+  * rank-selected percentiles vs a driver-side reference (q189), the
+  * cross-source contamination matrix's consistency with the q32
+  * candidate report (q190), and manifest-drift identities (q191).
+  */
+class Advanced20Spec extends SparkSuite {
+  import spark.implicits._
+
+  test("q188 admits a prefix of the score ranking and stops exactly at the budget") {
+    val rows = ops.Advanced20.budgetSelection.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val cums = rows.map(_.getLong(3))
+    // inclusive running sums are strictly increasing and within budget
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
+    assert(cums.last <= 10000)
+    // conservation: each cum equals previous cum + own n_toks
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(3) == a.getLong(3) + b.getLong(1))
+      case _ => ()
+    }
+    // greedy: the FIRST non-admitted doc in rank order would overflow
+    val all = Tables.documents(spark, sf0001)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_toks"),
+        round(size(array_distinct($"toks")) * 1.0 / size($"toks")
+          * log(size($"toks") + 1), 6).as("score"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy { case (id, _, s) => (-s, id) }
+    val admitted = rows.map(_.getLong(0)).toSet
+    val firstOut = all.find(t => !admitted.contains(t._1))
+    firstOut.foreach { case (_, n, _) =>
+      assert(cums.last + n > 10000, "first rejected doc must overflow the budget")
+    }
+    // admitted = exact rank prefix
+    assert(all.takeWhile(t => admitted.contains(t._1)).length == rows.length)
+  }
+
+  test("q189 percentiles equal a driver-side rank selection per source") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"source", $"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = docs.groupBy(_._1).map { case (src, rs) =>
+      val sorted = rs.sortBy(t => (t._3, t._2)).map(_._3)
+      val n = sorted.length.toLong
+      def at(p: Long) = sorted(((p * n + 99) / 100 - 1).toInt)
+      (src, n, at(50), at(90), at(99))
+    }.toSet
+    val got = ops.Advanced20.lengthPercentiles.run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == want)
+    // percentiles are monotone by construction
+    got.foreach { case (src, _, p50, p90, p99) =>
+      assert(p50 <= p90 && p90 <= p99, src)
+    }
+  }
+
+  test("q190 matrix is canonical and consistent with the q32 candidate report") {
+    val matrix = ops.Advanced20.crossSourceDups.run(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    matrix.keys.foreach { case (a, b) => assert(a <= b, s"($a,$b) not canonical") }
+    // recount from q32's pair-level report joined to sources
+    val srcOf = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = ops.TextOps.minhashLsh.run(spark, sf0001).collect()
+      .filter(_.getDouble(2) >= 0.5)
+      .map(r => (srcOf(r.getLong(0)), srcOf(r.getLong(1))))
+      .map { case (a, b) => if (a <= b) (a, b) else (b, a) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(matrix == want)
+  }
+
+  test("q192 coverage curve matches a driver replay and ends at exactly 1e6 ppm") {
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(split($"text", " ")).as("t")).collect().map(_.getString(0))
+    val cnts = toks.groupBy(identity).map { case (t, v) => (t, v.length.toLong) }
+    val tot = cnts.values.sum
+    var cum = 0L
+    val want = cnts.toSeq.sortBy { case (t, c) => (-c, t) }.zipWithIndex.map {
+      case ((t, c), i) =>
+        cum += c
+        (i + 1L, t, c, cum, (2 * cum * 1000000L + tot) / (2 * tot))
+    }.toSet
+    val got = ops.Advanced20.vocabCoverage.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSet == want)
+    assert(got.last._4 == tot && got.last._5 == 1000000L)
+  }
+
+  test("q193 degree histogram conserves pair endpoints and matches a q32 recount") {
+    val rows = ops.Advanced20.dupDegrees.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = ops.TextOps.minhashLsh.run(spark, sf0001).collect()
+      .filter(_.getDouble(2) >= 0.5).map(r => (r.getLong(0), r.getLong(1)))
+    // endpoint conservation: sum(degree × n_docs) = 2 × pairs
+    assert(rows.map { case (deg, n) => deg * n }.sum == 2L * pairs.length)
+    // exact histogram from the pair-level recount
+    val want = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).map(_._2.length.toLong)
+      .groupBy(identity).map { case (deg, v) => (deg, v.size.toLong) }
+    assert(rows.toMap == want)
+  }
+
+  test("q191 drift: self-diff is all-unchanged; the fixture diff localizes correctly") {
+    val rows = ops.Release.manifestDrift.run(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 16L))
+    // the v1/v2 fixture changes every 13th doc and drops every 19th —
+    // document totals must reflect exactly those memberships
+    val docs = Tables.documents(spark, sf0001).select($"doc_id").collect().map(_.getLong(0))
+    val v1 = docs.filter(_ % 17 != 5).toSet
+    val v2 = docs.filter(_ % 19 != 3).toSet
+    assert(rows.map(_.getLong(1)).sum == v1.size.toLong)
+    assert(rows.map(_.getLong(2)).sum == v2.size.toLong)
+    // a shard whose v1/v2 doc sets are identical AND contain no revised
+    // doc must report changed=false; any shard with a revised doc in v2
+    // or asymmetric membership must report changed=true
+    def shardOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"shard:$id".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(7)
+      java.lang.Long.parseLong(hex, 16) % 16
+    }
+    val changedWant = (0L until 16L).map { sh =>
+      val a = v1.filter(shardOf(_) == sh)
+      val b = v2.filter(shardOf(_) == sh)
+      sh -> (a != b || b.exists(_ % 13 == 0))
+    }.toMap
+    rows.foreach { r =>
+      assert(r.getBoolean(5) == changedWant(r.getLong(0)), s"shard ${r.getLong(0)}")
+    }
+  }
+}

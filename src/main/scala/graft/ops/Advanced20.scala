@@ -37,6 +37,18 @@ object Advanced20 {
 
   private val TokenBudget = 10000
 
+  /** Shared quality proxy for the budget-selection family (q188/q194):
+    * distinct-token ratio × ln(n_toks + 1), rounded at 6 decimals —
+    * integer-derived quotient times an engine-native ln, bit-identical
+    * in both engines. Emits (doc_id, source, n_toks, score).
+    */
+  private def withQualityScore(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_toks"),
+        round(size(array_distinct(col("toks"))) * 1.0 / size(col("toks"))
+          * log(size(col("toks")) + 1), 6).as("score"))
+
   /** Library form: greedy budget fill of `scored(doc_id, n_toks, score)`
     * — admit in (score desc, doc_id) order while the inclusive running
     * token total stays within `budget`.
@@ -66,12 +78,8 @@ object Advanced20 {
        |  FROM s)
        |SELECT doc_id, n_toks, score, cum_toks FROM c
        |WHERE cum_toks <= $TokenBudget ORDER BY score DESC, doc_id""".stripMargin) { (s, d) =>
-    val scored = Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_toks"),
-        round(size(array_distinct(col("toks"))) * 1.0 / size(col("toks"))
-          * log(size(col("toks")) + 1), 6).as("score"))
+    val scored = withQualityScore(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_toks"), col("score"))
     budgetSelect(scored, TokenBudget)
       .select(col("doc_id"), col("n_toks"), col("score"), col("cum_toks"))
       .orderBy(col("score").desc, col("doc_id"))
@@ -260,6 +268,111 @@ object Advanced20 {
       .orderBy(col("degree"))
   }
 
+  // ---------------------------------------------------------------- q194
+
+  private val PerSourceBudget = 2000
+
+  /** q194: PER-SOURCE TOKEN-BUDGET FILL — q188's greedy admission run
+    * independently inside every source with a 2k-token budget each (the
+    * mixture-aware form: a global budget fill lets one high-scoring
+    * source crowd out the rest; per-source budgets are how a target
+    * mixture is actually enforced). The running sum needs only a window
+    * PARTITIONED BY SOURCE — scale is bounded by the largest source, no
+    * global order anywhere. Summary receipt per source; a source whose
+    * best document alone overflows the budget admits nothing and is
+    * absent (identically in both engines).
+    */
+  val sourceBudgetFill = Q(
+    "q194_source_budget",
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+       |s AS (
+       |  SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_toks,
+       |    ROUND(len(list_distinct(tk)) * 1.0 / len(tk) * ln(len(tk) + 1), 6) AS score
+       |  FROM t),
+       |c AS (
+       |  SELECT doc_id, source, n_toks, score,
+       |    CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM s)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_admitted,
+       |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks, MIN(score) AS min_score
+       |FROM c WHERE cum <= $PerSourceBudget
+       |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withQualityScore(Tables.documents(s, d))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .filter(col("cum") <= PerSourceBudget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_admitted"),
+        sum(col("n_toks")).as("sum_toks"),
+        min(col("score")).as("min_score"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------- q195
+
+  private val SweepLens = Seq(64, 128, 256)
+
+  /** q195: SEQUENCE-LENGTH PACKING SWEEP — the "choose seqLen" planner:
+    * for L ∈ {64, 128, 256}, how many sequences the corpus packs into,
+    * how many documents a boundary splits, and the tail fill — WITHOUT
+    * materializing any packing. Everything is a closed form of the ONE
+    * global prefix sum q180 uses ([[GlobalOrder.runningSum]], two-phase):
+    * a doc spanning [cum, cum_end) crosses `(cum_end−1) div L − cum div L`
+    * boundaries, the corpus needs `ceil(total/L)` sequences, and the tail
+    * holds `total − (n_seqs−1)·L` tokens. One metadata pass, a 3-way
+    * explode on L, one aggregation.
+    */
+  val packingSweep = Q(
+    "q195_packing_sweep",
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_toks,
+       |    CAST(SUM(n_toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end,
+       |    CAST(SUM(n_toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_toks AS BIGINT) AS cum
+       |  FROM t),
+       |f AS (
+       |  SELECT v.seq_len, doc_id, cum_end,
+       |    (cum_end - 1) // v.seq_len - cum // v.seq_len AS extra
+       |  FROM c CROSS JOIN (VALUES ${SweepLens.map(l => s"($l)").mkString(", ")}) v(seq_len)
+       |  WHERE n_toks > 0),
+       |g AS (
+       |  SELECT seq_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(MAX(cum_end) AS BIGINT) AS tot,
+       |    CAST(SUM(extra) AS BIGINT) AS n_crossings,
+       |    CAST(SUM(CASE WHEN extra > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing_docs
+       |  FROM f GROUP BY seq_len)
+       |SELECT CAST(seq_len AS INTEGER) AS seq_len, n_docs,
+       |  CAST((tot + seq_len - 1) // seq_len AS BIGINT) AS n_seqs,
+       |  CAST(n_docs + n_crossings AS BIGINT) AS n_frags,
+       |  n_crossings, n_crossing_docs,
+       |  CAST(tot - ((tot + seq_len - 1) // seq_len - 1) * seq_len AS BIGINT) AS tail_fill
+       |FROM g ORDER BY seq_len""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val base = GlobalOrder.runningSum(toks, Seq(col("doc_id")), col("n_toks"), "cum_end")
+      .withColumn("cum", col("cum_end") - col("n_toks"))
+      .filter(col("n_toks") > 0)
+      .withColumn("seq_len", explode(array(SweepLens.map(l => lit(l)): _*)))
+      .withColumn("extra", expr("(cum_end - 1) div seq_len - cum div seq_len"))
+    base.groupBy(col("seq_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("cum_end")).as("tot"),
+        sum(col("extra")).as("n_crossings"),
+        sum(when(col("extra") > 0, 1L).otherwise(0L)).as("n_crossing_docs"))
+      .select(col("seq_len"), col("n_docs"),
+        expr("(tot + seq_len - 1) div seq_len").as("n_seqs"),
+        (col("n_docs") + col("n_crossings")).as("n_frags"),
+        col("n_crossings"), col("n_crossing_docs"),
+        expr("tot - ((tot + seq_len - 1) div seq_len - 1) * seq_len").as("tail_fill"))
+      .orderBy(col("seq_len"))
+  }
+
   val specs: Seq[Q] = Seq(budgetSelection, lengthPercentiles, crossSourceDups,
-    vocabCoverage, dupDegrees)
+    vocabCoverage, dupDegrees, sourceBudgetFill, packingSweep)
 }

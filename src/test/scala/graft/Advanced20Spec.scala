@@ -109,6 +109,50 @@ class Advanced20Spec extends SparkSuite {
     assert(rows.toMap == want)
   }
 
+  test("q194 per-source fill: every source within budget, next-ranked doc overflows") {
+    val byRow = ops.Advanced20.sourceBudgetFill.run(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byRow.nonEmpty)
+    byRow.values.foreach { case (_, toks, _) => assert(toks <= 2000) }
+    // driver replay of the greedy fill per source
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("tk", split($"text", " "))
+      .select($"source", $"doc_id", size($"tk").cast("long").as("n"),
+        round(size(array_distinct($"tk")) * 1.0 / size($"tk")
+          * log(size($"tk") + 1), 6).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = docs.groupBy(_._1).flatMap { case (src, rs) =>
+      val ordered = rs.sortBy(t => (-t._4, t._2))
+      var cum = 0L
+      val admitted = ordered.takeWhile { t => cum += t._3; cum <= 2000 }
+      if (admitted.isEmpty) None
+      else Some(src -> (admitted.length.toLong, admitted.map(_._3).sum, admitted.map(_._4).min))
+    }
+    assert(byRow == want.toMap)
+  }
+
+  test("q195 sweep matches the materialized q180 packing at every swept length") {
+    val sweep = ops.Advanced20.packingSweep.run(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toMap
+    val toks = Tables.documents(spark, sf0001)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_toks"))
+    for (len <- Seq(64, 128, 256)) {
+      val frags = ops.Advanced18.packSequences(toks, len)
+        .select($"doc_id", $"seq_id", $"contrib", $"n_toks").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val (nDocs, nSeqs, nFrags, nCross, nCrossDocs, tailFill) = sweep(len)
+      assert(nDocs == frags.map(_._1).distinct.length.toLong, s"L=$len n_docs")
+      assert(nSeqs == frags.map(_._2).max + 1, s"L=$len n_seqs")
+      assert(nFrags == frags.length.toLong, s"L=$len n_frags")
+      assert(nCross == frags.length - frags.map(_._1).distinct.length.toLong, s"L=$len crossings")
+      assert(nCrossDocs ==
+        frags.groupBy(_._1).count(_._2.length >= 2).toLong, s"L=$len crossing docs")
+      val lastSeq = frags.map(_._2).max
+      assert(tailFill == frags.filter(_._2 == lastSeq).map(_._3).sum, s"L=$len tail fill")
+    }
+  }
+
   test("q191 drift: self-diff is all-unchanged; the fixture diff localizes correctly") {
     val rows = ops.Release.manifestDrift.run(spark, sf0001).collect()
     assert(rows.map(_.getLong(0)).toSeq == (0L until 16L))

@@ -155,13 +155,18 @@ object Release {
   // re-encode cannot hash-match).
 
   private def docVersions(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val docs = Tables.documents(s, d)
-    val v1 = docs.filter(col("doc_id") % 17 =!= 5).localCheckpoint(true)
-    val v2 = docs.filter(col("doc_id") % 19 =!= 3)
-      .withColumn("text",
-        when(col("doc_id") % 13 === 0, concat(lit("rev dup "), col("text")))
-          .otherwise(col("text")))
-      .localCheckpoint(true)
+    // Shared fixture frames: five queries (q164–q166, q191, q196) replay
+    // this version scheme; materialize each side once per session instead
+    // of re-checkpointing per query (Shared.localCheckpoints the build).
+    val v1 = graft.Shared.materialized(s, s"relver-v1@$d") {
+      Tables.documents(s, d).filter(col("doc_id") % 17 =!= 5)
+    }
+    val v2 = graft.Shared.materialized(s, s"relver-v2@$d") {
+      Tables.documents(s, d).filter(col("doc_id") % 19 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(lit("rev dup "), col("text")))
+            .otherwise(col("text")))
+    }
     (v1, v2)
   }
 
@@ -319,7 +324,7 @@ object Release {
        |    bit_xor(('0x' || substr(md5(text), 1, 12))::BIGINT) AS checksum
        |  FROM $src GROUP BY 1)""".stripMargin
 
-  private def manifestOf(docs: DataFrame): DataFrame =
+  private[graft] def manifestOf(docs: DataFrame): DataFrame =
     docs.withColumn("shard",
         expr("CAST(conv(substr(md5(concat('shard:', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT) % 16"))
       .groupBy(col("shard"))
@@ -363,6 +368,70 @@ object Release {
       .orderBy(col("shard"))
   }
 
+  // ---------------------------------------------------------------- q196
+
+  /** One signed adjustment row per delta member: the shard it lands in,
+    * ±1 doc, ±n_toks, and its 48-bit content hash (sign-free — XOR is
+    * self-inverse, so removal and addition apply identically).
+    */
+  private def manifestAdj(docs: DataFrame, ids: DataFrame, sign: Int): DataFrame =
+    docs.join(ids.select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(
+        expr("CAST(conv(substr(md5(concat('shard:', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT) % 16")
+          .as("shard"),
+        lit(sign.toLong).as("d_docs"),
+        (size(split(col("text"), " ")).cast("long") * sign).as("d_toks"),
+        expr("CAST(conv(substr(md5(text), 1, 12), 16, 10) AS BIGINT)").as("d_check"))
+
+  /** O(delta) manifest roll-forward: the v2 receipt from the v1 receipt
+    * plus the delta — the unchanged corpus majority is never re-hashed.
+    * Sound because every receipt column is group-invertible: counts and
+    * token totals are additive, and the XOR checksum is self-inverse
+    * (removing a document is the same XOR as adding it). Changed docs
+    * contribute BOTH sides: their v1 hash cancels out of the old
+    * checksum, their v2 hash enters.
+    */
+  def upgradeManifest(m1: DataFrame, oldDocs: DataFrame, newDocs: DataFrame,
+      d: Delta): DataFrame = {
+    val minus = manifestAdj(oldDocs, d.removed.unionByName(d.changed), -1)
+    val plus = manifestAdj(newDocs, d.added.unionByName(d.changed), 1)
+    val adj = minus.unionByName(plus)
+      .groupBy(col("shard"))
+      .agg(sum(col("d_docs")).as("a_docs"), sum(col("d_toks")).as("a_toks"),
+        expr("bit_xor(d_check)").as("a_check"))
+    m1.as("m").join(adj.as("a"), col("m.shard") === col("a.shard"), "full_outer")
+      .select(coalesce(col("m.shard"), col("a.shard")).as("shard"),
+        (coalesce(col("m.n_docs"), lit(0L)) + coalesce(col("a.a_docs"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("m.sum_toks"), lit(0L)) + coalesce(col("a.a_toks"), lit(0L)))
+          .as("sum_toks"),
+        expr("coalesce(m.checksum, CAST(0 AS BIGINT)) ^ coalesce(a.a_check, CAST(0 AS BIGINT))")
+          .as("checksum"))
+      .filter(col("n_docs") > 0)
+  }
+
+  /** q196: [[upgradeManifest]] under the hard gate — the receipt analog
+    * of the q164–q166 index upgrades, on the same v1→v2 fixture. The
+    * Spark side rolls q191's v1 manifest forward through the O(delta)
+    * adjustment algebra (16-row manifest + delta-sized adjustments; the
+    * unchanged corpus is touched only by the digest delta every upgrade
+    * pays); the ORACLE computes the manifest fresh over v2 and never
+    * sees the delta, the signs, or the XOR cancellation. Hash equality
+    * proves upgrade ≡ rebuild for the export receipt — a missed
+    * tombstone, a double-applied change, or a stale token total all
+    * surface as a checksum/count mismatch on some shard.
+    */
+  val manifestUpgrade = Q(
+    "q196_manifest_upgrade",
+    s"""WITH $docV2Cte,
+       |${manifestCte("m2", "v2")}
+       |SELECT shard, n_docs, sum_toks, checksum FROM m2 ORDER BY shard""".stripMargin) { (s, d) =>
+    val (v1, v2) = docVersions(s, d)
+    val m1 = manifestOf(v1.select(col("doc_id"), col("text")))
+    val de = delta(v1, v2, "doc_id", md5(col("text")))
+    upgradeManifest(m1, v1, v2, de).orderBy(col("shard"))
+  }
+
   def specs: Seq[Q] = Seq(textReleaseUpgrade, dedupReleaseUpgrade,
-    annReleaseUpgrade, manifestDrift)
+    annReleaseUpgrade, manifestDrift, manifestUpgrade)
 }

@@ -208,4 +208,30 @@ class ReleaseSpec extends SparkSuite {
     assert(want.nonEmpty && got == want,
       s"upgraded dedup index != fresh v2 build: ${got.size} vs ${want.size} rows")
   }
+
+  test("manifest upgrade equals a fresh manifest, including same-shard add/remove/change cancellation") {
+    // fixture corpus: ids chosen so several land in one shard, exercising
+    // XOR cancellation (change = old-hash out, new-hash in, same shard)
+    val v1 = (1L to 60L).map(i =>
+      (i, (s"tok$i alpha beta gamma " * ((i % 4) + 1).toInt).trim))
+    val v1df = v1.toDF("doc_id", "text").localCheckpoint(true)
+    val v2df = v1df.filter(col("doc_id") % 7 =!= 2)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        concat(lit("changed "), col("text"))).otherwise(col("text")))
+      .unionByName(Seq((100L, "brand new document alpha"), (101L, "another new one beta"))
+        .toDF("doc_id", "text"))
+      .localCheckpoint(true)
+    val m1 = Release.manifestOf(v1df)
+    val d = Release.delta(v1df, v2df, "doc_id", md5(col("text")))
+    val got = Release.upgradeManifest(m1, v1df, v2df, d)
+      .orderBy(col("shard")).collect().toSeq
+    val want = Release.manifestOf(v2df)
+      .orderBy(col("shard")).collect().toSeq
+    assert(got == want, "O(delta) manifest roll-forward != fresh v2 manifest")
+    // empty delta is the identity
+    val same = Release.delta(v1df, v1df, "doc_id", md5(col("text")))
+    val idem = Release.upgradeManifest(m1, v1df, v1df, same)
+      .orderBy(col("shard")).collect().toSeq
+    assert(idem == m1.orderBy(col("shard")).collect().toSeq)
+  }
 }

@@ -495,6 +495,21 @@ object IndexBench {
     AnnIndex.writeVectors(spark, v2v, s"$tmp/cyc_ann_f")
     println(f"IXBENCH cycle_rebuild_total          ${(System.nanoTime() - t0) / 1e9}%.3f s (4 fresh builds)")
 
+    // the export RECEIPT rolls forward with the same delta (q196's
+    // O(delta) XOR/additive algebra) — v1 receipt is serving state,
+    // only the roll-forward and the fresh rebuild are timed
+    val m1 = ops.Release.manifestOf(v1d.select(col("doc_id"), col("text")))
+      .localCheckpoint(true)
+    t0 = System.nanoTime()
+    val mUp = ops.Release.upgradeManifest(m1, v1d, v2d, dd)
+      .collect().map(_.toSeq).toSet
+    println(f"IXBENCH cycle_manifest_upgrade       ${(System.nanoTime() - t0) / 1e9}%.3f s (O(delta) receipt roll-forward)")
+    t0 = System.nanoTime()
+    val mFresh = ops.Release.manifestOf(v2d.select(col("doc_id"), col("text")))
+      .collect().map(_.toSeq).toSet
+    println(f"IXBENCH cycle_manifest_fresh         ${(System.nanoTime() - t0) / 1e9}%.3f s (full v2 re-hash)")
+    println(s"IXBENCH cycle_manifest_matches       ${mUp == mFresh} (rolled receipt == fresh receipt)")
+
     // post-release intake: 50 exact dups of v2 + 50 token-reversed
     // novelties (different shingles, same vocabulary — LM-scoreable),
     // gated against the UPGRADED serving state

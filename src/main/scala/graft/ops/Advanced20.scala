@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import graft.sources.Layout
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -373,6 +374,41 @@ object Advanced20 {
       .orderBy(col("seq_len"))
   }
 
+  // ---------------------------------------------------------------- q197
+
+  private val ZBits = 8
+
+  /** q197: Z-ORDER CLUSTERING KEY — the Morton interleave
+    * ([[graft.sources.Layout.zkey]]) that [[graft.sources.Layout.writeZOrdered]]
+    * lays files out by, verified per z-quadrant: bucketing the curve
+    * into 16 blocks of 4096 keys must confine BOTH bucketed dimensions
+    * of every block to one 64-wide quadrant (the property that makes
+    * parquet min/max stats prune 2-D box predicates — the output's
+    * min/max columns exhibit it directly). Pure shifts/masks, fully
+    * codegen'd; LayoutSpec measures the actual file-skipping win.
+    */
+  val zorderKey = Q(
+    "q197_zorder_key",
+    s"""WITH z AS (
+       |  SELECT ${Layout.zkeySql("l_orderkey % 256", "l_partkey % 256", ZBits)} AS zkey,
+       |    l_orderkey % 256 AS x, l_partkey % 256 AS y
+       |  FROM lineitem)
+       |SELECT CAST(zkey // 4096 AS BIGINT) AS zbucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+       |  CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(Layout.zkey(col("l_orderkey") % 256, col("l_partkey") % 256, ZBits)
+          .as("zkey"),
+        (col("l_orderkey") % 256).as("x"), (col("l_partkey") % 256).as("y"))
+      .groupBy(expr("zkey div 4096").as("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy(col("zbucket"))
+  }
+
   val specs: Seq[Q] = Seq(budgetSelection, lengthPercentiles, crossSourceDups,
-    vocabCoverage, dupDegrees, sourceBudgetFill, packingSweep)
+    vocabCoverage, dupDegrees, sourceBudgetFill, packingSweep, zorderKey)
 }

@@ -390,6 +390,15 @@ object Release {
     * (removing a document is the same XOR as adding it). Changed docs
     * contribute BOTH sides: their v1 hash cancels out of the old
     * checksum, their v2 hash enters.
+    *
+    * Measured honestly (BENCH.md round 12): at 500k docs this does NOT
+    * beat a fresh re-hash on wall clock (1.10 vs 1.07 s) — the receipt
+    * pass is one map-side-combinable aggregation, trivially parallel at
+    * that scale. Its value is compositional: it rides the delta the
+    * index upgrades already computed (two batch-sized semi-joins, no
+    * corpus scan), which matters when v2 is cold/remote, and the q196
+    * gate proves the algebra exact so receipts can be maintained
+    * without re-scan trust.
     */
   def upgradeManifest(m1: DataFrame, oldDocs: DataFrame, newDocs: DataFrame,
       d: Delta): DataFrame = {

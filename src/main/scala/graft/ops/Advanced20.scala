@@ -409,6 +409,105 @@ object Advanced20 {
       .orderBy(col("zbucket"))
   }
 
+  // ---------------------------------------------------------------- q198
+
+  /** q198: EXACT GLOBAL PERCENTILES by distributed rank selection —
+    * q189's integer rank arithmetic over the WHOLE corpus, where a
+    * partitioned window can't help: [[GlobalOrder.rank]]'s two-phase
+    * form supplies the global rank (PlanSpec's no-single-partition-
+    * window pin applies), the 1-row count broadcasts, and the three
+    * percentile rows project out of one aggregation. This is the exact
+    * distributed-selection primitive `approx_percentile` trades away;
+    * both engines select the identical row because ceil(p·n/100) is
+    * integer-exact.
+    */
+  val globalPercentiles = Q(
+    "q198_global_percentiles",
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |r AS (
+      |  SELECT n_toks,
+      |    ROW_NUMBER() OVER (ORDER BY n_toks, doc_id) AS rnk
+      |  FROM t),
+      |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM t)
+      |SELECT n_docs,
+      |  CAST(MAX(CASE WHEN rnk = (50 * n_docs + 99) // 100 THEN n_toks END) AS BIGINT) AS p50,
+      |  CAST(MAX(CASE WHEN rnk = (90 * n_docs + 99) // 100 THEN n_toks END) AS BIGINT) AS p90,
+      |  CAST(MAX(CASE WHEN rnk = (99 * n_docs + 99) // 100 THEN n_toks END) AS BIGINT) AS p99
+      |FROM r CROSS JOIN c GROUP BY n_docs ORDER BY n_docs""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .localCheckpoint(true) // metadata-sized; feeds rank partials + count
+    val ranked = GlobalOrder.rank(toks, Seq(col("n_toks"), col("doc_id")), "rnk")
+    val n = toks.agg(count(lit(1)).as("n_docs"))
+    ranked.crossJoin(broadcast(n))
+      .groupBy(col("n_docs"))
+      .agg(
+        max(when(col("rnk") === expr("(50 * n_docs + 99) div 100"), col("n_toks"))).as("p50"),
+        max(when(col("rnk") === expr("(90 * n_docs + 99) div 100"), col("n_toks"))).as("p90"),
+        max(when(col("rnk") === expr("(99 * n_docs + 99) div 100"), col("n_toks"))).as("p99"))
+      .orderBy(col("n_docs"))
+  }
+
+  // ---------------------------------------------------------------- q199
+
+  private val SemTau = 0.4
+
+  /** q199: SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023, re-expressed) —
+    * cluster the embedding space with the session-shared Lloyd centroids
+    * ([[Quantizer.ivfCentroids]], the SAME trained table the IVF serving
+    * family uses), then mark every vector whose cosine to a LOWER-id
+    * vector in the SAME cluster reaches τ = 0.4. Deterministic variant
+    * of the paper's greedy sweep: "dominated by an earlier same-cluster
+    * member" (the paper processes in arbitrary order; id order makes the
+    * removal set a pure function of the data). Pairing is CLUSTER-
+    * CONFINED — the equi-join on the cluster id is the SemDeDup scaling
+    * trick itself: k grows with the corpus so per-cluster membership
+    * (and the per-cluster quadratic) stays constant; never an all-pairs
+    * join. The oracle replays Lloyd + cosine assignment + the confined
+    * pair sweep from the raw embeddings.
+    */
+  val semanticDedup = Q(
+    "q199_semantic_dedup",
+    (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${Quantizer.centroidTrainCtes(16, "e")},
+       |${Quantizer.ivfProbeCtes(1, 1)},
+       |ev AS (SELECT a.vec_id, a.c_id, e.v FROM assigned a JOIN e USING (vec_id)),
+       |p AS (
+       |  SELECT x.c_id, x.vec_id AS da, y.vec_id AS db,
+       |    ROUND(list_dot_product(x.v, y.v)
+       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
+       |  FROM ev x JOIN ev y ON x.c_id = y.c_id AND x.vec_id < y.vec_id
+       |  WHERE list_dot_product(x.v, y.v)
+       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= $SemTau)
+       |SELECT db AS vec_id, CAST(c_id AS INTEGER) AS c_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_dominating,
+       |  MAX(sim) AS max_sim, CAST(MIN(da) AS BIGINT) AS dominator
+       |FROM p GROUP BY db, c_id ORDER BY vec_id""").stripMargin) { (s, d) =>
+    val e = VectorSearch.emb(s, d)
+    val cents = Quantizer.ivfCentroids(s, d)
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(round(expr("graft_cosine(v, cv)"), 6).desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("crank", row_number().over(wA))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("cid").cast("int").as("c_id"), col("v"))
+      .localCheckpoint(true) // reduced (id, cluster, vec); feeds both pair sides
+    val a = assigned.select(col("vec_id").as("da"), col("c_id"), col("v").as("va"))
+    val b = assigned.select(col("vec_id").as("db"), col("c_id").as("c2"), col("v").as("vb"))
+    a.join(b, col("c_id") === col("c2") && col("da") < col("db"))
+      .withColumn("sim_raw", expr("graft_cosine(va, vb)"))
+      .filter(col("sim_raw") >= SemTau)
+      .groupBy(col("db").as("vec_id"), col("c_id"))
+      .agg(count(lit(1)).as("n_dominating"),
+        max(round(col("sim_raw"), 6)).as("max_sim"),
+        min(col("da")).as("dominator"))
+      .orderBy(col("vec_id"))
+  }
+
   val specs: Seq[Q] = Seq(budgetSelection, lengthPercentiles, crossSourceDups,
-    vocabCoverage, dupDegrees, sourceBudgetFill, packingSweep, zorderKey)
+    vocabCoverage, dupDegrees, sourceBudgetFill, packingSweep, zorderKey,
+    globalPercentiles, semanticDedup)
 }

@@ -27,7 +27,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object VectorSearch {
 
-  private def emb(s: SparkSession, d: String): DataFrame = {
+  private[ops] def emb(s: SparkSession, d: String): DataFrame = {
     DotProduct.register(s) // codegen'd graft_dot; see functions.DotProduct
     CosineSim.register(s)  // fused one-pass cosine; see functions.CosineSim
     Tables.embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))

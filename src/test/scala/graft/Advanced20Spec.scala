@@ -153,6 +153,41 @@ class Advanced20Spec extends SparkSuite {
     }
   }
 
+  test("q198 global percentiles equal a driver-side rank selection") {
+    val lens = Tables.documents(spark, sf0001)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = lens.sortBy(t => (t._2, t._1)).map(_._2)
+    val n = sorted.length.toLong
+    def at(p: Long) = sorted(((p * n + 99) / 100 - 1).toInt)
+    val r = ops.Advanced20.globalPercentiles.run(spark, sf0001).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) ==
+      (n, at(50), at(90), at(99)))
+  }
+
+  test("q199 semantic dedup: every flagged vector is dominated by its reported lower-id partner") {
+    val rows = ops.Advanced20.semanticDedup.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.foreach { case (vec, _, nDom, maxSim, dom) =>
+      assert(dom < vec, s"dominator $dom !< $vec")
+      assert(nDom >= 1 && maxSim >= 0.4, s"vec $vec")
+      assert(cos(vecs(vec), vecs(dom)) >= 0.4 - 1e-9,
+        s"reported dominator $dom of $vec is below the threshold")
+    }
+    // the flagged set is a strict subset — something always survives
+    assert(rows.length < vecs.size)
+  }
+
   test("q191 drift: self-diff is all-unchanged; the fixture diff localizes correctly") {
     val rows = ops.Release.manifestDrift.run(spark, sf0001).collect()
     assert(rows.map(_.getLong(0)).toSeq == (0L until 16L))

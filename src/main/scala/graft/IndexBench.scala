@@ -444,6 +444,20 @@ object IndexBench {
     println(f"IXBENCH rel_fresh_ann                ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
 
+    section("semdedup") {
+    // q199's fixed-16 clusters vs the scaled √n path: at fixed k the
+    // confined pair sweep is quadratic per cluster as occupancy grows;
+    // scaled k holds occupancy — and the sweep — constant. Both runs
+    // report the flagged count so the two removal policies' yields are
+    // visible alongside the cost.
+    var t0 = System.nanoTime()
+    val f16 = ops.Advanced20.semanticDedup.run(spark, sfDir).count()
+    println(f"IXBENCH semdedup_fixed16             ${(System.nanoTime() - t0) / 1e9}%.3f s (flagged=$f16)")
+    t0 = System.nanoTime()
+    val fsc = ops.Advanced20.semanticDedupScaled(spark, sfDir).count()
+    println(f"IXBENCH semdedup_scaled_sqrtn        ${(System.nanoTime() - t0) / 1e9}%.3f s (flagged=$fsc)")
+    }
+
     section("release_cycle") {
     // The realistic "corpus v2 ships" sequence END TO END: one digest
     // delta per id space, all four indexes rolled forward in order,

@@ -469,6 +469,59 @@ object Advanced20 {
     * join. The oracle replays Lloyd + cosine assignment + the confined
     * pair sweep from the raw embeddings.
     */
+  /** Nearest-centroid cosine assignment (6-decimal affinity, cid
+    * tie-break — the same rank the ANN family's ROW_NUMBER recipe
+    * picks), keeping the vector for the downstream sweep. Computed as a
+    * min-over-struct aggregate ([[Quantizer.assignFull]]'s trick), NOT a
+    * per-vec_id window: the n·k affinity rows partial-aggregate map-side
+    * down to one row per vector BEFORE any exchange — at scaled k the
+    * window form shuffled all n·k rows (measured 1.6× slower end-to-end
+    * at 200k×448, BENCH.md round 12).
+    */
+  private[graft] def assignCosine(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"),
+        struct((round(expr("graft_cosine(v, cv)"), 6) * -1).as("nca"),
+          col("cid")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dc")).as("m"), first(col("v")).as("v")) // v constant per vec_id
+      .select(col("vec_id"), col("m.cid").cast("int").as("c_id"), col("v"))
+
+  /** The cluster-confined dominance sweep over `assigned(vec_id, c_id,
+    * v)`: one row per vector whose cosine to a LOWER-id same-cluster
+    * member reaches `tau`.
+    */
+  private[graft] def dominatedBy(assigned: DataFrame, tau: Double): DataFrame = {
+    val a = assigned.select(col("vec_id").as("da"), col("c_id"), col("v").as("va"))
+    val b = assigned.select(col("vec_id").as("db"), col("c_id").as("c2"), col("v").as("vb"))
+    a.join(b, col("c_id") === col("c2") && col("da") < col("db"))
+      .withColumn("sim_raw", expr("graft_cosine(va, vb)"))
+      .filter(col("sim_raw") >= tau)
+      .groupBy(col("db").as("vec_id"), col("c_id"))
+      .agg(count(lit(1)).as("n_dominating"),
+        max(round(col("sim_raw"), 6)).as("max_sim"),
+        min(col("da")).as("dominator"))
+  }
+
+  /** The q199 sweep at PRODUCTION sizing — the scale path the q199
+    * Scaladoc/BENCH.md caveat names: k = clamp(16..65536, ceil(√n))
+    * clusters trained on [[AnnIndex.scaledSampleCentroids]]'s
+    * deterministic md5 hash sample (q160's oracle-gated recipe), so
+    * per-cluster membership — and the confined quadratic — stays
+    * CONSTANT as the corpus grows. `IndexBench` section `semdedup`
+    * measures fixed-16 vs this at 1× and 10×.
+    */
+  def semanticDedupScaled(s: org.apache.spark.sql.SparkSession, d: String,
+      tau: Double = SemTau): DataFrame = {
+    val e = VectorSearch.emb(s, d).localCheckpoint(true)
+    val n = e.count()
+    val k = math.max(16L, math.min(65536L,
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    val cents = AnnIndex.scaledSampleCentroids(e, k, perList = 50L)
+    dominatedBy(assignCosine(e, cents).localCheckpoint(true), tau)
+      .orderBy(col("vec_id"))
+  }
+
   val semanticDedup = Q(
     "q199_semantic_dedup",
     (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -487,24 +540,9 @@ object Advanced20 {
        |  MAX(sim) AS max_sim, CAST(MIN(da) AS BIGINT) AS dominator
        |FROM p GROUP BY db, c_id ORDER BY vec_id""").stripMargin) { (s, d) =>
     val e = VectorSearch.emb(s, d)
-    val cents = Quantizer.ivfCentroids(s, d)
-    val wA = Window.partitionBy(col("vec_id"))
-      .orderBy(round(expr("graft_cosine(v, cv)"), 6).desc, col("cid"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("crank", row_number().over(wA))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("cid").cast("int").as("c_id"), col("v"))
+    val assigned = assignCosine(e, Quantizer.ivfCentroids(s, d))
       .localCheckpoint(true) // reduced (id, cluster, vec); feeds both pair sides
-    val a = assigned.select(col("vec_id").as("da"), col("c_id"), col("v").as("va"))
-    val b = assigned.select(col("vec_id").as("db"), col("c_id").as("c2"), col("v").as("vb"))
-    a.join(b, col("c_id") === col("c2") && col("da") < col("db"))
-      .withColumn("sim_raw", expr("graft_cosine(va, vb)"))
-      .filter(col("sim_raw") >= SemTau)
-      .groupBy(col("db").as("vec_id"), col("c_id"))
-      .agg(count(lit(1)).as("n_dominating"),
-        max(round(col("sim_raw"), 6)).as("max_sim"),
-        min(col("da")).as("dominator"))
-      .orderBy(col("vec_id"))
+    dominatedBy(assigned, SemTau).orderBy(col("vec_id"))
   }
 
   val specs: Seq[Q] = Seq(budgetSelection, lengthPercentiles, crossSourceDups,

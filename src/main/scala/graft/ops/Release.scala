@@ -404,7 +404,14 @@ object Release {
       d: Delta): DataFrame = {
     val minus = manifestAdj(oldDocs, d.removed.unionByName(d.changed), -1)
     val plus = manifestAdj(newDocs, d.added.unionByName(d.changed), 1)
-    val adj = minus.unionByName(plus)
+    mergeAdj(m1, minus.unionByName(plus))
+  }
+
+  /** Fold signed adjustment rows into a manifest (additive counts/token
+    * totals, XOR checksums; null-safe on shards present in one side).
+    */
+  private def mergeAdj(m1: DataFrame, adjRows: DataFrame): DataFrame = {
+    val adj = adjRows
       .groupBy(col("shard"))
       .agg(sum(col("d_docs")).as("a_docs"), sum(col("d_toks")).as("a_toks"),
         expr("bit_xor(d_check)").as("a_check"))
@@ -417,6 +424,58 @@ object Release {
         expr("coalesce(m.checksum, CAST(0 AS BIGINT)) ^ coalesce(a.a_check, CAST(0 AS BIGINT))")
           .as("checksum"))
       .filter(col("n_docs") > 0)
+  }
+
+  /** STREAMING manifest maintenance (append-only intake): fold a
+    * micro-batch of NEW documents into a persisted per-shard receipt,
+    * for use inside `foreachBatch`. Idempotent under at-least-once
+    * replay by EPOCH VERSIONING (the repo's tombstone-epoch recipe
+    * applied to receipts): epoch `e<batchId>` is always computed from
+    * the newest epoch STRICTLY OLDER than `batchId` and overwrites its
+    * own directory, so a crash-replayed batch recomputes the identical
+    * state instead of double-counting. Reads/writes are 16-row
+    * manifests + batch-sized adjustments — never a corpus scan.
+    * StreamingManifestSpec pins stream ≡ batch and replay idempotence.
+    */
+  def appendManifest(s: SparkSession, dir: String, batch: DataFrame,
+      batchId: Long): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/manifest")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val epochs: Seq[Long] =
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .collect { case n if n.startsWith("e") => n.drop(1).toLong }
+      else Seq.empty
+    val base = epochs.filter(_ < batchId).sorted.lastOption match {
+      case Some(e) => s.read.parquet(s"$dir/manifest/e$e").localCheckpoint(true)
+      case None =>
+        import s.implicits._
+        Seq.empty[(Long, Long, Long, Long)]
+          .toDF("shard", "n_docs", "sum_toks", "checksum")
+    }
+    val adj = manifestAdj(batch,
+      batch.select(col("doc_id").as("id")), 1)
+    val m2 = mergeAdj(base, adj).localCheckpoint(true)
+    m2.write.mode("overwrite").parquet(s"$dir/manifest/e$batchId")
+    m2
+  }
+
+  /** Latest persisted streaming manifest (newest epoch), empty if none. */
+  def loadManifest(s: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/manifest")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val epochs: Seq[Long] =
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .collect { case n if n.startsWith("e") => n.drop(1).toLong }
+      else Seq.empty
+    epochs.sorted.lastOption match {
+      case Some(e) => s.read.parquet(s"$dir/manifest/e$e")
+      case None =>
+        import s.implicits._
+        Seq.empty[(Long, Long, Long, Long)]
+          .toDF("shard", "n_docs", "sum_toks", "checksum")
+    }
   }
 
   /** q196: [[upgradeManifest]] under the hard gate — the receipt analog

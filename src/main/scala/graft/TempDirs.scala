@@ -19,8 +19,13 @@ object TempDirs {
       dirs.forEach { p =>
         try {
           if (Files.exists(p)) {
-            Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+            // Files.walk holds a directory handle until closed — close it
+            // even when a delete throws, or cleanup itself leaks one
+            // handle per tracked dir.
+            val walk = Files.walk(p)
+            try walk.sorted(Comparator.reverseOrder[Path]())
               .forEach(f => { try Files.deleteIfExists(f) catch { case _: Exception => () } })
+            finally walk.close()
           }
         } catch { case _: Exception => () }
       }

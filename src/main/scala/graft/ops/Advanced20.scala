@@ -182,10 +182,10 @@ object Advanced20 {
   /** q192: VOCABULARY COVERAGE CURVE — cumulative corpus-token coverage
     * by term-frequency rank (what fraction of all tokens the top-k terms
     * cover), the metric a tokenizer/vocab-size decision reads. One
-    * explode → vocab-sized tf aggregate (checkpointed once: it feeds the
-    * rank pass and the 1-row total), then [[GlobalOrder.rankAndRunningSum]]
-    * gives rank and cumulative count in ONE two-phase pass over vocab
-    * METADATA (term, cnt). Coverage in half-up ppm ([[graft.Det.halfUpDiv]];
+    * explode → vocab-sized tf aggregate, then
+    * [[GlobalOrder.rankAndRunningSumT]] gives rank, cumulative count AND
+    * the corpus total (a by-product of its partials fold — no separate
+    * total pass) in ONE two-phase pass over vocab METADATA (term, cnt). Coverage in half-up ppm ([[graft.Det.halfUpDiv]];
     * numerator 2·cum·10^6 bounds the exact-BIGINT form at ~4.6×10^12
     * corpus tokens — past that, rescale to per-billion or widen to
     * decimal intermediates, same receipt).
@@ -206,13 +206,12 @@ object Advanced20 {
     val tf = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // vocab-sized; feeds rank partials + total
-    val ranked = GlobalOrder.rankAndRunningSum(tf,
+    val rt = GlobalOrder.rankAndRunningSumT(tf,
       Seq(col("cnt").desc, col("term")), col("cnt"), "rnk", "cum_toks")
-    val tot = tf.agg(sum(col("cnt")).as("tot"))
-    ranked.crossJoin(broadcast(tot))
+    // The corpus total is the partials fold's by-product — no second pass.
+    rt.df
       .select(col("rnk"), col("term"), col("cnt"), col("cum_toks"),
-        graft.Det.halfUpDiv(col("cum_toks") * 1000000L, col("tot")).as("coverage_ppm"))
+        graft.Det.halfUpDiv(col("cum_toks") * 1000000L, lit(rt.totalSum)).as("coverage_ppm"))
       .orderBy(col("rnk"))
   }
 
@@ -413,10 +412,11 @@ object Advanced20 {
 
   /** q198: EXACT GLOBAL PERCENTILES by distributed rank selection —
     * q189's integer rank arithmetic over the WHOLE corpus, where a
-    * partitioned window can't help: [[GlobalOrder.rank]]'s two-phase
+    * partitioned window can't help: [[GlobalOrder.rankT]]'s two-phase
     * form supplies the global rank (PlanSpec's no-single-partition-
-    * window pin applies), the 1-row count broadcasts, and the three
-    * percentile rows project out of one aggregation. This is the exact
+    * window pin applies) AND the exact row count (its partials
+    * by-product — no count pass), and the three percentile rows project
+    * out of one aggregation. This is the exact
     * distributed-selection primitive `approx_percentile` trades away;
     * both engines select the identical row because ceil(p·n/100) is
     * integer-exact.
@@ -439,10 +439,9 @@ object Advanced20 {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_toks"))
-      .localCheckpoint(true) // metadata-sized; feeds rank partials + count
-    val ranked = GlobalOrder.rank(toks, Seq(col("n_toks"), col("doc_id")), "rnk")
-    val n = toks.agg(count(lit(1)).as("n_docs"))
-    ranked.crossJoin(broadcast(n))
+    val rt = GlobalOrder.rankT(toks, Seq(col("n_toks"), col("doc_id")), "rnk")
+    // n_docs is the partials fold's by-product — no count pass.
+    rt.df.withColumn("n_docs", lit(rt.totalCount))
       .groupBy(col("n_docs"))
       .agg(
         max(when(col("rnk") === expr("(50 * n_docs + 99) div 100"), col("n_toks"))).as("p50"),

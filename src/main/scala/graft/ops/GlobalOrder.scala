@@ -15,39 +15,75 @@ import org.apache.spark.sql.functions._
   * [[Dimensional.denseSurrogateKeys]]):
   *
   *  1. `repartitionByRange` on the total order — each of `parts` tasks
-  *     holds a contiguous key range. The explicit partition count keeps
-  *     AQE from re-planning the exchange, and Spark's `RangePartitioner`
-  *     samples with a DETERMINISTIC per-partition seed, so the two jobs
-  *     below see identical boundaries.
-  *  2. A per-partition partial (count for rank, sum for prefix sums) —
-  *     ≤ `parts` rows — is collected to the driver and turned into
-  *     exclusive prefix OFFSETS (a partition-count-bounded collect, the
-  *     accepted meta-read class; never data-sized).
+  *     holds a contiguous key range — then the ranged frame is
+  *     MATERIALIZED ONCE (`localCheckpoint(eager = true)`), stamping the
+  *     physical partition id into the data. This materialization is
+  *     correctness-critical, not a cache hint: `RangePartitioner`
+  *     samples its boundaries with a reservoir whose seed derives from
+  *     the RDD id, so two separate ACTIONS over the same lazy
+  *     `repartitionByRange` lineage can draw DIFFERENT boundaries once
+  *     input partitions exceed the sampler's reservoir (~100k+ rows per
+  *     partition). Phase 2's offsets would then be applied to a
+  *     different partitioning than the one they were computed from —
+  *     silently duplicated/dropped ranks at exactly the scale this
+  *     module exists for. Checkpointing pins ONE physical layout that
+  *     every downstream job reads. (GlobalOrderSpec's 400k-row
+  *     reservoir-regime case pins this; removing the checkpoint fails
+  *     it.)
+  *  2. A per-partition partial (count + sum) — ≤ `parts` rows — is
+  *     collected to the driver and turned into exclusive prefix OFFSETS
+  *     (a partition-count-bounded collect, the accepted meta-read
+  *     class; never data-sized). The fold's final accumulators are the
+  *     EXACT corpus totals — returned to callers via the `*T` variants
+  *     so consumers (q192's coverage denominator, q198's n_docs) never
+  *     pay a second corpus pass for them.
   *  3. Each partition finishes locally: a window PARTITIONED by the
-  *     physical partition id plus the broadcast offset. No operator
-  *     anywhere holds more than one partition's rows.
+  *     stamped partition id plus the broadcast offset. No operator
+  *     anywhere holds more than one partition's rows. (The pid window
+  *     re-exchanges the checkpointed rows by hash(pid) — corpus-sized
+  *     but fully distributed; folding it into the range layout via a
+  *     partition-local mapPartitions is the documented one-shuffle
+  *     upgrade if a consumer ever enters the slow tier.)
   *
   * Determinism: callers must pass a TOTAL order (tie-broken — every
-  * caller here ends on a unique id column). Given that, rank/running sum
-  * are unique functions of the data regardless of where the sampled
+  * caller here ends on a unique id column). Given that, rank/running
+  * sum are unique functions of the data regardless of where the sampled
   * range boundaries land, so the oracle never observes the partitioning.
   */
 object GlobalOrder {
 
   private val Pid = "__go_pid"
-  private val Off = "__go_off"
+
+  /** A two-phase result: the augmented frame plus the exact global
+    * totals (free by-products of the phase-2 partials fold).
+    */
+  final case class WithTotals(df: DataFrame, totalCount: Long, totalSum: Long)
 
   /** Global 1-based row rank by `order` as LONG column `rankCol`. */
   def rank(df: DataFrame, order: Seq[Column], rankCol: String,
       parts: Int = 32): DataFrame =
-    prefixAgg(df, order, lit(1L), rankCol, parts)
+    rankT(df, order, rankCol, parts).df
+
+  /** [[rank]] plus the exact row count (no extra pass). */
+  def rankT(df: DataFrame, order: Seq[Column], rankCol: String,
+      parts: Int = 32): WithTotals = {
+    val r = twoPhase(df, order, lit(1L), rankCol, "__go_sum_unused", parts,
+      wantRank = true, wantSum = false)
+    r.copy(totalSum = r.totalCount)
+  }
 
   /** Inclusive global running sum of `value` (integral; summed as LONG)
     * in `order`, as column `outCol`.
     */
   def runningSum(df: DataFrame, order: Seq[Column], value: Column,
       outCol: String, parts: Int = 32): DataFrame =
-    prefixAgg(df, order, value, outCol, parts)
+    runningSumT(df, order, value, outCol, parts).df
+
+  /** [[runningSum]] plus the exact totals (no extra pass). */
+  def runningSumT(df: DataFrame, order: Seq[Column], value: Column,
+      outCol: String, parts: Int = 32): WithTotals =
+    twoPhase(df, order, value, "__go_rank_unused", outCol, parts,
+      wantRank = false, wantSum = true)
 
   /** Both at once — global rank AND inclusive running sum of `value` in
     * the same total order — for ONE range exchange and ONE partition-
@@ -55,28 +91,14 @@ object GlobalOrder {
     * of two full two-phase passes.
     */
   def rankAndRunningSum(df: DataFrame, order: Seq[Column], value: Column,
-      rankCol: String, sumCol: String, parts: Int = 32): DataFrame = {
-    val ranged = df.repartitionByRange(parts, order: _*)
-      .withColumn(Pid, spark_partition_id())
-    val partials = ranged.groupBy(col(Pid))
-      .agg(count(lit(1L)).as("pcnt"), sum(value).cast("long").as("psum"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    var cAcc = 0L; var sAcc = 0L
-    val offsets = partials.toSeq.map { case (pid, pcnt, psum) =>
-      val o = (pid, cAcc, sAcc); cAcc += pcnt; sAcc += psum; o
-    }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offDf = offsets.toDF(Pid, "__go_coff", "__go_soff")
-    val wRank = Window.partitionBy(col(Pid)).orderBy(order: _*)
-    val wSum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(offDf), Seq(Pid))
-      .withColumn(rankCol, row_number().over(wRank).cast("long") + col("__go_coff"))
-      .withColumn(sumCol, (sum(value).over(wSum) + col("__go_soff")).cast("long"))
-      .drop(Pid, "__go_coff", "__go_soff")
-  }
+      rankCol: String, sumCol: String, parts: Int = 32): DataFrame =
+    rankAndRunningSumT(df, order, value, rankCol, sumCol, parts).df
+
+  /** [[rankAndRunningSum]] plus the exact totals (no extra pass). */
+  def rankAndRunningSumT(df: DataFrame, order: Seq[Column], value: Column,
+      rankCol: String, sumCol: String, parts: Int = 32): WithTotals =
+    twoPhase(df, order, value, rankCol, sumCol, parts,
+      wantRank = true, wantSum = true)
 
   /** Exact NTILE from a global rank, no window at all: with `n` rows and
     * `b` buckets, SQL NTILE gives the first `n % b` buckets
@@ -98,27 +120,38 @@ object GlobalOrder {
          |END AS INT)""".stripMargin))
   }
 
-  private def prefixAgg(df: DataFrame, order: Seq[Column], value: Column,
-      outCol: String, parts: Int): DataFrame = {
+  private def twoPhase(df: DataFrame, order: Seq[Column], value: Column,
+      rankCol: String, sumCol: String, parts: Int,
+      wantRank: Boolean, wantSum: Boolean): WithTotals = {
+    // Materialize the ranged layout ONCE (see object Scaladoc, phase 1):
+    // every job below — the partials collect AND the final plan — must
+    // read the SAME physical partitioning, and a lazy repartitionByRange
+    // re-samples its boundaries per action at reservoir scale.
     val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn(Pid, spark_partition_id())
+      .localCheckpoint(true)
     // Partition-count-bounded driver read (≤ `parts` rows).
     val partials = ranged.groupBy(col(Pid))
-      .agg(sum(value).cast("long").as("psum"))
+      .agg(count(lit(1L)).as("pcnt"), sum(value).cast("long").as("psum"))
       .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
+      .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
       .sortBy(_._1)
-    var acc = 0L
-    val offsets = partials.toSeq.map { case (pid, psum) =>
-      val o = (pid, acc); acc += psum; o
+    var cAcc = 0L; var sAcc = 0L
+    val offsets = partials.toSeq.map { case (pid, pcnt, psum) =>
+      val o = (pid, cAcc, sAcc); cAcc += pcnt; sAcc += psum; o
     }
     val spark = df.sparkSession
     import spark.implicits._
-    val offDf = offsets.toDF(Pid, Off)
-    val w = Window.partitionBy(col(Pid)).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(offDf), Seq(Pid))
-      .withColumn(outCol, (sum(value).over(w) + col(Off)).cast("long"))
-      .drop(Pid, Off)
+    val offDf = offsets.toDF(Pid, "__go_coff", "__go_soff")
+    val wRank = Window.partitionBy(col(Pid)).orderBy(order: _*)
+    val wSum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var out = ranged.join(broadcast(offDf), Seq(Pid))
+    if (wantRank)
+      out = out.withColumn(rankCol,
+        row_number().over(wRank).cast("long") + col("__go_coff"))
+    if (wantSum)
+      out = out.withColumn(sumCol,
+        (sum(value).over(wSum) + col("__go_soff")).cast("long"))
+    WithTotals(out.drop(Pid, "__go_coff", "__go_soff"), cAcc, sAcc)
   }
 }

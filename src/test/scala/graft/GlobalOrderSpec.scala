@@ -42,6 +42,33 @@ class GlobalOrderSpec extends SparkSuite {
     }
   }
 
+  test("reservoir regime: 400k rows / 3 fat input partitions — ranks are a permutation, " +
+      "running sum exact, totals returned without an extra pass") {
+    // Large enough that RangePartitioner samples (reservoir) instead of
+    // reading partitions whole — the regime where a lazy ranged lineage
+    // re-sampled DIFFERENT boundaries per job before the round-13
+    // materialization fix (ADVICE r12: ~1.91M distinct ranks out of 2M).
+    val n = 400000
+    val df = spark.range(1, n + 1)
+      .select((col("id") * 2654435761L % 1000003L).as("v"), col("id"))
+      .repartition(3)
+    val rt = GlobalOrder.rankAndRunningSumT(df, Seq(col("v"), col("id")),
+      col("v"), "rnk", "cum", parts = 8)
+    val rows = rt.df.select(col("v"), col("id"), col("rnk"), col("cum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == n)
+    assert(rt.totalCount == n)
+    // Exact local replay: sort by the total order, check rank == position
+    // and cum == inclusive prefix sum, row by row.
+    var acc = 0L
+    rows.sortBy(t => (t._1, t._2)).zipWithIndex.foreach { case ((v, _, rnk, cum), i) =>
+      acc += v
+      assert(rnk == i + 1L, s"rank at position $i")
+      assert(cum == acc, s"running sum at position $i")
+    }
+    assert(rt.totalSum == acc)
+  }
+
   test("ntileFromRank reproduces SQL NTILE exactly, including n < buckets and remainders") {
     for (n <- Seq(1, 3, 4, 5, 17, 40, 64); b <- Seq(3, 4, 16)) {
       val df = sample(n)

@@ -466,7 +466,10 @@ object Advanced20 {
     * trick itself: k grows with the corpus so per-cluster membership
     * (and the per-cluster quadratic) stays constant; never an all-pairs
     * join. The oracle replays Lloyd + cosine assignment + the confined
-    * pair sweep from the raw embeddings.
+    * pair sweep from the raw embeddings. NOTE this registered form
+    * reuses the session-shared FIXED k=16 centroids — the PRODUCTION
+    * form is the corpus-sized [[semanticDedupScaled]], hash-gated at
+    * explicit sizing by q200 ([[semanticDedupScaledGate]]).
     */
   /** Nearest-centroid cosine assignment (6-decimal affinity, cid
     * tie-break — the same rank the ANN family's ROW_NUMBER recipe
@@ -502,23 +505,81 @@ object Advanced20 {
         min(col("da")).as("dominator"))
   }
 
+  /** The scaled-semdedup chain at EXPLICIT sizing — the one code path
+    * behind both [[semanticDedupScaled]] (production √n sizing) and the
+    * q200 gate (explicit non-degenerate test sizing), so the gated
+    * artifact and the production call are the same functions end to
+    * end: md5-prefix hash sample → seeded Lloyd
+    * ([[AnnIndex.scaledSampleCentroids]], q160's oracle-gated trainer)
+    * → min-over-struct cosine assignment ([[assignCosine]]) → cluster-
+    * confined dominance sweep ([[dominatedBy]]).
+    */
+  private[graft] def semanticDedupScaledAt(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int, perList: Long, tau: Double): DataFrame = {
+    val e = VectorSearch.emb(s, d).localCheckpoint(true)
+    val cents = AnnIndex.scaledSampleCentroids(e, k, perList)
+    dominatedBy(assignCosine(e, cents).localCheckpoint(true), tau)
+      .orderBy(col("vec_id"))
+  }
+
   /** The q199 sweep at PRODUCTION sizing — the scale path the q199
     * Scaladoc/BENCH.md caveat names: k = clamp(16..65536, ceil(√n))
     * clusters trained on [[AnnIndex.scaledSampleCentroids]]'s
     * deterministic md5 hash sample (q160's oracle-gated recipe), so
     * per-cluster membership — and the confined quadratic — stays
-    * CONSTANT as the corpus grows. `IndexBench` section `semdedup`
-    * measures fixed-16 vs this at 1× and 10×.
+    * CONSTANT as the corpus grows. The SAME chain is hash-gated by
+    * [[semanticDedupScaledGate]] (q200) at explicit sizing;
+    * `IndexBench` section `semdedup` measures fixed-16 vs this at
+    * 1× and 10×.
     */
   def semanticDedupScaled(s: org.apache.spark.sql.SparkSession, d: String,
       tau: Double = SemTau): DataFrame = {
-    val e = VectorSearch.emb(s, d).localCheckpoint(true)
+    val e = VectorSearch.emb(s, d)
     val n = e.count()
     val k = math.max(16L, math.min(65536L,
       math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
-    val cents = AnnIndex.scaledSampleCentroids(e, k, perList = 50L)
-    dominatedBy(assignCosine(e, cents).localCheckpoint(true), tau)
-      .orderBy(col("vec_id"))
+    semanticDedupScaledAt(s, d, k, perList = 50L, tau)
+  }
+
+  // ---------------------------------------------------------------- q200
+
+  /** q200: the SCALE-SAFE semantic dedup under the hard gate — the r12
+    * verdict's top item. q199 gates the fixed-k=16 SemDeDup form whose
+    * per-cluster quadratic grows with the corpus; THIS query runs
+    * [[semanticDedupScaledAt]] — the exact production chain behind
+    * [[semanticDedupScaled]] — at explicit non-degenerate sizing
+    * (k=32 ≠ the static 16; perList=2 so the md5 sample filter rejects
+    * vectors at every SF instead of sampling everyone, q160's gated
+    * regime). The oracle replays the whole chain from the raw
+    * embeddings: the shared md5-prefix sample rule + dense renumber,
+    * the seeded 2-pass Lloyd over the SAMPLE, the full-corpus cosine
+    * assignment, and the cluster-confined dominance sweep — so
+    * sampling, training, assignment AND the sweep are all value-gated
+    * on the scaled path, not just its toy-k twin.
+    */
+  val semanticDedupScaledGate = Q(
+    "q200_semantic_dedup_scaled",
+    (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |prm AS (SELECT GREATEST(1, COUNT(*) // 64) AS m FROM e),
+       |samp AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS vec_id, v
+       |  FROM e, prm
+       |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT % m = 0),
+       |${Quantizer.centroidTrainCtes(32, "samp")},
+       |${Quantizer.ivfProbeCtes(1, 1)},
+       |ev AS (SELECT a.vec_id, a.c_id, e.v FROM assigned a JOIN e USING (vec_id)),
+       |p AS (
+       |  SELECT x.c_id, x.vec_id AS da, y.vec_id AS db,
+       |    ROUND(list_dot_product(x.v, y.v)
+       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
+       |  FROM ev x JOIN ev y ON x.c_id = y.c_id AND x.vec_id < y.vec_id
+       |  WHERE list_dot_product(x.v, y.v)
+       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= $SemTau)
+       |SELECT db AS vec_id, CAST(c_id AS INTEGER) AS c_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_dominating,
+       |  MAX(sim) AS max_sim, CAST(MIN(da) AS BIGINT) AS dominator
+       |FROM p GROUP BY db, c_id ORDER BY vec_id""").stripMargin) { (s, d) =>
+    semanticDedupScaledAt(s, d, k = 32, perList = 2L, tau = SemTau)
   }
 
   val semanticDedup = Q(
@@ -546,5 +607,5 @@ object Advanced20 {
 
   val specs: Seq[Q] = Seq(budgetSelection, lengthPercentiles, crossSourceDups,
     vocabCoverage, dupDegrees, sourceBudgetFill, packingSweep, zorderKey,
-    globalPercentiles, semanticDedup)
+    globalPercentiles, semanticDedup, semanticDedupScaledGate)
 }

@@ -449,13 +449,80 @@ object IndexBench {
     // confined pair sweep is quadratic per cluster as occupancy grows;
     // scaled k holds occupancy — and the sweep — constant. Both runs
     // report the flagged count so the two removal policies' yields are
-    // visible alongside the cost.
+    // visible alongside the cost. SPARK_GRAFT_SEMDEDUP_FORMS=scaled,ivf
+    // limits the forms (the fixed-16 quadratic is ~70 min at 1M vectors
+    // — once it's measured dominated, re-running it buys nothing).
+    val forms = sys.env.get("SPARK_GRAFT_SEMDEDUP_FORMS")
+      .map(_.split(",").map(_.trim).toSet)
+    def form(name: String)(body: => Unit): Unit =
+      if (forms.forall(_.contains(name))) body
     var t0 = System.nanoTime()
+    form("fixed") {
     val f16 = ops.Advanced20.semanticDedup.run(spark, sfDir).count()
     println(f"IXBENCH semdedup_fixed16             ${(System.nanoTime() - t0) / 1e9}%.3f s (flagged=$f16)")
+    }
+    form("scaled") {
     t0 = System.nanoTime()
     val fsc = ops.Advanced20.semanticDedupScaled(spark, sfDir).count()
     println(f"IXBENCH semdedup_scaled_sqrtn        ${(System.nanoTime() - t0) / 1e9}%.3f s (flagged=$fsc)")
+    }
+    form("ivf") {
+    // The production recommendation: sweep bucketed by the PERSISTED
+    // serving index's lists. Build cost reported separately — it's the
+    // serving artifact every ANN query already amortizes; the sweep row
+    // is the MARGINAL cost semantic dedup adds on top of it.
+    t0 = System.nanoTime()
+    AnnIndex.writeScaled(spark, sfDir, s"$tmp/sdix")
+    println(f"IXBENCH semdedup_ivf_build           ${(System.nanoTime() - t0) / 1e9}%.3f s (amortized serving artifact)")
+    t0 = System.nanoTime()
+    val fix = ops.Advanced20.semanticDedupFromIndex(spark, sfDir, s"$tmp/sdix").count()
+    println(f"IXBENCH semdedup_ivf_sweep           ${(System.nanoTime() - t0) / 1e9}%.3f s (flagged=$fix)")
+    }
+    }
+
+    section("layout") {
+    // The Z-order scan-skip win at bench scale (r12 verdict item):
+    // lineitem with MATERIALIZED bucket columns (zx, zy) — so the box
+    // predicate is on raw columns and parquet min/max stats prune
+    // natively, no derived-expression simulation — written z-ordered vs
+    // the same frame written in natural (l_orderkey) arrival order.
+    // Reported: write cost, stats-touchable file counts for the 2-D box,
+    // and the box-scan wall itself.
+    import graft.sources.Layout
+    val li = Tables.lineitem(spark, sfDir).select(
+      (col("l_orderkey") % 256).as("zx"), (col("l_partkey") % 256).as("zy"),
+      col("l_quantity")).localCheckpoint()
+    val nParts = 64
+    var t0 = System.nanoTime()
+    li.repartition(nParts).write.mode("overwrite").parquet(s"$tmp/lay_plain")
+    println(f"IXBENCH lay_write_plain              ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    t0 = System.nanoTime()
+    Layout.writeZOrdered(li, col("zx"), col("zy"), 8, nParts, s"$tmp/lay_z")
+    println(f"IXBENCH lay_write_zorder             ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    // files a [32..47]x[64..79] box must touch, by per-file min/max
+    def touched(dir: String): (Int, Int) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      val t = files.count { f =>
+        val mm = spark.read.parquet(f)
+          .agg(min(col("zx")), max(col("zx")), min(col("zy")), max(col("zy")))
+          .collect()(0)
+        mm.getLong(1) >= 32 && mm.getLong(0) <= 47 &&
+          mm.getLong(3) >= 64 && mm.getLong(2) <= 79
+      }
+      (t, files.length)
+    }
+    val (pt, pn) = touched(s"$tmp/lay_plain")
+    val (zt, zn) = touched(s"$tmp/lay_z")
+    println(s"IXBENCH lay_files_touched            plain=$pt/$pn zorder=$zt/$zn")
+    def box(dir: String): Long =
+      spark.read.parquet(dir)
+        .filter(col("zx") >= 32 && col("zx") <= 47 &&
+          col("zy") >= 64 && col("zy") <= 79)
+        .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,2)")))
+        .collect()(0).getLong(0)
+    timed("lay_box_scan_plain") { box(s"$tmp/lay_plain") }
+    timed("lay_box_scan_zorder") { box(s"$tmp/lay_z") }
     }
 
     section("release_cycle") {

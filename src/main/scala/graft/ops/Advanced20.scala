@@ -541,6 +541,28 @@ object Advanced20 {
     semanticDedupScaledAt(s, d, k, perList = 50L, tau)
   }
 
+  /** Semantic dedup bucketed by a PERSISTED IVF index's lists — the
+    * production recommendation BENCH.md's round-12 semdedup table
+    * closes on: at real corpus scale the serving index
+    * ([[AnnIndex.writeScaled]]'s √n-list layout) has ALREADY paid the
+    * Lloyd training and the n·k nearest-list assignment, so the
+    * marginal cost of semantic dedup is ONLY the cluster-confined
+    * sweep — occupancy-constant (n/√n per list), the same shape q141
+    * proved for near-dup banding. Reads the index's `assigned` table
+    * through [[AnnIndex.load]] (tombstone-filtered, so deleted vectors
+    * never dominate anyone) and joins the corpus vectors back by id;
+    * list confinement is an equi-join, never all-pairs. IndexBench's
+    * `semdedup` section measures this against the self-contained
+    * fixed-16 (q199) and scaled-√n (q200-gated) forms.
+    */
+  def semanticDedupFromIndex(s: org.apache.spark.sql.SparkSession, d: String,
+      indexDir: String, tau: Double = SemTau): DataFrame = {
+    val e = VectorSearch.emb(s, d)
+    val asg = AnnIndex.load(s, indexDir).assigned.select(col("vec_id"), col("c_id"))
+    dominatedBy(e.join(asg, Seq("vec_id")).select(col("vec_id"), col("c_id"), col("v")),
+      tau).orderBy(col("vec_id"))
+  }
+
   // ---------------------------------------------------------------- q200
 
   /** q200: the SCALE-SAFE semantic dedup under the hard gate — the r12

@@ -435,10 +435,14 @@ object Release {
     * own directory, so a crash-replayed batch recomputes the identical
     * state instead of double-counting. Reads/writes are 16-row
     * manifests + batch-sized adjustments — never a corpus scan.
+    * Epoch RETENTION: after the new epoch commits, all but the newest
+    * `retainEpochs` epoch dirs are deleted (see the inline note for the
+    * crash-safety argument); StreamingManifestSpec pins idempotence
+    * surviving the pruning.
     * StreamingManifestSpec pins stream ≡ batch and replay idempotence.
     */
   def appendManifest(s: SparkSession, dir: String, batch: DataFrame,
-      batchId: Long): DataFrame = {
+      batchId: Long, retainEpochs: Int = 2): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(s"$dir/manifest")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val epochs: Seq[Long] =
@@ -457,6 +461,26 @@ object Release {
       batch.select(col("doc_id").as("id")), 1)
     val m2 = mergeAdj(base, adj).localCheckpoint(true)
     m2.write.mode("overwrite").parquet(s"$dir/manifest/e$batchId")
+    // EPOCH RETENTION (round 13 — the r12 verdict's unbounded-small-file
+    // item): delete all but the newest `retainEpochs` epoch dirs, so the
+    // ledger on a long-running intake stream stays O(retainEpochs), not
+    // O(batches). Crash-safe by the sink's replay contract: foreachBatch
+    // re-fires only the LAST uncommitted batchId, which rebases on the
+    // newest epoch strictly older than it — retained at any
+    // retainEpochs >= 2 (the just-written epoch + its base). Deletion
+    // runs strictly AFTER the new epoch's overwrite commits, and
+    // re-deleting on replay is a no-op. retainEpochs = 0 disables GC
+    // (the pre-round-13 behavior: keep the full audit ledger).
+    if (retainEpochs > 0) {
+      val after: Seq[Long] =
+        if (fs.exists(root))
+          fs.listStatus(root).toSeq.map(_.getPath.getName)
+            .collect { case n if n.startsWith("e") => n.drop(1).toLong }
+        else Seq.empty
+      after.sorted.dropRight(retainEpochs).foreach { e =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/manifest/e$e"), true)
+      }
+    }
     m2
   }
 

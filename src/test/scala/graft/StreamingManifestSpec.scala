@@ -40,6 +40,30 @@ class StreamingManifestSpec extends SparkSuite {
       s"streamed receipt diverged from the batch manifest:\n got $got\nwant $want")
   }
 
+  test("epoch GC bounds the ledger and replay idempotence survives the pruning") {
+    val dir = Files.createTempDirectory("graft-smanifest3").toString
+    val batches = (0 to 5).map(i => docsOf(i * 10 + 1 to i * 10 + 10))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Release.appendManifest(spark, dir, b, i.toLong)
+    }
+    // Retention: only the newest 2 epoch dirs remain (not one per batch).
+    val epochs = new java.io.File(s"$dir/manifest").listFiles()
+      .map(_.getName).filter(_.startsWith("e")).sorted.toSeq
+    assert(epochs == Seq("e4", "e5"), s"ledger not pruned: $epochs")
+    val before = Release.loadManifest(spark, dir)
+      .orderBy($"shard").collect().map(_.toSeq).toSeq
+    // at-least-once: the LAST batch (the only one foreachBatch can
+    // re-fire) replays AFTER older epochs were GC'd — must rebase on
+    // the retained e4 and recompute the identical e5.
+    Release.appendManifest(spark, dir, batches.last, 5L)
+    val after = Release.loadManifest(spark, dir)
+      .orderBy($"shard").collect().map(_.toSeq).toSeq
+    assert(after == before, "post-GC replay double-counted the batch")
+    val want = Release.manifestOf(docsOf(1 to 60))
+      .orderBy($"shard").collect().map(_.toSeq).toSeq
+    assert(after == want, "pruned ledger diverged from the union-batch receipt")
+  }
+
   test("replaying a micro-batch with its original batchId is a no-op (epoch idempotence)") {
     val dir = Files.createTempDirectory("graft-smanifest2").toString
     val b0 = docsOf(1 to 10)

@@ -487,7 +487,9 @@ object Advanced20 {
           col("cid")).as("dc"))
       .groupBy(col("vec_id"))
       .agg(min(col("dc")).as("m"), first(col("v")).as("v")) // v constant per vec_id
-      .select(col("vec_id"), col("m.cid").cast("int").as("c_id"), col("v"))
+      .select(col("vec_id"), col("m.cid").cast("int").as("c_id"), col("v"),
+        // negation of the struct-min's negated 6-decimal cosine is exact
+        (col("m.nca") * -1).as("aff"))
 
   /** The cluster-confined dominance sweep over `assigned(vec_id, c_id,
     * v)`: one row per vector whose cosine to a LOWER-id same-cluster
@@ -627,7 +629,54 @@ object Advanced20 {
     dominatedBy(assigned, SemTau).orderBy(col("vec_id"))
   }
 
+  // ---------------------------------------------------------------- q201
+
+  /** q201: ANTI-PROTOTYPE AUDIT (SSL-prototypes curation, the SemDeDup
+    * sibling from the same self-supervised-curation family): the 3
+    * LEAST prototypical vectors of every cluster — lowest 6-decimal
+    * cosine affinity to their own assigned centroid, vec_id tie-break —
+    * the members an embedding-space quality pass reviews or drops
+    * first (far-from-centroid ≈ off-distribution or mis-embedded).
+    * Rides the SAME session-shared Lloyd centroids and min-over-struct
+    * assignment as q199 ([[assignCosine]], which carries the affinity
+    * out of the argmin for free); the bottom-3 is a rank-filter window
+    * PARTITIONED BY CLUSTER — bounded by cluster occupancy (constant
+    * under the scaled-k sizing q200 gates) and rewritten to a bounded
+    * heap by the TopK rule. Rank selection is integer-exact; the
+    * affinity is the shared 6-decimal rounding — both engines pick
+    * identical rows.
+    */
+  val antiPrototypes = Q(
+    "q201_anti_prototypes",
+    (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${Quantizer.centroidTrainCtes(16, "e")},
+       |cent AS (SELECT cid AS c_id, cv AS centv FROM ${Quantizer.centFinal}),
+       |aff AS (
+       |  SELECT e.vec_id, c_id,
+       |    ROUND(list_dot_product(v, centv)
+       |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centv, centv))), 6) AS ca,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ROUND(list_dot_product(v, centv)
+       |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centv, centv))), 6)
+       |        DESC, c_id) AS crank
+       |  FROM e, cent),
+       |asg AS (SELECT vec_id, c_id, ca FROM aff WHERE crank = 1),
+       |r AS (
+       |  SELECT c_id, vec_id, ca,
+       |    ROW_NUMBER() OVER (PARTITION BY c_id ORDER BY ca, vec_id) AS rnk
+       |  FROM asg)
+       |SELECT CAST(c_id AS INTEGER) AS c_id, CAST(rnk AS BIGINT) AS rnk,
+       |  vec_id, ca AS aff
+       |FROM r WHERE rnk <= 3 ORDER BY c_id, rnk""").stripMargin) { (s, d) =>
+    val a = assignCosine(VectorSearch.emb(s, d), Quantizer.ivfCentroids(s, d))
+    val w = Window.partitionBy(col("c_id")).orderBy(col("aff"), col("vec_id"))
+    a.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("c_id"), col("rnk"), col("vec_id"), col("aff"))
+      .orderBy(col("c_id"), col("rnk"))
+  }
+
   val specs: Seq[Q] = Seq(budgetSelection, lengthPercentiles, crossSourceDups,
     vocabCoverage, dupDegrees, sourceBudgetFill, packingSweep, zorderKey,
-    globalPercentiles, semanticDedup, semanticDedupScaledGate)
+    globalPercentiles, semanticDedup, semanticDedupScaledGate, antiPrototypes)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, Deletions, Deletions2, DotProduct, NGrams, OuterUpper, SimHash60}
+import graft.functions.{CosineSim, Deletions, Deletions2, DotProduct, NGrams, OuterUpper, SimHash60, SqEncode}
 import graft.plans.{AsOfStrategy, TopKRewrite, TopKStrategy}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -55,6 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Deletions2].getName, "graft_deletions2"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Deletions2(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sq8_encode"),
+      new ExpressionInfo(classOf[SqEncode].getName, "graft_sq8_encode"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SqEncode(exprs.head, exprs(1), exprs(2))))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
     // rank-filter window idiom -> native bounded-heap top-k (the

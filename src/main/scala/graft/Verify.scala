@@ -31,9 +31,15 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Dev-only subset filter (unset for driver runs → all queries).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Per-query start markers (dev-only): lets a log grep attribute
+    // engine-level WARN/ERROR lines (e.g. a codegen fallback) to the
+    // query that was executing — the registry runs 200+ queries in one
+    // JVM, so unattributed timestamps are useless.
+    val trace = sys.env.contains("SPARK_GRAFT_VERIFY_TRACE")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      if (trace) System.err.println(s"[verify] start $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -59,29 +59,23 @@ object Advanced13 {
           transform(array_sort(col("lmx")), e => e.getField("mx")).as("mxs"))
     }
 
-  /** Unrolled 64-entry encode: code_i = round((v_i − mn_i)·255/(mx_i − mn_i)).
-    * Flat projection (no higher-order lambda) so the corpus-wide encode
-    * pass stays inside whole-stage codegen; codes kept as exact small
-    * integers in doubles so `graft_dot` serves as the integer kernel.
-    * A constant dimension (mx = mn) encodes as 0 — without the guard the
-    * division yields NaN/Infinity and the downstream ANSI cast of sqdist
-    * to long throws; the oracle mirrors via NULLIF + COALESCE.
-    */
-  private def sqEncode: Column = array((0 until Dim).map { i =>
-    val mn = element_at(col("mns"), i + 1)
-    val mx = element_at(col("mxs"), i + 1)
-    when(mx === mn, lit(0.0))
-      .otherwise(round((element_at(col("v"), i + 1) - mn) * 255 / (mx - mn)))
-  }: _*)
-
   /** Encoded corpus (vec_id, cv: 64 int-valued doubles, n2 = ‖cv‖² as
     * BIGINT) — session-shared, the SQ8 analogue of [[Advanced8.pqAssign]].
+    * The encode is the codegen'd loop expression
+    * [[graft.functions.SqEncode]] (`graft_sq8_encode`): the previous
+    * unrolled 64-entry `array(when/round)` projection crossed janino's
+    * 64 KB method limit and dropped the whole encode stage to
+    * interpreted execution — see SqEncode's Scaladoc. Codes stay exact
+    * small integers in doubles so `graft_dot` serves as the integer
+    * kernel; a constant dimension (mx = mn) encodes as 0 (the oracle
+    * mirrors via NULLIF + COALESCE).
     */
   private[graft] def sqCodes(s: SparkSession, d: String): DataFrame =
     Shared.materialized(s, s"sq8-codes@$d") {
+      graft.functions.SqEncode.register(s)
       embV(s, d)
         .crossJoin(broadcast(sqParams(s, d)))
-        .select(col("vec_id"), sqEncode.as("cv"))
+        .select(col("vec_id"), expr("graft_sq8_encode(v, mns, mxs)").as("cv"))
         .select(col("vec_id"), col("cv"),
           expr("graft_dot(cv, cv)").cast("long").as("n2"))
     }

@@ -629,6 +629,56 @@ object Advanced20 {
     dominatedBy(assigned, SemTau).orderBy(col("vec_id"))
   }
 
+  // ---------------------------------------------------------------- q202
+
+  /** One persisted fixed-16 AnnIndex per (session, corpus), built by the
+    * production [[AnnIndex.write]] on a [[graft.TempDirs]] dir — shared
+    * so q202's steady reps measure the SERVE path, not eight rebuilds.
+    */
+  private def sharedFixedIndexDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    import s.implicits._
+    graft.Shared.materialized(s, s"annix-fixed16-$d") {
+      val tmp = graft.TempDirs.create("graft-fixedix")
+      AnnIndex.write(s, d, tmp)
+      Seq(tmp).toDF("dir")
+    }.collect()(0).getString(0)
+  }
+
+  /** q202: [[semanticDedupFromIndex]] — the MEASURED production path
+    * (BENCH.md round 13: 5/10.7/25.4 s marginal at 200k/500k/1M, 25-55×
+    * under the self-contained forms) — under the hard gate, through the
+    * REAL persisted lifecycle: [[AnnIndex.write]] lays the index out on
+    * a temp dir (centroids = the session-shared Lloyd table, assignment
+    * = the one 6-decimal-cosine rank recipe), then the sweep reads the
+    * index's tombstone-filtered `assigned` table back and joins corpus
+    * vectors by id. The ORACLE is q199's chain verbatim — it replays
+    * training + assignment + sweep from raw embeddings and never sees
+    * the index — so hash equality proves persisted-serve ≡ from-scratch
+    * for the whole dedup surface (a wrong tombstone filter, a drifted
+    * persisted assignment, or a stale centroid table all surface as a
+    * row/hash mismatch).
+    */
+  val semanticDedupServe = Q(
+    "q202_semantic_dedup_serve",
+    (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${Quantizer.centroidTrainCtes(16, "e")},
+       |${Quantizer.ivfProbeCtes(1, 1)},
+       |ev AS (SELECT a.vec_id, a.c_id, e.v FROM assigned a JOIN e USING (vec_id)),
+       |p AS (
+       |  SELECT x.c_id, x.vec_id AS da, y.vec_id AS db,
+       |    ROUND(list_dot_product(x.v, y.v)
+       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
+       |  FROM ev x JOIN ev y ON x.c_id = y.c_id AND x.vec_id < y.vec_id
+       |  WHERE list_dot_product(x.v, y.v)
+       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= $SemTau)
+       |SELECT db AS vec_id, CAST(c_id AS INTEGER) AS c_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_dominating,
+       |  MAX(sim) AS max_sim, CAST(MIN(da) AS BIGINT) AS dominator
+       |FROM p GROUP BY db, c_id ORDER BY vec_id""").stripMargin) { (s, d) =>
+    semanticDedupFromIndex(s, d, sharedFixedIndexDir(s, d), SemTau)
+  }
+
   // ---------------------------------------------------------------- q201
 
   /** q201: ANTI-PROTOTYPE AUDIT (SSL-prototypes curation, the SemDeDup
@@ -678,5 +728,6 @@ object Advanced20 {
 
   val specs: Seq[Q] = Seq(budgetSelection, lengthPercentiles, crossSourceDups,
     vocabCoverage, dupDegrees, sourceBudgetFill, packingSweep, zorderKey,
-    globalPercentiles, semanticDedup, semanticDedupScaledGate, antiPrototypes)
+    globalPercentiles, semanticDedup, semanticDedupScaledGate, antiPrototypes,
+    semanticDedupServe)
 }

@@ -679,6 +679,102 @@ object Advanced20 {
     semanticDedupFromIndex(s, d, sharedFixedIndexDir(s, d), SemTau)
   }
 
+  // ---------------------------------------------------------------- q203
+
+  /** Which vectors of `batch(vec_id, v)` are semantically dominated by
+    * the EXISTING corpus behind a persisted index — the INTAKE form of
+    * semantic dedup (the embedding-space analog of
+    * [[DedupIndex.queryBatch]], and the third stage a semantic-aware
+    * [[IngestionGate]] would add): assign each batch vector to its
+    * nearest persisted centroid (the index's FROZEN quantizer — the
+    * same append-time contract [[AnnIndex.append]] keeps), then ONE
+    * batch×members cluster-confined join against the index's
+    * tombstone-filtered membership. Cost: |batch|·k assignment + the
+    * batch's cluster slices — never a corpus rescan, never batch×corpus.
+    * `corpusVecs` supplies the members' raw vectors by id (the index
+    * stores ids + codes; exact cosines need the vector store, read
+    * shortlist-style by id).
+    */
+  def semanticDedupBatch(s: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, corpusVecs: DataFrame,
+      tau: Double = SemTau): DataFrame = {
+    val ix = AnnIndex.load(s, indexDir)
+    val basg = assignCosine(batch, ix.centroids.select(col("cid"), col("cv")))
+      .select(col("vec_id").as("bv"), col("c_id"), col("v").as("vb"))
+    val members = corpusVecs.select(col("vec_id").as("mv"), col("v").as("vm"))
+      .join(ix.assigned.select(col("vec_id").as("mv"), col("c_id").as("mc")),
+        Seq("mv"))
+    basg.join(members, col("c_id") === col("mc"))
+      .withColumn("sim_raw", expr("graft_cosine(vb, vm)"))
+      .filter(col("sim_raw") >= tau)
+      .groupBy(col("bv").as("vec_id"), col("c_id"))
+      .agg(count(lit(1)).as("n_dominating"),
+        max(round(col("sim_raw"), 6)).as("max_sim"),
+        min(col("mv")).as("dominator"))
+  }
+
+  /** Cosine-affinity assignment CTE pair for a source CTE `src` against
+    * `cent(c_id, centv)` — the q203 oracle assigns corpus AND batch with
+    * the same rank recipe [[Quantizer.ivfProbeCtes]] uses; generated
+    * here (not copied) so the two sides can't drift.
+    */
+  private def assignCteSql(name: String, src: String): String =
+    s"""${name}_aff AS (
+       |  SELECT $src.vec_id, c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY $src.vec_id
+       |      ORDER BY ROUND(list_dot_product(v, centv)
+       |        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(centv, centv))), 6)
+       |        DESC, c_id) AS crank
+       |  FROM $src, cent),
+       |$name AS (SELECT vec_id, c_id FROM ${name}_aff WHERE crank = 1)""".stripMargin
+
+  /** q203: [[semanticDedupBatch]] under the hard gate, through the REAL
+    * persisted lifecycle. Deterministic fixture: the corpus is
+    * vec_id % 10 ≠ 7 (the index is built over it by the production
+    * [[AnnIndex.writeVectors]] — frozen quantizers trained on the
+    * corpus alone), the intake batch is vec_id % 10 = 7. The oracle
+    * replays corpus-only training, assigns BOTH sides with the shared
+    * affinity rank, and sweeps batch×corpus within clusters — it never
+    * sees the index, so a drifted persisted assignment, a leaked batch
+    * vector in training, or a wrong membership filter all surface as a
+    * hash mismatch. A batch vector with no cluster-mate at τ is absent
+    * identically in both engines (it would be ADMITTED by the gate).
+    */
+  val semanticDedupIntake = Q(
+    "q203_semantic_dedup_intake",
+    (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id, v FROM e WHERE vec_id % 10 != 7),
+       |bt AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 7),
+       |${Quantizer.centroidTrainCtes(16, "c")},
+       |cent AS (SELECT cid AS c_id, cv AS centv FROM ${Quantizer.centFinal}),
+       |${assignCteSql("casg", "c")},
+       |${assignCteSql("basg", "bt")},
+       |p AS (
+       |  SELECT b.vec_id AS bv, b.c_id, m.vec_id AS mv,
+       |    ROUND(list_dot_product(x.v, y.v)
+       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
+       |  FROM basg b
+       |  JOIN casg m ON b.c_id = m.c_id
+       |  JOIN bt x ON x.vec_id = b.vec_id
+       |  JOIN c y ON y.vec_id = m.vec_id
+       |  WHERE list_dot_product(x.v, y.v)
+       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= $SemTau)
+       |SELECT bv AS vec_id, CAST(c_id AS INTEGER) AS c_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_dominating,
+       |  MAX(sim) AS max_sim, CAST(MIN(mv) AS BIGINT) AS dominator
+       |FROM p GROUP BY bv, c_id ORDER BY vec_id""").stripMargin) { (s, d) =>
+    import s.implicits._
+    val e = VectorSearch.emb(s, d)
+    val corpus = e.filter(col("vec_id") % 10 =!= 7)
+    val batch = e.filter(col("vec_id") % 10 === 7)
+    val dir = graft.Shared.materialized(s, s"annix-corpus-v-$d") {
+      val tmp = graft.TempDirs.create("graft-corpusix")
+      AnnIndex.writeVectors(s, corpus, tmp)
+      Seq(tmp).toDF("dir")
+    }.collect()(0).getString(0)
+    semanticDedupBatch(s, dir, batch, corpus, SemTau).orderBy(col("vec_id"))
+  }
+
   // ---------------------------------------------------------------- q201
 
   /** q201: ANTI-PROTOTYPE AUDIT (SSL-prototypes curation, the SemDeDup
@@ -729,5 +825,5 @@ object Advanced20 {
   val specs: Seq[Q] = Seq(budgetSelection, lengthPercentiles, crossSourceDups,
     vocabCoverage, dupDegrees, sourceBudgetFill, packingSweep, zorderKey,
     globalPercentiles, semanticDedup, semanticDedupScaledGate, antiPrototypes,
-    semanticDedupServe)
+    semanticDedupServe, semanticDedupIntake)
 }

@@ -477,6 +477,18 @@ object IndexBench {
     t0 = System.nanoTime()
     val fix = ops.Advanced20.semanticDedupFromIndex(spark, sfDir, s"$tmp/sdix").count()
     println(f"IXBENCH semdedup_ivf_sweep           ${(System.nanoTime() - t0) / 1e9}%.3f s (flagged=$fix)")
+    // Intake-gate serve latency: a 5% re-ingested batch (id-shifted
+    // exact dups) gated against the persisted index — |batch|·k
+    // assignment + the batch's cluster slices; every vector should be
+    // caught (sim 1.0 to its original).
+    val ev = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val batch = ev.filter(col("vec_id") % 20 === 3)
+      .withColumn("vec_id", col("vec_id") + 1000000000L).localCheckpoint()
+    val nb = batch.count()
+    t0 = System.nanoTime()
+    val ng = ops.Advanced20.semanticDedupBatch(spark, s"$tmp/sdix", batch, ev).count()
+    println(f"IXBENCH semdedup_intake_gate         ${(System.nanoTime() - t0) / 1e9}%.3f s (caught=$ng of $nb)")
     }
     }
 

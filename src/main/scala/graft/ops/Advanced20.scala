@@ -454,6 +454,28 @@ object Advanced20 {
 
   private val SemTau = 0.4
 
+  /** The capped cluster-confined sweep's oracle tail over an
+    * `ev(vec_id, c_id, v)` CTE — ONE definition consumed by q199, q200
+    * and q202 (their sweeps differ only in how `ev` is assigned), so
+    * the three gates cannot drift from each other, and the membership
+    * cap is the IDENTICAL [[LshGuard.capCteSql]] recipe [[dominatedBy]]
+    * applies on the Spark side (same key, same vec_id rank order).
+    */
+  private def sweepOracleTailSql: String =
+    s""",
+       |${LshGuard.capCteSql("evc", "ev", Seq("vec_id", "c_id", "v"), Seq("c_id"), "vec_id")},
+       |p AS (
+       |  SELECT x.c_id, x.vec_id AS da, y.vec_id AS db,
+       |    ROUND(list_dot_product(x.v, y.v)
+       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
+       |  FROM evc x JOIN evc y ON x.c_id = y.c_id AND x.vec_id < y.vec_id
+       |  WHERE list_dot_product(x.v, y.v)
+       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= $SemTau)
+       |SELECT db AS vec_id, CAST(c_id AS INTEGER) AS c_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_dominating,
+       |  MAX(sim) AS max_sim, CAST(MIN(da) AS BIGINT) AS dominator
+       |FROM p GROUP BY db, c_id ORDER BY vec_id""".stripMargin
+
   /** q199: SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023, re-expressed) —
     * cluster the embedding space with the session-shared Lloyd centroids
     * ([[Quantizer.ivfCentroids]], the SAME trained table the IVF serving
@@ -494,10 +516,33 @@ object Advanced20 {
   /** The cluster-confined dominance sweep over `assigned(vec_id, c_id,
     * v)`: one row per vector whose cosine to a LOWER-id same-cluster
     * member reaches `tau`.
+    *
+    * HOT-CLUSTER GUARD (round 14): cluster membership is rank-capped at
+    * `cap` (vec_id order, [[LshGuard.capBuckets]]) BEFORE the pair
+    * join. The scaled-k sizing bounds EXPECTED occupancy only — on the
+    * corpora semantic dedup exists for (duplicate-heavy, mode-collapsed
+    * embeddings) Lloyd concentrates mass in few clusters and the
+    * confined join goes quadratic on the hot cluster regardless of k
+    * (all-identical vectors ⇒ n²/2 pairs at ANY cluster count) — the
+    * exact failure mode the LSH band joins cap (round-8 rehearsal:
+    * 0.79 → 58 s uncapped). Under the cap a hot cluster contributes at
+    * most cap·(cap−1)/2 pairs; members past the cap neither dominate
+    * nor are swept, and the dropped-membership count is observed and
+    * logged per query (a binding cap always leaves a log line — never
+    * silent truncation). Exact-duplicate detection INSIDE the cap is
+    * intact: identical vectors share a cluster and the lowest-id member
+    * (rank 1, always retained) dominates every other retained copy.
+    * Every registered oracle (q199/q200/q202) applies the IDENTICAL cap
+    * via [[LshGuard.capCteSql]]; at the test SFs no cluster approaches
+    * it, so capped ≡ uncapped there (SemanticGuardSpec pins that
+    * equality AND the degenerate-corpus bound).
     */
-  private[graft] def dominatedBy(assigned: DataFrame, tau: Double): DataFrame = {
-    val a = assigned.select(col("vec_id").as("da"), col("c_id"), col("v").as("va"))
-    val b = assigned.select(col("vec_id").as("db"), col("c_id").as("c2"), col("v").as("vb"))
+  private[graft] def dominatedBy(assigned: DataFrame, tau: Double,
+      cap: Int = LshGuard.BucketCap, tag: String = "semsweep"): DataFrame = {
+    val capped = LshGuard.capBuckets(assigned.sparkSession, assigned,
+      Seq("c_id"), "vec_id", cap, tag)
+    val a = capped.select(col("vec_id").as("da"), col("c_id"), col("v").as("va"))
+    val b = capped.select(col("vec_id").as("db"), col("c_id").as("c2"), col("v").as("vb"))
     a.join(b, col("c_id") === col("c2") && col("da") < col("db"))
       .withColumn("sim_raw", expr("graft_cosine(va, vb)"))
       .filter(col("sim_raw") >= tau)
@@ -591,18 +636,8 @@ object Advanced20 {
        |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT % m = 0),
        |${Quantizer.centroidTrainCtes(32, "samp")},
        |${Quantizer.ivfProbeCtes(1, 1)},
-       |ev AS (SELECT a.vec_id, a.c_id, e.v FROM assigned a JOIN e USING (vec_id)),
-       |p AS (
-       |  SELECT x.c_id, x.vec_id AS da, y.vec_id AS db,
-       |    ROUND(list_dot_product(x.v, y.v)
-       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
-       |  FROM ev x JOIN ev y ON x.c_id = y.c_id AND x.vec_id < y.vec_id
-       |  WHERE list_dot_product(x.v, y.v)
-       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= $SemTau)
-       |SELECT db AS vec_id, CAST(c_id AS INTEGER) AS c_id,
-       |  CAST(COUNT(*) AS BIGINT) AS n_dominating,
-       |  MAX(sim) AS max_sim, CAST(MIN(da) AS BIGINT) AS dominator
-       |FROM p GROUP BY db, c_id ORDER BY vec_id""").stripMargin) { (s, d) =>
+       |ev AS (SELECT a.vec_id, a.c_id, e.v FROM assigned a JOIN e USING (vec_id))""" +
+      sweepOracleTailSql).stripMargin) { (s, d) =>
     semanticDedupScaledAt(s, d, k = 32, perList = 2L, tau = SemTau)
   }
 
@@ -611,18 +646,8 @@ object Advanced20 {
     (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |${Quantizer.centroidTrainCtes(16, "e")},
        |${Quantizer.ivfProbeCtes(1, 1)},
-       |ev AS (SELECT a.vec_id, a.c_id, e.v FROM assigned a JOIN e USING (vec_id)),
-       |p AS (
-       |  SELECT x.c_id, x.vec_id AS da, y.vec_id AS db,
-       |    ROUND(list_dot_product(x.v, y.v)
-       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
-       |  FROM ev x JOIN ev y ON x.c_id = y.c_id AND x.vec_id < y.vec_id
-       |  WHERE list_dot_product(x.v, y.v)
-       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= $SemTau)
-       |SELECT db AS vec_id, CAST(c_id AS INTEGER) AS c_id,
-       |  CAST(COUNT(*) AS BIGINT) AS n_dominating,
-       |  MAX(sim) AS max_sim, CAST(MIN(da) AS BIGINT) AS dominator
-       |FROM p GROUP BY db, c_id ORDER BY vec_id""").stripMargin) { (s, d) =>
+       |ev AS (SELECT a.vec_id, a.c_id, e.v FROM assigned a JOIN e USING (vec_id))""" +
+      sweepOracleTailSql).stripMargin) { (s, d) =>
     val e = VectorSearch.emb(s, d)
     val assigned = assignCosine(e, Quantizer.ivfCentroids(s, d))
       .localCheckpoint(true) // reduced (id, cluster, vec); feeds both pair sides
@@ -664,18 +689,8 @@ object Advanced20 {
     (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |${Quantizer.centroidTrainCtes(16, "e")},
        |${Quantizer.ivfProbeCtes(1, 1)},
-       |ev AS (SELECT a.vec_id, a.c_id, e.v FROM assigned a JOIN e USING (vec_id)),
-       |p AS (
-       |  SELECT x.c_id, x.vec_id AS da, y.vec_id AS db,
-       |    ROUND(list_dot_product(x.v, y.v)
-       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
-       |  FROM ev x JOIN ev y ON x.c_id = y.c_id AND x.vec_id < y.vec_id
-       |  WHERE list_dot_product(x.v, y.v)
-       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= $SemTau)
-       |SELECT db AS vec_id, CAST(c_id AS INTEGER) AS c_id,
-       |  CAST(COUNT(*) AS BIGINT) AS n_dominating,
-       |  MAX(sim) AS max_sim, CAST(MIN(da) AS BIGINT) AS dominator
-       |FROM p GROUP BY db, c_id ORDER BY vec_id""").stripMargin) { (s, d) =>
+       |ev AS (SELECT a.vec_id, a.c_id, e.v FROM assigned a JOIN e USING (vec_id))""" +
+      sweepOracleTailSql).stripMargin) { (s, d) =>
     semanticDedupFromIndex(s, d, sharedFixedIndexDir(s, d), SemTau)
   }
 
@@ -694,16 +709,26 @@ object Advanced20 {
     * `corpusVecs` supplies the members' raw vectors by id (the index
     * stores ids + codes; exact cosines need the vector store, read
     * shortlist-style by id).
+    *
+    * HOT-CLUSTER GUARD: corpus membership is rank-capped at `cap` per
+    * cluster (mv order, [[LshGuard.capBuckets]] — see [[dominatedBy]]'s
+    * guard note) before the batch×members join, so a mode-collapsed
+    * corpus cluster bounds the join at |batch slice|·cap instead of
+    * |batch slice|·|hot cluster|; drops are observed + logged, and the
+    * q203 oracle applies the identical cap. The batch side is the
+    * caller-bounded intake micro-batch and is not capped.
     */
   def semanticDedupBatch(s: org.apache.spark.sql.SparkSession,
       indexDir: String, batch: DataFrame, corpusVecs: DataFrame,
-      tau: Double = SemTau): DataFrame = {
+      tau: Double = SemTau, cap: Int = LshGuard.BucketCap): DataFrame = {
     val ix = AnnIndex.load(s, indexDir)
     val basg = assignCosine(batch, ix.centroids.select(col("cid"), col("cv")))
       .select(col("vec_id").as("bv"), col("c_id"), col("v").as("vb"))
-    val members = corpusVecs.select(col("vec_id").as("mv"), col("v").as("vm"))
-      .join(ix.assigned.select(col("vec_id").as("mv"), col("c_id").as("mc")),
-        Seq("mv"))
+    val members = LshGuard.capBuckets(s,
+      corpusVecs.select(col("vec_id").as("mv"), col("v").as("vm"))
+        .join(ix.assigned.select(col("vec_id").as("mv"), col("c_id").as("mc")),
+          Seq("mv")),
+      Seq("mc"), "mv", cap, tag = "semintake")
     basg.join(members, col("c_id") === col("mc"))
       .withColumn("sim_raw", expr("graft_cosine(vb, vm)"))
       .filter(col("sim_raw") >= tau)
@@ -748,13 +773,14 @@ object Advanced20 {
        |${Quantizer.centroidTrainCtes(16, "c")},
        |cent AS (SELECT cid AS c_id, cv AS centv FROM ${Quantizer.centFinal}),
        |${assignCteSql("casg", "c")},
+       |${LshGuard.capCteSql("mcap", "casg", Seq("vec_id", "c_id"), Seq("c_id"), "vec_id")},
        |${assignCteSql("basg", "bt")},
        |p AS (
        |  SELECT b.vec_id AS bv, b.c_id, m.vec_id AS mv,
        |    ROUND(list_dot_product(x.v, y.v)
        |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
        |  FROM basg b
-       |  JOIN casg m ON b.c_id = m.c_id
+       |  JOIN mcap m ON b.c_id = m.c_id
        |  JOIN bt x ON x.vec_id = b.vec_id
        |  JOIN c y ON y.vec_id = m.vec_id
        |  WHERE list_dot_product(x.v, y.v)

@@ -254,12 +254,12 @@ object Advanced20 {
     val agree = (1 to 16).map { i =>
       when(element_at(col("sa.sig"), i) === element_at(col("sb.sig"), i), 1).otherwise(0)
     }.reduce(_ + _)
-    val pairs = cand
+    val pairsRaw = cand
       .join(sigs.as("sa"), col("da") === col("sa.doc_id"))
       .join(sigs.as("sb"), col("db") === col("sb.doc_id"))
       .select(col("da"), col("db"), round(agree / lit(16.0), 6).as("est"))
       .filter(col("est") >= DupThreshold)
-      .localCheckpoint(true) // pair-sized; feeds both union branches
+    val pairs = graft.Reliable.checkpoint(pairsRaw) // pair-sized; feeds both union branches
     pairs.select(col("da").as("doc_id"))
       .unionAll(pairs.select(col("db").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
@@ -563,9 +563,13 @@ object Advanced20 {
     */
   private[graft] def semanticDedupScaledAt(s: org.apache.spark.sql.SparkSession,
       d: String, k: Int, perList: Long, tau: Double): DataFrame = {
-    val e = VectorSearch.emb(s, d).localCheckpoint(true)
+    // corpus-sized materializations ride graft.Reliable: executor-local
+    // by default, reliable under spark.graft.checkpointDir (a lost
+    // executor otherwise kills the job at exactly the corpus sizes this
+    // scaled path exists for)
+    val e = graft.Reliable.checkpoint(VectorSearch.emb(s, d))
     val cents = AnnIndex.scaledSampleCentroids(e, k, perList)
-    dominatedBy(assignCosine(e, cents).localCheckpoint(true), tau)
+    dominatedBy(graft.Reliable.checkpoint(assignCosine(e, cents)), tau)
       .orderBy(col("vec_id"))
   }
 
@@ -649,8 +653,10 @@ object Advanced20 {
        |ev AS (SELECT a.vec_id, a.c_id, e.v FROM assigned a JOIN e USING (vec_id))""" +
       sweepOracleTailSql).stripMargin) { (s, d) =>
     val e = VectorSearch.emb(s, d)
-    val assigned = assignCosine(e, Quantizer.ivfCentroids(s, d))
-      .localCheckpoint(true) // reduced (id, cluster, vec); feeds both pair sides
+    // reduced (id, cluster, vec); feeds both pair sides — Reliable so a
+    // conf-bearing cluster survives executor loss (default unchanged)
+    val assigned = graft.Reliable.checkpoint(
+      assignCosine(e, Quantizer.ivfCentroids(s, d)))
     dominatedBy(assigned, SemTau).orderBy(col("vec_id"))
   }
 

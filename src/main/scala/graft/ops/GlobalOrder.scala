@@ -127,9 +127,19 @@ object GlobalOrder {
     // every job below — the partials collect AND the final plan — must
     // read the SAME physical partitioning, and a lazy repartitionByRange
     // re-samples its boundaries per action at reservoir scale.
-    val ranged = df.repartitionByRange(parts, order: _*)
-      .withColumn(Pid, spark_partition_id())
-      .localCheckpoint(true)
+    // Routed through Reliable.checkpoint (round 14): by default this is
+    // the same eager executor-local materialization, but with
+    // `spark.graft.checkpointDir` set the blocks are RELIABLE — a
+    // preempted executor on a real cluster cannot recompute a local
+    // checkpoint's lineage-free blocks, and this one sits under the
+    // whole selection/packing/percentile family. Note the blocks live
+    // until the RDD is GC'd: a long-lived session running many
+    // GlobalOrder queries should either set the conf (files are
+    // reclaimed at application end) or expect executor-storage
+    // residency proportional to the retained frames.
+    val ranged = graft.Reliable.checkpoint(
+      df.repartitionByRange(parts, order: _*)
+        .withColumn(Pid, spark_partition_id()))
     // Partition-count-bounded driver read (≤ `parts` rows).
     val partials = ranged.groupBy(col(Pid))
       .agg(count(lit(1L)).as("pcnt"), sum(value).cast("long").as("psum"))

@@ -41,6 +41,27 @@ class ReliableCheckpointSpec extends SparkSuite {
     } finally spark.conf.unset(Reliable.ConfKey)
   }
 
+  test("GlobalOrder: identical ranks under reliable checkpointing") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 5000).map(i => ((i * 2654435761L) % 100000L, i.toLong))
+      .toDF("k", "id")
+    def ranks() = ops.GlobalOrder.rankAndRunningSum(df,
+        Seq(col("k"), col("id")), col("id"), "rnk", "cum", parts = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val base = ranks()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-go")
+    spark.conf.set(Reliable.ConfKey, dir.toString)
+    try {
+      val rel = ops.GlobalOrder.rankAndRunningSum(df,
+        Seq(col("k"), col("id")), col("id"), "rnk", "cum", parts = 8)
+      val lineage = rel.rdd.toDebugString
+      assert(lineage.contains("ReliableCheckpointRDD"),
+        s"no reliable checkpoint under GlobalOrder's ranged layout:\n$lineage")
+      val got = rel.collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+      assert(got.sameElements(base), "ranks diverged between checkpoint modes")
+    } finally spark.conf.unset(Reliable.ConfKey)
+  }
+
   test("default mode unchanged: executor-local blocks, no reliable RDD") {
     val lineage = DedupClusters.connectedComponents(edges).rdd.toDebugString
     assert(lineage.contains("LocalCheckpointRDD") ||

@@ -33,6 +33,21 @@ case class SqEncode(first: Expression, second: Expression, third: Expression)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_sq8_encode"
 
+  // analysis-time type check: without it a wrong-typed call to the
+  // SQL-registered function (array<float>, a scalar, ...) surfaces as an
+  // executor-side ClassCastException instead of an analysis error
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val bad = children.map(_.dataType).exists {
+      case ArrayType(DoubleType, _) => false
+      case _ => true
+    }
+    if (bad)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires three array<double> arguments, got " +
+          children.map(_.dataType.simpleString).mkString(", "))
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
   override def nullSafeEval(va: Any, mna: Any, mxa: Any): Any = {
     val v = va.asInstanceOf[ArrayData]
     val mn = mna.asInstanceOf[ArrayData]

@@ -439,10 +439,25 @@ object Release {
     * `retainEpochs` epoch dirs are deleted (see the inline note for the
     * crash-safety argument); StreamingManifestSpec pins idempotence
     * surviving the pruning.
+    *
+    * BEHAVIOR CHANGE (round 13): GC is ON BY DEFAULT (`retainEpochs =
+    * 2`). Before round 13 every epoch dir was kept forever; a consumer
+    * reading older `manifest/e*` dirs as an audit trail must opt out
+    * with `retainEpochs = 0` (full ledger, the pre-round-13 behavior).
+    * `retainEpochs = 1` is REJECTED: it would keep only the
+    * just-written epoch, so a crash-replay of that batchId finds no
+    * epoch strictly older than itself, rebases on the empty manifest,
+    * and silently loses all prior history — the minimum safe retention
+    * is the new epoch plus its base.
     * StreamingManifestSpec pins stream ≡ batch and replay idempotence.
     */
   def appendManifest(s: SparkSession, dir: String, batch: DataFrame,
       batchId: Long, retainEpochs: Int = 2): DataFrame = {
+    require(retainEpochs == 0 || retainEpochs >= 2,
+      s"retainEpochs=$retainEpochs: must be 0 (keep the full ledger) or >= 2 — " +
+        "retaining a single epoch breaks crash-replay (a replayed batch " +
+        "rebases on the newest epoch STRICTLY OLDER than itself, which " +
+        "retention 1 has just deleted)")
     val root = new org.apache.hadoop.fs.Path(s"$dir/manifest")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val epochs: Seq[Long] =

@@ -122,4 +122,17 @@ class FunctionLawsSpec extends SparkSuite {
     }
     assert(got.toSeq == want.toSeq) // identical order of operations -> bit equality
   }
+
+  test("graft_sq8_encode rejects wrong-typed arguments at analysis, not on an executor") {
+    graft.functions.SqEncode.register(spark)
+    val df = Seq((Array(1.0, 2.0), "nope")).toDF("v", "s")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("graft_sq8_encode(v, v, s)")).collect()
+    }
+    assert(ex.getMessage.contains("array<double>"), ex.getMessage)
+    // the well-typed call still works (constant dim encodes as 0)
+    val ok = df.select(expr("graft_sq8_encode(v, v, v)").as("c"))
+      .collect()(0).getSeq[Double](0)
+    assert(ok == Seq(0.0, 0.0))
+  }
 }

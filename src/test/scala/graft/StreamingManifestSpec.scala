@@ -40,6 +40,17 @@ class StreamingManifestSpec extends SparkSuite {
       s"streamed receipt diverged from the batch manifest:\n got $got\nwant $want")
   }
 
+  test("retainEpochs = 1 is rejected: single-epoch retention breaks crash-replay") {
+    val dir = Files.createTempDirectory("graft-smanifest-r1").toString
+    val ex = intercept[IllegalArgumentException] {
+      Release.appendManifest(spark, dir, docsOf(1 to 5), 0L, retainEpochs = 1)
+    }
+    assert(ex.getMessage.contains("retainEpochs"), ex.getMessage)
+    // 0 (full ledger) and 2 (minimum safe GC) both pass the guard
+    Release.appendManifest(spark, dir, docsOf(1 to 5), 0L, retainEpochs = 0)
+    Release.appendManifest(spark, dir, docsOf(6 to 10), 1L, retainEpochs = 2)
+  }
+
   test("epoch GC bounds the ledger and replay idempotence survives the pruning") {
     val dir = Files.createTempDirectory("graft-smanifest3").toString
     val batches = (0 to 5).map(i => docsOf(i * 10 + 1 to i * 10 + 10))
@@ -48,7 +59,9 @@ class StreamingManifestSpec extends SparkSuite {
     }
     // Retention: only the newest 2 epoch dirs remain (not one per batch).
     val epochs = new java.io.File(s"$dir/manifest").listFiles()
-      .map(_.getName).filter(_.startsWith("e")).sorted.toSeq
+      // numeric epoch order: a string sort would put e10 before e9 and
+      // quietly corrupt this assertion past 9 batches
+      .map(_.getName).filter(_.startsWith("e")).sortBy(_.drop(1).toLong).toSeq
     assert(epochs == Seq("e4", "e5"), s"ledger not pruned: $epochs")
     val before = Release.loadManifest(spark, dir)
       .orderBy($"shard").collect().map(_.toSeq).toSeq

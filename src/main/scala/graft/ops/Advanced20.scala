@@ -820,7 +820,11 @@ object Advanced20 {
     * out of the argmin for free); the bottom-3 is a rank-filter window
     * PARTITIONED BY CLUSTER — bounded by cluster occupancy (constant
     * under the scaled-k sizing q200 gates) and rewritten to a bounded
-    * heap by the TopK rule. Rank selection is integer-exact; the
+    * heap by the TopK rule, which since round 14 EMITS the selected
+    * rank itself (the heap drains in rank order), so keeping `rnk` in
+    * the output no longer forces the full per-cluster sort — the
+    * int-rank filter runs below, the BIGINT cast above (TopKSpec pins
+    * this exact idiom's plan). Rank selection is integer-exact; the
     * affinity is the shared 6-decimal rounding — both engines pick
     * identical rows.
     */
@@ -848,9 +852,11 @@ object Advanced20 {
        |FROM r WHERE rnk <= 3 ORDER BY c_id, rnk""").stripMargin) { (s, d) =>
     val a = assignCosine(VectorSearch.emb(s, d), Quantizer.ivfCentroids(s, d))
     val w = Window.partitionBy(col("c_id")).orderBy(col("aff"), col("vec_id"))
-    a.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("c_id"), col("rnk"), col("vec_id"), col("aff"))
+    // int rank below the filter, BIGINT cast above: the TopK rewrite's
+    // Project(Filter(Window)) pattern with the rank kept — heap-emitted
+    a.withColumn("rnk0", row_number().over(w))
+      .filter(col("rnk0") <= 3)
+      .select(col("c_id"), col("rnk0").cast("long").as("rnk"), col("vec_id"), col("aff"))
       .orderBy(col("c_id"), col("rnk"))
   }
 

@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Descending, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -29,8 +29,10 @@ case class TopKPerGroup(
     groupExprs: Seq[Expression],
     orderExprs: Seq[SortOrder],
     child: LogicalPlan,
-    withTies: Boolean = false) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output
+    withTies: Boolean = false,
+    rankOutput: Option[Attribute] = None) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output ++ rankOutput
+  override def producedAttributes: AttributeSet = AttributeSet(rankOutput.toSeq)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
     copy(child = newChild)
 }
@@ -46,15 +48,26 @@ case class TopKPerGroup(
   * of rows comparing equal to the current boundary — bounded by the
   * boundary's tie multiplicity (inherent to rank(): the result itself
   * is unbounded under ties), and reset whenever the boundary improves.
+  *
+  * `rankOutput` (round 14): when set, the heap EMITS the rank as that
+  * extra column — the drain is already in rank order, so row_number is
+  * the emission position and rank() is the competition rank over the
+  * sorted survivors (a prefix of the group, so prefix ranks equal
+  * full-group ranks). Queries that SELECT the rank no longer need the
+  * full per-group sort. Rank numbers among order-tied rows are
+  * arbitrary, exactly as the window form's are — determinism needs a
+  * total order either way.
   */
 case class TopKPerGroupExec(
     k: Int,
     groupExprs: Seq[Expression],
     orderExprs: Seq[SortOrder],
     child: SparkPlan,
-    withTies: Boolean = false) extends UnaryExecNode {
+    withTies: Boolean = false,
+    rankOutput: Option[Attribute] = None) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankOutput
+  override def producedAttributes: AttributeSet = AttributeSet(rankOutput.toSeq)
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
@@ -65,8 +78,13 @@ case class TopKPerGroupExec(
     val groupLocal = groupExprs
     val orderLocal = orderExprs
     val tiesLocal = withTies
+    val emitRank = rankOutput.isDefined
+    val outputLocal = output
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupLocal, childOutput)
+      // rank emission: project (child row ++ rank int) to an unsafe row
+      val outProj =
+        if (emitRank) UnsafeProjection.create(outputLocal, outputLocal) else null
       // ascending "rank" ordering: the first k rows in this order survive
       val ord = RowOrdering.create(orderLocal, childOutput)
       // max-heap by rank: head = current worst survivor, evicted first
@@ -104,7 +122,27 @@ case class TopKPerGroupExec(
         }
       }
       groups.iterator.flatMap { case (_, st) =>
-        st.heap.dequeueAll.reverseIterator ++ st.tieBuf.iterator
+        // dequeueAll drains worst-first; reversed = ascending rank order,
+        // and tieBuf rows all compare equal to the k-th position
+        val ordered = st.heap.dequeueAll.reverseIterator ++ st.tieBuf.iterator
+        if (!emitRank) ordered
+        else {
+          val joined = new JoinedRow
+          val rankRow = new GenericInternalRow(1)
+          var idx = 0
+          var prev: InternalRow = null
+          var prevRank = 1
+          ordered.map { r =>
+            idx += 1
+            // competition rank for ties mode; emission position otherwise
+            val rk = if (tiesLocal && prev != null && ord.compare(r, prev) == 0)
+              prevRank else idx
+            prev = r
+            prevRank = rk
+            rankRow.setInt(0, rk)
+            outProj(joined(r, rankRow))
+          }
+        }
       }
     }, preservesPartitioning = true)
   }
@@ -115,8 +153,8 @@ case class TopKPerGroupExec(
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(k, g, o, child, ties) =>
-      TopKPerGroupExec(k, g, o, planLater(child), ties) :: Nil
+    case TopKPerGroup(k, g, o, child, ties, rankOut) =>
+      TopKPerGroupExec(k, g, o, planLater(child), ties, rankOut) :: Nil
     case _ => Nil
   }
 }

@@ -30,14 +30,14 @@ import org.apache.spark.sql.types.IntegerType
   *  - the filter is a sole rank predicate with an integer literal
   *    (`rn <= k`, `rn < k`, `k >= rn`, `k > rn`, `rn = 1`) — compound
   *    conditions are left alone;
-  *  - a Project sits directly above and does NOT reference the rank
-  *    (a query that outputs the rank needs the window form) — EXCEPT
-  *    the keep-first case: a bare `filter(rn = 1)` with no Project
-  *    above (the dedup idiom feeding straight into a join/agg, or one
-  *    that keeps the rn column) also rewrites, because every surviving
-  *    row's rank is the CONSTANT 1 — the rank column is re-emitted as
-  *    a literal over the heap, preserving the schema and the original
-  *    attribute id for upstream references.
+  *  - a Project directly above may DROP the rank (plain heap) or KEEP
+  *    it (round 14): the heap drains in rank order, so it re-emits the
+  *    rank column itself — emission position for `row_number()`,
+  *    competition rank for `rank()` — under the original attribute id
+  *    (`TopKPerGroup.rankOutput`). A bare `filter(rn <= k)` with no
+  *    Project above rewrites the same way; the `rn = 1` keep-first
+  *    dedup idiom keeps its cheaper literal-1 re-emission (no per-row
+  *    rank projection).
   *
   * Row ORDER within a group differs from the window form (heap emission
   * vs sorted scan) — identical row SETS; rank ties at the boundary are
@@ -98,19 +98,24 @@ object TopKRewrite extends Rule[LogicalPlan] {
               if fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank] =>
             val rn = a.toAttribute
             rankLimit(cond, rn) match {
-              case Some(k) if k >= 1 && !projectList.exists(_.references.contains(rn)) =>
+              case Some(k) if k >= 1 =>
+                // rank referenced above? the heap emits it (rank order is
+                // its drain order) under the same attribute id
+                val keepsRank = projectList.exists(_.references.contains(rn))
                 Project(projectList,
                   TopKPerGroup(k, w.partitionSpec, w.orderSpec, stripGroupLimit(w.child),
-                    withTies = fn.isInstanceOf[Rank]))
+                    withTies = fn.isInstanceOf[Rank],
+                    rankOutput = if (keepsRank) Some(rn) else None))
               case _ => p
             }
           case _ => p
         }
     }
-    // Pass 2: bare keep-first filters the first pass left behind (no
-    // Project above, or the rank column is kept). Only k = 1 is
-    // expressible without the window: the surviving rank is literally
-    // 1, re-emitted under the original attribute id.
+    // Pass 2: bare rank filters the first pass left behind (no Project
+    // above). k = 1 keeps the cheap literal re-emission (every surviving
+    // rank IS 1); k > 1 has the heap emit the rank column itself, under
+    // the original attribute id — output order matches the Window's
+    // (child.output :+ rank), so no Project is needed.
     afterProjected.transformUp {
       case f @ Filter(cond, w: Window)
           if w.windowExpressions.size == 1 &&
@@ -124,6 +129,9 @@ object TopKRewrite extends Rule[LogicalPlan] {
                   w.child.output :+ Alias(Literal(1, IntegerType), a.name)(exprId = a.exprId),
                   TopKPerGroup(1, w.partitionSpec, w.orderSpec, stripGroupLimit(w.child),
                     withTies = fn.isInstanceOf[Rank]))
+              case Some(k) if k > 1 =>
+                TopKPerGroup(k, w.partitionSpec, w.orderSpec, stripGroupLimit(w.child),
+                  withTies = fn.isInstanceOf[Rank], rankOutput = Some(a.toAttribute))
               case _ => f
             }
           case _ => f

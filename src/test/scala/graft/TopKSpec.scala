@@ -100,14 +100,9 @@ class TopKSpec extends SparkSuite {
     } finally s.conf.unset(graft.plans.TopKRewrite.EnabledKey)
   }
 
-  test("rewrite guards: rank in output, compound filter, dense_rank()") {
+  test("rewrite guards: compound filter, dense_rank()") {
     val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_orderkey"))
     val base = liOn(rewriteSession)
-    // rank kept in the output -> the native op can't serve it
-    val keepsRank = base.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("l_suppkey"), col("rn"))
-    assert(!keepsRank.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
     // compound condition -> left alone
     val compound = base.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3 && col("l_linenumber") === 1).drop("rn")
@@ -116,6 +111,49 @@ class TopKSpec extends SparkSuite {
     val dr = base.withColumn("rn", dense_rank().over(w))
       .filter(col("rn") <= 3).drop("rn")
     assert(!dr.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+  }
+
+  test("rewrite: rank kept in the output is heap-emitted, numbers equal the window's") {
+    // total order so the emitted numbers are deterministic either way
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    def idiom(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    val rewritten = idiom(liOn(rewriteSession))
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan.take(1200))
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert(rewritten.collect().toSeq == idiom(li).collect().toSeq)
+    // the q201 shape: rank CAST above the filter (project references rn)
+    def q201ish(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rn0", row_number().over(w))
+        .filter(col("rn0") <= 3)
+        .select(col("l_suppkey"), col("rn0").cast("long").as("rnk"), col("l_orderkey"))
+        .orderBy(col("l_suppkey"), col("rnk"))
+    val q201plan = q201ish(liOn(rewriteSession)).queryExecution.executedPlan.toString
+    assert(q201plan.contains("TopKPerGroup") && !q201plan.contains("Window"),
+      q201plan.take(1200))
+    assert(q201ish(liOn(rewriteSession)).collect().toSeq == q201ish(li).collect().toSeq)
+  }
+
+  test("rewrite: rank() kept in the output emits competition ranks (ties share numbers)") {
+    // deliberately NON-total order (price only) so boundary ties exist
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_extendedprice"))
+    def idiom(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("rk"))
+    val rewritten = idiom(liOn(rewriteSession))
+    assert(rewritten.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    // (row identity, rank) pairs agree exactly — rank() is a pure
+    // function of the order VALUES, so even with arbitrary tie order
+    // both forms assign each physical row the identical rank
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(canon(rewritten) == canon(idiom(li)))
   }
 
   test("rewrite: rank() idiom becomes the tie-preserving heap, results equal") {
@@ -164,10 +202,16 @@ class TopKSpec extends SparkSuite {
     val want = li.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).orderBy(col("l_suppkey")).collect().toSeq
     assert(got == want) // includes the rn column, constant 1
-    // k > 1 with the rank kept has no constant value — stays a window
+    // k > 1 with the rank kept: the heap emits the rank column (round 14)
     val wide = liOn(s).withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-    assert(wide.queryExecution.executedPlan.toString.contains("Window"))
+    val widePlan = wide.queryExecution.executedPlan.toString
+    assert(widePlan.contains("TopKPerGroup") && !widePlan.contains("Window"),
+      widePlan.take(1200))
+    val wideGot = wide.orderBy(col("l_suppkey"), col("rn")).collect().toSeq
+    val wideWant = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).orderBy(col("l_suppkey"), col("rn")).collect().toSeq
+    assert(wideGot == wideWant)
   }
 
   test("rewrite: rn = 1 dedup idiom becomes a k=1 heap") {

@@ -350,6 +350,26 @@ object IndexBench {
       ops.IngestionGate.decide(spark, gateCfg, gateProbe).count()
     }
 
+    // 4-stage decide: the semantic layout is the embeddings corpus
+    // (built once — the serving artifact); every probe doc carries a
+    // corpus vector by id modulus, so stage 4's batch·k assignment AND
+    // the cluster-confined member sweep both do real work (each probe
+    // is a semantic dup of its source vector). The row's delta over
+    // gate_decide_100docs is the marginal cost of the semantic stage.
+    val evG = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    val nEmb = evG.count()
+    ops.IngestionGate.writeSemantic(spark, evG, s"$tmp/sem")
+    val gateProbeV = gateProbe
+      .join(evG.withColumnRenamed("vec_id", "jk"),
+        pmod(col("doc_id"), lit(nEmb)) === col("jk"))
+      .drop("jk").localCheckpoint()
+    val cfg4 = gateCfg.copy(semanticDir = Some(s"$tmp/sem"))
+    timed("gate_decide4_100docs") {
+      ops.IngestionGate.decide(spark, cfg4, gateProbeV).count()
+    }
+
     // Streaming-intake rehearsal: 10 sequential micro-batches through
     // the MUTATING gate (decide + index append + sink). The contract
     // under test is stability: per-batch cost must stay flat while the

@@ -9,11 +9,18 @@ import org.apache.spark.sql.functions._
   * arriving document batch is (1) near-dup-checked against the
   * persisted [[DedupIndex]], (2) LM-scored against the persisted
   * [[LmModel]], (3) optionally classifier-scored against the persisted
-  * [[QualityModel]], and (4) the survivors are appended to the dedup
-  * index (so the NEXT batch deduplicates against them) and landed in
-  * the accepted-corpus sink. The LM and classifier models stay frozen —
-  * a probability model is versioned per corpus release, not
-  * incrementally mutated (see [[LmModel]]'s object doc).
+  * [[QualityModel]], (4, round 14, optional) SEMANTIC-dup-checked
+  * against a persisted [[AnnIndex]] via
+  * [[Advanced20.semanticDedupBatch]] — the rejection class stages 1–3
+  * cannot catch: a paraphrase or re-render that is lexically novel but
+  * embedding-near-identical to a corpus member — and finally the
+  * survivors are appended to the dedup index AND the semantic layout
+  * (so the NEXT batch deduplicates against them, lexically and
+  * semantically) and landed in the accepted-corpus sink. The LM and
+  * classifier models stay frozen — a probability model is versioned
+  * per corpus release, not incrementally mutated (see [[LmModel]]'s
+  * object doc); the semantic index keeps its FROZEN quantizers on
+  * append ([[AnnIndex.append]]'s standard serve contract).
   *
   * Every stage is O(batch + pruned index slice): the dedup check is the
   * band-bucket-pruned [[DedupIndex.queryBatch]], the score is the
@@ -52,11 +59,30 @@ object IngestionGate {
     * accepted-corpus sink, and the admission thresholds. `qualityDir`
     * adds the optional third stage — the persisted [[QualityModel]]
     * classifier, admitting only docs scoring ≥ `minQualityPpm`.
+    * `semanticDir` adds the optional FOURTH stage — a [[writeSemantic]]
+    * layout (frozen-quantizer AnnIndex + raw vector store); batches
+    * must then carry a `v` embedding column, and a doc whose embedding
+    * is dominated by any live corpus vector at cosine ≥ `semanticTau`
+    * is rejected ([[Advanced20.semanticDedupBatch]]'s capped
+    * cluster-confined sweep — O(batch·k + cluster slices), never a
+    * corpus scan).
     */
   case class Config(dedupDir: String, lmDir: String, acceptedDir: String,
     maxJaccard: Double = 0.5, minMeanPpm: Long = 1L,
     qualityDir: Option[String] = None, minQualityPpm: Long = 500000L,
-    selfDedup: Boolean = false)
+    selfDedup: Boolean = false,
+    semanticDir: Option[String] = None, semanticTau: Double = 0.4)
+
+  /** Build the semantic stage's layout under `dir`: a frozen-quantizer
+    * [[AnnIndex]] over `corpusVecs(vec_id, v)` plus the raw vector
+    * store the exact-cosine sweep reads (the index holds ids + codes;
+    * tombstones on the index side govern liveness for both).
+    */
+  def writeSemantic(s: SparkSession, corpusVecs: DataFrame, dir: String): Unit = {
+    val v = corpusVecs.select(col("vec_id"), col("v")).localCheckpoint(true)
+    AnnIndex.writeVectors(s, v, s"$dir/ann")
+    v.write.mode("overwrite").parquet(s"$dir/vecs")
+  }
 
   /** The pure decision: which of `batch(doc_id, text)` would the gate
     * admit right now, against the CURRENT index state? No writes — this
@@ -93,13 +119,28 @@ object IngestionGate {
       .filter(col("mean_ppm") >= cfg.minMeanPpm)
       .select(col("doc_id"))
     val lmAdmitted = novel.join(passing, Seq("doc_id"), "left_semi")
-    cfg.qualityDir.fold(lmAdmitted) { qd =>
+    val lexAdmitted = cfg.qualityDir.fold(lmAdmitted) { qd =>
       // third stage: the persisted classifier — a joinless projection
       // of the survivors, so the extra stage costs one batch pass
       val good = QualityModel.scoreBatch(s, qd, lmAdmitted)
         .filter(col("score_ppm") >= cfg.minQualityPpm)
         .select(col("doc_id"))
       lmAdmitted.join(good, Seq("doc_id"), "left_semi")
+    }
+    cfg.semanticDir.fold(lexAdmitted) { sd =>
+      // fourth stage: embedding-space dedup of the lexical survivors —
+      // the paraphrase/re-render class nothing above can see. Runs
+      // LAST so only lexically-admitted docs pay the batch·k
+      // assignment; the vector store heals replay-duplicated appends
+      // on read (dropDuplicates), same as the accepted sink.
+      require(batch.columns.contains("v"),
+        "semanticDir is set but the batch has no `v` embedding column")
+      val dominated = Advanced20.semanticDedupBatch(s, s"$sd/ann",
+          lexAdmitted.select(col("doc_id").as("vec_id"), col("v")),
+          s.read.parquet(s"$sd/vecs").dropDuplicates("vec_id"),
+          cfg.semanticTau)
+        .select(col("vec_id").as("doc_id"))
+      lexAdmitted.join(dominated, Seq("doc_id"), "left_anti")
     }
   }
 
@@ -121,6 +162,16 @@ object IngestionGate {
     val done = DedupIndex.doneIds(s, cfg.dedupDir, decided)
     val fresh = decided.join(done, Seq("doc_id"), "left_anti").localCheckpoint(true)
     fresh.write.mode("append").parquet(cfg.acceptedDir)
+    // semantic layout absorbs the admissions BEFORE the done-marker
+    // lands (crash ⇒ replay re-runs both; AnnIndex.append skips ids it
+    // holds, the vecs store dedups on read), so the NEXT batch
+    // semantically dedups against this one
+    cfg.semanticDir.foreach { sd =>
+      val fv = fresh.select(col("doc_id").as("vec_id"), col("v"))
+        .localCheckpoint(true)
+      fv.write.mode("append").parquet(s"$sd/vecs")
+      AnnIndex.append(s, s"$sd/ann", fv)
+    }
     DedupIndex.append(s, cfg.dedupDir, fresh)
     fresh
   }

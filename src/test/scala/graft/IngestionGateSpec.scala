@@ -39,6 +39,54 @@ class IngestionGateSpec extends SparkSuite {
       .filter(col("doc_id") >= 9000L)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
 
+  test("the semantic stage rejects an embedding near-dup every lexical stage admits, cross-batch included") {
+    val base = Files.createTempDirectory("graft-gate-sem").toString
+    DedupIndex.write(spark, corpus, s"$base/dix")
+    LmModel.write(spark, corpus, s"$base/lm")
+    // corpus vectors: deterministic per-id gaussians, vec_id = doc_id
+    def vecOf(seed: Long): Seq[Double] = {
+      val r = new scala.util.Random(seed); IndexedSeq.fill(64)(r.nextGaussian())
+    }
+    val ids = corpus.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    IngestionGate.writeSemantic(spark,
+      ids.map(id => (id, vecOf(id))).toDF("vec_id", "v"), s"$base/sem")
+    val cfg = IngestionGate.Config(s"$base/dix", s"$base/lm", s"$base/acc",
+      semanticDir = Some(s"$base/sem"))
+    // both docs are lexically novel and in-vocab (they pass stages 1-3);
+    // the first carries a COPY of a corpus embedding — the paraphrase /
+    // re-render case only the semantic stage can see
+    val batch = Seq(
+      (9800001L, acceptA, vecOf(ids(7))),
+      (9800002L, acceptB, vecOf(-999L))
+    ).toDF("doc_id", "text", "v")
+    def admits(c: IngestionGate.Config, b: DataFrame): Set[Long] =
+      IngestionGate.decide(spark, c, b)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(admits(cfg, batch) == Set(9800002L),
+      "the semantic stage must reject exactly the embedding near-dup")
+    // same batch with stage 4 disabled: both admitted — the rejection
+    // above came from the semantic stage alone
+    assert(admits(cfg.copy(semanticDir = None), batch) == Set(9800001L, 9800002L),
+      "baseline (no semantic stage) admissions changed")
+    // cross-batch: the mutating gate appends the admitted doc's vector
+    // (frozen-quantizer AnnIndex.append + vector store), so a
+    // lexically-novel next-batch doc with a near-identical embedding
+    // is rejected against THIS batch's admission
+    val landed = IngestionGate.gateBatch(spark, cfg, batch)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(landed == Set(9800002L))
+    val batch2 = Seq(
+      (9800003L, Array.fill(6)("spark vector spark hash").mkString(" "), vecOf(-999L))
+    ).toDF("doc_id", "text", "v")
+    assert(admits(cfg, batch2).isEmpty,
+      "a semantic dup of a PREVIOUS batch's admission must be rejected")
+    // and the missing-column misuse fails loudly at the driver
+    val ex = intercept[IllegalArgumentException] {
+      IngestionGate.decide(spark, cfg, Seq((1L, acceptA)).toDF("doc_id", "text"))
+    }
+    assert(ex.getMessage.contains("embedding column"), ex.getMessage)
+  }
+
   test("the optional quality stage rejects low scorers that pass dedup and LM") {
     val base = Files.createTempDirectory("graft-gate-q").toString
     DedupIndex.write(spark, corpus, s"$base/dix")

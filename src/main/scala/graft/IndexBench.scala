@@ -65,6 +65,21 @@ object IndexBench {
       AnnIndex.search(spark, ann, queries, nprobe = 2, k = 10).count()
     }
 
+    // quantizer-drift monitor: the 5% re-ingest slice read against the
+    // build-time baseline, undrifted (ratio ~1x) and affine-drifted
+    // (the retrain trigger) — serve cost is one batch encode + 1-row read
+    val driftSlice = e.filter(col("vec_id") % 20 === 3).localCheckpoint()
+    for ((tag, b) <- Seq(
+        ("same", driftSlice),
+        ("drifted", driftSlice.select(col("vec_id"),
+          expr("transform(v, x -> x * 1.5d + 0.25d)").as("v"))))) {
+      val t = System.nanoTime()
+      val m = AnnIndex.quantizationDrift(spark, s"$tmp/ann", b).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      println(f"IXBENCH ann_drift_$tag%-14s       ${(System.nanoTime() - t) / 1e9}%.3f s " +
+        f"(mean base=${m("baseline")} batch=${m("batch")})")
+    }
+
     t0 = System.nanoTime()
     AnnIndex.writeScaled(spark, sfDir, s"$tmp/annS")
     println(f"IXBENCH annS_build                   ${(System.nanoTime() - t0) / 1e9}%.3f s")

@@ -666,7 +666,7 @@ object Advanced20 {
     * production [[AnnIndex.write]] on a [[graft.TempDirs]] dir — shared
     * so q202's steady reps measure the SERVE path, not eight rebuilds.
     */
-  private def sharedFixedIndexDir(s: org.apache.spark.sql.SparkSession,
+  private[ops] def sharedFixedIndexDir(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
     import s.implicits._
     graft.Shared.materialized(s, s"annix-fixed16-$d") {

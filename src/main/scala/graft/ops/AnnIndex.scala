@@ -155,11 +155,46 @@ object AnnIndex {
       .agg(min(col("pk")).as("mk"))
       .select(col("vec_id"), col("b"), (col("mk") % 100).cast("int").as("code"))
 
+  /** Per-vector PQ quantization error in micro units: Σ over blocks of
+    * the encode argmin's distance — the SAME packed-min recipe
+    * [[encodeVectors]] ranks by (pk = dist_micro·100 + cid, so
+    * `mk div 100` is exactly the winning block's distance), i.e. what
+    * the ADC serve path loses per vector under these quantizers.
+    */
+  private def perVectorErrMicro(batch: DataFrame, codebook: DataFrame): DataFrame =
+    Quantizer.subBlocks(batch.select(col("vec_id"), col("v")))
+      .join(broadcast(codebook), Seq("b"))
+      .select(col("vec_id"), col("b"),
+        (expr(Advanced8.distMicroSql("sv", "cv", "graft_dot")) * 100 +
+          col("cid")).as("pk"))
+      .groupBy(col("vec_id"), col("b"))
+      .agg(min(col("pk")).as("mk"))
+      .groupBy(col("vec_id"))
+      .agg(sum(expr("mk div 100")).as("err_micro"))
+
+  /** 1-row (n_vecs, mean_err_micro, p95_err_micro) over per-vector
+    * errors — mean is the half-up integer division, p95 the exact
+    * rank-selected value ([[GlobalOrder]]'s two-phase rank, so no
+    * single-partition window and the totals ride out of the partials
+    * fold for free).
+    */
+  private def errStats(errs: DataFrame): DataFrame = {
+    val rt = GlobalOrder.rankAndRunningSumT(errs,
+      Seq(col("err_micro"), col("vec_id")), col("err_micro"), "rnk", "cum")
+    val n = rt.totalCount
+    require(n > 0, "quantization stats need at least one vector")
+    val mean = (2 * rt.totalSum + n) / (2 * n)
+    rt.df.filter(col("rnk") === lit((95 * n + 99) / 100))
+      .select(lit(n).as("n_vecs"), lit(mean).as("mean_err_micro"),
+        col("err_micro").as("p95_err_micro"))
+  }
+
   /** The ONE index build path (round 9): persist `centroids`, the
     * session-shared PQ codebook, the full-corpus assignment against
-    * those centroids (the ivfAffinity crank=1 recipe), and the codes
+    * those centroids (the ivfAffinity crank=1 recipe), the codes
     * PARTITIONED by list id — the IVF inverted lists as directories, so
-    * probe-time pruning is physical.
+    * probe-time pruning is physical — and (round 14) the build-time
+    * `quantstats` baseline [[quantizationDrift]] compares appends to.
     */
   private def writeCore(s: SparkSession, d: String, dir: String,
       centroids: DataFrame): Unit = {
@@ -178,6 +213,8 @@ object AnnIndex {
       .select(col("vec_id"), col("b"), (col("mk") % 100).cast("int").as("code"))
       .join(s.read.parquet(s"$dir/assigned"), Seq("vec_id"))
       .write.partitionBy("c_id").mode("overwrite").parquet(s"$dir/codes")
+    errStats(perVectorErrMicro(e, s.read.parquet(s"$dir/codebook")))
+      .write.mode("overwrite").parquet(s"$dir/quantstats")
   }
 
   /** Build and persist an index over an EXPLICIT vector frame
@@ -203,6 +240,8 @@ object AnnIndex {
     encodeVectors(e, s.read.parquet(s"$dir/codebook"))
       .join(s.read.parquet(s"$dir/assigned"), Seq("vec_id"))
       .write.partitionBy("c_id").mode("overwrite").parquet(s"$dir/codes")
+    errStats(perVectorErrMicro(e, s.read.parquet(s"$dir/codebook")))
+      .write.mode("overwrite").parquet(s"$dir/quantstats")
     val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
   }
@@ -461,6 +500,99 @@ object AnnIndex {
         (col("edist_micro") / 1000000.0).as("exact_dist"))
   }
 
+  /** QUANTIZER-DRIFT MONITOR (round 14) — the retrain trigger the
+    * frozen-quantizer serve contract needs: [[append]] deliberately
+    * encodes new batches with the build-time quantizers ("retraining
+    * only on periodic rebuild"), but nothing said WHEN that rebuild is
+    * due. This reports the appended batch's PQ quantization error
+    * (mean + exact p95, micro units — the same packed-min distance the
+    * ADC ranking sums) next to the persisted build-time baseline
+    * (`quantstats`, written by every build path): a batch whose error
+    * sits well above the baseline is drawn from a shifted distribution
+    * the codebook no longer covers — ADC rankings degrade exactly in
+    * that gap, and the operator schedules a rebuild. Cost is
+    * O(batch·codebook) — the same arithmetic an [[append]] already
+    * pays to encode — plus a 1-row baseline read; never a corpus scan.
+    * Output: one row per side, ('baseline' | 'batch', n_vecs,
+    * mean_err_micro, p95_err_micro). Oracle-gated as q204 on an
+    * affine-drifted fixture; AnnIndexSpec pins identical-batch ≡
+    * baseline and drifted-batch strictly above it.
+    */
+  def quantizationDrift(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val cols = Seq(col("side"), col("n_vecs"), col("mean_err_micro"),
+      col("p95_err_micro"))
+    val ix = load(s, dir)
+    s.read.parquet(s"$dir/quantstats").withColumn("side", lit("baseline"))
+      .select(cols: _*)
+      .unionByName(errStats(perVectorErrMicro(batch, ix.codebook))
+        .withColumn("side", lit("batch")).select(cols: _*))
+  }
+
+  /** [[quantizationDrift]] under the hard gate: the Spark side builds
+    * the REAL persisted index (the session-shared fixed-16 layout q202
+    * also serves from, so the baseline row comes off parquet through
+    * the real lifecycle) and monitors an affine-drifted re-ingest of
+    * the vec_id % 10 = 7 slice (x → 1.5x + 0.25 — a distribution shift
+    * the frozen codebook was never trained on). The oracle replays the
+    * whole chain from raw embeddings — PQ training, packed-min encode
+    * errors for corpus AND drifted batch, half-up integer mean, exact
+    * rank-selected p95 — and never sees the index, so a stale persisted
+    * baseline, a drifted codebook roundtrip, or a wrong rank selection
+    * all surface as a hash mismatch. The fixture guarantees the metric
+    * MOVES: the drifted mean lands far above the baseline.
+    */
+  val quantizerDrift = Q(
+    "q204_quantizer_drift",
+    (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |${Quantizer.pqTrainCtes(8, "e")},
+      |${Advanced8.pqPkCteSql},
+      |bmk AS (SELECT vec_id, b, MIN(pk) AS mk FROM pk GROUP BY vec_id, b),
+      |bev AS (SELECT vec_id, CAST(SUM(mk // 100) AS BIGINT) AS err FROM bmk GROUP BY vec_id),
+      |bt AS (SELECT vec_id, list_transform(v, x -> x * 1.5 + 0.25) AS v
+      |       FROM e WHERE vec_id % 10 = 7),
+      |tsub AS (
+      |  SELECT vec_id, bb.b AS b, list_slice(v, 16*bb.b+1, 16*bb.b+16) AS sv
+      |  FROM bt CROSS JOIN (VALUES (0),(1),(2),(3)) bb(b)),
+      |tpk AS (
+      |  SELECT s.vec_id, s.b,
+      |    ${Advanced8.distMicroSql("sv", "cv", "list_dot_product")} * 100 + cid AS pk
+      |  FROM tsub s JOIN ${Quantizer.pqFinal} USING (b)),
+      |tmk AS (SELECT vec_id, b, MIN(pk) AS mk FROM tpk GROUP BY vec_id, b),
+      |tev AS (SELECT vec_id, CAST(SUM(mk // 100) AS BIGINT) AS err FROM tmk GROUP BY vec_id),
+      |bs AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |    CAST((2 * SUM(err) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_err_micro
+      |  FROM bev),
+      |bp AS (
+      |  SELECT err AS p95_err_micro FROM (
+      |    SELECT err, ROW_NUMBER() OVER (ORDER BY err, vec_id) AS rnk,
+      |      COUNT(*) OVER () AS n FROM bev)
+      |  WHERE rnk = (95 * n + 99) // 100),
+      |ts AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |    CAST((2 * SUM(err) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_err_micro
+      |  FROM tev),
+      |tp AS (
+      |  SELECT err AS p95_err_micro FROM (
+      |    SELECT err, ROW_NUMBER() OVER (ORDER BY err, vec_id) AS rnk,
+      |      COUNT(*) OVER () AS n FROM tev)
+      |  WHERE rnk = (95 * n + 99) // 100)
+      |SELECT side, n_vecs, mean_err_micro, p95_err_micro FROM (
+      |  SELECT 'baseline' AS side, bs.n_vecs, bs.mean_err_micro, bp.p95_err_micro
+      |  FROM bs, bp
+      |  UNION ALL
+      |  SELECT 'batch' AS side, ts.n_vecs, ts.mean_err_micro, tp.p95_err_micro
+      |  FROM ts, tp)
+      |ORDER BY side""").stripMargin) { (s, d) =>
+    val dir = Advanced20.sharedFixedIndexDir(s, d)
+    val batch = graft.Tables.embeddings(s, d)
+      .filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x * 1.5d + 0.25d)").as("v"))
+    quantizationDrift(s, dir, batch).orderBy(col("side"))
+  }
+
   /** [[writeScaled]]'s sample-trained Lloyd under the hard gate — the
     * round-9 verdict's challenge ("the sample-trained Lloyd is
     * deterministic, so a small-n oracle replay may be writable"): run
@@ -642,5 +774,6 @@ object AnnIndex {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  def specs: Seq[Q] = Seq(scaledIvfBuild, scaledSearchAuto, scaledSearchRerank)
+  def specs: Seq[Q] = Seq(scaledIvfBuild, scaledSearchAuto, scaledSearchRerank,
+    quantizerDrift)
 }

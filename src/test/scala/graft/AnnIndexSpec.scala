@@ -28,6 +28,31 @@ class AnnIndexSpec extends SparkSuite {
       s"index search diverged from live path:\n got ${got.toSeq}\nwant ${want.toSeq}")
   }
 
+  test("drift monitor: identical re-ingest reads the baseline exactly; a drifted batch moves it") {
+    val rnd = new scala.util.Random(41)
+    val corpus = (0 until 80)
+      .map(i => (i.toLong, IndexedSeq.fill(64)(rnd.nextGaussian())))
+      .toDF("vec_id", "v").localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft-annix-drift").toString
+    AnnIndex.writeVectors(spark, corpus, dir)
+    def rows(batch: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Long)] =
+      AnnIndex.quantizationDrift(spark, dir, batch).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // re-ingesting the exact build corpus must read the persisted
+    // baseline bit-for-bit — same vectors, same frozen codebook, same
+    // mean/p95 arithmetic
+    val same = rows(corpus)
+    assert(same("batch") == same("baseline"),
+      s"identical batch diverged from baseline: $same")
+    // an affine distribution shift the codebook never saw must move the
+    // metric — the retrain trigger actually fires
+    val drifted = rows(corpus.select($"vec_id",
+      expr("transform(v, x -> x * 1.5d + 0.25d)").as("v")))
+    assert(drifted("batch")._2 > drifted("baseline")._2 &&
+      drifted("batch")._3 > drifted("baseline")._3,
+      s"drifted batch did not move the error metric: $drifted")
+  }
+
   test("external queries (not in the corpus) search the loaded index") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annix2").toString
     AnnIndex.write(spark, sf0001, dir)

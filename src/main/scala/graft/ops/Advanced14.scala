@@ -134,6 +134,91 @@ object Advanced14 {
     fuseRrf(lex, sem, 10).orderBy(col("rnk"))
   }
 
+  /** One persisted BM25 text index per (session, corpus) — the
+    * [[graft.Shared]] temp-dir pattern q202's ANN twin uses — so q205's
+    * steady reps measure the SERVE path, not rebuilds.
+    */
+  private def sharedTextIndexDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    import s.implicits._
+    graft.Shared.materialized(s, s"textix-shared-$d") {
+      val tmp = graft.TempDirs.create("graft-textix")
+      TextIndex.write(s, d, tmp)
+      Seq(tmp).toDF("dir")
+    }.collect()(0).getString(0)
+  }
+
+  /** q205: the INDEX-SERVED hybrid — q147's RRF fusion with BOTH rank
+    * lists coming off persisted indexes through the real serve APIs:
+    * the lexical list from [[TextIndex.search]] (bucket-pruned BM25 —
+    * exact, so it reproduces q147's lex ranks verbatim) and the
+    * semantic list from [[AnnIndex.search]] (nprobe-confined ADC over
+    * the fixed-16 layout q202 also serves from). The ADC approximation
+    * IS the serve semantics — an exact cosine list would re-scan the
+    * corpus per query, which is precisely what a serving deployment
+    * cannot do — so the oracle replays the SERVED chain from raw
+    * tables (BM25 CTEs + the q140-family train/probe/PQ/ADC CTEs at
+    * the same nprobe, then the q147 fusion arithmetic) and never sees
+    * either index: a drifted text posting, a stale centroid table, or
+    * a fusion-order bug all surface as a hash mismatch. Serve cost =
+    * two rank lists (bucket-pruned postings; probed-list ADC) + a
+    * 20-row fusion join — never a corpus scan.
+    */
+  val hybridServed = Q(
+    "q205_hybrid_served",
+    (s"""WITH ${Advanced13.bm25AggCtes(Advanced13.BmQueryTerms)},
+       |lex AS (
+       |  SELECT doc_id AS l_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS lex_rnk
+       |  FROM agg QUALIFY lex_rnk <= $ListDepth),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${Quantizer.centroidTrainCtes(16, "e")},
+       |${Quantizer.ivfProbeCtes(4, 1)},
+       |${Quantizer.ivfCandCte(keepListId = false)},
+       |${Quantizer.pqTrainCtes(8)},
+       |${Advanced8.pqPkCteSql},
+       |codes AS (SELECT vec_id, b, CAST(MIN(pk) % 100 AS INTEGER) AS code
+       |          FROM pk GROUP BY vec_id, b),
+       |dtab AS (
+       |  SELECT s.vec_id AS qid, b, cid,
+       |    ${Advanced8.distMicroSql("sv", "cv", "list_dot_product")} AS dm
+       |  FROM sub s JOIN ${Quantizer.pqFinal} USING (b) WHERE s.vec_id < 1),
+       |ad AS (
+       |  SELECT x.qid, x.cand, CAST(SUM(d.dm) AS BIGINT) AS adist_micro
+       |  FROM candp x
+       |  JOIN codes cd ON cd.vec_id = x.cand
+       |  JOIN dtab d ON d.qid = x.qid AND d.b = cd.b AND d.cid = cd.code
+       |  GROUP BY x.qid, x.cand),
+       |sem AS (
+       |  SELECT cand AS s_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY adist_micro, cand) AS INTEGER) AS sem_rnk
+       |  FROM ad QUALIFY sem_rnk <= $ListDepth),
+       |fused AS (
+       |  SELECT COALESCE(l_id, s_id) AS doc_id,
+       |    CAST(CAST(COALESCE(ROUND(1.0 / ($FuseK + lex_rnk), 6), 0) AS DECIMAL(10,6))
+       |       + CAST(COALESCE(ROUND(1.0 / ($FuseK + sem_rnk), 6), 0) AS DECIMAL(10,6))
+       |      AS DOUBLE) AS rrf,
+       |    lex_rnk, sem_rnk
+       |  FROM lex FULL JOIN sem ON l_id = s_id),
+       |r AS (
+       |  SELECT doc_id, rrf, lex_rnk, sem_rnk,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rnk
+       |  FROM fused QUALIFY rnk <= 10)
+       |SELECT rnk, doc_id, rrf, lex_rnk, sem_rnk FROM r ORDER BY rnk""").stripMargin) { (s, d) =>
+    DotProduct.register(s)
+    CosineSim.register(s)
+    val lex = TextIndex.search(s, TextIndex.load(s, sharedTextIndexDir(s, d)),
+        Advanced13.BmQueryTerms, ListDepth)
+      .select(col("doc_id").as("l_id"), col("rnk").as("lex_rnk"))
+    val aix = AnnIndex.load(s, Advanced20.sharedFixedIndexDir(s, d))
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("v"))
+    val sem = AnnIndex.search(s, aix, queries, nprobe = 4, k = ListDepth,
+        excludeSelf = true)
+      .select(col("cand").as("s_id"), col("rnk").as("sem_rnk"))
+    fuseRrf(lex, sem, 10).orderBy(col("rnk"))
+  }
+
   /** Predicate-filtered similarity search: cosine top-3 for queries
     * vec_id < 5 among candidates sharing the query's label. The
     * predicate rides the join condition (an equi-join key), so the
@@ -268,5 +353,6 @@ object Advanced14 {
     rankingMetrics(sys, exactTopK(e, nq = 5, k = 3), k = 3).orderBy(col("qid"))
   }
 
-  val specs: Seq[Q] = Seq(hybridRrf, filteredAnn, phraseSearch, retrievalEval)
+  val specs: Seq[Q] = Seq(hybridRrf, filteredAnn, phraseSearch, retrievalEval,
+    hybridServed)
 }

@@ -525,6 +525,24 @@ object IndexBench {
     val ng = ops.Advanced20.semanticDedupBatch(spark, s"$tmp/sdix", batch, ev).count()
     println(f"IXBENCH semdedup_intake_gate         ${(System.nanoTime() - t0) / 1e9}%.3f s (caught=$ng of $nb)")
     }
+    form("degenerate") {
+    // The round-14 hot-cluster guard's wall-clock proof: 200k IDENTICAL
+    // vectors in one cluster — the mode-collapsed corpus the scaled-k
+    // sizing cannot help (n²/2 pairs at ANY k; uncapped that is 2e10
+    // cosine evals, i.e. hours). Under the default 4096 cap the sweep
+    // is C(4096,2) ≈ 8.4M pairs and finishes in seconds, the dropped
+    // memberships are logged, and every retained copy is flagged
+    // against the rank-1 original.
+    functions.CosineSim.register(spark)
+    val u = array((1 to 64).map(i => lit(i * 0.1)): _*)
+    val degenerate = spark.range(200000)
+      .select(col("id").as("vec_id"), lit(0).as("c_id"), u.as("v"))
+      .localCheckpoint()
+    t0 = System.nanoTime()
+    val nd = ops.Advanced20.dominatedBy(degenerate, 0.4).count()
+    println(f"IXBENCH semdedup_degenerate_200k     ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+      f"(flagged=$nd of cap 4096; uncapped = 2.0e10 pairs)")
+    }
     }
 
     section("layout") {

@@ -749,7 +749,7 @@ object Advanced20 {
     * the same rank recipe [[Quantizer.ivfProbeCtes]] uses; generated
     * here (not copied) so the two sides can't drift.
     */
-  private def assignCteSql(name: String, src: String): String =
+  private[ops] def assignCteSql(name: String, src: String): String =
     s"""${name}_aff AS (
        |  SELECT $src.vec_id, c_id,
        |    ROW_NUMBER() OVER (PARTITION BY $src.vec_id

@@ -294,11 +294,14 @@ object IngestionGate {
     * three admit filters. IngestionGateSpec pins the persisted
     * three-stage [[decide]] id-identical to this live form.
     */
-  val composedDecide3 = Q(
-    "q167_ingestion_gate_decide3",
-    (gate12CteSql + "," + "\n" +
-      Advanced15.lqcOraclePrefix(
-        "(SELECT * FROM documents WHERE doc_id < 400)").stripPrefix("WITH ") + {
+  /** The classifier-stage oracle CTEs (corpus-trained integer GD +
+    * hard-sigmoid scoring of the delta), ending in `qs(doc_id,
+    * score_ppm)` — ONE definition consumed by q167 and q206 so the two
+    * gates' third stages cannot drift.
+    */
+  private def lqcStageCteSql: String =
+    Advanced15.lqcOraclePrefix(
+      "(SELECT * FROM documents WHERE doc_id < 400)").stripPrefix("WITH ") + {
       val (r1s, r2s, r3s) = Advanced15.lqcRawSql
       s""",
       |qraw AS (
@@ -310,11 +313,17 @@ object IngestionGate {
       |qx AS (SELECT doc_id, r1 - m1 AS f1, r2 - m2 AS f2, r3 - m3 AS f3
       |       FROM qraw CROSS JOIN mu),
       |qs AS (SELECT doc_id, (${Advanced15.SigSql}) AS score_ppm
-      |       FROM qx CROSS JOIN w3t)
+      |       FROM qx CROSS JOIN w3t)""".stripMargin
+    }
+
+  val composedDecide3 = Q(
+    "q167_ingestion_gate_decide3",
+    (gate12CteSql + "," + "\n" + lqcStageCteSql +
+      s"""
       |SELECT a.doc_id, a.mean_ppm, CAST(q.score_ppm AS BIGINT) AS score_ppm
       |FROM lmadm a JOIN qs q USING (doc_id)
       |WHERE q.score_ppm >= 500000
-      |ORDER BY doc_id""".stripMargin })) { (s, d) =>
+      |ORDER BY doc_id""".stripMargin)) { (s, d) =>
     val docs = Tables.documents(s, d)
     val raw = Advanced15.lqcRawFeatures(docs.filter(col("doc_id") < 400))
       .localCheckpoint()
@@ -335,5 +344,95 @@ object IngestionGate {
       .orderBy(col("doc_id"))
   }
 
-  def specs: Seq[Q] = Seq(composedDecide, composedDecide3)
+  /** Stage-4 oracle CTEs: corpus-only Lloyd over the corpus embeddings
+    * (vec_id < 400 — the same vectors [[writeSemantic]] trained on),
+    * shared-rank cosine assignment of BOTH sides, the
+    * [[LshGuard.capCteSql]] member cap, and the batch×members
+    * cluster-confined sweep — ending in `semdom(doc_id)`, the
+    * semantically-dominated batch ids. Generated from the same helpers
+    * as q203's oracle so the composed gate cannot drift from the
+    * standalone intake gate.
+    */
+  private def semStageCteSql(tau: Double): String =
+    s"""ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |      WHERE vec_id < 400),
+       |be AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |      WHERE vec_id >= 400 AND vec_id < 500),
+       |${Quantizer.centroidTrainCtes(16, "ce")},
+       |cent AS (SELECT cid AS c_id, cv AS centv FROM ${Quantizer.centFinal}),
+       |${Advanced20.assignCteSql("casg", "ce")},
+       |${LshGuard.capCteSql("mcap", "casg", Seq("vec_id", "c_id"), Seq("c_id"), "vec_id")},
+       |${Advanced20.assignCteSql("basg", "be")},
+       |semdom AS (
+       |  SELECT DISTINCT b.vec_id AS doc_id
+       |  FROM basg b
+       |  JOIN mcap m ON b.c_id = m.c_id
+       |  JOIN be x ON x.vec_id = b.vec_id
+       |  JOIN ce y ON y.vec_id = m.vec_id
+       |  WHERE list_dot_product(x.v, y.v)
+       |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= $tau)""".stripMargin
+
+  /** One persisted 4-layout gate base per (session, corpus) — dedup
+    * index, LM, classifier (all trained on docs < 400) and the
+    * [[writeSemantic]] layout (corpus embeddings < 400) — shared so
+    * q206's steady reps measure the composed DECISION, not rebuilds.
+    */
+  private def sharedGate4Base(s: SparkSession, d: String): String = {
+    import s.implicits._
+    graft.Shared.materialized(s, s"gate4-$d") {
+      val tmp = graft.TempDirs.create("graft-gate4")
+      val corpus = Tables.documents(s, d).filter(col("doc_id") < 400)
+      DedupIndex.write(s, corpus, s"$tmp/dix")
+      LmModel.write(s, corpus, s"$tmp/lm")
+      QualityModel.write(s, corpus, s"$tmp/qm")
+      graft.functions.DotProduct.register(s)
+      graft.functions.CosineSim.register(s)
+      writeSemantic(s,
+        Tables.embeddings(s, d).filter(col("vec_id") < 400)
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.asDouble(col("embedding")).as("v")),
+        s"$tmp/sem")
+      Seq(tmp).toDF("dir")
+    }.collect()(0).getString(0)
+  }
+
+  /** q206: the FULL FOUR-STAGE admission decision under the hard gate,
+    * through the REAL persisted lifecycle — [[decide]] with every
+    * optional stage on, against layouts built by the production write
+    * paths on temp dirs: near-dup (persisted [[DedupIndex]]) → LM
+    * (persisted [[LmModel]], ≥ 32000 ppm) → classifier (persisted
+    * [[QualityModel]], ≥ 500000 ppm) → semantic ([[writeSemantic]]'s
+    * frozen-quantizer AnnIndex, τ = 0.4). The batch is docs 400–499
+    * carrying their embeddings (the id range whose vectors exist at
+    * every SF). The oracle replays the ENTIRE composition from raw
+    * tables — LSH banding + cap, LM backoff, integer GD + hard
+    * sigmoid, corpus-only Lloyd + shared-rank assignment + capped
+    * confined sweep — and never sees any of the four layouts, so a
+    * drift in ANY stage's persisted serve path surfaces as a set
+    * mismatch. IngestionGateSpec pins all four rejection branches
+    * non-empty on this fixture.
+    */
+  val composedDecide4 = Q(
+    "q206_ingestion_gate_decide4",
+    (gate12CteSql + "," + "\n" + lqcStageCteSql + ",\n" + semStageCteSql(0.3) +
+      s"""
+      |SELECT a.doc_id
+      |FROM lmadm a JOIN qs q USING (doc_id)
+      |WHERE q.score_ppm >= 500000 AND a.doc_id < 500
+      |  AND a.doc_id NOT IN (SELECT doc_id FROM semdom)
+      |ORDER BY doc_id""".stripMargin)) { (s, d) =>
+    val base = sharedGate4Base(s, d)
+    val cfg = Config(s"$base/dix", s"$base/lm", s"$base/acc",
+      minMeanPpm = 32000L, qualityDir = Some(s"$base/qm"),
+      semanticDir = Some(s"$base/sem"), semanticTau = 0.3)
+    val ev = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val batch = Tables.documents(s, d)
+      .filter(col("doc_id") >= 400 && col("doc_id") < 500)
+      .join(ev, Seq("doc_id"))
+    decide(s, cfg, batch).select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  def specs: Seq[Q] = Seq(composedDecide, composedDecide3, composedDecide4)
 }

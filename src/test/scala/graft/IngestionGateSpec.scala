@@ -87,6 +87,20 @@ class IngestionGateSpec extends SparkSuite {
     assert(ex.getMessage.contains("embedding column"), ex.getMessage)
   }
 
+  test("q206's semantic branch strictly prunes the 3-stage admissions and leaves survivors") {
+    val a4 = IngestionGate.composedDecide4.run(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val a3 = IngestionGate.composedDecide3.run(spark, sf0001)
+      .collect().map(_.getLong(0)).filter(_ < 500).toSet
+    assert(a4.nonEmpty,
+      "4-stage gate admitted nothing at sf0.001 — the fixture went degenerate")
+    assert(a4.subsetOf(a3),
+      s"stage 4 must only REMOVE docs: ${a4 -- a3} appeared from nowhere")
+    assert(a4 != a3,
+      "the semantic branch no longer fires at sf0.001 — re-tune q206's τ " +
+        "against the regenerated embeddings")
+  }
+
   test("the optional quality stage rejects low scorers that pass dedup and LM") {
     val base = Files.createTempDirectory("graft-gate-q").toString
     DedupIndex.write(spark, corpus, s"$base/dix")

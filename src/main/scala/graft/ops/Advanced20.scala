@@ -721,8 +721,12 @@ object Advanced20 {
     * guard note) before the batch×members join, so a mode-collapsed
     * corpus cluster bounds the join at |batch slice|·cap instead of
     * |batch slice|·|hot cluster|; drops are observed + logged, and the
-    * q203 oracle applies the identical cap. The batch side is the
-    * caller-bounded intake micro-batch and is not capped.
+    * q203 oracle applies the identical cap. The cap window runs over
+    * the index's SKINNY `assigned` table (two longs per member) BEFORE
+    * the vector store joins in, so the only corpus-sized exchange this
+    * guard adds moves id pairs, never vectors — and it mirrors the
+    * oracle's `mcap` (a rank over the assignment CTE) exactly. The
+    * batch side is the caller-bounded intake micro-batch, not capped.
     */
   def semanticDedupBatch(s: org.apache.spark.sql.SparkSession,
       indexDir: String, batch: DataFrame, corpusVecs: DataFrame,
@@ -730,11 +734,11 @@ object Advanced20 {
     val ix = AnnIndex.load(s, indexDir)
     val basg = assignCosine(batch, ix.centroids.select(col("cid"), col("cv")))
       .select(col("vec_id").as("bv"), col("c_id"), col("v").as("vb"))
-    val members = LshGuard.capBuckets(s,
-      corpusVecs.select(col("vec_id").as("mv"), col("v").as("vm"))
-        .join(ix.assigned.select(col("vec_id").as("mv"), col("c_id").as("mc")),
-          Seq("mv")),
+    val cappedAsg = LshGuard.capBuckets(s,
+      ix.assigned.select(col("vec_id").as("mv"), col("c_id").as("mc")),
       Seq("mc"), "mv", cap, tag = "semintake")
+    val members = corpusVecs.select(col("vec_id").as("mv"), col("v").as("vm"))
+      .join(cappedAsg, Seq("mv"))
     basg.join(members, col("c_id") === col("mc"))
       .withColumn("sim_raw", expr("graft_cosine(vb, vm)"))
       .filter(col("sim_raw") >= tau)

@@ -334,6 +334,25 @@ object IndexBench {
     timed("lm_score_100docs") {
       ops.LmModel.scoreBatch(spark, s"$tmp/lm", probe100).count()
     }
+
+    // corpus-drift monitor (the LM analog of ann_drift): baseline write
+    // is one extra training-corpus scoring pass (opt-in, sampleable at
+    // scale); each monitor read is one scoreBatch + a 1-row baseline
+    // read. Undrifted (the training docs back) vs token-reversed (the
+    // retrain trigger: every bigram unseen -> backoff).
+    var t1 = System.nanoTime()
+    ops.LmModel.writeScoreStats(spark, s"$tmp/lm", docs)
+    println(f"IXBENCH lm_scorestats_write          ${(System.nanoTime() - t1) / 1e9}%.3f s")
+    for ((tag, b) <- Seq(
+        ("same", docs),
+        ("reversed", docs.select(col("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text"))))) {
+      t1 = System.nanoTime()
+      val m = ops.LmModel.scoreDrift(spark, s"$tmp/lm", b).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      println(f"IXBENCH lm_drift_$tag%-15s      ${(System.nanoTime() - t1) / 1e9}%.3f s " +
+        f"(mean base=${m("baseline")} batch=${m("batch")})")
+    }
     }
 
     // Persisted quality classifier: batch scoring latency. The model is

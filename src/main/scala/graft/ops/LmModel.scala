@@ -320,6 +320,169 @@ object LmModel {
     * suffixed docs without doc_id%19=3, prefixed "rev " when
     * doc_id%13=0 — added/changed/removed all non-empty at every SF.
     */
+  /** Distribution stats over a scored batch's per-doc `mean_ppm` — one
+    * row: (n_docs, half-up mean, exact rank-selected p05). p05, not
+    * p95: LM drift moves scores DOWN (a shifted corpus has transitions
+    * the model never saw, so backoff fires and probabilities fall), so
+    * the alarm tail is the LOW end. Rank/total via
+    * [[GlobalOrder.rankAndRunningSumT]] — exact at any scale, one range
+    * exchange, the [[AnnIndex.quantizationDrift]] recipe.
+    */
+  private def docStats(scored: DataFrame): DataFrame = {
+    val rt = GlobalOrder.rankAndRunningSumT(scored,
+      Seq(col("mean_ppm"), col("doc_id")), col("mean_ppm"), "rnk", "cum")
+    val n = rt.totalCount
+    require(n > 0, "score stats need at least one scored document")
+    val mean = (2 * rt.totalSum + n) / (2 * n)
+    rt.df.filter(col("rnk") === lit((5 * n + 99) / 100))
+      .select(lit(n).as("n_docs"), lit(mean).as("mean_doc_ppm"),
+        col("mean_ppm").as("p05_doc_ppm"))
+  }
+
+  /** Persist the model's score-distribution BASELINE (`scorestats/`,
+    * 1 row) — the training-time half of [[scoreDrift]]. Deliberately a
+    * SEPARATE opt-in step from [[write]]: training proper never runs
+    * the per-doc instance join (the object doc's 100 TB contract), and
+    * the baseline only needs a REPRESENTATIVE score distribution — at
+    * corpus scale the operator passes a deterministic hash-sample of
+    * the training docs here (the [[AnnIndex.writeScaled]] md5 recipe)
+    * and pays O(sample), not a second corpus scan.
+    */
+  def writeScoreStats(s: SparkSession, dir: String, docs: DataFrame): Unit =
+    docStats(scoreBatch(s, dir, docs))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/scorestats")
+
+  /** CORPUS-DRIFT MONITOR — the LM analog of
+    * [[AnnIndex.quantizationDrift]] (q204) and the other half of the
+    * frozen-model serve contract: [[scoreBatch]] deliberately scores
+    * every batch with the frozen trained tables, but nothing said when
+    * the model has gone stale against a shifting corpus. This reports
+    * an incoming batch's per-doc score distribution (n_docs, mean,
+    * exact p05 of `mean_ppm`) next to the persisted training-time
+    * baseline: a batch whose scores sit well BELOW the baseline is
+    * drawn from a distribution the model's bigram table no longer
+    * covers — quality filtering misclassifies exactly in that gap, and
+    * the operator schedules a retrain ([[upgrade]] or [[write]]). Cost
+    * is one [[scoreBatch]] (O(batch + pruned model slice)) plus a 1-row
+    * baseline read — never a corpus scan. Output: one row per side,
+    * ('baseline' | 'batch', n_docs, mean_doc_ppm, p05_doc_ppm).
+    * Oracle-gated as q207 on a token-reversed fixture; LmModelSpec pins
+    * training-docs ≡ baseline bit-for-bit and a shifted batch strictly
+    * below it.
+    */
+  def scoreDrift(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    val cols = Seq(col("side"), col("n_docs"), col("mean_doc_ppm"),
+      col("p05_doc_ppm"))
+    s.read.parquet(s"$dir/scorestats").withColumn("side", lit("baseline"))
+      .select(cols: _*)
+      .unionByName(docStats(scoreBatch(s, dir, batch))
+        .withColumn("side", lit("batch")).select(cols: _*))
+  }
+
+  /** One persisted full-corpus model (+ scorestats baseline) per
+    * (session, corpus), shared through [[graft.Shared]] — the
+    * [[Advanced20.sharedFixedIndexDir]] pattern (the cached frame is
+    * just the 1-row dir name).
+    */
+  private def sharedLmDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    graft.Shared.materialized(s, s"lmmodel-full-$d") {
+      val tmp = graft.TempDirs.create("graft-lmdrift")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      write(s, docs, tmp)
+      writeScoreStats(s, tmp, docs)
+      Seq(tmp).toDF("dir")
+    }.collect()(0).getString(0)
+  }
+
+  /** [[scoreDrift]] under the hard gate: the Spark side trains + lays
+    * out the REAL persisted model over the full documents table, writes
+    * the scorestats baseline through [[writeScoreStats]], and monitors
+    * a TOKEN-REVERSED re-ingest of the doc_id % 10 = 7 slice — same
+    * unigrams (nothing is OOV), but almost every bigram is one the
+    * model never saw, so scoring falls through to backoff and the
+    * batch's distribution lands strictly below the baseline at every
+    * SF. (On this high-DIVERSITY synthetic corpus the gap is small —
+    * bigrams are near-unique so the 0.1·P(w2) term dominates both
+    * sides; the gap scales with how predictable the training corpus's
+    * transitions are, and LmModelSpec demonstrates the full collapse on
+    * a repetitive crafted corpus where P(w2|w1) carries the score.)
+    * The oracle replays the entire chain from the raw documents table —
+    * LM training, per-doc scoring of the training corpus AND the
+    * reversed batch, half-up means, exact rank-selected p05s — and
+    * never sees the persisted layout, so a stale baseline row, a
+    * drifted table roundtrip, or a wrong rank selection all surface as
+    * a hash mismatch.
+    */
+  val lmDrift = Q(
+    "q207_lm_drift",
+    (s"""WITH ${Advanced15.lmOracleCore("documents")},
+      |sc0 AS (SELECT g.doc_id,
+      |         CASE WHEN e.p_cond IS NOT NULL
+      |              THEN ${Advanced15.hudSql("9 * e.p_cond + e.p_uni", "10")}
+      |              ELSE ${Advanced15.hudSql(
+                     s"COALESCE(${Advanced15.hudSql("u2b.c * 1000000", "t0.n")}, 0)", "10")}
+      |         END AS s
+      |        FROM cbg g
+      |        LEFT JOIN bie e ON e.w1 = g.w1 AND e.w2 = g.w2
+      |        LEFT JOIN uni u2b ON u2b.w = g.w2
+      |        CROSS JOIN tot t0
+      |        WHERE g.w2 IS NOT NULL),
+      |d0 AS (SELECT doc_id,
+      |         CAST((2 * SUM(s) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_ppm
+      |       FROM sc0 GROUP BY doc_id),
+      |bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST((2 * SUM(mean_ppm) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+      |           AS mean_doc_ppm
+      |       FROM d0),
+      |bp AS (SELECT mean_ppm AS p05_doc_ppm FROM (
+      |         SELECT mean_ppm, ROW_NUMBER() OVER (ORDER BY mean_ppm, doc_id) AS rnk,
+      |           COUNT(*) OVER () AS n FROM d0)
+      |       WHERE rnk = (5 * n + 99) // 100),
+      |bt AS (SELECT doc_id,
+      |         array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+      |       FROM documents WHERE doc_id % 10 = 7),
+      |btx AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |          generate_subscripts(string_split(text,' '), 1) AS pos FROM bt),
+      |bbg AS (SELECT doc_id, tok AS w1,
+      |          lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM btx),
+      |sc1 AS (SELECT g.doc_id,
+      |         CASE WHEN e.p_cond IS NOT NULL
+      |              THEN ${Advanced15.hudSql("9 * e.p_cond + e.p_uni", "10")}
+      |              ELSE ${Advanced15.hudSql(
+                     s"COALESCE(${Advanced15.hudSql("u2b.c * 1000000", "t0.n")}, 0)", "10")}
+      |         END AS s
+      |        FROM bbg g
+      |        LEFT JOIN bie e ON e.w1 = g.w1 AND e.w2 = g.w2
+      |        LEFT JOIN uni u2b ON u2b.w = g.w2
+      |        CROSS JOIN tot t0
+      |        WHERE g.w2 IS NOT NULL),
+      |d1 AS (SELECT doc_id,
+      |         CAST((2 * SUM(s) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_ppm
+      |       FROM sc1 GROUP BY doc_id),
+      |ts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST((2 * SUM(mean_ppm) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+      |           AS mean_doc_ppm
+      |       FROM d1),
+      |tp AS (SELECT mean_ppm AS p05_doc_ppm FROM (
+      |         SELECT mean_ppm, ROW_NUMBER() OVER (ORDER BY mean_ppm, doc_id) AS rnk,
+      |           COUNT(*) OVER () AS n FROM d1)
+      |       WHERE rnk = (5 * n + 99) // 100)
+      |SELECT side, n_docs, mean_doc_ppm, p05_doc_ppm FROM (
+      |  SELECT 'baseline' AS side, bs.n_docs, bs.mean_doc_ppm, bp.p05_doc_ppm
+      |  FROM bs, bp
+      |  UNION ALL
+      |  SELECT 'batch' AS side, ts.n_docs, ts.mean_doc_ppm, tp.p05_doc_ppm
+      |  FROM ts, tp)
+      |ORDER BY side""").stripMargin) { (s, d) =>
+    val dir = sharedLmDir(s, d)
+    val batch = Tables.documents(s, d).filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"),
+        concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+    scoreDrift(s, dir, batch).orderBy(col("side"))
+  }
+
   val lmReleaseUpgrade = Q(
     "q163_lm_release_upgrade",
     (s"""WITH base AS (SELECT doc_id,
@@ -380,7 +543,7 @@ object LmModel {
       .orderBy(col("doc_id"))
   }
 
-  def specs: Seq[graft.Q] = Seq(lmReleaseUpgrade)
+  def specs: Seq[graft.Q] = Seq(lmReleaseUpgrade, lmDrift)
 
   private def scoreTransitions(bie: DataFrame, uniP: DataFrame,
       trans: DataFrame): DataFrame = {

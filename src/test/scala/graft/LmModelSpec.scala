@@ -168,6 +168,74 @@ class LmModelSpec extends SparkSuite {
     assert(LmModel.scoreBatch(spark, dir, batch).count() == 0L)
   }
 
+  test("scoreDrift: re-scoring the training docs reproduces the persisted baseline bit-for-bit") {
+    val d = Files.createTempDirectory("graft_lm_drift_rt").toString
+    val docs = Tables.documents(spark, sf0001)
+    LmModel.write(spark, docs, d)
+    LmModel.writeScoreStats(spark, d, docs)
+    val rows = LmModel.scoreDrift(spark, d, docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the monitor's zero point: an undrifted batch (here: the training
+    // corpus itself) must land EXACTLY on the baseline — any gap would
+    // be monitor noise, and operators alert on gaps
+    assert(rows("batch") == rows("baseline"), rows.toString)
+  }
+
+  test("scoreDrift: a predictable corpus collapses under reversal; p05 tracks the injected low tail") {
+    // 40 docs of pure "a b c" cycles: every training transition is
+    // near-deterministic (p_cond ~ 1e6), so the per-doc score is
+    // P(w2|w1)-carried — the regime where drift is LOUD. Reversing the
+    // tokens makes every bigram unseen (training holds a-b/b-c/c-a;
+    // reversal yields c-b/b-a/a-c), scoring falls to the 0.1·P(w2)
+    // backoff, and the batch mean must collapse well past 3x.
+    val docs = (0L until 40L).map(i => (i, "a b c a b c a b c"))
+      .toDF("doc_id", "text")
+    val d = Files.createTempDirectory("graft_lm_drift_cr").toString
+    LmModel.write(spark, docs, d)
+    LmModel.writeScoreStats(spark, d, docs)
+    val rev = docs.select($"doc_id",
+      concat_ws(" ", reverse(split($"text", " "))).as("text"))
+    val rows = LmModel.scoreDrift(spark, d, rev)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (nb, bMean, bP05) = rows("baseline")
+    val (nt, tMean, tP05) = rows("batch")
+    assert(nb == 40L && nt == 40L)
+    assert(tMean * 3 < bMean, s"reversal barely moved the mean: $tMean vs $bMean")
+    assert(tP05 * 3 < bP05, s"reversal barely moved the p05: $tP05 vs $bP05")
+    // p05 is the LOW-tail rank (ceil(0.05 n)), not a mislabeled p95:
+    // poison two docs far below the uniform 38 and p05 must land on the
+    // 2nd-lowest score (rank ceil(0.05*40) = 2)
+    val poisoned = docs.filter($"doc_id" >= 2L).unionByName(
+      Seq((0L, "zq zr zs zt"), (1L, "zq zr zs zt zu")).toDF("doc_id", "text"))
+    val pRows = LmModel.scoreDrift(spark, d, poisoned)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val perDoc = LmModel.scoreBatch(spark, d, poisoned)
+      .select($"mean_ppm").as[Long].collect().sorted
+    assert(pRows("batch") == perDoc(1), s"p05 ${pRows("batch")} != 2nd-lowest ${perDoc(1)}")
+  }
+
+  test("q207 fixture guard: the reversed slice drifts (unseen bigrams exist; batch sits strictly below baseline)") {
+    // the gated fixture's semantic claim, pinned against a testdata
+    // regeneration: reversal must keep producing transitions the model
+    // never saw, and the monitor must keep reporting the batch BELOW
+    // the baseline (the drift direction operators alert on)
+    val docs = Tables.documents(spark, sf0001)
+    val rev = docs.filter($"doc_id" % 10 === 7).select($"doc_id",
+      concat_ws(" ", reverse(split($"text", " "))).as("text"))
+    val unseen = LmModel.transitions(rev)
+      .join(LmModel.transitions(docs).select($"gram").distinct(),
+        Seq("gram"), "left_anti").count()
+    assert(unseen > 0, "reversal no longer produces unseen bigrams — q207's backoff branch is dead")
+    val rows = LmModel.lmDrift.run(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows("batch")._1 < rows("baseline")._1,
+      s"batch mean ${rows("batch")._1} not below baseline ${rows("baseline")._1}")
+    assert(rows("batch")._2 < rows("baseline")._2,
+      s"batch p05 ${rows("batch")._2} not below baseline ${rows("baseline")._2}")
+  }
+
   test("ingestion gate shape: a garbage batch scores far below the corpus median") {
     val corpusScores = LmModel.scoreBatch(spark, dir, Tables.documents(spark, sf0001))
       .select(col("mean_ppm")).as[Long].collect().sorted

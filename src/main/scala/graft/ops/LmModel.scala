@@ -255,6 +255,16 @@ object LmModel {
     // total anyway, so a model that grew across releases keeps its
     // bytes-per-bucket bound instead of inheriting v1's count forever
     writeTables(s, dir, bi, uni, bucketsFor(bi.count()))
+    // the upgrade RETRAINS the probabilities, so a persisted scorestats
+    // baseline no longer describes this model's score distribution —
+    // DELETE it rather than leave [[scoreDrift]] comparing batches
+    // against the previous release's model (a stale baseline must fail
+    // loudly, not alert wrong; re-run [[writeScoreStats]] after the
+    // upgrade). Contrast AnnIndex: its upgrades keep the FROZEN v1
+    // codebook, so the v1 quantstats baseline stays exactly the
+    // distribution ADC serves against and is deliberately retained.
+    val ss = new org.apache.hadoop.fs.Path(s"$dir/scorestats")
+    ss.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ss, true)
   }
 
   /** Score a document batch against the persisted model: q154's output
@@ -346,7 +356,10 @@ object LmModel {
     * the baseline only needs a REPRESENTATIVE score distribution — at
     * corpus scale the operator passes a deterministic hash-sample of
     * the training docs here (the [[AnnIndex.writeScaled]] md5 recipe)
-    * and pays O(sample), not a second corpus scan.
+    * and pays O(sample), not a second corpus scan. An [[upgrade]]
+    * DELETES the baseline (the retrained model scores differently, so
+    * the old distribution would alert wrong) — re-run this after each
+    * release roll.
     */
   def writeScoreStats(s: SparkSession, dir: String, docs: DataFrame): Unit =
     docStats(scoreBatch(s, dir, docs))

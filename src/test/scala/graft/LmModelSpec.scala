@@ -216,6 +216,25 @@ class LmModelSpec extends SparkSuite {
     assert(pRows("batch") == perDoc(1), s"p05 ${pRows("batch")} != 2nd-lowest ${perDoc(1)}")
   }
 
+  test("upgrade invalidates the scorestats baseline: scoreDrift fails loudly until it is rewritten") {
+    // the retrained model scores differently, so serving the OLD
+    // baseline would alert wrong — upgrade must delete it, and the
+    // monitor must fail loudly (missing path), not silently compare
+    val d = Files.createTempDirectory("graft_lm_drift_up").toString
+    val docs = Tables.documents(spark, sf0001).limit(100).localCheckpoint(true)
+    LmModel.write(spark, docs, d)
+    LmModel.writeScoreStats(spark, d, docs)
+    assert(LmModel.scoreDrift(spark, d, docs).count() == 2L)
+    LmModel.upgrade(spark, d,
+      Seq((900001L, "fresh upgrade doc")).toDF("doc_id", "text"),
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val ex = intercept[Exception] { LmModel.scoreDrift(spark, d, docs).count() }
+    assert(ex.getMessage.toLowerCase.contains("path"), ex.getMessage)
+    // re-baselining against the upgraded model restores the monitor
+    LmModel.writeScoreStats(spark, d, docs)
+    assert(LmModel.scoreDrift(spark, d, docs).count() == 2L)
+  }
+
   test("q207 fixture guard: the reversed slice drifts (unseen bigrams exist; batch sits strictly below baseline)") {
     // the gated fixture's semantic claim, pinned against a testdata
     // regeneration: reversal must keep producing transitions the model

@@ -365,6 +365,23 @@ object IndexBench {
     timed("quality_score_100docs") {
       ops.QualityModel.scoreBatch(spark, s"$tmp/qm", probe100).count()
     }
+
+    // classifier-drift monitor (trio-completing q208 row): undrifted
+    // (training docs back) vs 5-token-truncated (the degraded-crawl
+    // shape) — one batch projection + a 1-row baseline read each
+    var t1 = System.nanoTime()
+    ops.QualityModel.writeScoreStats(spark, s"$tmp/qm", docs)
+    println(f"IXBENCH quality_scorestats_write     ${(System.nanoTime() - t1) / 1e9}%.3f s")
+    for ((tag, b) <- Seq(
+        ("same", docs),
+        ("truncated", docs.select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("text"))))) {
+      t1 = System.nanoTime()
+      val m = ops.QualityModel.scoreDrift(spark, s"$tmp/qm", b).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      println(f"IXBENCH quality_drift_$tag%-10s      ${(System.nanoTime() - t1) / 1e9}%.3f s " +
+        f"(mean base=${m("baseline")} batch=${m("batch")})")
+    }
     }
 
     // Composed ingestion gate (dedup-check -> LM-score): the decision

@@ -173,21 +173,14 @@ object AnnIndex {
       .agg(sum(expr("mk div 100")).as("err_micro"))
 
   /** 1-row (n_vecs, mean_err_micro, p95_err_micro) over per-vector
-    * errors — mean is the half-up integer division, p95 the exact
-    * rank-selected value ([[GlobalOrder]]'s two-phase rank, so no
-    * single-partition window and the totals ride out of the partials
-    * fold for free).
+    * errors — the [[DriftStats]] kernel (half-up mean, exact
+    * rank-selected p95 via GlobalOrder's two-phase rank: no
+    * single-partition window, totals ride out of the partials fold
+    * for free). p95, the HIGH tail: encode error drifts UP.
     */
-  private def errStats(errs: DataFrame): DataFrame = {
-    val rt = GlobalOrder.rankAndRunningSumT(errs,
-      Seq(col("err_micro"), col("vec_id")), col("err_micro"), "rnk", "cum")
-    val n = rt.totalCount
-    require(n > 0, "quantization stats need at least one vector")
-    val mean = (2 * rt.totalSum + n) / (2 * n)
-    rt.df.filter(col("rnk") === lit((95 * n + 99) / 100))
-      .select(lit(n).as("n_vecs"), lit(mean).as("mean_err_micro"),
-        col("err_micro").as("p95_err_micro"))
-  }
+  private def errStats(errs: DataFrame): DataFrame =
+    DriftStats.stats(errs, col("err_micro"), col("vec_id"), 95,
+      "n_vecs", "mean_err_micro", "p95_err_micro")
 
   /** The ONE index build path (round 9): persist `centroids`, the
     * session-shared PQ codebook, the full-corpus assignment against

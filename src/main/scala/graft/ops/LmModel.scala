@@ -334,20 +334,12 @@ object LmModel {
     * row: (n_docs, half-up mean, exact rank-selected p05). p05, not
     * p95: LM drift moves scores DOWN (a shifted corpus has transitions
     * the model never saw, so backoff fires and probabilities fall), so
-    * the alarm tail is the LOW end. Rank/total via
-    * [[GlobalOrder.rankAndRunningSumT]] — exact at any scale, one range
-    * exchange, the [[AnnIndex.quantizationDrift]] recipe.
+    * the alarm tail is the LOW end. The [[DriftStats]] kernel — the
+    * same exact-rank arithmetic q204/q208 serve.
     */
-  private def docStats(scored: DataFrame): DataFrame = {
-    val rt = GlobalOrder.rankAndRunningSumT(scored,
-      Seq(col("mean_ppm"), col("doc_id")), col("mean_ppm"), "rnk", "cum")
-    val n = rt.totalCount
-    require(n > 0, "score stats need at least one scored document")
-    val mean = (2 * rt.totalSum + n) / (2 * n)
-    rt.df.filter(col("rnk") === lit((5 * n + 99) / 100))
-      .select(lit(n).as("n_docs"), lit(mean).as("mean_doc_ppm"),
-        col("mean_ppm").as("p05_doc_ppm"))
-  }
+  private def docStats(scored: DataFrame): DataFrame =
+    DriftStats.stats(scored, col("mean_ppm"), col("doc_id"), 5,
+      "n_docs", "mean_doc_ppm", "p05_doc_ppm")
 
   /** Persist the model's score-distribution BASELINE (`scorestats/`,
     * 1 row) — the training-time half of [[scoreDrift]]. Deliberately a

@@ -130,5 +130,121 @@ object QualityModel {
       .orderBy(col("doc_id"))
   }
 
-  def specs: Seq[Q] = Seq(incrementalQualityScore)
+  /** Persist the classifier's score-distribution BASELINE
+    * (`scorestats/`, 1 row) — the training-time half of [[scoreDrift]],
+    * [[LmModel.writeScoreStats]]'s contract verbatim: opt-in (training
+    * proper is 4 bounded-read scans and stays that way) and sampleable
+    * at corpus scale. A re-[[write]] replaces the whole dir, so a
+    * baseline never outlives the model row it describes.
+    */
+  def writeScoreStats(s: SparkSession, dir: String, docs: DataFrame): Unit =
+    scoreStats(s, dir, docs)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/scorestats")
+
+  private def scoreStats(s: SparkSession, dir: String, docs: DataFrame): DataFrame =
+    DriftStats.stats(scoreBatch(s, dir, docs), col("score_ppm"),
+      col("doc_id"), 5, "n_docs", "mean_score_ppm", "p05_score_ppm")
+
+  /** CLASSIFIER-DRIFT MONITOR — the third member of the frozen-model
+    * monitor family ([[AnnIndex.quantizationDrift]] q204,
+    * [[LmModel.scoreDrift]] q207): the persisted classifier scores
+    * every batch with frozen weights AND frozen training means, so a
+    * corpus whose raw feature distribution shifts (document lengths,
+    * vocabulary density) is centered against means that no longer
+    * describe it — the keep-rate silently drifts with it. This reports
+    * an incoming batch's score distribution (n_docs, half-up mean,
+    * exact rank-selected p05 of score_ppm — the LOW tail: degraded
+    * corpora score down) next to the persisted training-time baseline,
+    * at one batch projection + a 1-row read. Output: one row per side,
+    * ('baseline' | 'batch', n_docs, mean_score_ppm, p05_score_ppm).
+    * Oracle-gated as q208 on a truncation-drifted fixture.
+    */
+  def scoreDrift(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    val cols = Seq(col("side"), col("n_docs"), col("mean_score_ppm"),
+      col("p05_score_ppm"))
+    s.read.parquet(s"$dir/scorestats").withColumn("side", lit("baseline"))
+      .select(cols: _*)
+      .unionByName(scoreStats(s, dir, batch)
+        .withColumn("side", lit("batch")).select(cols: _*))
+  }
+
+  /** One persisted full-corpus classifier (+ scorestats baseline) per
+    * (session, corpus) — the [[LmModel]] sharing pattern. */
+  private def sharedQmDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    graft.Shared.materialized(s, s"qmodel-full-$d") {
+      val tmp = graft.TempDirs.create("graft-qmdrift")
+      val docs = Tables.documents(s, d).localCheckpoint()
+      write(s, docs, tmp)
+      writeScoreStats(s, tmp, docs)
+      Seq(tmp).toDF("dir")
+    }.collect()(0).getString(0)
+  }
+
+  /** [[scoreDrift]] under the hard gate: the classifier is trained +
+    * persisted over the full documents table (baseline = the training
+    * docs' scores through [[writeScoreStats]]), and the monitored batch
+    * is the doc_id % 10 = 7 slice TRUNCATED to its first 5 tokens — the
+    * fragment/boilerplate shape a degraded crawl ingests: token count
+    * and vocabulary density collapse, the frozen means center the
+    * batch far off-distribution, and its scores land below the
+    * baseline. The oracle replays everything from the raw documents
+    * table — integer GD training, hard-sigmoid scoring of the training
+    * corpus AND the truncated batch with the TRAINING means, half-up
+    * means, exact rank-selected p05s — and never sees the persisted
+    * model, so a stale baseline, a drifted weight roundtrip, or
+    * batch-side mean contamination all surface as a hash mismatch.
+    */
+  val qualityDrift = Q(
+    "q208_quality_drift",
+    (Advanced15.lqcOraclePrefix("documents") + {
+      val (r1s, r2s, r3s) = Advanced15.lqcRawSql
+      s""",
+      |bsc AS (SELECT doc_id, (${Advanced15.SigSql}) AS score_ppm
+      |        FROM x CROSS JOIN w3t),
+      |bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST((2 * SUM(score_ppm) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+      |           AS mean_score_ppm
+      |       FROM bsc),
+      |bp AS (SELECT CAST(score_ppm AS BIGINT) AS p05_score_ppm FROM (
+      |         SELECT score_ppm, ROW_NUMBER() OVER (ORDER BY score_ppm, doc_id) AS rnk,
+      |           COUNT(*) OVER () AS n FROM bsc)
+      |       WHERE rnk = (5 * n + 99) // 100),
+      |tdoc AS (SELECT doc_id, t AS text, len(t) AS n_chars FROM (
+      |           SELECT doc_id,
+      |             array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS t
+      |           FROM documents WHERE doc_id % 10 = 7)),
+      |traw AS (
+      |  SELECT doc_id,
+      |    $r1s AS r1,
+      |    $r2s AS r2,
+      |    $r3s AS r3
+      |  FROM tdoc),
+      |tx AS (SELECT doc_id, r1 - m1 AS f1, r2 - m2 AS f2, r3 - m3 AS f3
+      |       FROM traw CROSS JOIN mu),
+      |tsc AS (SELECT doc_id, (${Advanced15.SigSql}) AS score_ppm
+      |        FROM tx CROSS JOIN w3t),
+      |ts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST((2 * SUM(score_ppm) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+      |           AS mean_score_ppm
+      |       FROM tsc),
+      |tp AS (SELECT CAST(score_ppm AS BIGINT) AS p05_score_ppm FROM (
+      |         SELECT score_ppm, ROW_NUMBER() OVER (ORDER BY score_ppm, doc_id) AS rnk,
+      |           COUNT(*) OVER () AS n FROM tsc)
+      |       WHERE rnk = (5 * n + 99) // 100)
+      |SELECT side, n_docs, mean_score_ppm, p05_score_ppm FROM (
+      |  SELECT 'baseline' AS side, bs.n_docs, bs.mean_score_ppm, bp.p05_score_ppm
+      |  FROM bs, bp
+      |  UNION ALL
+      |  SELECT 'batch' AS side, ts.n_docs, ts.mean_score_ppm, tp.p05_score_ppm
+      |  FROM ts, tp)
+      |ORDER BY side""" }).stripMargin) { (s, d) =>
+    val dir = sharedQmDir(s, d)
+    val batch = Tables.documents(s, d).filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("text"))
+    scoreDrift(s, dir, batch).orderBy(col("side"))
+  }
+
+  def specs: Seq[Q] = Seq(incrementalQualityScore, qualityDrift)
 }

@@ -58,6 +58,28 @@ class QualityModelSpec extends SparkSuite {
       s"score moved with batch composition: $alone vs $together — centering leaked onto the batch")
   }
 
+  test("scoreDrift: training docs reproduce the baseline bit-for-bit; a truncated batch lands below it") {
+    val docs = Tables.documents(spark, sf0001)
+    QualityModel.writeScoreStats(spark, dir, docs)
+    // zero point: an undrifted batch (the training corpus itself) must
+    // land EXACTLY on the baseline — any gap is monitor noise
+    val same = QualityModel.scoreDrift(spark, dir, docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(same("batch") == same("baseline"), same.toString)
+    // q208's fixture guard, pinned against a testdata regeneration: the
+    // 5-token truncation must keep collapsing the length/vocabulary
+    // features, so the batch's distribution sits strictly below
+    val trunc = docs.filter($"doc_id" % 10 === 7).select($"doc_id",
+      concat_ws(" ", slice(split($"text", " "), 1, 5)).as("text"))
+    val rows = QualityModel.scoreDrift(spark, dir, trunc)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows("batch")._1 < rows("baseline")._1,
+      s"batch mean ${rows("batch")._1} not below baseline ${rows("baseline")._1}")
+    assert(rows("batch")._2 < rows("baseline")._2,
+      s"batch p05 ${rows("batch")._2} not below baseline ${rows("baseline")._2}")
+  }
+
   test("the learned model separates long from short documents and keep is deterministic") {
     val batch = Seq(
       (9600001L, Array.fill(40)("spark table query data").mkString(" ")), // long, high quality label

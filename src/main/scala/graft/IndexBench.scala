@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * `SPARK_GRAFT_IXBENCH_SECTIONS=text,lm` limits the run to named
   * sections (ann/text/dedup/lm/quality/gate/release) — rehearsal dirs at the
   * 5M-doc scale make a full sweep ~25 min, and a growth-term question
-  * is usually about ONE index family. `gate` composes the dedup and lm
-  * layouts, so it requires both their sections.
+  * is usually about ONE index family. `gate` composes the dedup, lm
+  * AND quality layouts (+ their scorestats baselines for the monitor
+  * row), so it requires all three of their sections.
   */
 object IndexBench {
   def main(args: Array[String]): Unit = {
@@ -419,6 +420,15 @@ object IndexBench {
     val cfg4 = gateCfg.copy(semanticDir = Some(s"$tmp/sem"))
     timed("gate_decide4_100docs") {
       ops.IngestionGate.decide(spark, cfg4, gateProbeV).count()
+    }
+
+    // one stage-tagged drift frame per batch (lm + quality + semantic
+    // monitors composed) — the operational read an intake loop adds to
+    // each decide; baselines were written by the lm/quality sections,
+    // so this row requires them (like the rest of this section)
+    val cfgMon = cfg4.copy(qualityDir = Some(s"$tmp/qm"))
+    timed("gate_monitor_100docs") {
+      ops.IngestionGate.monitor(spark, cfgMon, gateProbeV).count()
     }
 
     // Streaming-intake rehearsal: 10 sequential micro-batches through

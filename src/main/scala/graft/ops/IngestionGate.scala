@@ -44,7 +44,12 @@ import org.apache.spark.sql.functions._
   * batch-self LSH pass (the batch's bands joined against themselves
   * through the same capped [[DedupIndex.candidatePairs]] join, keeping
   * the min doc_id of each verified near-dup pair) before the index
-  * check — still O(batch), since both join sides are the batch.
+  * check — still O(batch), since both join sides are the batch — and,
+  * when the semantic stage is on, a batch-self SEMANTIC sweep after it
+  * (the batch's vectors assigned with the index's frozen centroids and
+  * swept against themselves through the capped
+  * [[Advanced20.dominatedBy]] kernel), so two same-batch paraphrases
+  * also collapse to the min-doc_id representative.
   *
   * Streaming form: run [[gateBatch]] inside `foreachBatch`
   * ([[graft.streaming.EventStream.toForeachBatch]]) — IngestionGateSpec
@@ -140,7 +145,28 @@ object IngestionGate {
           s.read.parquet(s"$sd/vecs").dropDuplicates("vec_id"),
           cfg.semanticTau)
         .select(col("vec_id").as("doc_id"))
-      lexAdmitted.join(dominated, Seq("doc_id"), "left_anti")
+      val corpusClean = lexAdmitted.join(dominated, Seq("doc_id"), "left_anti")
+      if (!cfg.selfDedup) corpusClean else {
+        // selfDedup extends to the SEMANTIC stage too: stage 0 catches
+        // lexical self-collisions, but two paraphrases arriving in the
+        // SAME batch are each novel against the index at decision time
+        // and would both be admitted — the cross-batch guarantee's one
+        // intra-batch hole, now closed the same way: the batch's own
+        // vectors assigned with the index's FROZEN centroids, swept
+        // against THEMSELVES through the capped cluster-confined
+        // kernel (min doc_id survives — [[Advanced20.dominatedBy]],
+        // so the cap and drop-logging apply here too). Still O(batch):
+        // both join sides are the batch.
+        graft.functions.CosineSim.register(s)
+        val cents = s.read.parquet(s"$sd/ann/centroids")
+          .select(col("cid"), col("cv"))
+        val basg = Advanced20.assignCosine(
+          corpusClean.select(col("doc_id").as("vec_id"), col("v")), cents)
+        val selfDom = Advanced20.dominatedBy(basg, cfg.semanticTau,
+            tag = "gate-semself")
+          .select(col("vec_id").as("doc_id"))
+        corpusClean.join(selfDom, Seq("doc_id"), "left_anti")
+      }
     }
   }
 
@@ -182,6 +208,49 @@ object IngestionGate {
     */
   def accepted(s: SparkSession, cfg: Config): DataFrame =
     s.read.parquet(cfg.acceptedDir).dropDuplicates("doc_id")
+
+  /** ONE drift readout for an arriving batch against every frozen
+    * model this gate serves with — the monitor trio ([[LmModel
+    * .scoreDrift]] q207, [[QualityModel.scoreDrift]] q208,
+    * [[AnnIndex.quantizationDrift]] q204) wired into the intake loop,
+    * so the operator watching a 100 TB stream reads ONE stage-tagged
+    * frame per batch instead of polling three monitors: (stage ∈
+    * 'lm'|'quality'|'semantic', side ∈ 'baseline'|'batch', n,
+    * mean_metric, tail_metric). Interpretation is per-stage (the
+    * columns keep each monitor's units): lm/quality tails are p05 and
+    * drift DOWN; the semantic stage is the PQ encode-error p95 and
+    * drifts UP. Cost is one batch-sized pass per stage — monitoring a
+    * batch costs the same order as gating it. The gate's models must
+    * be BASELINED first ([[LmModel.writeScoreStats]] /
+    * [[QualityModel.writeScoreStats]]; [[writeSemantic]]'s index
+    * carries its quantstats from the build) — a missing baseline fails
+    * loudly rather than reporting a one-sided frame. Each constituent
+    * kernel is oracle-gated on its own; IngestionGateSpec pins the
+    * composed readout's zero point (an undrifted batch matches every
+    * baseline bit-for-bit) and that each stage's alarm moves under its
+    * own drift.
+    */
+  def monitor(s: SparkSession, cfg: Config, batch: DataFrame): DataFrame = {
+    val b = batch.localCheckpoint(true) // batch-sized; read once per stage
+    def shape(df: DataFrame, stage: String, n: String, m: String,
+        t: String): DataFrame =
+      df.select(lit(stage).as("stage"), col("side"), col(n).as("n"),
+        col(m).as("mean_metric"), col(t).as("tail_metric"))
+    val lm = shape(LmModel.scoreDrift(s, cfg.lmDir, b), "lm",
+      "n_docs", "mean_doc_ppm", "p05_doc_ppm")
+    val qm = cfg.qualityDir.map(qd =>
+      shape(QualityModel.scoreDrift(s, qd, b), "quality",
+        "n_docs", "mean_score_ppm", "p05_score_ppm"))
+    val sem = cfg.semanticDir.map { sd =>
+      require(b.columns.contains("v"),
+        "semanticDir is set but the batch has no `v` embedding column")
+      shape(AnnIndex.quantizationDrift(s, s"$sd/ann",
+          b.select(col("doc_id").as("vec_id"), col("v"))), "semantic",
+        "n_vecs", "mean_err_micro", "p95_err_micro")
+    }
+    (Seq(lm) ++ qm ++ sem).reduce(_.unionByName(_))
+      .orderBy(col("stage"), col("side"))
+  }
 
   /** The COMPOSED admission decision under the hard gate — q153 (dedup
     * serve join) and q159 (LM serve join) gate the stages separately;

@@ -87,6 +87,84 @@ class IngestionGateSpec extends SparkSuite {
     assert(ex.getMessage.contains("embedding column"), ex.getMessage)
   }
 
+  test("selfDedup extends to the semantic stage: one representative of an intra-batch paraphrase pair") {
+    val base = Files.createTempDirectory("graft-gate-semself").toString
+    DedupIndex.write(spark, corpus, s"$base/dix")
+    LmModel.write(spark, corpus, s"$base/lm")
+    def vecOf(seed: Long): Seq[Double] = {
+      val r = new scala.util.Random(seed); IndexedSeq.fill(64)(r.nextGaussian())
+    }
+    val ids = corpus.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    IngestionGate.writeSemantic(spark,
+      ids.map(id => (id, vecOf(id))).toDF("vec_id", "v"), s"$base/sem")
+    val cfg = IngestionGate.Config(s"$base/dix", s"$base/lm", s"$base/acc",
+      semanticDir = Some(s"$base/sem"))
+    // LEXICALLY distinct (stage 0's LSH self-pass cannot pair them) but
+    // embedding-identical and novel against the corpus — the intra-batch
+    // paraphrase hole only the semantic self sweep can close
+    val batch = Seq(
+      (9810001L, acceptA, vecOf(-500L)),
+      (9810002L, acceptB, vecOf(-500L))
+    ).toDF("doc_id", "text", "v")
+    def admits(c: IngestionGate.Config): Set[Long] =
+      IngestionGate.decide(spark, c, batch)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // default contract: cross-batch only — both are admitted
+    assert(admits(cfg) == Set(9810001L, 9810002L),
+      "default (cross-batch) semantic contract changed")
+    // selfDedup: the min-doc_id representative survives, its same-batch
+    // paraphrase is swept
+    assert(admits(cfg.copy(selfDedup = true)) == Set(9810001L),
+      "semantic self-dedup must keep exactly the min-doc_id paraphrase")
+  }
+
+  test("monitor() reads all three frozen-model drift monitors as one stage-tagged frame") {
+    val base = Files.createTempDirectory("graft-gate-mon").toString
+    DedupIndex.write(spark, corpus, s"$base/dix")
+    LmModel.write(spark, corpus, s"$base/lm")
+    LmModel.writeScoreStats(spark, s"$base/lm", corpus)
+    QualityModel.write(spark, corpus, s"$base/qm")
+    QualityModel.writeScoreStats(spark, s"$base/qm", corpus)
+    def vecOf(seed: Long): Seq[Double] = {
+      val r = new scala.util.Random(seed); IndexedSeq.fill(64)(r.nextGaussian())
+    }
+    val ids = corpus.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val vecs = ids.map(id => (id, vecOf(id))).toDF("vec_id", "v")
+    IngestionGate.writeSemantic(spark, vecs, s"$base/sem")
+    val cfg = IngestionGate.Config(s"$base/dix", s"$base/lm", s"$base/acc",
+      qualityDir = Some(s"$base/qm"), semanticDir = Some(s"$base/sem"))
+    val undrifted = corpus.select(col("doc_id"), col("text"))
+      .join(vecs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+    def frame(b: org.apache.spark.sql.DataFrame): Map[(String, String), (Long, Long, Long)] =
+      IngestionGate.monitor(spark, cfg, b).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // zero point: the training corpus back through the monitor — every
+    // stage's batch row lands EXACTLY on its baseline
+    val zero = frame(undrifted)
+    assert(zero.keySet == Set("lm", "quality", "semantic")
+      .flatMap(s => Set((s, "baseline"), (s, "batch"))), zero.keySet.toString)
+    for (st <- Seq("lm", "quality", "semantic"))
+      assert(zero((st, "batch")) == zero((st, "baseline")),
+        s"$st monitor reported drift on an undrifted batch: $zero")
+    // one drifted batch moves every alarm in ITS direction: reversed
+    // 5-token prefixes (LM: unseen bigrams -> down; quality: collapsed
+    // length/vocabulary features -> down) with affine-scaled vectors
+    // (semantic: PQ encode error -> up)
+    val drifted = undrifted.select(col("doc_id"),
+      concat_ws(" ", reverse(slice(split(col("text"), " "), 1, 5))).as("text"),
+      expr("transform(v, x -> x * 1.5d + 0.25d)").as("v"))
+    val d = frame(drifted)
+    assert(d(("lm", "batch"))._2 < d(("lm", "baseline"))._2, d.toString)
+    assert(d(("quality", "batch"))._2 < d(("quality", "baseline"))._2, d.toString)
+    assert(d(("semantic", "batch"))._2 > d(("semantic", "baseline"))._2, d.toString)
+    // a gate without optional stages reports the LM stage alone
+    val lmOnly = IngestionGate.monitor(spark,
+      cfg.copy(qualityDir = None, semanticDir = None), undrifted)
+      .select(col("stage")).distinct().collect().map(_.getString(0)).toSet
+    assert(lmOnly == Set("lm"), lmOnly.toString)
+  }
+
   test("q206's semantic branch strictly prunes the 3-stage admissions and leaves survivors") {
     val a4 = IngestionGate.composedDecide4.run(spark, sf0001)
       .collect().map(_.getLong(0)).toSet

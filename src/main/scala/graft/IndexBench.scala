@@ -581,13 +581,17 @@ object IndexBench {
     // against the rank-1 original.
     functions.CosineSim.register(spark)
     val u = array((1 to 64).map(i => lit(i * 0.1)): _*)
-    val degenerate = spark.range(200000)
+    // SPARK_GRAFT_SEMDEDUP_DEGEN_N sizes the collapsed corpus (default
+    // 200k; 1M exercises the cap's one residual scale term — the
+    // single-task rank sort of the hot bucket, O(m log m) by design)
+    val degenN = sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_DEGEN_N", "200000").toLong
+    val degenerate = spark.range(degenN)
       .select(col("id").as("vec_id"), lit(0).as("c_id"), u.as("v"))
       .localCheckpoint()
     t0 = System.nanoTime()
     val nd = ops.Advanced20.dominatedBy(degenerate, 0.4).count()
-    println(f"IXBENCH semdedup_degenerate_200k     ${(System.nanoTime() - t0) / 1e9}%.3f s " +
-      f"(flagged=$nd of cap 4096; uncapped = 2.0e10 pairs)")
+    println(f"IXBENCH semdedup_degenerate_${degenN / 1000}%dk    ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+      f"(flagged=$nd of cap 4096; uncapped = ${degenN.toDouble * degenN / 2}%.1e pairs)")
     }
     }
 

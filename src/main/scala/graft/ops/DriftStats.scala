@@ -30,7 +30,12 @@ private[ops] object DriftStats {
       "rnk", "cum")
     val n = rt.totalCount
     require(n > 0, "distribution stats need at least one row")
-    val mean = (2 * rt.totalSum + n) / (2 * n)
+    // floorDiv, not Scala's truncating /: every gated oracle computes
+    // this mean with DuckDB's flooring // — identical while 2·Σ+n ≥ 0
+    // (all three current monitors: ppm scores, err_micro), but this is
+    // the generic kernel a future SIGNED-metric monitor would reach
+    // for, and truncation would silently diverge there.
+    val mean = Math.floorDiv(2 * rt.totalSum + n, 2 * n)
     rt.df.filter(col("rnk") === lit((pct * n + 99) / 100))
       .select(lit(n).as(nName), lit(mean).as(meanName), value.as(pctName))
   }

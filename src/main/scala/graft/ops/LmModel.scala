@@ -190,6 +190,17 @@ object LmModel {
     */
   private def writeTables(s: SparkSession, dir: String, bi: DataFrame,
       uni: DataFrame, nB: Int): Unit = {
+    // EVERY model rewrite — fresh [[write]] over an existing layout or a
+    // count-algebra [[upgrade]] — produces tables that score differently,
+    // so a persisted scorestats baseline no longer describes this model's
+    // score distribution. DELETE it here, in the one shared tail, rather
+    // than leave [[scoreDrift]] comparing batches against the PREVIOUS
+    // model (a stale baseline must fail loudly, not alert wrong; re-run
+    // [[writeScoreStats]] after any rewrite). Contrast AnnIndex: its
+    // upgrades keep the FROZEN v1 codebook, so the v1 quantstats baseline
+    // stays exactly the distribution ADC serves against and is retained.
+    val ss = new org.apache.hadoop.fs.Path(s"$dir/scorestats")
+    ss.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ss, true)
     writeMeta(s, dir, nB)
     val tot = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
     enrich(bi, uni, tot).withColumn("bkt", bktOf(col("gram"), nB))
@@ -254,17 +265,10 @@ object LmModel {
     // re-derive the sized count from the MERGED table — the rewrite is
     // total anyway, so a model that grew across releases keeps its
     // bytes-per-bucket bound instead of inheriting v1's count forever
+    // writeTables' shared tail also deletes any scorestats baseline —
+    // the upgrade retrains the probabilities, so the old distribution
+    // would alert wrong (re-run [[writeScoreStats]] after the roll)
     writeTables(s, dir, bi, uni, bucketsFor(bi.count()))
-    // the upgrade RETRAINS the probabilities, so a persisted scorestats
-    // baseline no longer describes this model's score distribution —
-    // DELETE it rather than leave [[scoreDrift]] comparing batches
-    // against the previous release's model (a stale baseline must fail
-    // loudly, not alert wrong; re-run [[writeScoreStats]] after the
-    // upgrade). Contrast AnnIndex: its upgrades keep the FROZEN v1
-    // codebook, so the v1 quantstats baseline stays exactly the
-    // distribution ADC serves against and is deliberately retained.
-    val ss = new org.apache.hadoop.fs.Path(s"$dir/scorestats")
-    ss.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ss, true)
   }
 
   /** Score a document batch against the persisted model: q154's output

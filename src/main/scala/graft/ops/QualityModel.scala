@@ -43,6 +43,13 @@ object QualityModel {
     * Overwrites.
     */
   def write(s: SparkSession, docs: DataFrame, dir: String): Unit = {
+    // a retrain-in-place only overwrites $dir/model, so any persisted
+    // scorestats baseline would survive describing the PREVIOUS model's
+    // score distribution — [[scoreDrift]] would then alert wrong instead
+    // of failing loudly. Delete it (LmModel.writeTables' contract); the
+    // operator re-runs [[writeScoreStats]] after each retrain.
+    val ss = new org.apache.hadoop.fs.Path(s"$dir/scorestats")
+    ss.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ss, true)
     val raw = Advanced15.lqcRawFeatures(docs).localCheckpoint()
     val (nL, mus) = Advanced15.lqcMeans(raw)
     val x = raw.select(col("y"),
@@ -134,8 +141,10 @@ object QualityModel {
     * (`scorestats/`, 1 row) — the training-time half of [[scoreDrift]],
     * [[LmModel.writeScoreStats]]'s contract verbatim: opt-in (training
     * proper is 4 bounded-read scans and stays that way) and sampleable
-    * at corpus scale. A re-[[write]] replaces the whole dir, so a
-    * baseline never outlives the model row it describes.
+    * at corpus scale. A re-[[write]] DELETES any persisted baseline (it
+    * only rewrites `model/`, so the old `scorestats/` would otherwise
+    * survive and describe a model that no longer exists) — re-run this
+    * after each retrain, exactly the [[LmModel]] discipline.
     */
   def writeScoreStats(s: SparkSession, dir: String, docs: DataFrame): Unit =
     scoreStats(s, dir, docs)

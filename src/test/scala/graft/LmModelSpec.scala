@@ -233,6 +233,12 @@ class LmModelSpec extends SparkSuite {
     // re-baselining against the upgraded model restores the monitor
     LmModel.writeScoreStats(spark, d, docs)
     assert(LmModel.scoreDrift(spark, d, docs).count() == 2L)
+    // write() is the other documented retrain path (upgrade's require
+    // message sends legacy layouts to it) — an in-place retrain must
+    // invalidate the baseline through the same shared tail
+    LmModel.write(spark, docs.limit(50), d)
+    val ex2 = intercept[Exception] { LmModel.scoreDrift(spark, d, docs).count() }
+    assert(ex2.getMessage.toLowerCase.contains("path"), ex2.getMessage)
   }
 
   test("q207 fixture guard: the reversed slice drifts (unseen bigrams exist; batch sits strictly below baseline)") {

@@ -80,6 +80,24 @@ class QualityModelSpec extends SparkSuite {
       s"batch p05 ${rows("batch")._2} not below baseline ${rows("baseline")._2}")
   }
 
+  test("retrain-in-place invalidates the scorestats baseline: scoreDrift fails loudly until it is rewritten") {
+    // write() only rewrites model/ — without the delete, an in-place
+    // retrain would leave scoreDrift silently comparing new-model batch
+    // scores against the OLD model's baseline (alert wrong, not fail
+    // loudly — the hazard LmModel.writeTables closes for the LM)
+    val d = Files.createTempDirectory("graft_qm_retrain").toString
+    val docs = Tables.documents(spark, sf0001).limit(100).localCheckpoint(true)
+    QualityModel.write(spark, docs, d)
+    QualityModel.writeScoreStats(spark, d, docs)
+    assert(QualityModel.scoreDrift(spark, d, docs).count() == 2L)
+    QualityModel.write(spark, docs.limit(50), d)
+    val ex = intercept[Exception] { QualityModel.scoreDrift(spark, d, docs).count() }
+    assert(ex.getMessage.toLowerCase.contains("path"), ex.getMessage)
+    // re-baselining against the retrained model restores the monitor
+    QualityModel.writeScoreStats(spark, d, docs)
+    assert(QualityModel.scoreDrift(spark, d, docs).count() == 2L)
+  }
+
   test("the learned model separates long from short documents and keep is deterministic") {
     val batch = Seq(
       (9600001L, Array.fill(40)("spark table query data").mkString(" ")), // long, high quality label

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
@@ -17,13 +16,29 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *
   * [[capBuckets]] bounds that: members of a bucket are ranked by their
   * id and only the first `cap` generate candidates from that bucket
-  * (they can still collide in their other bands). The rank window
-  * partitions by the SAME keys as the downstream join, so it reuses the
-  * join's shuffle and costs one in-partition sort — O(m log m) against
-  * the O(m²) it prevents. Dropped-membership counts are observed via
+  * (they can still collide in their other bands). Implementation is a
+  * map-parallel TWO-PASS cap (round 15 — replacing the round-5
+  * row_number window, whose rank sort funneled ALL of a collapsed
+  * bucket's rows through the one task owning its partition, O(m log m)
+  * single-task): pass 1 aggregates each bucket's member count and its
+  * cap-th smallest id ([[graft.functions.KthSmallest]], a bounded-heap
+  * aggregate whose partial state never exceeds `cap` values, so a
+  * collapsed bucket costs each map task one streaming O(rows · log cap)
+  * pass); pass 2 left-joins ONLY the over-cap buckets' thresholds back
+  * and keeps rows at-or-below them. In the common no-hot-bucket case
+  * the join side is EMPTY — AQE broadcasts it and the cap never
+  * shuffles the frame at all (the old window always paid that
+  * exchange). Lowest-cap-ids semantics are unchanged — the id column
+  * must be UNIQUE per bucket and non-null (every call site orders by a
+  * document/vector id), making "id ≤ cap-th smallest id" exactly
+  * "row_number ≤ cap", the contract every capped oracle mirrors via
+  * [[capCteSql]]. Dropped-membership counts are observed via
   * `Dataset.observe` (a CollectMetrics node — zero extra jobs) and
   * logged per query by a session-registered listener, so silent
   * truncation is impossible: a binding cap always leaves a log line.
+  * (`max_bucket` now reports the largest OVER-CAP bucket, 0 when none
+  * bind — the pre-round-15 value also covered under-cap buckets, which
+  * no consumer read.)
   *
   * The cap is deliberately a compile-time constant mirrored into the
   * DuckDB oracles (the oracle must express the identical semantics); at
@@ -78,20 +93,38 @@ object LshGuard {
   // plans — an analysis error (DUPLICATED_METRICS_NAME).
   private val serial = new java.util.concurrent.atomic.AtomicLong()
 
-  /** Rank-cap bucket membership: partition `df` by `bucketKeys`, order by
-    * `orderCol`, keep the first `cap` rows per bucket. Observes the
-    * dropped count + largest bucket size as `graft.lsh.drops.$tag`.
+  /** Rank-cap bucket membership: keep, per `bucketKeys` bucket, only the
+    * `cap` rows with the smallest `orderCol` (which must be a UNIQUE
+    * non-null per-bucket id — every call site passes a document/vector
+    * id). Observes the dropped count + largest over-cap bucket size as
+    * `graft.lsh.drops.$tag`. Two map-parallel passes — see the object
+    * doc; `cap = Int.MaxValue` (the specs' uncapped comparison arm) is
+    * an explicit passthrough, since no bucket can exceed it.
     */
   def capBuckets(s: SparkSession, df: DataFrame, bucketKeys: Seq[String],
       orderCol: String, cap: Int = BucketCap, tag: String): DataFrame = {
+    if (cap == Int.MaxValue) return df
     ensureListener(s)
-    val w = Window.partitionBy(bucketKeys.map(col): _*).orderBy(col(orderCol))
-    df.withColumn("graft_bucket_rn", row_number().over(w))
+    // pass 1: per-bucket (member count, cap-th smallest id) — bounded-heap
+    // aggregate, partial state ≤ cap values per bucket per task
+    val th = df.groupBy(bucketKeys.map(col): _*)
+      .agg(count(lit(1)).as("graft_bucket_n"),
+        org.apache.spark.sql.GraftPlanBridge.column(
+          graft.functions.KthSmallest(
+            org.apache.spark.sql.GraftPlanBridge.expr(col(orderCol).cast("long")),
+            cap).toAggregateExpression()).as("graft_bucket_thr"))
+    // only OVER-CAP buckets join back: empty at every tested corpus scale
+    // (the cap is non-binding by design), ≤ n/cap rows ever — AQE
+    // broadcasts the small side, so the probe frame is never shuffled
+    val hot = th.filter(col("graft_bucket_n") > cap)
+    df.join(hot, bucketKeys, "left_outer")
       .observe(s"graft.lsh.drops.$tag#${serial.incrementAndGet()}",
-        coalesce(sum(when(col("graft_bucket_rn") > cap, 1L)), lit(0L)).as("dropped"),
-        coalesce(max(col("graft_bucket_rn")).cast("long"), lit(0L)).as("max_bucket"))
-      .filter(col("graft_bucket_rn") <= cap)
-      .drop("graft_bucket_rn")
+        coalesce(sum(when(col(orderCol).cast("long") > col("graft_bucket_thr"), 1L)),
+          lit(0L)).as("dropped"),
+        coalesce(max(col("graft_bucket_n")).cast("long"), lit(0L)).as("max_bucket"))
+      .filter(col("graft_bucket_thr").isNull ||
+        col(orderCol).cast("long") <= col("graft_bucket_thr"))
+      .drop("graft_bucket_thr", "graft_bucket_n")
   }
 
   /** DuckDB CTE applying the identical cap to a band CTE — `cols` are

@@ -393,6 +393,26 @@ object IndexBench {
     // (novel shingles, in-vocab tokens — survives to the LM stage), so
     // BOTH stages do real work.
     section("gate") {
+    // Standalone-safe (round-15): the gate composes the dedup, LM and
+    // quality layouts (+ their scorestats baselines for the monitor
+    // row). When SPARK_GRAFT_IXBENCH_SECTIONS skips those sections,
+    // build each missing prerequisite here with its own log line —
+    // previously a subset run silently broke on the absent dirs.
+    def ensurePrereq(dir: String, label: String)(build: => Unit): Unit =
+      if (!new java.io.File(dir).exists()) {
+        val t = System.nanoTime()
+        build
+        println(f"IXBENCH gate_prereq_$label%-11s      ${(System.nanoTime() - t) / 1e9}%.3f s (built standalone)")
+      }
+    ensurePrereq(s"$tmp/dix", "dedup") { ops.DedupIndex.write(spark, docs, s"$tmp/dix") }
+    ensurePrereq(s"$tmp/lm", "lm") {
+      ops.LmModel.write(spark, docs, s"$tmp/lm")
+      ops.LmModel.writeScoreStats(spark, s"$tmp/lm", docs)
+    }
+    ensurePrereq(s"$tmp/qm", "quality") {
+      ops.QualityModel.write(spark, docs, s"$tmp/qm")
+      ops.QualityModel.writeScoreStats(spark, s"$tmp/qm", docs)
+    }
     val gateCfg = ops.IngestionGate.Config(s"$tmp/dix", s"$tmp/lm", s"$tmp/acc")
     val gateProbe = probe100.limit(50).unionAll(
       probe100.limit(50).withColumn("doc_id", col("doc_id") + 3000000L)

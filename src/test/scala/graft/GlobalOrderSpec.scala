@@ -69,6 +69,26 @@ class GlobalOrderSpec extends SparkSuite {
     assert(rt.totalSum == acc)
   }
 
+  test("release() frees the phase-1 checkpoint: no net executor-storage growth across repeated calls") {
+    // serve-session storage hygiene (round-15): each two-phase call
+    // checkpoints its ranged layout; without release() a long-lived
+    // session accumulates one retained block set per call
+    val df = (1 to 5000).map(i => (i.toLong, (i * 2654435761L) % 997))
+      .toDF("id", "v").repartition(4).localCheckpoint(true)
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    val base = persisted
+    val handles = (1 to 5).map { _ =>
+      val rt = GlobalOrder.rankAndRunningSumT(df, Seq($"v", $"id"), $"v",
+        "rnk", "cum")
+      assert(rt.df.count() == 5000L) // consumer materializes, THEN releases
+      rt
+    }
+    assert(persisted >= base + 5, s"expected 5 retained checkpoints over $base, got $persisted")
+    handles.foreach(_.release())
+    handles.foreach(_.release()) // idempotent
+    assert(persisted == base, s"release() left retained blocks: $persisted vs baseline $base")
+  }
+
   test("ntileFromRank reproduces SQL NTILE exactly, including n < buckets and remainders") {
     for (n <- Seq(1, 3, 4, 5, 17, 40, 64); b <- Seq(3, 4, 16)) {
       val df = sample(n)

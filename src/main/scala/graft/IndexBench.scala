@@ -744,6 +744,54 @@ object IndexBench {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     println(s"IXBENCH cycle_gate_matches_fresh     ${admittedU == admittedF} (upgraded-index gate == fresh-index gate)")
     }
+
+    section("retrain") {
+    // Act-on-alarm composition (round 15): the quantizer-drift alarm
+    // chained into staged rebuild -> serve-equivalence + recovery gates
+    // -> swap (ops.RetrainFlow). noop = the per-batch read a HEALTHY
+    // intake loop pays (alarm only, no rebuild); cycle = a full regime
+    // shift (the corpus re-ingested under the q204 affine drift), which
+    // alarms, rebuilds into staging, gates on 16 undrifted probes
+    // (frac=1.0 -> the equivalence check is exact at this corpus size)
+    // and swaps. The swap's wall is dominated by the staged rebuild —
+    // the cost the alarm exists to schedule.
+    val eR = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    AnnIndex.writeVectors(spark, eR, s"$tmp/rt_ann")
+    val probesR = eR.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("v")).localCheckpoint()
+    var t0 = System.nanoTime()
+    val rNoop = ops.RetrainFlow.annCycle(spark, s"$tmp/rt_ann", eR,
+      eR.select((col("vec_id") + 2000000000L).as("vec_id"), col("v")),
+      probesR, frac = 1.0)
+    println(f"IXBENCH retrain_ann_noop             ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+      f"(alarmed=${rNoop.alarmed} ppm=${rNoop.alarmPpm})")
+    val shifted = eR.select((col("vec_id") + 1000000000L).as("vec_id"),
+      expr("transform(v, x -> x * 1.5d + 0.25d)").as("v")).localCheckpoint()
+    // exact-equality gate contract: shortlists must cover the corpus at
+    // gate time (16 fixed lists -> ceil(n/16) per probe)
+    val spp = ((eR.count() + 15) / 16).toInt
+    t0 = System.nanoTime()
+    val rSwap = ops.RetrainFlow.annCycle(spark, s"$tmp/rt_ann", eR, shifted,
+      probesR, frac = 1.0, shortlistPerProbe = spp)
+    println(f"IXBENCH retrain_ann_cycle            ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+      f"(alarmed=${rSwap.alarmed} equivalent=${rSwap.equivalent} " +
+      f"recovered=${rSwap.recovered} swapped=${rSwap.swapped} ppm=${rSwap.alarmPpm})")
+    // LM flavor: the alarm-read cost plus whatever the corpus's
+    // diversity lets the reversal fixture trip (on the high-diversity
+    // synthetic corpus the ratio sits near 1x — q207's documented gap)
+    ops.LmModel.write(spark, docs, s"$tmp/rt_lm")
+    ops.LmModel.writeScoreStats(spark, s"$tmp/rt_lm", docs)
+    val lmBatch = docs.filter(col("doc_id") % 10 === 7)
+      .select((col("doc_id") + 9000000L).as("doc_id"),
+        concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+      .localCheckpoint()
+    t0 = System.nanoTime()
+    val rLm = ops.RetrainFlow.lmCycle(spark, s"$tmp/rt_lm", docs, lmBatch)
+    println(f"IXBENCH retrain_lm_cycle             ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+      f"(alarmed=${rLm.alarmed} swapped=${rLm.swapped} ppm=${rLm.alarmPpm})")
+    }
     spark.stop()
   }
 }

@@ -27,7 +27,7 @@ object SparkEntry {
       ops.AnnIndex.specs ++ ops.IngestionGate.specs ++ ops.QualityModel.specs ++
       ops.LmModel.specs ++ ops.Release.specs ++ ops.Advanced16.specs ++
       ops.Advanced17.specs ++ ops.Advanced18.specs ++ ops.Advanced19.specs ++
-      ops.Advanced20.specs
+      ops.Advanced20.specs ++ ops.RetrainFlow.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -177,29 +177,36 @@ object Quantizer {
     * `pc$Iters(b, cid, cv)`. Same dataflow as [[pqCodebook]] /
     * [[trainPqBlocks]].
     */
-  def pqTrainCtes(k: Int, source: String = "e", vecCol: String = "v"): String = {
+  def pqTrainCtes(k: Int, source: String = "e", vecCol: String = "v",
+      prefix: String = ""): String = {
+    // `prefix` renames every emitted CTE so TWO trainings can coexist in
+    // one oracle (q209 trains the old codebook over `e` and the retrained
+    // one over the union); "" keeps every pre-round-15 oracle byte-identical
     val sub =
-      s"""sub AS (
+      s"""${prefix}sub AS (
         |  SELECT vec_id, bb.b AS b, list_slice($vecCol, 16*bb.b+1, 16*bb.b+16) AS sv
         |  FROM $source CROSS JOIN (VALUES (0),(1),(2),(3)) bb(b))""".stripMargin
-    val seed = s"pc0 AS (SELECT b, CAST(vec_id AS INTEGER) AS cid, sv AS cv FROM sub WHERE vec_id < $k)"
+    val seed = s"${prefix}pc0 AS (SELECT b, CAST(vec_id AS INTEGER) AS cid, sv AS cv FROM ${prefix}sub WHERE vec_id < $k)"
     val iters = (1 to Iters).map { i =>
-      s"""pa$i AS (
+      s"""${prefix}pa$i AS (
          |  SELECT s.vec_id, s.b, cid,
          |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.b ORDER BY ${l2Sql("sv", "cv")}, cid) AS rn
-         |  FROM sub s JOIN pc${i - 1} USING (b) QUALIFY rn = 1),
-         |pm$i AS (
+         |  FROM ${prefix}sub s JOIN ${prefix}pc${i - 1} USING (b) QUALIFY rn = 1),
+         |${prefix}pm$i AS (
          |  SELECT a.b, a.cid, u.dim, CAST(SUM(CAST(u.val AS DECIMAL(20,10))) AS DOUBLE)/COUNT(*) AS cval
-         |  FROM pa$i a JOIN sub s ON s.vec_id = a.vec_id AND s.b = a.b,
+         |  FROM ${prefix}pa$i a JOIN ${prefix}sub s ON s.vec_id = a.vec_id AND s.b = a.b,
          |    LATERAL (SELECT unnest(s.sv) AS val, generate_subscripts(s.sv,1) AS dim) u
          |  GROUP BY a.b, a.cid, u.dim),
-         |pc$i AS (SELECT b, cid, list(cval ORDER BY dim) AS cv FROM pm$i GROUP BY b, cid)""".stripMargin
+         |${prefix}pc$i AS (SELECT b, cid, list(cval ORDER BY dim) AS cv FROM ${prefix}pm$i GROUP BY b, cid)""".stripMargin
     }
     (Seq(sub, seed) ++ iters).mkString(",\n")
   }
 
   /** Name of the trained-codebook CTE emitted by [[pqTrainCtes]]. */
   val pqFinal: String = s"pc$Iters"
+
+  /** [[pqFinal]] under a [[pqTrainCtes]] prefix. */
+  def pqFinalP(prefix: String): String = s"${prefix}pc$Iters"
 
   /** DuckDB CTEs for trained-centroid IVF probing — `cent`/`aff`/
     * `assigned`/`probes` for queries vec_id < `nq` probing their

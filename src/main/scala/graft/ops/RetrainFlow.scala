@@ -1,0 +1,328 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ACT-ON-ALARM retrain composition (round 15) — the chain the
+  * frozen-model serve contracts were missing: the drift-monitor trio
+  * (q204 quantizer / q207 LM / q208 classifier) says WHEN a frozen
+  * model has gone stale, and the release-upgrade family (q163–q166)
+  * covers HOW a layout rolls forward, but nothing exercised
+  * alarm → rebuild → serve-equivalence gate → swap as ONE flow. These
+  * cycles do, idempotently per serving dir:
+  *
+  *  1. **Alarm** — the persisted monitor read ([[AnnIndex.quantizationDrift]]
+  *     / [[LmModel.scoreDrift]]), reduced to one integer ppm ratio
+  *     (floor division, the oracle arithmetic — deterministic, no
+  *     float thresholds). Below threshold the cycle is a no-op: the
+  *     serving dir is untouched and no staging is built.
+  *  2. **Rebuild into STAGING** — a fresh train over the new regime
+  *     (serving corpus ∪ drifted batch) under `$dir-staging`, never in
+  *     place: the serving layout keeps answering queries while the
+  *     replacement trains, and a failed gate leaves it untouched.
+  *  3. **Gate** — before any swap:
+  *     (a) serve equivalence (ANN): the staged index must return the
+  *         IDENTICAL exact-reranked top-k as the serving index for a
+  *         caller-supplied probe set of UNDRIFTED queries, with the
+  *         staged search allow-listed to the shared corpus (the new
+  *         batch's vectors are legitimately new answers, not a
+  *         regression) — a retrain that lost recall on the data it
+  *         already served must not ship;
+  *     (b) recovery: the alarm re-read against the STAGED layout must
+  *         clear — the drifted batch re-encodes/re-scores inside the
+  *         new baseline's threshold, else the rebuild didn't fix what
+  *         the alarm reported. This deliberately refuses an OUTLIER
+  *         slice: a small batch far off-distribution still dominates
+  *         the p95 tail after a union retrain (codebook mass follows
+  *         the corpus, measured in RetrainFlowSpec), and shipping a
+  *         new index for it would churn serving state without curing
+  *         the alarm — a genuine regime SHIFT (batch mass comparable
+  *         to the corpus) retrains codes onto the new mode and clears.
+  *  4. **Swap** — two filesystem renames: serving → `$dir-retired`
+  *     (replacing any previous retiree), staging → serving. The new
+  *     baseline (every build path writes its own `quantstats` /
+  *     `scorestats`) is already inside the staged layout, so the swap
+  *     atomically retires the old baseline with the old model — a
+  *     stale-baseline window cannot exist. The instant between the two
+  *     renames is not atomic; a serve tier that cannot tolerate it
+  *     fronts the path with its own pointer (the [[IngestionGate]]
+  *     marker discipline).
+  *
+  * 100 TB shape: the alarm is O(batch) + a 1-row baseline read (the
+  * monitors' contract); the equivalence gate is probe-bounded (a
+  * serve-contract-sized query set, collected once per side); the
+  * rebuild is the one deliberately corpus-sized step — which is the
+  * point: the flow exists so that cost is paid exactly when measured
+  * drift demands it, not on a timer. RetrainFlowSpec pins the no-op,
+  * the full swap, the gate refusal (a staged index that lost recall
+  * does NOT ship), and post-swap alarm clearance.
+  */
+object RetrainFlow {
+
+  private val Micro = 1000000L
+
+  /** One cycle's outcome. `servingDir` is where queries should go after
+    * the cycle (always the original `dir`; its CONTENTS swap).
+    */
+  final case class Result(alarmed: Boolean, alarmPpm: Long, rebuilt: Boolean,
+      equivalent: Boolean, recovered: Boolean, swapped: Boolean,
+      servingDir: String)
+
+  private def fsOf(s: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def rm(s: SparkSession, dir: String): Unit =
+    fsOf(s, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
+
+  private def swapDirs(s: SparkSession, dir: String, staging: String): Unit = {
+    val fs = fsOf(s, dir)
+    val retired = new org.apache.hadoop.fs.Path(s"$dir-retired")
+    fs.delete(retired, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(dir), retired),
+      s"swap: could not retire $dir")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(dir)),
+      s"swap: could not promote $staging (serving dir retired to $retired)")
+  }
+
+  /** The ANN alarm as one integer: ppm ratio of the batch's p95
+    * quantization error to the persisted baseline's (1_000_000 =
+    * exactly at baseline). Floor division — the monitors' oracle
+    * arithmetic.
+    */
+  private[graft] def annAlarmPpm(s: SparkSession, dir: String,
+      batch: DataFrame): Long = {
+    val m = AnnIndex.quantizationDrift(s, dir, batch).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    Math.floorDiv(m("batch") * Micro, math.max(m("baseline"), 1L))
+  }
+
+  /** The LM alarm: ppm ratio of the BASELINE p05 doc score to the
+    * batch's (scores drift DOWN, so the ratio grows as the batch falls
+    * below the baseline).
+    */
+  private[graft] def lmAlarmPpm(s: SparkSession, dir: String,
+      batch: DataFrame): Long = {
+    val m = LmModel.scoreDrift(s, dir, batch).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    Math.floorDiv(m("baseline") * Micro, math.max(m("batch"), 1L))
+  }
+
+  /** The pre-swap gate, separated so a spec can drive it with an
+    * arbitrary staged layout: (a) serve equivalence — identical
+    * exact-reranked top-k on the undrifted probes, the staged side
+    * allow-listed to the corpus both indexes share (the batch's vectors
+    * are legitimately new answers, not a regression); (b) recovery —
+    * the alarm re-read against the staged layout clears.
+    */
+  private[graft] def annGate(s: SparkSession, dir: String, staging: String,
+      oldStore: DataFrame, newStore: DataFrame, batch: DataFrame,
+      probes: DataFrame, k: Int, frac: Double,
+      alarmRatioPpm: Long, shortlistPerProbe: Int = 64): (Boolean, Boolean) = {
+    def topk(ixDir: String, store: DataFrame,
+        allowed: Option[DataFrame]): Set[(Long, Int, Long)] =
+      AnnIndex.searchRerank(s, AnnIndex.load(s, ixDir), store, probes, k,
+        frac, shortlistPerProbe, allowed = allowed)
+        .select(col("qid"), col("rnk"), col("cand")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val equivalent =
+      topk(dir, oldStore, None) ==
+        topk(staging, newStore, Some(oldStore.select(col("vec_id"))))
+    (equivalent, annAlarmPpm(s, staging, batch) <= alarmRatioPpm)
+  }
+
+  /** Alarm → retrain → gate → swap for a persisted [[AnnIndex]].
+    *
+    * `vectors` is the index's full-precision store (the same frame
+    * every re-rank/semantic serve path takes), `batch` the monitored
+    * intake slice, `probes(qid, v)` the UNDRIFTED serve-equivalence
+    * query set (serve-contract bounded — it is collected per side).
+    * Fires when the batch's p95 encode error exceeds
+    * `alarmRatioPpm` × baseline (default 1.5× — past it, ADC rankings
+    * over the batch are ordering noise, the q204 contract).
+    *
+    * The equivalence gate demands IDENTICAL top-k, so the gate-time
+    * search must not truncate recall differently per codebook: two
+    * honestly-retrained indexes rank their ADC shortlists differently,
+    * and a shortlist smaller than the probed candidate pool cuts
+    * different survivors on each side (measured at 2048 vectors:
+    * 64·16 = 1024-row shortlists flunked an honest rebuild). For an
+    * exact-equality contract size `frac`/`shortlistPerProbe` so
+    * shortlists cover the probed lists at gate time — the gate is
+    * probe-bounded, so paying exact search on 16 queries is noise next
+    * to the rebuild it guards.
+    */
+  def annCycle(s: SparkSession, dir: String, vectors: DataFrame,
+      batch: DataFrame, probes: DataFrame, k: Int = 10,
+      frac: Double = 0.25, alarmRatioPpm: Long = 1500000L,
+      shortlistPerProbe: Int = 64): Result = {
+    val ppm = annAlarmPpm(s, dir, batch)
+    if (ppm <= alarmRatioPpm)
+      return Result(alarmed = false, ppm, rebuilt = false,
+        equivalent = false, recovered = false, swapped = false, dir)
+    val staging = s"$dir-staging"
+    rm(s, staging)
+    val newVecs = vectors.unionByName(batch)
+    AnnIndex.writeVectors(s, newVecs, staging)
+    val (equivalent, recovered) =
+      annGate(s, dir, staging, vectors, newVecs, batch, probes, k, frac,
+        alarmRatioPpm, shortlistPerProbe)
+    if (equivalent && recovered) {
+      swapDirs(s, dir, staging)
+      Result(alarmed = true, ppm, rebuilt = true, equivalent = true,
+        recovered = true, swapped = true, dir)
+    } else // staging is LEFT for inspection; serving dir untouched
+      Result(alarmed = true, ppm, rebuilt = true, equivalent, recovered,
+        swapped = false, dir)
+  }
+
+  /** Alarm → retrain → gate → swap for a persisted [[LmModel]]. The LM
+    * retrains on corpus ∪ batch, so undrifted documents legitimately
+    * score DIFFERENTLY under the new table (the token total moves every
+    * probability) — there is no bit-equivalence gate to demand; the
+    * shipped gate is recovery: the batch's score distribution must
+    * clear the alarm against the staged model's fresh baseline. The
+    * staged layout carries its own scorestats (written here, after the
+    * train), so the swap retires model and baseline together.
+    */
+  def lmCycle(s: SparkSession, dir: String, corpus: DataFrame,
+      batch: DataFrame, alarmRatioPpm: Long = 1500000L): Result = {
+    val ppm = lmAlarmPpm(s, dir, batch)
+    if (ppm <= alarmRatioPpm)
+      return Result(alarmed = false, ppm, rebuilt = false,
+        equivalent = false, recovered = false, swapped = false, dir)
+    val staging = s"$dir-staging"
+    rm(s, staging)
+    val newCorpus = corpus.unionByName(batch)
+    LmModel.write(s, newCorpus, staging)
+    LmModel.writeScoreStats(s, staging, newCorpus)
+    val stagedPpm = lmAlarmPpm(s, staging, batch)
+    val recovered = stagedPpm <= alarmRatioPpm
+    if (recovered) {
+      swapDirs(s, dir, staging)
+      Result(alarmed = true, ppm, rebuilt = true, equivalent = true,
+        recovered = true, swapped = true, dir)
+    } else
+      Result(alarmed = true, ppm, rebuilt = true, equivalent = true,
+        recovered = false, swapped = false, dir)
+  }
+
+  /** One full ANN cycle per (session, corpus): v1 index over the
+    * embeddings table, regime-shift batch (every vector re-ingested
+    * under the q204 affine drift with shifted ids), [[annCycle]] with a
+    * corpus-covering gate shortlist — cached as a 1-row (dir, alarmed,
+    * alarm_ppm, swapped) frame, the [[Advanced20.sharedFixedIndexDir]]
+    * sharing pattern.
+    */
+  private def sharedAnnCycle(s: SparkSession, d: String): (String, Boolean, Long, Boolean) = {
+    import s.implicits._
+    val row = graft.Shared.materialized(s, s"retrain-cycle@$d") {
+      val e = graft.Tables.embeddings(s, d).select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+        .localCheckpoint(true)
+      val dir = graft.TempDirs.create("graft-rtcycle") + "/ann"
+      AnnIndex.writeVectors(s, e, dir)
+      val batch = e.select((col("vec_id") + 1000000000L).as("vec_id"),
+        expr("transform(v, x -> x * 1.5d + 0.25d)").as("v"))
+      val probes = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("v"))
+      val spp = ((2 * e.count() + 15) / 16).toInt
+      val r = annCycle(s, dir, e, batch, probes, k = 10, frac = 1.0,
+        shortlistPerProbe = spp)
+      Seq((dir, r.alarmed, r.alarmPpm, r.swapped))
+        .toDF("dir", "alarmed", "alarm_ppm", "swapped")
+    }.collect()(0)
+    (row.getString(0), row.getBoolean(1), row.getLong(2), row.getBoolean(3))
+  }
+
+  /** The full cycle under the hard gate: the Spark side runs the REAL
+    * alarm → staged rebuild → gates → swap against persisted layouts
+    * ([[sharedAnnCycle]]) and then SERVES the 16 undrifted probes off
+    * whatever directory the cycle left serving, emitting the answers
+    * next to the cycle's decision columns. The oracle replays the whole
+    * chain from the raw embeddings table — old-codebook PQ training +
+    * p95s (the alarm), union-retrained codebook + p95s (the recovery
+    * gate), the swap predicate, and brute-force exact top-k over the
+    * UNION corpus (what a correctly-swapped index must answer) — and
+    * never sees a persisted byte. So a cycle that fails to swap, swaps
+    * without recovering, or swaps in an index that lost recall all
+    * surface as a hash mismatch, not a green row.
+    */
+  val retrainCycle = graft.Q(
+    "q209_retrain_cycle",
+    (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |${Quantizer.pqTrainCtes(8, "e")},
+      |${Advanced8.pqPkCteSql},
+      |bmk AS (SELECT vec_id, b, MIN(pk) AS mk FROM pk GROUP BY vec_id, b),
+      |bev AS (SELECT vec_id, CAST(SUM(mk // 100) AS BIGINT) AS err FROM bmk GROUP BY vec_id),
+      |bp AS (SELECT err AS p95 FROM (
+      |         SELECT err, ROW_NUMBER() OVER (ORDER BY err, vec_id) AS rnk,
+      |           COUNT(*) OVER () AS n FROM bev)
+      |       WHERE rnk = (95 * n + 99) // 100),
+      |bt AS (SELECT vec_id + 1000000000 AS vec_id,
+      |         list_transform(v, x -> x * 1.5 + 0.25) AS v FROM e),
+      |tsub AS (
+      |  SELECT vec_id, bb.b AS b, list_slice(v, 16*bb.b+1, 16*bb.b+16) AS sv
+      |  FROM bt CROSS JOIN (VALUES (0),(1),(2),(3)) bb(b)),
+      |tpk AS (
+      |  SELECT s.vec_id, s.b,
+      |    ${Advanced8.distMicroSql("sv", "cv", "list_dot_product")} * 100 + cid AS pk
+      |  FROM tsub s JOIN ${Quantizer.pqFinal} USING (b)),
+      |tmk AS (SELECT vec_id, b, MIN(pk) AS mk FROM tpk GROUP BY vec_id, b),
+      |tev AS (SELECT vec_id, CAST(SUM(mk // 100) AS BIGINT) AS err FROM tmk GROUP BY vec_id),
+      |tp AS (SELECT err AS p95 FROM (
+      |         SELECT err, ROW_NUMBER() OVER (ORDER BY err, vec_id) AS rnk,
+      |           COUNT(*) OVER () AS n FROM tev)
+      |       WHERE rnk = (95 * n + 99) // 100),
+      |al AS (SELECT CAST((tp.p95 * 1000000) // GREATEST(bp.p95, 1) AS BIGINT) AS alarm_ppm
+      |       FROM bp, tp),
+      |u AS (SELECT * FROM e UNION ALL SELECT * FROM bt),
+      |${Quantizer.pqTrainCtes(8, "u", "v", "nw")},
+      |npk AS (
+      |  SELECT s.vec_id, s.b,
+      |    ${Advanced8.distMicroSql("sv", "cv", "list_dot_product")} * 100 + cid AS pk
+      |  FROM nwsub s JOIN ${Quantizer.pqFinalP("nw")} USING (b)),
+      |nmk AS (SELECT vec_id, b, MIN(pk) AS mk FROM npk GROUP BY vec_id, b),
+      |nev AS (SELECT vec_id, CAST(SUM(mk // 100) AS BIGINT) AS err FROM nmk GROUP BY vec_id),
+      |nbp AS (SELECT err AS p95 FROM (
+      |          SELECT err, ROW_NUMBER() OVER (ORDER BY err, vec_id) AS rnk,
+      |            COUNT(*) OVER () AS n FROM nev)
+      |        WHERE rnk = (95 * n + 99) // 100),
+      |ntp AS (SELECT err AS p95 FROM (
+      |          SELECT err, ROW_NUMBER() OVER (ORDER BY err, vec_id) AS rnk,
+      |            COUNT(*) OVER () AS n FROM nev WHERE vec_id >= 1000000000)
+      |        WHERE rnk = (95 * n + 99) // 100),
+      |rec AS (SELECT CAST((ntp.p95 * 1000000) // GREATEST(nbp.p95, 1) AS BIGINT) AS post_ppm
+      |        FROM nbp, ntp),
+      |pr AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 16),
+      |er AS (SELECT qid, u.vec_id AS cand,
+      |         ${Advanced8.distMicroSql("qv", "u.v", "list_dot_product")} AS edist_micro
+      |       FROM pr, u),
+      |top AS (SELECT qid, cand, edist_micro,
+      |          CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |            ORDER BY edist_micro, cand) AS INTEGER) AS rnk
+      |        FROM er QUALIFY rnk <= 10)
+      |SELECT qid, rnk, cand, edist_micro / 1000000.0 AS exact_dist,
+      |  al.alarm_ppm AS alarm_ppm,
+      |  al.alarm_ppm > 1500000 AS alarmed,
+      |  (al.alarm_ppm > 1500000 AND rec.post_ppm <= 1500000) AS swapped
+      |FROM top, al, rec ORDER BY qid, rnk""").stripMargin) { (s, d) =>
+    val (dir, alarmed, ppm, swapped) = sharedAnnCycle(s, d)
+    val e = graft.Tables.embeddings(s, d).select(col("vec_id"),
+      graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val store = e.unionByName(e.select((col("vec_id") + 1000000000L).as("vec_id"),
+      expr("transform(v, x -> x * 1.5d + 0.25d)").as("v")))
+    val probes = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("v"))
+    val spp = ((2 * e.count() + 15) / 16).toInt
+    AnnIndex.searchRerank(s, AnnIndex.load(s, dir), store, probes, k = 10,
+      frac = 1.0, shortlistPerProbe = spp)
+      .withColumn("alarm_ppm", lit(ppm))
+      .withColumn("alarmed", lit(alarmed))
+      .withColumn("swapped", lit(swapped))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  def specs: Seq[graft.Q] = Seq(retrainCycle)
+}

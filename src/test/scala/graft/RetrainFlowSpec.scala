@@ -1,0 +1,145 @@
+package graft
+
+import graft.ops.{AnnIndex, LmModel, RetrainFlow}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The act-on-alarm composition (round-15 verdict item 2): an
+  * undrifted batch is a no-op, a drifted batch triggers
+  * rebuild → serve-equivalence gate → swap, a staged index that lost
+  * recall is REFUSED, and after a swap the alarm clears and the old
+  * baseline is retired with the old model.
+  */
+class RetrainFlowSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fs = new org.apache.hadoop.fs.Path("/tmp")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def exists(d: String) =
+    fs.exists(new org.apache.hadoop.fs.Path(d))
+
+  private lazy val corpus = Tables.embeddings(spark, sf0001)
+    .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+    .localCheckpoint(true)
+
+  private def probes16 = corpus.filter($"vec_id" < 16)
+    .select($"vec_id".as("qid"), $"v")
+
+  private def driftedBatch = corpus.filter($"vec_id" % 20 === 3)
+    .select(($"vec_id" + 1000000000L).as("vec_id"),
+      expr("transform(v, x -> x * 1.5d + 0.25d)").as("v"))
+
+  test("ANN: undrifted batch is a no-op — no alarm, no staging, serving dir untouched") {
+    val dir = Files.createTempDirectory("graft_rtf_noop").toString + "/ann"
+    AnnIndex.writeVectors(spark, corpus, dir)
+    val sameBatch = corpus.filter($"vec_id" % 20 === 3)
+      .select(($"vec_id" + 1000000000L).as("vec_id"), $"v")
+    val before = spark.read.parquet(s"$dir/quantstats").collect().toSeq
+    val r = RetrainFlow.annCycle(spark, dir, corpus, sameBatch, probes16,
+      frac = 1.0)
+    assert(!r.alarmed && !r.rebuilt && !r.swapped, r.toString)
+    assert(r.alarmPpm <= 1500000L, s"undrifted batch read as drifted: ${r.alarmPpm}")
+    assert(!exists(s"$dir-staging") && !exists(s"$dir-retired"))
+    assert(spark.read.parquet(s"$dir/quantstats").collect().toSeq == before,
+      "no-op cycle touched the serving baseline")
+  }
+
+  test("ANN: a regime shift alarms, gates pass, swap ships the retrained index and the alarm clears") {
+    val dir = Files.createTempDirectory("graft_rtf_swap").toString + "/ann"
+    AnnIndex.writeVectors(spark, corpus, dir)
+    val oldStats = spark.read.parquet(s"$dir/quantstats").collect().toSeq
+    // a genuine regime SHIFT: the whole corpus re-ingested under the
+    // affine drift — the union retrain allocates codebook mass to the
+    // new mode, so the alarm clears against the staged baseline
+    val batch = corpus
+      .select(($"vec_id" + 1000000000L).as("vec_id"),
+        expr("transform(v, x -> x * 1.5d + 0.25d)").as("v"))
+      .localCheckpoint(true)
+    val r = RetrainFlow.annCycle(spark, dir, corpus, batch, probes16,
+      frac = 1.0)
+    assert(r.alarmed && r.rebuilt && r.equivalent && r.recovered && r.swapped,
+      r.toString)
+    assert(r.alarmPpm > 1500000L, s"fixture not drifted enough: ${r.alarmPpm}")
+    // staging was promoted; the old model+baseline retired TOGETHER
+    assert(!exists(s"$dir-staging"), "staging left behind after a swap")
+    assert(exists(s"$dir-retired/quantstats"), "old baseline not retired")
+    assert(spark.read.parquet(s"$dir-retired/quantstats").collect().toSeq == oldStats)
+    val newStats = spark.read.parquet(s"$dir/quantstats").collect().toSeq
+    assert(newStats != oldStats, "swap did not install a fresh baseline")
+    // the alarm CLEARS against the swapped serving dir
+    assert(RetrainFlow.annAlarmPpm(spark, dir, batch) <= 1500000L,
+      "post-swap alarm did not clear")
+    // and a re-run of the same cycle is a no-op (the batch is absorbed)
+    val r2 = RetrainFlow.annCycle(spark, dir, corpus.unionByName(batch),
+      batch, probes16, frac = 1.0)
+    assert(!r2.alarmed && !r2.swapped, r2.toString)
+  }
+
+  test("ANN: an outlier slice fails the recovery gate — no swap, staging kept for inspection") {
+    // a 5% slice far off-distribution ALARMS, but after the union
+    // retrain the codebook mass still follows the corpus, the slice
+    // still dominates the p95 tail, and the alarm does NOT clear —
+    // shipping a new index would churn serving state without curing
+    // the alarm, so the cycle must refuse (the regime-shift case above
+    // is the one that clears and swaps)
+    val dir = Files.createTempDirectory("graft_rtf_refuse").toString + "/ann"
+    AnnIndex.writeVectors(spark, corpus, dir)
+    val before = spark.read.parquet(s"$dir/quantstats").collect().toSeq
+    val r = RetrainFlow.annCycle(spark, dir, corpus, driftedBatch.localCheckpoint(true),
+      probes16, frac = 1.0)
+    assert(r.alarmed && r.rebuilt && r.equivalent && !r.recovered && !r.swapped,
+      r.toString)
+    assert(spark.read.parquet(s"$dir/quantstats").collect().toSeq == before,
+      "refused cycle still touched the serving layout")
+    assert(exists(s"$dir-staging"), "refused staging should be kept for inspection")
+    assert(!exists(s"$dir-retired"))
+  }
+
+  test("ANN: the equivalence gate refuses a staged index that lost recall on served data") {
+    val dir = Files.createTempDirectory("graft_rtf_gate").toString + "/ann"
+    AnnIndex.writeVectors(spark, corpus, dir)
+    // adversarial staged layout: built WITHOUT one vector the serving
+    // index returns as an answer today (the smallest non-seed answer
+    // id, so the Lloyd seeds vec_id < k stay intact) — the staged index
+    // cannot return it, whatever the probe fraction
+    val victim = AnnIndex.searchRerank(spark, AnnIndex.load(spark, dir),
+      corpus, probes16, k = 10, frac = 1.0)
+      .filter($"cand" >= 16).agg(min($"cand")).collect()(0).getLong(0)
+    val staging = s"$dir-staging"
+    AnnIndex.writeVectors(spark, corpus.filter($"vec_id" =!= victim), staging)
+    val (equivalent, _) = RetrainFlow.annGate(spark, dir, staging,
+      corpus, corpus, driftedBatch, probes16, k = 10, frac = 1.0,
+      alarmRatioPpm = 1500000L)
+    assert(!equivalent, "gate accepted a staged index missing served answers")
+    // and against an honestly-rebuilt staging the same gate passes
+    AnnIndex.writeVectors(spark, corpus, staging)
+    val (eq2, _) = RetrainFlow.annGate(spark, dir, staging,
+      corpus, corpus, driftedBatch, probes16, k = 10, frac = 1.0,
+      alarmRatioPpm = 1500000L)
+    assert(eq2, "gate refused an equivalent staged index")
+  }
+
+  test("LM: reversed batch alarms, retrain absorbs it, swap retires model+baseline together") {
+    // the loud-drift crafted corpus (LmModelSpec's): near-deterministic
+    // transitions, so reversal collapses scores far past the threshold
+    val docs = (0L until 40L).map(i => (i, "a b c a b c a b c"))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    val dir = Files.createTempDirectory("graft_rtf_lm").toString + "/lm"
+    LmModel.write(spark, docs, dir)
+    LmModel.writeScoreStats(spark, dir, docs)
+    val batch = docs.select(($"doc_id" + 1000L).as("doc_id"),
+      concat_ws(" ", reverse(split($"text", " "))).as("text")).localCheckpoint(true)
+    // undrifted: the training docs themselves — exact zero point, no-op
+    val r0 = RetrainFlow.lmCycle(spark, dir, docs, docs)
+    assert(!r0.alarmed && !r0.swapped && r0.alarmPpm == 1000000L, r0.toString)
+    val oldStats = spark.read.parquet(s"$dir/scorestats").collect().toSeq
+    val r = RetrainFlow.lmCycle(spark, dir, docs, batch)
+    assert(r.alarmed && r.rebuilt && r.recovered && r.swapped, r.toString)
+    assert(r.alarmPpm > 1500000L, s"fixture not drifted enough: ${r.alarmPpm}")
+    assert(exists(s"$dir-retired/scorestats") && !exists(s"$dir-staging"))
+    assert(spark.read.parquet(s"$dir-retired/scorestats").collect().toSeq == oldStats)
+    // post-swap: the batch's transitions are trained in — alarm clears
+    assert(RetrainFlow.lmAlarmPpm(spark, dir, batch) <= 1500000L,
+      "post-swap LM alarm did not clear")
+  }
+}

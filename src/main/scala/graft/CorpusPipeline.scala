@@ -46,7 +46,14 @@ object CorpusPipeline {
   }
 
   def run(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
-    def log(stage: String, n: Long): Unit = println(f"[corpus] $stage%-22s rows=$n")
+    // per-stage wall: the count action is each stage's materialization
+    // point, so timing it IS the stage's (cumulative-lineage) cost — the
+    // 100x rehearsal table in BENCH.md reads these lines
+    def log(stage: String, n: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val c = n
+      println(f"[corpus] $stage%-22s rows=$c%-9d ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    }
 
     val raw = Tables.documents(spark, sfDir)
     log("raw", raw.count())

@@ -21,8 +21,16 @@ import org.apache.spark.sql.functions._
 private[ops] object DriftStats {
 
   /** One row: (n, mean, value-at-rank-ceil(pct·n/100)) of `value` over
-    * `df`, total-ordered by (value, id). Column names are the
-    * caller's so each monitor keeps its domain vocabulary.
+    * `df` (an integral metric — all three monitors score in exact
+    * micro/ppm longs), total-ordered by (value, id). Column names are
+    * the caller's so each monitor keeps its domain vocabulary.
+    *
+    * EAGER, and storage-clean by construction (round 15): the single
+    * percentile row is collected here and the two-phase rank's
+    * checkpoint released immediately ([[GlobalOrder.WithTotals.release]])
+    * — a long-lived intake loop reading a drift monitor per batch
+    * (IngestionGate.monitor) retains no executor-storage blocks per
+    * read. The returned 1-row frame is a local relation.
     */
   def stats(df: DataFrame, value: Column, id: Column, pct: Int,
       nName: String, meanName: String, pctName: String): DataFrame = {
@@ -36,7 +44,12 @@ private[ops] object DriftStats {
     // the generic kernel a future SIGNED-metric monitor would reach
     // for, and truncation would silently diverge there.
     val mean = Math.floorDiv(2 * rt.totalSum + n, 2 * n)
-    rt.df.filter(col("rnk") === lit((pct * n + 99) / 100))
-      .select(lit(n).as(nName), lit(mean).as(meanName), value.as(pctName))
+    val pctVal =
+      try rt.df.filter(col("rnk") === lit((pct * n + 99) / 100))
+        .select(value.cast("long")).collect()(0).getLong(0)
+      finally rt.release()
+    val s = df.sparkSession
+    import s.implicits._
+    Seq((n, mean, pctVal)).toDF(nName, meanName, pctName)
   }
 }

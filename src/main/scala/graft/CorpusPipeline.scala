@@ -88,10 +88,11 @@ object CorpusPipeline {
     // 2. Exact dedup — keep the smallest doc_id per content hash.
     // localCheckpoint: feeds the keeper election AND the purge below.
     val wDup = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val tE = System.nanoTime() // the EAGER checkpoint is this stage's cost
     val exact = quality.withColumn("__rn", row_number().over(wDup))
       .filter(col("__rn") === 1).drop("__rn")
       .localCheckpoint()
-    log("exact_dedup", exact.count())
+    println(f"[corpus] exact_dedup            rows=${exact.count()}%-9d ${(System.nanoTime() - tE) / 1e9}%7.2f s")
 
     // 3. Near-dup purge — shared LSH cluster labels (cached across
     // queries) resolved with q132's keep-BEST rule: among the cluster
@@ -100,7 +101,13 @@ object CorpusPipeline {
     // corpus report, the election here runs over SURVIVORS, so a
     // cluster whose best member already failed quality still keeps its
     // best remaining one. Unclustered docs pass untouched.
+    // the shared label build (MinHash bands -> capped candidate join ->
+    // connected components) materializes EAGERLY inside this call via
+    // the session cache — time it explicitly or it hides between the
+    // exact_dedup and neardup_keepbest lines (it dominates the 100x run)
+    val tL = System.nanoTime()
     val labels = ops.DedupClusters.clusterLabels(spark, sfDir)
+    println(f"[corpus] neardup_labels_build           ${(System.nanoTime() - tL) / 1e9}%7.2f s (shared MinHash+CC)")
     val keepers = labels
       .join(exact.select(col("doc_id").as("node"), col("n_chars")), Seq("node"))
       .groupBy(col("label"))

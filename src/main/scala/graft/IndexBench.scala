@@ -791,6 +791,21 @@ object IndexBench {
     val rLm = ops.RetrainFlow.lmCycle(spark, s"$tmp/rt_lm", docs, lmBatch)
     println(f"IXBENCH retrain_lm_cycle             ${(System.nanoTime() - t0) / 1e9}%.3f s " +
       f"(alarmed=${rLm.alarmed} swapped=${rLm.swapped} ppm=${rLm.alarmPpm})")
+    // classifier flavor (trio-completing): degraded-crawl 2-token batch
+    // at the classifier's tighter 10% threshold (its hard-sigmoid
+    // clamps the low tail, so ppm drift is compressed vs the LM's)
+    val qmCorpus = docs.select(col("doc_id"), col("text")).localCheckpoint()
+    ops.QualityModel.write(spark, qmCorpus, s"$tmp/rt_qm")
+    ops.QualityModel.writeScoreStats(spark, s"$tmp/rt_qm", qmCorpus)
+    val qmBatch = qmCorpus.filter(col("doc_id") % 10 === 7)
+      .select((col("doc_id") + 9500000L).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("text"))
+      .localCheckpoint()
+    t0 = System.nanoTime()
+    val rQm = ops.RetrainFlow.qmCycle(spark, s"$tmp/rt_qm", qmCorpus, qmBatch,
+      alarmRatioPpm = 1100000L)
+    println(f"IXBENCH retrain_qm_cycle             ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+      f"(alarmed=${rQm.alarmed} swapped=${rQm.swapped} ppm=${rQm.alarmPpm})")
     }
     spark.stop()
   }

@@ -194,11 +194,54 @@ object RetrainFlow {
         equivalent = false, recovered = false, swapped = false, dir)
     val staging = s"$dir-staging"
     rm(s, staging)
-    val newCorpus = corpus.unionByName(batch)
+    // normalize to the model columns: callers hand corpora with extra
+    // metadata columns, batches usually just (doc_id, text)
+    val newCorpus = corpus.select(col("doc_id"), col("text"))
+      .unionByName(batch.select(col("doc_id"), col("text")))
     LmModel.write(s, newCorpus, staging)
     LmModel.writeScoreStats(s, staging, newCorpus)
     val stagedPpm = lmAlarmPpm(s, staging, batch)
     val recovered = stagedPpm <= alarmRatioPpm
+    if (recovered) {
+      swapDirs(s, dir, staging)
+      Result(alarmed = true, ppm, rebuilt = true, equivalent = true,
+        recovered = true, swapped = true, dir)
+    } else
+      Result(alarmed = true, ppm, rebuilt = true, equivalent = true,
+        recovered = false, swapped = false, dir)
+  }
+
+  /** The classifier alarm: identical contract to [[lmAlarmPpm]] (p05
+    * drifts DOWN as a degraded corpus scores down).
+    */
+  private[graft] def qmAlarmPpm(s: SparkSession, dir: String,
+      batch: DataFrame): Long = {
+    val m = QualityModel.scoreDrift(s, dir, batch).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    Math.floorDiv(m("baseline") * Micro, math.max(m("batch"), 1L))
+  }
+
+  /** Alarm → retrain → gate → swap for a persisted [[QualityModel]] —
+    * the third member of the trio, [[lmCycle]]'s contract verbatim: the
+    * classifier retrains on corpus ∪ batch (weights AND training means
+    * move, so undrifted documents legitimately re-score — no
+    * bit-equivalence gate), and the shipped gate is recovery against
+    * the staged model's fresh baseline. Swap retires model + baseline
+    * together.
+    */
+  def qmCycle(s: SparkSession, dir: String, corpus: DataFrame,
+      batch: DataFrame, alarmRatioPpm: Long = 1500000L): Result = {
+    val ppm = qmAlarmPpm(s, dir, batch)
+    if (ppm <= alarmRatioPpm)
+      return Result(alarmed = false, ppm, rebuilt = false,
+        equivalent = false, recovered = false, swapped = false, dir)
+    val staging = s"$dir-staging"
+    rm(s, staging)
+    val newCorpus = corpus.select(col("doc_id"), col("text"))
+      .unionByName(batch.select(col("doc_id"), col("text")))
+    QualityModel.write(s, newCorpus, staging)
+    QualityModel.writeScoreStats(s, staging, newCorpus)
+    val recovered = qmAlarmPpm(s, staging, batch) <= alarmRatioPpm
     if (recovered) {
       swapDirs(s, dir, staging)
       Result(alarmed = true, ppm, rebuilt = true, equivalent = true,

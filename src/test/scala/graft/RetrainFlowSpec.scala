@@ -119,6 +119,39 @@ class RetrainFlowSpec extends SparkSuite {
     assert(eq2, "gate refused an equivalent staged index")
   }
 
+  test("QM: a degraded-crawl batch alarms, retrain absorbs it, swap retires model+baseline together") {
+    // q208's degraded-crawl shape: the real corpus trains the model,
+    // the batch is every doc truncated to its first 2 tokens — length
+    // and vocabulary density collapse, the frozen means center the
+    // batch far off-distribution, scores fall past the threshold
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").localCheckpoint(true)
+    val dir = Files.createTempDirectory("graft_rtf_qm").toString + "/qm"
+    ops.QualityModel.write(spark, docs, dir)
+    ops.QualityModel.writeScoreStats(spark, dir, docs)
+    val batch = docs.select(($"doc_id" + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(split($"text", " "), 1, 2)).as("text"))
+      .localCheckpoint(true)
+    // the hard-sigmoid clamps the classifier's low tail, so its ppm
+    // drift is COMPRESSED relative to the LM's (measured: the 2-token
+    // collapse moves p05 by 1.18×, not the LM's >3×) — the alarm
+    // threshold is a per-model policy knob, and the classifier's sits
+    // tighter (10% here)
+    val thr = 1100000L
+    // undrifted zero point first: the training docs land ON the baseline
+    val r0 = RetrainFlow.qmCycle(spark, dir, docs, docs, alarmRatioPpm = thr)
+    assert(!r0.alarmed && !r0.swapped && r0.alarmPpm == 1000000L, r0.toString)
+    val oldStats = spark.read.parquet(s"$dir/scorestats").collect().toSeq
+    val r = RetrainFlow.qmCycle(spark, dir, docs, batch, alarmRatioPpm = thr)
+    assert(r.alarmed && r.rebuilt && r.recovered && r.swapped, r.toString)
+    assert(r.alarmPpm > thr, s"fixture not drifted enough: ${r.alarmPpm}")
+    assert(exists(s"$dir-retired/scorestats") && !exists(s"$dir-staging"))
+    assert(spark.read.parquet(s"$dir-retired/scorestats").collect().toSeq == oldStats)
+    // post-swap: the truncated regime is trained in — alarm clears
+    assert(RetrainFlow.qmAlarmPpm(spark, dir, batch) <= thr,
+      "post-swap QM alarm did not clear")
+  }
+
   test("LM: reversed batch alarms, retrain absorbs it, swap retires model+baseline together") {
     // the loud-drift crafted corpus (LmModelSpec's): near-deterministic
     // transitions, so reversal collapses scores far past the threshold

@@ -136,6 +136,21 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("the hot-bucket cap plans NO window: two-pass aggregate + threshold join only") {
+    // round-15 pin: LshGuard.capBuckets must never regress to the
+    // row_number rank window (a collapsed bucket's single-task
+    // O(m log m) sort). The capped frame's plan carries the KthSmallest
+    // aggregation (as an ObjectHashAggregate pass-1 stage) and NO
+    // Window node anywhere — q133's cap is inline, so its plan is the
+    // witness (its only windows would be the cap's, it has none of its
+    // own... it has none at all).
+    val p = planOf("q133_semdedup_prune")
+    assert(!p.contains("Window"),
+      s"capBuckets reintroduced a window:\n${p.take(3000)}")
+    assert(p.contains("graft_kth_smallest") || p.contains("ObjectHashAggregate"),
+      s"two-pass cap's threshold aggregation missing from the plan:\n${p.take(3000)}")
+  }
+
   test("no registered query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if fn(spark, sf0001).queryExecution.executedPlan

@@ -451,6 +451,14 @@ object IndexBench {
       ops.IngestionGate.monitor(spark, cfgMon, gateProbeV).count()
     }
 
+    // the monitor→retrain loop on a HEALTHY batch: per-batch cost of
+    // maintain() when nothing alarms (three monitor reads, no rebuild)
+    // — the steady-state tax an intake loop pays for self-healing
+    timed("gate_maintain_100docs") {
+      ops.IngestionGate.maintain(spark, cfgMon, gateProbeV,
+        docs.select(col("doc_id"), col("text"))).count()
+    }
+
     // Streaming-intake rehearsal: 10 sequential micro-batches through
     // the MUTATING gate (decide + index append + sink). The contract
     // under test is stability: per-batch cost must stay flat while the

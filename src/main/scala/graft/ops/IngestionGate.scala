@@ -252,6 +252,79 @@ object IngestionGate {
       .orderBy(col("stage"), col("side"))
   }
 
+  /** Per-stage retrain thresholds for [[maintain]] — the monitors'
+    * floor-division ppm ratios ([[RetrainFlow]]). The classifier's sits
+    * tighter than the LM's because its hard-sigmoid clamps the low
+    * tail (RetrainFlowSpec measures the compression); the ANN knobs
+    * mirror [[RetrainFlow.annCycle]] with exactness-oriented defaults
+    * (frac 1.0 — the gate-time probe set is serve-contract bounded, so
+    * exact search on it is noise next to the rebuild it guards).
+    */
+  final case class MaintainPolicy(lmRatioPpm: Long = 1500000L,
+      qualityRatioPpm: Long = 1100000L, semanticRatioPpm: Long = 1500000L,
+      annK: Int = 10, annFrac: Double = 1.0)
+
+  /** Close the loop [[monitor]] → [[RetrainFlow]]: read each configured
+    * stage's drift against its persisted baseline and, past that
+    * stage's threshold, run ITS retrain cycle against the gate's own
+    * layouts — the monitor said WHEN, the cycles say HOW, this says
+    * WHICH, in one call an intake loop schedules after its batches.
+    * One row per configured stage:
+    * (stage, alarm_ppm, alarmed, rebuilt, recovered, swapped).
+    *
+    * `corpusDocs(doc_id, text)` is the serving text corpus (the text
+    * models retrain on corpus ∪ batch); the semantic stage rolls BOTH
+    * halves of its layout on a swap — the index through
+    * [[RetrainFlow.annCycle]]'s staged gates, then the raw vector
+    * store through the same two-rename discipline — so the sweeps'
+    * store join can never miss an indexed member for longer than the
+    * rename window (a serve tier that cannot tolerate it fronts the
+    * dir with its own pointer, the marker discipline). `annProbes`
+    * defaults to the 16 lowest-id store vectors; the gate-time
+    * shortlist is sized to cover the union corpus so the equivalence
+    * gate is exact (the [[RetrainFlow.annCycle]] contract).
+    *
+    * 100 TB shape: each no-op stage costs one monitor read (O(batch) +
+    * a 1-row baseline); an alarmed stage pays its rebuild — the cost
+    * this flow exists to schedule exactly when measured drift demands.
+    */
+  def maintain(s: SparkSession, cfg: Config, batch: DataFrame,
+      corpusDocs: DataFrame, policy: MaintainPolicy = MaintainPolicy(),
+      annProbes: Option[DataFrame] = None): DataFrame = {
+    import s.implicits._
+    val b = batch.localCheckpoint(true)
+    val docsB = b.select(col("doc_id"), col("text"))
+    def row(stage: String, r: RetrainFlow.Result) =
+      (stage, r.alarmPpm, r.alarmed, r.rebuilt, r.recovered, r.swapped)
+    val lm = row("lm",
+      RetrainFlow.lmCycle(s, cfg.lmDir, corpusDocs, docsB, policy.lmRatioPpm))
+    val qm = cfg.qualityDir.map(qd => row("quality",
+      RetrainFlow.qmCycle(s, qd, corpusDocs, docsB, policy.qualityRatioPpm)))
+    val sem = cfg.semanticDir.map { sd =>
+      require(b.columns.contains("v"),
+        "semanticDir is set but the batch has no `v` embedding column")
+      val store = s.read.parquet(s"$sd/vecs")
+      val bv = b.select(col("doc_id").as("vec_id"), col("v"))
+      val probes = annProbes.getOrElse(store.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("qid"), col("v"))).localCheckpoint(true)
+      val spp = ((2 * store.count() + 15) / 16).toInt
+      val r = RetrainFlow.annCycle(s, s"$sd/ann", store, bv, probes,
+        policy.annK, policy.annFrac, policy.semanticRatioPpm, spp)
+      if (r.swapped) {
+        // the index now serves corpus ∪ batch — roll the raw store the
+        // sweeps join against through the same two-rename swap (the
+        // lazy `store` still reads the original vecs/ dir here)
+        store.unionByName(bv).write.mode("overwrite")
+          .parquet(s"$sd/vecs-staging")
+        RetrainFlow.swapDirs(s, s"$sd/vecs", s"$sd/vecs-staging")
+      }
+      row("semantic", r)
+    }
+    (Seq(lm) ++ qm ++ sem)
+      .toDF("stage", "alarm_ppm", "alarmed", "rebuilt", "recovered", "swapped")
+      .orderBy(col("stage"))
+  }
+
   /** The COMPOSED admission decision under the hard gate — q153 (dedup
     * serve join) and q159 (LM serve join) gate the stages separately;
     * this gates their composition: the arriving delta (doc_id ≥ 400)

@@ -75,7 +75,7 @@ object RetrainFlow {
   private def rm(s: SparkSession, dir: String): Unit =
     fsOf(s, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
 
-  private def swapDirs(s: SparkSession, dir: String, staging: String): Unit = {
+  private[graft] def swapDirs(s: SparkSession, dir: String, staging: String): Unit = {
     val fs = fsOf(s, dir)
     val retired = new org.apache.hadoop.fs.Path(s"$dir-retired")
     fs.delete(retired, true)

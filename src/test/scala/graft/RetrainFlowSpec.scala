@@ -152,6 +152,42 @@ class RetrainFlowSpec extends SparkSuite {
       "post-swap QM alarm did not clear")
   }
 
+  test("maintain: the gate's monitor→retrain loop rolls the drifted stages and absorbs the batch") {
+    import graft.ops.{IngestionGate, LmModel}
+    // crafted corpus: predictable transitions (LM drift is LOUD under
+    // reversal) + the real sf0.001 vectors as the semantic store
+    val docs = (0L until 40L).map(i => (i, "a b c a b c a b c"))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    val vecs = corpus.filter($"vec_id" < 40).localCheckpoint(true)
+    val base = Files.createTempDirectory("graft_rtf_maint").toString
+    LmModel.write(spark, docs, s"$base/lm")
+    LmModel.writeScoreStats(spark, s"$base/lm", docs)
+    IngestionGate.writeSemantic(spark, vecs, s"$base/sem")
+    val cfg = IngestionGate.Config(s"$base/dix", s"$base/lm", s"$base/acc",
+      semanticDir = Some(s"$base/sem"))
+    // drifted batch: reversed text (every bigram unseen) + the whole
+    // vector regime affine-shifted — both stages must alarm and roll
+    val batch = docs.join(vecs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      .select(($"doc_id" + 1000L).as("doc_id"),
+        concat_ws(" ", reverse(split($"text", " "))).as("text"),
+        expr("transform(v, x -> x * 1.5d + 0.25d)").as("v"))
+      .localCheckpoint(true)
+    val out = IngestionGate.maintain(spark, cfg, batch, docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(2), r.getBoolean(5))).toMap
+    assert(out.keySet == Set("lm", "semantic"), out.toString)
+    assert(out("lm") == ((true, true)), s"lm stage did not roll: $out")
+    assert(out("semantic") == ((true, true)), s"semantic stage did not roll: $out")
+    // the vector store rolled WITH the index (sweeps can't miss members)
+    assert(spark.read.parquet(s"$base/sem/vecs").count() == 80L)
+    assert(exists(s"$base/sem/vecs-retired") && !exists(s"$base/sem/vecs-staging"))
+    // absorbed: the same batch against the rolled layouts is a no-op
+    val out2 = IngestionGate.maintain(spark, cfg, batch, docs)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(out2 == Map("lm" -> false, "semantic" -> false),
+      s"re-maintain was not a no-op: $out2")
+  }
+
   test("LM: reversed batch alarms, retrain absorbs it, swap retires model+baseline together") {
     // the loud-drift crafted corpus (LmModelSpec's): near-deterministic
     // transitions, so reversal collapses scores far past the threshold

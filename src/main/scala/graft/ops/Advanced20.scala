@@ -538,9 +538,10 @@ object Advanced20 {
     * equality AND the degenerate-corpus bound).
     */
   private[graft] def dominatedBy(assigned: DataFrame, tau: Double,
-      cap: Int = LshGuard.BucketCap, tag: String = "semsweep"): DataFrame = {
+      cap: Int = LshGuard.BucketCap, tag: String = "semsweep",
+      materialize: Boolean = true): DataFrame = {
     val capped = LshGuard.capBuckets(assigned.sparkSession, assigned,
-      Seq("c_id"), "vec_id", cap, tag)
+      Seq("c_id"), "vec_id", cap, tag, materialize)
     val a = capped.select(col("vec_id").as("da"), col("c_id"), col("v").as("va"))
     val b = capped.select(col("vec_id").as("db"), col("c_id").as("c2"), col("v").as("vb"))
     a.join(b, col("c_id") === col("c2") && col("da") < col("db"))
@@ -569,7 +570,9 @@ object Advanced20 {
     // scaled path exists for)
     val e = graft.Reliable.checkpoint(VectorSearch.emb(s, d))
     val cents = AnnIndex.scaledSampleCentroids(e, k, perList)
-    dominatedBy(graft.Reliable.checkpoint(assignCosine(e, cents)), tau)
+    // assigned is already Reliable-checkpointed — the cap must not copy it
+    dominatedBy(graft.Reliable.checkpoint(assignCosine(e, cents)), tau,
+        materialize = false)
       .orderBy(col("vec_id"))
   }
 
@@ -657,7 +660,7 @@ object Advanced20 {
     // conf-bearing cluster survives executor loss (default unchanged)
     val assigned = graft.Reliable.checkpoint(
       assignCosine(e, Quantizer.ivfCentroids(s, d)))
-    dominatedBy(assigned, SemTau).orderBy(col("vec_id"))
+    dominatedBy(assigned, SemTau, materialize = false).orderBy(col("vec_id"))
   }
 
   // ---------------------------------------------------------------- q202
@@ -734,9 +737,13 @@ object Advanced20 {
     val ix = AnnIndex.load(s, indexDir)
     val basg = assignCosine(batch, ix.centroids.select(col("cid"), col("cv")))
       .select(col("vec_id").as("bv"), col("c_id"), col("v").as("vb"))
+    // materialize=false: the input is the index's bare two-long-column
+    // parquet scan — at corpus scale, reading that skinny columnar table
+    // twice (cap pass 1 + probe) per intake batch is cheaper than copying
+    // it into block storage per batch
     val cappedAsg = LshGuard.capBuckets(s,
       ix.assigned.select(col("vec_id").as("mv"), col("c_id").as("mc")),
-      Seq("mc"), "mv", cap, tag = "semintake")
+      Seq("mc"), "mv", cap, tag = "semintake", materialize = false)
     val members = corpusVecs.select(col("vec_id").as("mv"), col("v").as("vm"))
       .join(cappedAsg, Seq("mv"))
     basg.join(members, col("c_id") === col("mc"))

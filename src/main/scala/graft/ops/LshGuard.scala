@@ -100,14 +100,33 @@ object LshGuard {
     * `graft.lsh.drops.$tag`. Two map-parallel passes — see the object
     * doc; `cap = Int.MaxValue` (the specs' uncapped comparison arm) is
     * an explicit passthrough, since no bucket can exceed it.
+    *
+    * `materialize` (round 16 — the r15 verdict's carried perf item):
+    * both passes consume `df`, so an UN-materialized input recomputes
+    * its whole lineage twice — for a per-run band table (crossJoin ×
+    * planes → aggregate) that double build was the measured steady
+    * constant behind q35/q161's r15 flags. Default true `localCheckpoint`s
+    * the input once so pass 1 and the probe read one set of blocks; pass
+    * false ONLY when the caller already materialized it (Shared /
+    * Reliable / an explicit checkpoint) or when the input is a bare
+    * columnar scan deliberately cheaper to read twice than to copy
+    * (the serve-path corpus-sized skinny tables).
+    *
+    * Null bucket keys cap like any other bucket: the threshold join is
+    * null-safe (`<=>`), mirroring the oracle's `PARTITION BY` (SQL
+    * window partitioning groups NULLs together) — a degenerate null-key
+    * bucket (e.g. a nullable cluster label) cannot slip past the guard
+    * into a quadratic self-join (round-16 advice fix).
     */
   def capBuckets(s: SparkSession, df: DataFrame, bucketKeys: Seq[String],
-      orderCol: String, cap: Int = BucketCap, tag: String): DataFrame = {
+      orderCol: String, cap: Int = BucketCap, tag: String,
+      materialize: Boolean = true): DataFrame = {
     if (cap == Int.MaxValue) return df
     ensureListener(s)
+    val in = if (materialize) df.localCheckpoint(true) else df
     // pass 1: per-bucket (member count, cap-th smallest id) — bounded-heap
     // aggregate, partial state ≤ cap values per bucket per task
-    val th = df.groupBy(bucketKeys.map(col): _*)
+    val th = in.groupBy(bucketKeys.map(col): _*)
       .agg(count(lit(1)).as("graft_bucket_n"),
         org.apache.spark.sql.GraftPlanBridge.column(
           graft.functions.KthSmallest(
@@ -117,14 +136,19 @@ object LshGuard {
     // (the cap is non-binding by design), ≤ n/cap rows ever — AQE
     // broadcasts the small side, so the probe frame is never shuffled
     val hot = th.filter(col("graft_bucket_n") > cap)
-    df.join(hot, bucketKeys, "left_outer")
+      .select(bucketKeys.map(k => col(k).as(s"graft_hot_$k")) ++
+        Seq(col("graft_bucket_n"), col("graft_bucket_thr")): _*)
+    val hotCond = bucketKeys.map(k => col(k) <=> col(s"graft_hot_$k"))
+      .reduce(_ && _)
+    in.join(hot, hotCond, "left_outer")
       .observe(s"graft.lsh.drops.$tag#${serial.incrementAndGet()}",
         coalesce(sum(when(col(orderCol).cast("long") > col("graft_bucket_thr"), 1L)),
           lit(0L)).as("dropped"),
         coalesce(max(col("graft_bucket_n")).cast("long"), lit(0L)).as("max_bucket"))
       .filter(col("graft_bucket_thr").isNull ||
         col(orderCol).cast("long") <= col("graft_bucket_thr"))
-      .drop("graft_bucket_thr", "graft_bucket_n")
+      .drop(bucketKeys.map(k => s"graft_hot_$k") ++
+        Seq("graft_bucket_thr", "graft_bucket_n"): _*)
   }
 
   /** DuckDB CTE applying the identical cap to a band CTE — `cols` are

@@ -109,18 +109,23 @@ object VectorSearch {
     val planes = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("p_id"), col("v").as("pv"))
     // (vec_id, band, band-signature): one narrow scan × 8 broadcast planes,
-    // partial-aggregated to 4 rows/vector before any shuffle.
+    // partial-aggregated to 4 rows/vector before any shuffle. Materialized
+    // ONCE — three consumers read it (the query bands, the cap's pass-1
+    // aggregate, the cap's probe side); un-materialized, the crossJoin +
+    // aggregate build re-ran per consumer (the r15 steady flag's measured
+    // mechanism — the per-run band-table constant).
     val bands = e.crossJoin(broadcast(planes))
       .select(col("vec_id"), col("p_id"),
         when(expr("graft_dot(v, pv)") > 0, 1).otherwise(0).as("bit"))
       .groupBy(col("vec_id"), expr("p_id div 2").cast("long").as("b"))
       .agg(sum(expr("shiftleft(bit, CAST(p_id % 2 AS INT))")).as("bsig"))
+      .localCheckpoint(true)
     val qBands = bands.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("b").as("qb"), col("bsig").as("qsig"))
     // hot-bucket guard on the corpus side (queries keep all their bands):
     // a dominant-direction bucket can't flood every query's candidate set
     val capped = LshGuard.capBuckets(s, bands, Seq("b", "bsig"), "vec_id",
-      tag = "annlsh")
+      tag = "annlsh", materialize = false)
     // OR-amplification: a pair qualifies if ANY band collides → distinct.
     val cand = broadcast(qBands).join(capped.as("c"),
         col("qb") === col("c.b") && col("qsig") === col("c.bsig") &&

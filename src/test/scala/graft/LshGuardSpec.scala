@@ -97,6 +97,27 @@ class LshGuardSpec extends SparkSuite {
     assert(capped <= 2000, s"cap failed to bound per-task fan-out: $capped")
   }
 
+  test("null-key buckets are capped too (null-safe threshold join)") {
+    // round-16 advice fix: the old equi-join threshold lookup never
+    // matched NULL bucket keys, so a degenerate null-key bucket (e.g. a
+    // nullable cluster label) passed uncapped into the downstream
+    // self-join — exactly the quadratic the guard exists to prevent.
+    // SQL window PARTITION BY groups NULLs together, so the oracle's
+    // capCteSql already capped them; this pins the Spark side agreeing.
+    val mixed = ((0 until 60).map(i => (i.toLong, None: Option[Long])) ++
+      (100 until 130).map(i => (i.toLong, Some(1L)))).toDF("id", "k")
+    val capped = LshGuard.capBuckets(spark, mixed, Seq("k"), "id",
+      cap = 8, tag = "nullkey")
+    val byKey = capped.groupBy($"k").count().collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toMap
+    assert(byKey == Map(-1L -> 8L, 1L -> 8L),
+      s"null-key bucket not capped identically: $byKey")
+    // lowest-id semantics hold inside the null bucket
+    val nullIds = capped.filter($"k".isNull).select($"id")
+      .collect().map(_.getLong(0)).toSet
+    assert(nullIds == (0L until 8L).toSet, s"wrong null-bucket survivors: $nullIds")
+  }
+
   test("default cap is non-binding on real testdata (oracle-protecting)") {
     graft.functions.DotProduct.register(spark)
     graft.functions.CosineSim.register(spark)

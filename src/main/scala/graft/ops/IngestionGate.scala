@@ -259,10 +259,25 @@ object IngestionGate {
     * mirror [[RetrainFlow.annCycle]] with exactness-oriented defaults
     * (frac 1.0 — the gate-time probe set is serve-contract bounded, so
     * exact search on it is noise next to the rebuild it guards).
+    *
+    * ANN gate mode (round 16 — the exact gate's per-swap-attempt
+    * O(corpus) cost is now an explicit operator choice, not an
+    * implicit one): the defaults keep the EXACT gate — a
+    * corpus-covering per-probe shortlist derived from the union size
+    * and the serving index's actual list count, demanding identical
+    * top-k. `annGateShortlist = Some(b)` bounds the shortlist at `b`
+    * per probed list (the gate stops scaling with the corpus) and
+    * should be paired with `annGateRecallPpm < 1_000_000` — under a
+    * bounded shortlist two honestly-retrained codebooks legitimately
+    * cut different shortlist survivors, so the gate becomes "staged
+    * retains ≥ recallPpm/1e6 of the serving answers" instead of exact
+    * equality ([[RetrainFlow.annGate]]'s sampled-probe mode).
     */
   final case class MaintainPolicy(lmRatioPpm: Long = 1500000L,
       qualityRatioPpm: Long = 1100000L, semanticRatioPpm: Long = 1500000L,
-      annK: Int = 10, annFrac: Double = 1.0)
+      annK: Int = 10, annFrac: Double = 1.0,
+      annGateShortlist: Option[Int] = None,
+      annGateRecallPpm: Long = 1000000L)
 
   /** Close the loop [[monitor]] → [[RetrainFlow]]: read each configured
     * stage's drift against its persisted baseline and, past that
@@ -274,15 +289,17 @@ object IngestionGate {
     *
     * `corpusDocs(doc_id, text)` is the serving text corpus (the text
     * models retrain on corpus ∪ batch); the semantic stage rolls BOTH
-    * halves of its layout on a swap — the index through
-    * [[RetrainFlow.annCycle]]'s staged gates, then the raw vector
-    * store through the same two-rename discipline — so the sweeps'
-    * store join can never miss an indexed member for longer than the
-    * rename window (a serve tier that cannot tolerate it fronts the
-    * dir with its own pointer, the marker discipline). `annProbes`
+    * halves of its layout on a swap — the raw vector store FIRST
+    * (written and swapped inside [[RetrainFlow.annCycle]]'s
+    * `beforeSwap` seam, after the gates pass), then the index. Store-
+    * first means the serving index NEVER references vec_ids absent
+    * from vecs/ — not during the corpus-sized staging write, and not
+    * permanently if the process dies between the two swaps (extra
+    * store rows unreferenced by the old index are inert; a crash
+    * replay re-alarms and completes the index swap). `annProbes`
     * defaults to the 16 lowest-id store vectors; the gate-time
-    * shortlist is sized to cover the union corpus so the equivalence
-    * gate is exact (the [[RetrainFlow.annCycle]] contract).
+    * shortlist is sized by [[MaintainPolicy]] — exact corpus-covering
+    * by default, bounded sampled-probe by choice.
     *
     * 100 TB shape: each no-op stage costs one monitor read (O(batch) +
     * a 1-row baseline); an alarmed stage pays its rebuild — the cost
@@ -307,17 +324,36 @@ object IngestionGate {
       val bv = b.select(col("doc_id").as("vec_id"), col("v"))
       val probes = annProbes.getOrElse(store.orderBy(col("vec_id")).limit(16)
         .select(col("vec_id").as("qid"), col("v"))).localCheckpoint(true)
-      val spp = ((2 * store.count() + 15) / 16).toInt
-      val r = RetrainFlow.annCycle(s, s"$sd/ann", store, bv, probes,
-        policy.annK, policy.annFrac, policy.semanticRatioPpm, spp)
-      if (r.swapped) {
-        // the index now serves corpus ∪ batch — roll the raw store the
-        // sweeps join against through the same two-rename swap (the
-        // lazy `store` still reads the original vecs/ dir here)
-        store.unionByName(bv).write.mode("overwrite")
-          .parquet(s"$sd/vecs-staging")
-        RetrainFlow.swapDirs(s, s"$sd/vecs", s"$sd/vecs-staging")
+      // Exact-gate shortlist: cover the UNION corpus across the serving
+      // index's ACTUAL list count (round-16 advice — the old 2n/16
+      // hardcoded writeVectors' fixed-16 layout and overflowed Int at
+      // multi-billion n; Long until the final clamp). BY-NAME into
+      // annCycle, so a healthy batch never pays the store count. A
+      // policy-bounded shortlist switches to the sampled-probe gate.
+      def sppExact: Int = {
+        val nLists = math.max(1L,
+          s.read.parquet(s"$sd/ann/centroids").count())
+        val union = store.count() + bv.count()
+        math.min((union + nLists - 1L) / nLists, Int.MaxValue.toLong).toInt
       }
+      val r = RetrainFlow.annCycle(s, s"$sd/ann", store, bv, probes,
+        policy.annK, policy.annFrac, policy.semanticRatioPpm,
+        policy.annGateShortlist.getOrElse(sppExact),
+        recallPpm = policy.annGateRecallPpm,
+        beforeSwap = () => {
+          // STORE-FIRST swap ordering (round-16 advice): the union store
+          // is written and swapped BEFORE the index swap, so at no
+          // instant — including this corpus-sized staging write, and
+          // permanently if the process dies between the two swaps — does
+          // the serving index reference vec_ids absent from vecs/ (which
+          // searchRerank's store join would silently drop, shrinking
+          // top-k). Extra store rows unreferenced by the old index are
+          // inert; a crash replay re-alarms and completes the index
+          // swap, and dropDuplicates heals the replayed union.
+          store.unionByName(bv).dropDuplicates("vec_id")
+            .write.mode("overwrite").parquet(s"$sd/vecs-staging")
+          RetrainFlow.swapDirs(s, s"$sd/vecs", s"$sd/vecs-staging")
+        })
       row("semantic", r)
     }
     (Seq(lm) ++ qm ++ sem)

@@ -115,20 +115,42 @@ object RetrainFlow {
     * allow-listed to the corpus both indexes share (the batch's vectors
     * are legitimately new answers, not a regression); (b) recovery —
     * the alarm re-read against the staged layout clears.
+    *
+    * Gate mode (round 16 — the exact gate's O(corpus) cost made policy):
+    * at `recallPpm = 1_000_000` (the default) equivalence is IDENTICAL
+    * top-k tuples, which demands a shortlist covering the probed lists —
+    * an O(corpus) exact pass per swap attempt, the right contract when a
+    * swap is rare and correctness-critical. Below 1_000_000 the gate is
+    * a SAMPLED-PROBE check: the staged index must retain at least
+    * recallPpm/1e6 of the serving index's (qid, cand) answers, rank-
+    * agnostic — sized for a bounded `shortlistPerProbe`, where two
+    * honestly-retrained codebooks legitimately cut different shortlist
+    * survivors (the measured mechanism in [[annCycle]]'s doc), so a
+    * 100 TB operator can trade a recall tolerance for not paying a
+    * corpus-covering scan on every swap attempt.
     */
   private[graft] def annGate(s: SparkSession, dir: String, staging: String,
       oldStore: DataFrame, newStore: DataFrame, batch: DataFrame,
       probes: DataFrame, k: Int, frac: Double,
-      alarmRatioPpm: Long, shortlistPerProbe: Int = 64): (Boolean, Boolean) = {
+      alarmRatioPpm: Long, shortlistPerProbe: Int = 64,
+      recallPpm: Long = Micro): (Boolean, Boolean) = {
     def topk(ixDir: String, store: DataFrame,
         allowed: Option[DataFrame]): Set[(Long, Int, Long)] =
       AnnIndex.searchRerank(s, AnnIndex.load(s, ixDir), store, probes, k,
         frac, shortlistPerProbe, allowed = allowed)
         .select(col("qid"), col("rnk"), col("cand")).collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val oldTop = topk(dir, oldStore, None)
+    val newTop = topk(staging, newStore, Some(oldStore.select(col("vec_id"))))
     val equivalent =
-      topk(dir, oldStore, None) ==
-        topk(staging, newStore, Some(oldStore.select(col("vec_id"))))
+      if (recallPpm >= Micro) oldTop == newTop
+      else {
+        val oldAns = oldTop.map(t => (t._1, t._3))
+        val newAns = newTop.map(t => (t._1, t._3))
+        oldAns.isEmpty ||
+          Math.floorDiv(oldAns.count(newAns.contains).toLong * Micro,
+            oldAns.size.toLong) >= recallPpm
+      }
     (equivalent, annAlarmPpm(s, staging, batch) <= alarmRatioPpm)
   }
 
@@ -151,24 +173,39 @@ object RetrainFlow {
     * exact-equality contract size `frac`/`shortlistPerProbe` so
     * shortlists cover the probed lists at gate time — the gate is
     * probe-bounded, so paying exact search on 16 queries is noise next
-    * to the rebuild it guards.
+    * to the rebuild it guards. `shortlistPerProbe` is BY-NAME: the
+    * corpus-covering derivation ([[IngestionGate.maintain]]'s
+    * store-count pass) is only paid when the alarm actually fires.
+    * `recallPpm < 1_000_000` switches the gate to [[annGate]]'s
+    * sampled-probe mode. `beforeSwap` runs after both gates pass and
+    * immediately before the index swap — the seam a caller rolls
+    * companion state through (maintain swaps the raw vector store here,
+    * store-FIRST, so the serving index never references ids absent
+    * from it).
     */
   def annCycle(s: SparkSession, dir: String, vectors: DataFrame,
       batch: DataFrame, probes: DataFrame, k: Int = 10,
       frac: Double = 0.25, alarmRatioPpm: Long = 1500000L,
-      shortlistPerProbe: Int = 64): Result = {
+      shortlistPerProbe: => Int = 64, recallPpm: Long = Micro,
+      beforeSwap: () => Unit = () => ()): Result = {
     val ppm = annAlarmPpm(s, dir, batch)
     if (ppm <= alarmRatioPpm)
       return Result(alarmed = false, ppm, rebuilt = false,
         equivalent = false, recovered = false, swapped = false, dir)
     val staging = s"$dir-staging"
     rm(s, staging)
-    val newVecs = vectors.unionByName(batch)
+    // dropDuplicates keeps the cycle idempotent under at-least-once
+    // replay: a crash after a store-first companion swap (maintain's
+    // beforeSwap) re-runs this cycle with the batch already absorbed in
+    // `vectors` — duplicated ids would otherwise double-enter the staged
+    // index and flunk the exact-equality gate forever
+    val newVecs = vectors.unionByName(batch).dropDuplicates("vec_id")
     AnnIndex.writeVectors(s, newVecs, staging)
     val (equivalent, recovered) =
       annGate(s, dir, staging, vectors, newVecs, batch, probes, k, frac,
-        alarmRatioPpm, shortlistPerProbe)
+        alarmRatioPpm, shortlistPerProbe, recallPpm)
     if (equivalent && recovered) {
+      beforeSwap()
       swapDirs(s, dir, staging)
       Result(alarmed = true, ppm, rebuilt = true, equivalent = true,
         recovered = true, swapped = true, dir)
@@ -251,12 +288,31 @@ object RetrainFlow {
         recovered = false, swapped = false, dir)
   }
 
+  /** Recursive filesystem copy of a persisted layout — the clone an
+    * index-MUTATING flow takes of a session-shared build (the swap must
+    * never retire a dir other queries serve from).
+    */
+  private def copyDir(s: SparkSession, src: String, dst: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(src)
+    val dp = new org.apache.hadoop.fs.Path(dst)
+    val fs = sp.getFileSystem(conf)
+    require(org.apache.hadoop.fs.FileUtil.copy(fs, sp,
+      dp.getFileSystem(conf), dp, false, conf), s"copy $src -> $dst failed")
+  }
+
   /** One full ANN cycle per (session, corpus): v1 index over the
     * embeddings table, regime-shift batch (every vector re-ingested
     * under the q204 affine drift with shifted ids), [[annCycle]] with a
     * corpus-covering gate shortlist — cached as a 1-row (dir, alarmed,
     * alarm_ppm, swapped) frame, the [[Advanced20.sharedFixedIndexDir]]
-    * sharing pattern.
+    * sharing pattern. The v1 index is a [[copyDir]] CLONE of that
+    * session-shared fixed-16 layout (round 16 — the r15 verdict's
+    * one-shot item): [[AnnIndex.write]] and [[AnnIndex.writeVectors]]
+    * train the identical centroids/codebook/codes on this corpus (same
+    * seeds, iters, projection — the q209 oracle hash-gates the
+    * equivalence), so cloning saves the one-shot a full Lloyd+PQ build
+    * while the cycle still mutates only its own copy.
     */
   private def sharedAnnCycle(s: SparkSession, d: String): (String, Boolean, Long, Boolean) = {
     import s.implicits._
@@ -265,7 +321,7 @@ object RetrainFlow {
         graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
         .localCheckpoint(true)
       val dir = graft.TempDirs.create("graft-rtcycle") + "/ann"
-      AnnIndex.writeVectors(s, e, dir)
+      copyDir(s, Advanced20.sharedFixedIndexDir(s, d), dir)
       val batch = e.select((col("vec_id") + 1000000000L).as("vec_id"),
         expr("transform(v, x -> x * 1.5d + 0.25d)").as("v"))
       val probes = e.filter(col("vec_id") < 16)

@@ -119,6 +119,65 @@ class RetrainFlowSpec extends SparkSuite {
     assert(eq2, "gate refused an equivalent staged index")
   }
 
+  test("ANN: sampled-probe gate mode — recall-tolerant where the exact gate refuses (boundary-pinned)") {
+    // round-16 policy knob: the exact gate demands identical top-k (the
+    // O(corpus)-shortlist contract); the sampled mode gates on retained
+    // (qid, cand) recall instead. Fixture: a staged index missing ONE
+    // served answer — exact refuses; sampled passes at exactly the
+    // staged recall and refuses one ppm above it (floor-div boundary).
+    val dir = Files.createTempDirectory("graft_rtf_sampled").toString + "/ann"
+    AnnIndex.writeVectors(spark, corpus, dir)
+    val oldTop = AnnIndex.searchRerank(spark, AnnIndex.load(spark, dir),
+      corpus, probes16, k = 10, frac = 1.0,
+      shortlistPerProbe = 1 + corpus.count().toInt / 8)
+      .select($"qid", $"cand").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val victim = oldTop.map(_._2).filter(_ >= 16).min
+    val lost = oldTop.count(_._2 == victim)
+    assert(lost >= 1)
+    val staging = s"$dir-staging"
+    AnnIndex.writeVectors(spark, corpus.filter($"vec_id" =!= victim), staging)
+    val recallPpm = Math.floorDiv((oldTop.length - lost).toLong * 1000000L,
+      oldTop.length.toLong)
+    def gate(ppm: Long): Boolean = RetrainFlow.annGate(spark, dir, staging,
+      corpus, corpus, driftedBatch, probes16, k = 10, frac = 1.0,
+      alarmRatioPpm = 1500000L,
+      shortlistPerProbe = 1 + corpus.count().toInt / 8, recallPpm = ppm)._1
+    assert(!gate(1000000L), "exact mode accepted a staged index missing a served answer")
+    assert(gate(recallPpm), s"sampled mode refused at its own recall ($recallPpm ppm)")
+    assert(!gate(recallPpm + 1), "sampled mode accepted below-tolerance recall")
+  }
+
+  test("ANN: beforeSwap runs store-first — before the index swap, and its failure leaves serving untouched") {
+    // the round-16 advice ordering: companion state (maintain's raw
+    // vector store) must roll BEFORE the index swap, so the serving
+    // index never references ids absent from the store — including if
+    // the process dies inside the companion roll itself.
+    val dir = Files.createTempDirectory("graft_rtf_order").toString + "/ann"
+    AnnIndex.writeVectors(spark, corpus, dir)
+    val oldStats = spark.read.parquet(s"$dir/quantstats").collect().toSeq
+    val batch = corpus
+      .select(($"vec_id" + 1000000000L).as("vec_id"),
+        expr("transform(v, x -> x * 1.5d + 0.25d)").as("v"))
+      .localCheckpoint(true)
+    var statsAtHook: Seq[org.apache.spark.sql.Row] = null
+    val crash = intercept[RuntimeException] {
+      RetrainFlow.annCycle(spark, dir, corpus, batch, probes16, frac = 1.0,
+        beforeSwap = () => {
+          statsAtHook = spark.read.parquet(s"$dir/quantstats").collect().toSeq
+          throw new RuntimeException("simulated crash mid-companion-roll")
+        })
+    }
+    assert(crash.getMessage.contains("simulated crash"))
+    // the hook observed the OLD serving layout (it runs pre-index-swap)…
+    assert(statsAtHook == oldStats, "beforeSwap ran after the index swap")
+    // …and the aborted swap left serving untouched, staging inspectable
+    assert(spark.read.parquet(s"$dir/quantstats").collect().toSeq == oldStats)
+    assert(exists(s"$dir-staging") && !exists(s"$dir-retired"))
+    // the replayed cycle completes: alarm still fires, swap lands
+    val r = RetrainFlow.annCycle(spark, dir, corpus, batch, probes16, frac = 1.0)
+    assert(r.alarmed && r.swapped, r.toString)
+  }
+
   test("QM: a degraded-crawl batch alarms, retrain absorbs it, swap retires model+baseline together") {
     // q208's degraded-crawl shape: the real corpus trains the model,
     // the batch is every doc truncated to its first 2 tokens — length
@@ -186,6 +245,30 @@ class RetrainFlowSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
     assert(out2 == Map("lm" -> false, "semantic" -> false),
       s"re-maintain was not a no-op: $out2")
+    // mid-stream heal (round 16): the NEXT batch from the SAME new
+    // regime — different ids, same reversed text + affine vectors —
+    // serves green against the healed layouts: every monitor quiet
+    // (the swap absorbed the regime, not just the one batch)…
+    val next = docs.join(vecs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      .select(($"doc_id" + 2000L).as("doc_id"),
+        concat_ws(" ", reverse(split($"text", " "))).as("text"),
+        expr("transform(v, x -> x * 1.5d + 0.25d)").as("v"))
+      .localCheckpoint(true)
+    val out3 = IngestionGate.maintain(spark, cfg, next, docs)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(out3 == Map("lm" -> false, "semantic" -> false),
+      s"next new-regime batch re-alarmed after the heal: $out3")
+    // …and the healed semantic layout DECIDES correctly on it: each
+    // next-batch vector is an exact re-render of a swapped-in member
+    // (same affine image), so the gate's semantic stage rejects it —
+    // the healed index is actually serving the new regime's members.
+    // Stages 1–2 are opened wide (maxJaccard > 1 admits all; ppm ≥ 0)
+    // so the zero count can ONLY come from the semantic stage.
+    ops.DedupIndex.write(spark, docs, s"$base/dix")
+    val decided = IngestionGate.decide(spark,
+      cfg.copy(minMeanPpm = 0L, maxJaccard = 2.0), next)
+    assert(decided.count() == 0,
+      "healed semantic stage failed to catch re-renders of swapped-in members")
   }
 
   test("LM: reversed batch alarms, retrain absorbs it, swap retires model+baseline together") {

@@ -175,6 +175,17 @@ object CorpusPipeline {
     // per consumer (the q77/q103 multiple-subtree lesson).
     val assigned = mixed.withColumn("split", ops.Advanced5.splitLabel)
       .localCheckpoint()
+    // Staging relief (round 16 — the 100× 8g memory knee): once
+    // `assigned` is materialized, every later stage reads it (or the
+    // written shards), so the dedup bases are dead weight — release the
+    // session-shared label artifacts and the exact-dedup checkpoint. At
+    // 100× the candidate-pair set alone is ~25M rows; holding it (plus
+    // sigs, labels and `exact`) through packing was most of the
+    // resident-set floor. A later query wanting a released shared base
+    // just rebuilds it.
+    Seq(s"cc-labels@$sfDir", s"minhash-cand@$sfDir", s"minhash-sigs@$sfDir")
+      .foreach(Shared.releaseEntry(spark, _))
+    Reliable.release(exact)
 
     // 5b. Benchmark decontamination — q97's gram-hash overlap, applied
     // where it actually bites: a TRAIN doc sharing any 5-token window

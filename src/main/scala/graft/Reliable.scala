@@ -24,6 +24,22 @@ object Reliable {
 
   val ConfKey = "spark.graft.checkpointDir"
 
+  /** Release the blocks behind a checkpointed frame whose content is no
+    * longer reachable through any live consumer — the staging relief
+    * for multi-step builds whose intermediates otherwise stay resident
+    * until session end (the 100× labels-build memory knee). Idempotent;
+    * a no-op on non-checkpoint plans and on reliable-checkpoint files
+    * (those are reclaimed at application end). The caller owns the
+    * safety argument: any LAZY frame still reading the released blocks
+    * fails on its next action.
+    */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = true)
+      case _ => ()
+    }
+
   /** Truncate `df`'s lineage eagerly: reliably when [[ConfKey]] is set,
     * executor-locally otherwise.
     */

@@ -44,9 +44,28 @@ object Shared {
           evictSession(s)
       })
     }
-    val built = build.localCheckpoint(true)
+    val built0 = build
+    // A build that already returns a materialized checkpoint (one that
+    // staged and RELEASED its own intermediates, e.g. minhashCandidates'
+    // band table) is stored as-is: re-copying a 25M-row pair set block
+    // to block would buy nothing and briefly double the resident set.
+    val built = built0.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => built0
+      case _ => built0.localCheckpoint(true)
+    }
     val prev = cache.putIfAbsent(k, built)
     if (prev != null) prev else built
+  }
+
+  /** Evict one entry and release its checkpoint blocks — for pipeline
+    * mains that KNOW a shared base has no further consumer in their
+    * session (a later query that wants it just rebuilds). Unsafe if any
+    * lazy frame still reads the entry's blocks — that is the caller's
+    * argument to make.
+    */
+  def releaseEntry(s: SparkSession, key: String): Unit = {
+    val df = cache.remove((s, key))
+    if (df != null) Reliable.release(df)
   }
 
   /** Drop every cached entry belonging to `s`. Called by the listener on

@@ -480,7 +480,16 @@ object AnnIndex {
     val shortK = math.max(k, shortlistPerProbe * np)
     val short = search(s, ix, queries, np, shortK, excludeSelf, allowed)
       .select(col("qid"), col("cand"))
-    val withQ = broadcast(broadcast(short)
+    // The broadcast hints hold for SERVE-sized shortlists (the static
+    // planner would otherwise shuffle the whole vector store for a
+    // point-lookup probe set). A CORPUS-COVERING shortlist — the exact
+    // equivalence gate's spp ≈ n/nLists — is a different regime: at the
+    // 100× rehearsal the 16-probe × 700k-row shortlist failed the
+    // DRIVER-side broadcast build outright. Past this bound the hints
+    // drop and AQE plans the join from measured sizes instead.
+    val hint: DataFrame => DataFrame =
+      if (shortK <= 65536) broadcast(_) else identity
+    val withQ = hint(hint(short)
       .join(queries.select(col("qid"), col("v").as("qv2")), Seq("qid")))
     val er = withQ
       .join(vectors.select(col("vec_id").as("cand"), col("v").as("cv3")), Seq("cand"))

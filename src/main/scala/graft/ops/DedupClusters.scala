@@ -60,6 +60,12 @@ object DedupClusters {
     // exchange); each round's only shuffle is the one repartition feeding
     // the min-label aggregate.
     val sym = symWide.repartition(parts, col("src")).transform(graft.Reliable.checkpoint)
+    // staging relief (round 16 — the 100× 8g memory knee): each
+    // checkpoint below supersedes exactly one predecessor, so the
+    // predecessor's blocks are released as soon as the successor's
+    // exist — the build's resident set is ONE sym + two label frames
+    // instead of every batch since the start
+    graft.Reliable.release(symWide)
     val nodes = sym.select(col("src").as("node")).distinct()
     def flow(l: DataFrame): DataFrame = sym
       .join(l, sym("src") === l("node"))
@@ -80,6 +86,7 @@ object DedupClusters {
         .collect()(0).getDecimal(0)
       converged = prevSum.contains(labelSum)
       prevSum = Some(labelSum)
+      graft.Reliable.release(labels) // superseded by `batch`
       labels = batch
       i += 1
     }
@@ -87,6 +94,7 @@ object DedupClusters {
       throw new IllegalStateException(
         s"connectedComponents did not converge after ${maxBatches * roundsPerBatch} " +
           "propagation rounds — a component has a larger diameter; raise maxBatches")
+    graft.Reliable.release(sym) // the converged labels no longer read it
     labels
   }
 

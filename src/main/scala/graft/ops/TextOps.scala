@@ -158,18 +158,28 @@ object TextOps {
     */
   def minhashCandidates(s: SparkSession, d: String): DataFrame =
     graft.Shared.materialized(s, s"minhash-cand@$d") {
-      val bands = bandsOf(minhashSigs(s, d))
+      // STAGED build (round 16, the 100× labels-build memory knee): the
+      // band table feeds three consumers (the cap's pass 1 and both
+      // self-join sides) — checkpoint it once, materialize the DISTINCT
+      // pair set eagerly, then RELEASE the band blocks before returning;
+      // Shared stores the returned checkpoint as-is. At a duplicate-
+      // heavy 100× corpus the pair set alone is ~25M rows — the band
+      // table must not stay resident next to it through the CC build.
+      val bands = bandsOf(minhashSigs(s, d)).localCheckpoint(true)
       // hot-bucket guard: a degenerate band signature (boilerplate
       // template shared corpus-wide) would make this self-join quadratic
       // inside its bucket — cap membership, with observed drop counts
       val capped = LshGuard.capBuckets(s, bands, Seq("b", "s1", "s2"),
-        "doc_id", tag = "minhash")
-      capped.as("a")
+        "doc_id", tag = "minhash", materialize = false)
+      val pairs = capped.as("a")
         .join(capped.as("b"),
           col("a.b") === col("b.b") && col("a.s1") === col("b.s1") &&
             col("a.s2") === col("b.s2") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
+        .localCheckpoint(true)
+      graft.Reliable.release(bands)
+      pairs
     }
 
   /** Shared DuckDB oracle preamble — the MinHash/LSH subtree (toks →

@@ -75,18 +75,29 @@ class GlobalOrderSpec extends SparkSuite {
     // session accumulates one retained block set per call
     val df = (1 to 5000).map(i => (i.toLong, (i * 2654435761L) % 997))
       .toDF("id", "v").repartition(4).localCheckpoint(true)
-    def persisted = spark.sparkContext.getPersistentRDDs.size
-    val base = persisted
+    // Track the HANDLES' OWN checkpoint RDD ids (the LogicalRDD leaves of
+    // each result, minus the input's) — a global getPersistentRDDs COUNT
+    // races with sibling suites, whose own Reliable.release calls (round
+    // 16) legitimately unpersist their blocks mid-test.
+    def leafIds(d: org.apache.spark.sql.DataFrame): Set[Int] =
+      d.queryExecution.analyzed.collectLeaves().collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }.toSet
+    val inputIds = leafIds(df)
+    def persistedIds = spark.sparkContext.getPersistentRDDs.keySet
     val handles = (1 to 5).map { _ =>
       val rt = GlobalOrder.rankAndRunningSumT(df, Seq($"v", $"id"), $"v",
         "rnk", "cum")
       assert(rt.df.count() == 5000L) // consumer materializes, THEN releases
       rt
     }
-    assert(persisted >= base + 5, s"expected 5 retained checkpoints over $base, got $persisted")
+    val own = handles.flatMap(h => leafIds(h.df)).toSet -- inputIds
+    assert(own.size >= 5, s"expected >=5 distinct phase-1 checkpoints, got $own")
+    assert(own.subsetOf(persistedIds), s"checkpoints not retained: $own vs $persistedIds")
     handles.foreach(_.release())
     handles.foreach(_.release()) // idempotent
-    assert(persisted == base, s"release() left retained blocks: $persisted vs baseline $base")
+    val leaked = persistedIds.intersect(own)
+    assert(leaked.isEmpty, s"release() left retained blocks: $leaked")
   }
 
   test("ntileFromRank reproduces SQL NTILE exactly, including n < buckets and remainders") {

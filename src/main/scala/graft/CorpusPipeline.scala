@@ -33,7 +33,13 @@ object CorpusPipeline {
     val outDir = args.lift(1).getOrElse("/tmp/graft_corpus")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      // SPARK_GRAFT_SHUFFLE decouples reducer count from cores: more
+      // reducers shrink each task's join/aggregate working set (the 8g
+      // 32-core labels-build knee is per-task execution memory), and
+      // AQE coalesces the extra partitions away when the data is small
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

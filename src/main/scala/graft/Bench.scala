@@ -132,6 +132,29 @@ object Bench {
       Seq(once(), once(), once()).sorted.apply(1)
     }
     println(s"CALIBQ ${"fixed_range_sum".padTo(28, ' ')} ${d3(calib)} s")
+    // PARALLEL-LOAD calibration row (round 17, the r16 verdict's item 2):
+    // the scalar `calib` above runs one ~80 ms single-stage loop and is
+    // blind to multi-core heat — the r16 driver window drifted untouched
+    // queries 1.40-1.46x while `calib` read EQUAL, so every steady flag
+    // needed a manual worktree A/B to adjudicate. This row is fixed work
+    // that saturates the cores the way the graded queries do: a
+    // 32-partition generate -> hash-aggregate (1M groups) -> shuffle ->
+    // final aggregate, post-warm median-of-3. Cross-round ratios of
+    // `calib_par` measure the WINDOW's parallel capacity; steady ratios
+    // divided by it measure the code (tools/steady_compare --normalize).
+    val calibPar = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 1L << 25, 1L, cpus.toInt)
+          .selectExpr("(id * 2654435761) % 1048576 AS k", "id % 1000003 AS v")
+          .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("sv"))
+          .selectExpr("sum(hash(k, sv))").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm
+      Seq(once(), once(), once()).sorted.apply(1)
+    }
+    println(s"CALIBQ ${"fixed_shuffle_agg".padTo(28, ' ')} ${d3(calibPar)} s")
     // The driver captures only the LAST ~2000 chars of output and parses the
     // JSON line out of that window — round-1 full-precision doubles pushed the
     // line to ~3k chars and its head was truncated, so the driver recorded
@@ -147,7 +170,7 @@ object Bench {
       // impossible total) plus the count, so no comparison against a clean
       // round can mistake "15 queries threw" for "22% faster".
       val headline = if (failed > 0) -1.0 else total
-      s"""{"metric":"total","value":${d3(headline)},"unit":"sec","failed":$failed,"queries":$qs,"steady":$st,"steady_strict":$ss$trunc,"calib":${d3(calib)},"sf":"$sfDir","n":${results.size}}"""
+      s"""{"metric":"total","value":${d3(headline)},"unit":"sec","failed":$failed,"queries":$qs,"steady":$st,"steady_strict":$ss$trunc,"calib":${d3(calib)},"calib_par":${d3(calibPar)},"sf":"$sfDir","n":${results.size}}"""
     }
     val bySlowest = results.sortBy(-_._2)
     var kept = bySlowest

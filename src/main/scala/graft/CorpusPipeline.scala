@@ -31,21 +31,34 @@ object CorpusPipeline {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("/tmp/graft_corpus")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      // SPARK_GRAFT_SHUFFLE decouples reducer count from cores: more
-      // reducers shrink each task's join/aggregate working set (the 8g
-      // 32-core labels-build knee is per-task execution memory), and
-      // AQE coalesces the extra partitions away when the data is small
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
-          sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")))
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus) // refined from data below
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Reducer count DERIVED from corpus size, decoupled from cores
+    // (round 17 — the r16 fix landed env-only): the 8g/32-core labels
+    // build OOMs at reducers=cores because the knee is per-TASK
+    // execution memory (32 concurrent join/aggregate tasks × corpus-
+    // sized shuffle partitions); more reducers shrink each task's hash
+    // state, and AQE coalesces the extra partitions away when the data
+    // is small (the 1× funnel is bit-identical under any count).
+    // Calibration point: 500k docs / 256 reducers completed at
+    // 0.25 GB/core where reducers=32 OOM'd (BENCH.md round 16) —
+    // ~2000 docs/reducer, clamped to [cores, 4096]. Row count is a
+    // parquet-footer read, not a scan. SPARK_GRAFT_SHUFFLE overrides
+    // (the cluster-side knob is spark.sql.shuffle.partitions itself).
+    val reducers = sys.env.get("SPARK_GRAFT_SHUFFLE").map(_.toInt).getOrElse {
+      val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+      math.max(cpus.toLong, math.min(4096L, nDocs / 2000L)).toInt
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", reducers)
+    println(s"[corpus] shuffle_partitions=$reducers (cores=$cpus)")
     plans.TopKRewriteInstall.ensureInstalled(spark) // exact-dedup keep-first -> heap
     try run(spark, sfDir, outDir)
     finally spark.stop()
@@ -147,12 +160,17 @@ object CorpusPipeline {
       // hot-cluster guard (same shape as the LSH band joins): one huge
       // embedding cluster would fan O(n²) cosine pairs — cap membership
       // per cluster label before the self-join; drops are observed+logged
+      // materialize=false (round 17, aligning with LshGuard's documented
+      // heuristic): the input is the bare embeddings scan semi-confined
+      // by `alive` — re-reading that columnar scan per cap pass beats
+      // copying the wide vector table into block storage at exactly the
+      // corpus sizes where this pipeline's resident set is the knee
       val e = ops.LshGuard.capBuckets(spark,
         Tables.embeddings(spark, sfDir)
           .select(col("vec_id"), col("label"),
             col("embedding").cast("array<double>").as("v"))
           .join(alive, Seq("vec_id")), // confine pairs to surviving docs
-        Seq("label"), "vec_id", tag = "semdedup")
+        Seq("label"), "vec_id", tag = "semdedup", materialize = false)
       val drops = e.select(col("label").as("la"), col("vec_id").as("ida"), col("v").as("va"))
         .join(e.select(col("label").as("lb"), col("vec_id").as("idb"), col("v").as("vb")),
           col("la") === col("lb") && col("ida") < col("idb"))

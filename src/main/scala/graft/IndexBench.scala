@@ -560,13 +560,28 @@ object IndexBench {
       // by design — codebook mass follows the corpus)
       val monitored = if (i == 5) mixVecs(regime, drifted = true) else batch
       val t2 = System.nanoTime()
-      val m = ops.IngestionGate.maintain(spark, mcfg, monitored, corpusNow)
-        .collect().map(r => (r.getString(0), r.getBoolean(2), r.getBoolean(5)))
+      // SPARK_GRAFT_MLOOP_GATE=sampled runs the swap's ANN gate in the
+      // bounded sampled-probe mode (policy knob, round 16) instead of
+      // the exact corpus-covering default — the ms_rebuild/ms_gate
+      // split below is how the two modes' swap-batch costs compare
+      // (the r16 verdict's item 5: the 67.5 s shift batch at 100× was
+      // one number; rebuild and gate needed separating).
+      val mpol = if (sys.env.get("SPARK_GRAFT_MLOOP_GATE").contains("sampled"))
+        ops.IngestionGate.MaintainPolicy(annGateShortlist = Some(64),
+          annGateRecallPpm = 950000L)
+      else ops.IngestionGate.MaintainPolicy()
+      val m = ops.IngestionGate.maintain(spark, mcfg, monitored, corpusNow, mpol)
+        .collect().map(r => (r.getString(0), r.getBoolean(2), r.getBoolean(5),
+          r.getLong(6), r.getLong(7)))
       val tM = (System.nanoTime() - t2) / 1e9
-      val alarmed = m.collect { case (st, true, _) => st }.mkString("+")
-      val swapped = m.collect { case (st, _, true) => st }.mkString("+")
+      val alarmed = m.collect { case (st, true, _, _, _) => st }.mkString("+")
+      val swapped = m.collect { case (st, _, true, _, _) => st }.mkString("+")
+      val annSplit = m.collectFirst {
+        case ("semantic", _, _, mr, mg) if mr > 0 || mg > 0 =>
+          f" ann_rebuild=${mr / 1e3}%.3f s ann_gate=${mg / 1e3}%.3f s"
+      }.getOrElse("")
       val line = f"IXBENCH mloop_batch_$i               gate=$tGate%.3f s maintain=$tM%.3f s " +
-        s"admitted=$admitted alarmed=[$alarmed] swapped=[$swapped]"
+        s"admitted=$admitted alarmed=[$alarmed] swapped=[$swapped]$annSplit"
       println(line); line
     }
     // post-heal serve: a fresh new-regime batch decided against the

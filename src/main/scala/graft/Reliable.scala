@@ -24,6 +24,28 @@ object Reliable {
 
   val ConfKey = "spark.graft.checkpointDir"
 
+  /** Debug conf (round 17 — the release contract's misuse guard): when
+    * `true`, [[release]] records each released leaf RDD id with the
+    * graft-side call site that released it, and [[diagnose]] /
+    * [[withDiagnosis]] can turn the otherwise-opaque task failure a
+    * stale lazy reader hits ("Checkpoint block rdd_N_M not found" deep
+    * inside a job) into a NAMED error that says which release broke it
+    * and where. Default (unset) behavior is byte-identical: no
+    * recording, no wrapping.
+    */
+  val DebugKey = "spark.graft.debugReleases"
+
+  private val releasedAt =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+
+  /** A lazy frame read blocks that [[release]] had already dropped —
+    * carries the release site so the fix (materialize before releasing,
+    * or release later) is one stack frame away instead of a hunt
+    * through executor logs.
+    */
+  final class ReleasedBlockReadException(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause)
+
   /** Release the blocks behind a checkpointed frame whose content is no
     * longer reachable through any live consumer — the staging relief
     * for multi-step builds whose intermediates otherwise stay resident
@@ -31,13 +53,57 @@ object Reliable {
     * a no-op on non-checkpoint plans and on reliable-checkpoint files
     * (those are reclaimed at application end). The caller owns the
     * safety argument: any LAZY frame still reading the released blocks
-    * fails on its next action.
+    * fails on its next action — under [[DebugKey]] that failure is
+    * diagnosable by name ([[withDiagnosis]]).
     */
-  def release(df: DataFrame): Unit =
+  def release(df: DataFrame): Unit = {
+    val debug = df.sparkSession.conf.getOption(DebugKey).contains("true")
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        if (debug) {
+          val site = Thread.currentThread.getStackTrace
+            .find(e => e.getClassName.startsWith("graft.") &&
+              e.getClassName != "graft.Reliable$" &&
+              e.getClassName != "graft.Reliable")
+            .map(e => s"${e.getClassName}.${e.getMethodName}(${e.getFileName}:${e.getLineNumber})")
+            .getOrElse("<unknown site>")
+          releasedAt.put(lr.rdd.id, site)
+        }
         lr.rdd.unpersist(blocking = true)
       case _ => ()
+    }
+  }
+
+  /** If `t`'s failure chain names a block of an RDD that [[release]]
+    * dropped under [[DebugKey]], return the diagnosis; None otherwise
+    * (including always when debug was never enabled — the registry is
+    * only populated under the conf).
+    */
+  def diagnose(t: Throwable): Option[String] = {
+    val rddId = """rdd_(\d+)_\d+""".r
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
+      .flatMap(e => rddId.findAllMatchIn(Option(e.getMessage).getOrElse("")))
+      .map(_.group(1).toInt)
+      .collectFirst { case id if releasedAt.containsKey(id) =>
+        s"read of released checkpoint blocks: rdd_$id was released at " +
+          s"${releasedAt.get(id)} while a lazy frame still read it — " +
+          "materialize that frame (localCheckpoint/write) before the " +
+          "release, or move the release after its last action"
+      }
+  }
+
+  /** Run `body`; if it fails on blocks a debug-mode [[release]] dropped,
+    * rethrow as the named [[ReleasedBlockReadException]] carrying the
+    * release site. Pass-through (original exception, no wrapping) when
+    * the failure is anything else or debug mode is off.
+    */
+  def withDiagnosis[T](body: => T): T =
+    try body catch {
+      case scala.util.control.NonFatal(e) =>
+        diagnose(e) match {
+          case Some(msg) => throw new ReleasedBlockReadException(msg, e)
+          case None => throw e
+        }
     }
 
   /** Truncate `df`'s lineage eagerly: reliably when [[ConfKey]] is set,

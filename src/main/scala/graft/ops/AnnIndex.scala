@@ -477,7 +477,13 @@ object AnnIndex {
       allowed: Option[DataFrame] = None): DataFrame = {
     graft.functions.DotProduct.register(s)
     val np = autoNprobe(ix, frac)
-    val shortK = math.max(k, shortlistPerProbe * np)
+    // Long math, clamped (round-17 advice): the exact gate's corpus-
+    // covering spp × a frac=1.0 probe count overflows Int past ~2.1B —
+    // negative, math.max would silently collapse the shortlist to k and
+    // re-enable the broadcast hints, exactly the truncation + driver-
+    // broadcast regime the spp derivation exists to avoid.
+    val shortK = math.min(math.max(k.toLong, shortlistPerProbe.toLong * np),
+      Int.MaxValue.toLong).toInt
     val short = search(s, ix, queries, np, shortK, excludeSelf, allowed)
       .select(col("qid"), col("cand"))
     // The broadcast hints hold for SERVE-sized shortlists (the static

@@ -321,8 +321,17 @@ object DedupIndex {
     val confined = corpusBands.join(
       broadcast(batchBands.select(col("b"), col("s1"), col("s2")).distinct()),
       Seq("b", "s1", "s2"), "left_semi")
+    // materialize=false (round 17 — the q161 carried flag + the
+    // per-batch block-accretion advice): every caller's corpus side is
+    // a bucket-pruned parquet scan (queryBatch), a projection of an
+    // already-checkpointed batch (the gate's self pass), or a
+    // projection of a session-shared signature checkpoint (q153) — all
+    // cheaper to read twice through the broadcast semi-join than to
+    // copy into block storage, and this join runs ONCE PER INTAKE
+    // BATCH: an internal localCheckpoint here accretes a batch-count's
+    // worth of session-lifetime executor blocks on the serve path.
     val capped = LshGuard.capBuckets(s, confined, Seq("b", "s1", "s2"),
-      "doc_id", tag = tag)
+      "doc_id", tag = tag, materialize = false)
     batchBands.as("q")
       .join(capped.as("c"),
         col("q.b") === col("c.b") && col("q.s1") === col("c.s1") &&

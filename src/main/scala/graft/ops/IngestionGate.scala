@@ -160,11 +160,20 @@ object IngestionGate {
         graft.functions.CosineSim.register(s)
         val cents = s.read.parquet(s"$sd/ann/centroids")
           .select(col("cid"), col("cv"))
+        // caller-owned materialization (round-17 advice): the sweep's
+        // cap reads its input three times (pass 1 + both pair sides),
+        // so checkpoint the batch-sized assignment ONCE here, run the
+        // kernel with materialize=false, pin the (tiny) dominated-id
+        // set eagerly, and RELEASE the assignment — per-batch calls on
+        // a long intake stream must not accrete session-lifetime blocks
+        // through the guard's internal default.
         val basg = Advanced20.assignCosine(
           corpusClean.select(col("doc_id").as("vec_id"), col("v")), cents)
+          .localCheckpoint(true)
         val selfDom = Advanced20.dominatedBy(basg, cfg.semanticTau,
-            tag = "gate-semself")
-          .select(col("vec_id").as("doc_id"))
+            tag = "gate-semself", materialize = false)
+          .select(col("vec_id").as("doc_id")).localCheckpoint(true)
+        graft.Reliable.release(basg)
         corpusClean.join(selfDom, Seq("doc_id"), "left_anti")
       }
     }
@@ -311,8 +320,12 @@ object IngestionGate {
     import s.implicits._
     val b = batch.localCheckpoint(true)
     val docsB = b.select(col("doc_id"), col("text"))
+    // ms_rebuild/ms_gate trail the six decision columns so positional
+    // readers of the original schema keep working; only the ANN cycle
+    // fills them (the exact-vs-sampled gate-mode cost split).
     def row(stage: String, r: RetrainFlow.Result) =
-      (stage, r.alarmPpm, r.alarmed, r.rebuilt, r.recovered, r.swapped)
+      (stage, r.alarmPpm, r.alarmed, r.rebuilt, r.recovered, r.swapped,
+        r.msRebuild, r.msGate)
     val lm = row("lm",
       RetrainFlow.lmCycle(s, cfg.lmDir, corpusDocs, docsB, policy.lmRatioPpm))
     val qm = cfg.qualityDir.map(qd => row("quality",
@@ -340,7 +353,7 @@ object IngestionGate {
         policy.annK, policy.annFrac, policy.semanticRatioPpm,
         policy.annGateShortlist.getOrElse(sppExact),
         recallPpm = policy.annGateRecallPpm,
-        beforeSwap = () => {
+        beforeSwap = newVecs => {
           // STORE-FIRST swap ordering (round-16 advice): the union store
           // is written and swapped BEFORE the index swap, so at no
           // instant — including this corpus-sized staging write, and
@@ -348,16 +361,20 @@ object IngestionGate {
           // the serving index reference vec_ids absent from vecs/ (which
           // searchRerank's store join would silently drop, shrinking
           // top-k). Extra store rows unreferenced by the old index are
-          // inert; a crash replay re-alarms and completes the index
-          // swap, and dropDuplicates heals the replayed union.
-          store.unionByName(bv).dropDuplicates("vec_id")
-            .write.mode("overwrite").parquet(s"$sd/vecs-staging")
+          // inert; a crash replay re-alarms and completes the index swap
+          // (the gate's allow-list is the OLD INDEX's membership, so the
+          // already-swapped store cannot flunk it — round-17 advice).
+          // `newVecs` IS annCycle's deterministic deduplicated union —
+          // the frame the staged index encoded — so the store the exact
+          // rerank reads can never disagree with a staged code row.
+          newVecs.write.mode("overwrite").parquet(s"$sd/vecs-staging")
           RetrainFlow.swapDirs(s, s"$sd/vecs", s"$sd/vecs-staging")
         })
       row("semantic", r)
     }
     (Seq(lm) ++ qm ++ sem)
-      .toDF("stage", "alarm_ppm", "alarmed", "rebuilt", "recovered", "swapped")
+      .toDF("stage", "alarm_ppm", "alarmed", "rebuilt", "recovered",
+        "swapped", "ms_rebuild", "ms_gate")
       .orderBy(col("stage"))
   }
 

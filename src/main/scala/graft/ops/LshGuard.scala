@@ -107,10 +107,18 @@ object LshGuard {
     * planes → aggregate) that double build was the measured steady
     * constant behind q35/q161's r15 flags. Default true `localCheckpoint`s
     * the input once so pass 1 and the probe read one set of blocks; pass
-    * false ONLY when the caller already materialized it (Shared /
-    * Reliable / an explicit checkpoint) or when the input is a bare
-    * columnar scan deliberately cheaper to read twice than to copy
-    * (the serve-path corpus-sized skinny tables).
+    * false when the caller already materialized it (Shared / Reliable /
+    * an explicit checkpoint), when the input is a bare columnar scan
+    * deliberately cheaper to read twice than to copy (the serve-path
+    * corpus-sized skinny tables; the embeddings scans behind q133 and
+    * the pipeline's semantic stage — round-17 A/B), or on PER-BATCH
+    * serve paths ([[DedupIndex.candidatePairs]], the gate's
+    * self-sweeps): the internal checkpoint is never unpersisted, so a
+    * per-intake-batch call under the default accretes session-lifetime
+    * executor blocks (round-17 advice). A caller that must materialize
+    * an expensive input on a repeated path owns the checkpoint AND its
+    * release ([[graft.Reliable.release]]) — the gate's semantic
+    * self-sweep pattern.
     *
     * Null bucket keys cap like any other bucket: the threshold join is
     * null-safe (`<=>`), mirroring the oracle's `PARTITION BY` (SQL

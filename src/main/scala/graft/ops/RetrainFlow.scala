@@ -63,10 +63,15 @@ object RetrainFlow {
 
   /** One cycle's outcome. `servingDir` is where queries should go after
     * the cycle (always the original `dir`; its CONTENTS swap).
+    * `msRebuild`/`msGate` (round 17) split an alarmed ANN cycle's cost
+    * into the staged rebuild vs the pre-swap gate — the exact-vs-
+    * sampled gate-mode trade is adjudicable only with the two costs
+    * separated (IndexBench's maintainloop rows read them); 0 on no-op
+    * cycles and on the text cycles (whose gate is one alarm re-read).
     */
   final case class Result(alarmed: Boolean, alarmPpm: Long, rebuilt: Boolean,
       equivalent: Boolean, recovered: Boolean, swapped: Boolean,
-      servingDir: String)
+      servingDir: String, msRebuild: Long = 0L, msGate: Long = 0L)
 
   private def fsOf(s: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -141,7 +146,17 @@ object RetrainFlow {
         .select(col("qid"), col("rnk"), col("cand")).collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val oldTop = topk(dir, oldStore, None)
-    val newTop = topk(staging, newStore, Some(oldStore.select(col("vec_id"))))
+    // The staged side's allow-list is the SERVING INDEX's membership
+    // (tombstone-filtered assigned ids), NOT the raw vector store
+    // (round-17 advice): after a crash between maintain's store-first
+    // companion swap and the index swap, the replayed cycle's store
+    // already contains the batch — a store-derived allow-list would
+    // admit batch vectors into the staged top-k that the old index can
+    // never return, refusing the swap on every retry and leaving the
+    // layout permanently half-swapped. "Data it already served" is by
+    // definition what the old index can answer from.
+    val served = AnnIndex.load(s, dir).assigned.select(col("vec_id"))
+    val newTop = topk(staging, newStore, Some(served))
     val equivalent =
       if (recallPpm >= Micro) oldTop == newTop
       else {
@@ -181,37 +196,55 @@ object RetrainFlow {
     * immediately before the index swap — the seam a caller rolls
     * companion state through (maintain swaps the raw vector store here,
     * store-FIRST, so the serving index never references ids absent
-    * from it).
+    * from it). It receives the cycle's OWN deduplicated union — the
+    * exact frame the staged index was built from — so companion state
+    * written through the seam cannot keep a different row than the
+    * index encoded for any vec_id.
     */
   def annCycle(s: SparkSession, dir: String, vectors: DataFrame,
       batch: DataFrame, probes: DataFrame, k: Int = 10,
       frac: Double = 0.25, alarmRatioPpm: Long = 1500000L,
       shortlistPerProbe: => Int = 64, recallPpm: Long = Micro,
-      beforeSwap: () => Unit = () => ()): Result = {
+      beforeSwap: DataFrame => Unit = _ => ()): Result = {
     val ppm = annAlarmPpm(s, dir, batch)
     if (ppm <= alarmRatioPpm)
       return Result(alarmed = false, ppm, rebuilt = false,
         equivalent = false, recovered = false, swapped = false, dir)
     val staging = s"$dir-staging"
     rm(s, staging)
-    // dropDuplicates keeps the cycle idempotent under at-least-once
-    // replay: a crash after a store-first companion swap (maintain's
-    // beforeSwap) re-runs this cycle with the batch already absorbed in
-    // `vectors` — duplicated ids would otherwise double-enter the staged
-    // index and flunk the exact-equality gate forever
-    val newVecs = vectors.unionByName(batch).dropDuplicates("vec_id")
+    // DETERMINISTIC union (round-17 advice; replaces dropDuplicates,
+    // whose pick is evaluation-order-dependent): batch wins a store
+    // collision — a re-embedded id ships its NEW vector — and
+    // intra-batch duplicate ids reduce by array max. Keeps the cycle
+    // idempotent under at-least-once replay (a crash after maintain's
+    // store-first companion swap re-runs this cycle with the batch
+    // already absorbed in `vectors`; the anti-join collapses the
+    // duplicates identically on every evaluation), and because every
+    // row's pick is a pure function of the data, the staged index build
+    // here and any companion write in `beforeSwap` (which receives this
+    // frame) agree under double evaluation — no corpus-sized
+    // checkpoint needed to pin them together.
+    val bDedup = batch.select(col("vec_id"), col("v"))
+      .groupBy(col("vec_id")).agg(max(col("v")).as("v"))
+    val newVecs = vectors.select(col("vec_id"), col("v"))
+      .join(bDedup, Seq("vec_id"), "left_anti")
+      .unionByName(bDedup)
+    val tR = System.nanoTime()
     AnnIndex.writeVectors(s, newVecs, staging)
+    val msRebuild = (System.nanoTime() - tR) / 1000000L
+    val tG = System.nanoTime()
     val (equivalent, recovered) =
       annGate(s, dir, staging, vectors, newVecs, batch, probes, k, frac,
         alarmRatioPpm, shortlistPerProbe, recallPpm)
+    val msGate = (System.nanoTime() - tG) / 1000000L
     if (equivalent && recovered) {
-      beforeSwap()
+      beforeSwap(newVecs)
       swapDirs(s, dir, staging)
       Result(alarmed = true, ppm, rebuilt = true, equivalent = true,
-        recovered = true, swapped = true, dir)
+        recovered = true, swapped = true, dir, msRebuild, msGate)
     } else // staging is LEFT for inspection; serving dir untouched
       Result(alarmed = true, ppm, rebuilt = true, equivalent, recovered,
-        swapped = false, dir)
+        swapped = false, dir, msRebuild, msGate)
   }
 
   /** Alarm → retrain → gate → swap for a persisted [[LmModel]]. The LM

@@ -69,4 +69,37 @@ class ReliableCheckpointSpec extends SparkSuite {
       s"expected executor-local checkpoint lineage:\n$lineage")
     assert(!lineage.contains("ReliableCheckpointRDD"), lineage)
   }
+
+  test("debugReleases: a stale read of released blocks raises the NAMED error with the release site") {
+    // the round-17 misuse guard: release()'s contract is caller-owned
+    // ("any lazy frame still reading the released blocks fails on its
+    // next action"), and without the conf that failure is an opaque
+    // block-not-found deep in a job — under the conf it names the rdd
+    // and the graft call site that released it.
+    spark.conf.set(Reliable.DebugKey, "true")
+    try {
+      val base = (1 to 1000).map(_.toLong).toDF("id").localCheckpoint(true)
+      val lazyReader = base.selectExpr("sum(id) AS s") // still reads base's blocks
+      Reliable.release(base) // the misuse: released under a live lazy consumer
+      val e = intercept[Reliable.ReleasedBlockReadException] {
+        Reliable.withDiagnosis { lazyReader.collect() }
+      }
+      assert(e.getMessage.contains("released at"), e.getMessage)
+      assert(e.getMessage.contains("ReliableCheckpointSpec"),
+        s"diagnosis does not name the release site: ${e.getMessage}")
+      assert(e.getCause != null, "original failure must be preserved as the cause")
+    } finally spark.conf.unset(Reliable.DebugKey)
+  }
+
+  test("debugReleases off (default): release records nothing, withDiagnosis passes failures through") {
+    val base = (1 to 1000).map(_.toLong).toDF("id").localCheckpoint(true)
+    val lazyReader = base.selectExpr("sum(id) AS s")
+    Reliable.release(base)
+    val e = intercept[Throwable] {
+      Reliable.withDiagnosis { lazyReader.collect() }
+    }
+    assert(!e.isInstanceOf[Reliable.ReleasedBlockReadException],
+      "default mode must not record or rename failures")
+    assert(Reliable.diagnose(e).isEmpty)
+  }
 }

@@ -162,7 +162,7 @@ class RetrainFlowSpec extends SparkSuite {
     var statsAtHook: Seq[org.apache.spark.sql.Row] = null
     val crash = intercept[RuntimeException] {
       RetrainFlow.annCycle(spark, dir, corpus, batch, probes16, frac = 1.0,
-        beforeSwap = () => {
+        beforeSwap = _ => {
           statsAtHook = spark.read.parquet(s"$dir/quantstats").collect().toSeq
           throw new RuntimeException("simulated crash mid-companion-roll")
         })
@@ -176,6 +176,56 @@ class RetrainFlowSpec extends SparkSuite {
     // the replayed cycle completes: alarm still fires, swap lands
     val r = RetrainFlow.annCycle(spark, dir, corpus, batch, probes16, frac = 1.0)
     assert(r.alarmed && r.swapped, r.toString)
+  }
+
+  test("ANN: exact gate converges on replay after a store-first crash — allow-list is index membership, not the store") {
+    // The round-17 advice scenario: maintain's beforeSwap swaps the raw
+    // vector store FIRST; if the process dies before the index swap,
+    // the replayed cycle reads a store that already contains the batch.
+    // A store-derived allow-list would admit batch vectors into the
+    // staged top-k that the serving index can never return — the exact
+    // gate would refuse on EVERY retry, leaving the layout permanently
+    // half-swapped. The fixture forces that collision deterministically:
+    // the batch carries exact duplicates of the probes' best answers
+    // under fresh ids (identical cosine ⇒ they tie into the staged
+    // top-k whenever they are allowed), so this test fails against a
+    // store-derived allow-list and passes against index membership.
+    val base = Files.createTempDirectory("graft_rtf_replay").toString
+    val dir = base + "/ann"
+    AnnIndex.writeVectors(spark, corpus, dir)
+    corpus.write.parquet(s"$base/vecs")
+    val n = corpus.count()
+    val batch = corpus
+      .select(($"vec_id" + 1000000000L).as("vec_id"),
+        expr("transform(v, x -> x * 1.5d + 0.25d)").as("v"))
+      .unionByName(corpus.filter($"vec_id" < 16)
+        .select(($"vec_id" + 2000000000L).as("vec_id"), $"v"))
+      .localCheckpoint(true)
+    def spp(union: Long): Int = ((union + 15) / 16).toInt // corpus-covering at fixed-16
+    // attempt 1: the store swap LANDS, then the process "dies" before
+    // the index swap — the exact half-swapped state the advice names
+    val crash = intercept[RuntimeException] {
+      RetrainFlow.annCycle(spark, dir, corpus, batch, probes16, frac = 1.0,
+        shortlistPerProbe = spp(n + batch.count()),
+        beforeSwap = nv => {
+          nv.write.mode("overwrite").parquet(s"$base/vecs-staging")
+          RetrainFlow.swapDirs(spark, s"$base/vecs", s"$base/vecs-staging")
+          throw new RuntimeException("simulated crash between the two swaps")
+        })
+    }
+    assert(crash.getMessage.contains("simulated crash"))
+    val store = spark.read.parquet(s"$base/vecs")
+    assert(store.count() > n, "fixture: the store swap did not land")
+    // replay, as maintain would: vectors re-read from the swapped store.
+    // The alarm re-fires (old index, drifted batch) and the EXACT gate
+    // must pass — batch ids absorbed by the store are not served data.
+    val r = RetrainFlow.annCycle(spark, dir, store, batch, probes16,
+      frac = 1.0, shortlistPerProbe = spp(store.count() + batch.count()))
+    assert(r.alarmed, r.toString)
+    assert(r.equivalent,
+      "replayed exact gate refused — allow-list leaked store-absorbed batch ids")
+    assert(r.recovered && r.swapped, r.toString)
+    assert(!exists(s"$dir-staging") && exists(s"$dir-retired"))
   }
 
   test("QM: a degraded-crawl batch alarms, retrain absorbs it, swap retires model+baseline together") {

@@ -78,20 +78,40 @@ def main():
     so, sn = old.get("steady", {}), new.get("steady", {})
     shared = sorted(set(so) & set(sn))
     regressions = []
-    print(f"{'query':<30} {'old':>8} {'new':>8} {'ratio':>7}")
+    # Window-heat normalization (round 17): when both runs carry the
+    # parallel-load calibration row (`calib_par`, a fixed 32-partition
+    # shuffle-aggregate), the flag gate runs on ratio/heat where
+    # heat = calib_par_new/calib_par_old — the r16 driver window drifted
+    # untouched queries 1.40-1.46x while the scalar calib read equal, so
+    # raw steady ratios alone are not adjudicable under multi-core load.
+    # Raw ratios still print; heat is capped at >=1.0 so a COOLER new
+    # window can never excuse a genuine regression.
+    cp_o, cp_n = old.get("calib_par", 0) or 0, new.get("calib_par", 0) or 0
+    heat = max(1.0, cp_n / cp_o) if cp_o > 0 and cp_n > 0 else 1.0
+    if heat > 1.0:
+        print(f"window heat (calib_par {cp_o:.3f} -> {cp_n:.3f}): "
+              f"normalizing flag gate by {heat:.2f}x")
+    norm_hdr = f" {'norm':>7}" if heat > 1.0 else ""
+    print(f"{'query':<30} {'old':>8} {'new':>8} {'ratio':>7}{norm_hdr}")
     for q in shared:
         a, b = so[q], sn[q]
+        norm_col = ""
         if a <= 0 or b <= 0:
             flag = " (errored run)"
             ratio = float("nan")
         else:
             ratio = b / a
-            bad = ratio > thr and b > floor
+            normed = ratio / heat
+            if heat > 1.0:
+                norm_col = f" {normed:>7.2f}"
+            bad = normed > thr and b > floor
             flag = ("  <-- REGRESSION" if bad
-                    else "  (over threshold, under floor)" if ratio > thr else "")
+                    else "  (over threshold, under floor)" if normed > thr
+                    else "  (raw over threshold, window heat)"
+                    if ratio > thr else "")
             if bad:
                 regressions.append((q, a, b, ratio))
-        print(f"{q:<30} {a:>8.3f} {b:>8.3f} {ratio:>7.2f}{flag}")
+        print(f"{q:<30} {a:>8.3f} {b:>8.3f} {ratio:>7.2f}{norm_col}{flag}")
     only_old = sorted(set(so) - set(sn))
     only_new = sorted(set(sn) - set(so))
     if only_old:

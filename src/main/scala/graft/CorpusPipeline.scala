@@ -48,14 +48,19 @@ object CorpusPipeline {
     // sized shuffle partitions); more reducers shrink each task's hash
     // state, and AQE coalesces the extra partitions away when the data
     // is small (the 1× funnel is bit-identical under any count).
-    // Calibration point: 500k docs / 256 reducers completed at
-    // 0.25 GB/core where reducers=32 OOM'd (BENCH.md round 16) —
-    // ~2000 docs/reducer, clamped to [cores, 4096]. Row count is a
-    // parquet-footer read, not a scan. SPARK_GRAFT_SHUFFLE overrides
-    // (the cluster-side knob is spark.sql.shuffle.partitions itself).
+    // Calibration: 500k docs / 256 reducers completed at 0.25 GB/core
+    // where reducers=32 OOM'd (BENCH.md round 16) — but 250 then OOM'd
+    // on a DIFFERENT cliff of the same regime (storage re-inflation of
+    // a disk-spilled checkpoint block, round 17), so 2000 docs/reducer
+    // was the EDGE, not a safe point. Sized at ~1250 docs/reducer
+    // (500k → 400) for margin on both cliffs, clamped to [cores, 4096];
+    // extra partitions are near-free (AQE coalesces them when small).
+    // Row count is a parquet-footer read, not a scan.
+    // SPARK_GRAFT_SHUFFLE overrides (the cluster-side knob is
+    // spark.sql.shuffle.partitions itself).
     val reducers = sys.env.get("SPARK_GRAFT_SHUFFLE").map(_.toInt).getOrElse {
       val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
-      math.max(cpus.toLong, math.min(4096L, nDocs / 2000L)).toInt
+      math.max(cpus.toLong, math.min(4096L, nDocs / 1250L)).toInt
     }
     spark.conf.set("spark.sql.shuffle.partitions", reducers)
     println(s"[corpus] shuffle_partitions=$reducers (cores=$cpus)")

@@ -613,8 +613,11 @@ object Advanced20 {
       indexDir: String, tau: Double = SemTau): DataFrame = {
     val e = VectorSearch.emb(s, d)
     val asg = AnnIndex.load(s, indexDir).assigned.select(col("vec_id"), col("c_id"))
+    // materialize=false (round 17): the sweep input is two parquet scans
+    // joined by id — re-reading columnar scans per cap pass beats a
+    // per-run block copy that is never unpersisted (the cap-leak advice)
     dominatedBy(e.join(asg, Seq("vec_id")).select(col("vec_id"), col("c_id"), col("v")),
-      tau).orderBy(col("vec_id"))
+      tau, materialize = false).orderBy(col("vec_id"))
   }
 
   // ---------------------------------------------------------------- q200

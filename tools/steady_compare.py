@@ -91,6 +91,10 @@ def main():
     if heat > 1.0:
         print(f"window heat (calib_par {cp_o:.3f} -> {cp_n:.3f}): "
               f"normalizing flag gate by {heat:.2f}x")
+    if heat > 1.5:
+        print("WARNING: window heat > 1.5x - a normalized PASS here is weak "
+              "evidence (driver-bound queries over-correct); re-run in a "
+              "cooler window for a definitive read")
     norm_hdr = f" {'norm':>7}" if heat > 1.0 else ""
     print(f"{'query':<30} {'old':>8} {'new':>8} {'ratio':>7}{norm_hdr}")
     for q in shared:

@@ -576,17 +576,30 @@ object IngestionGate {
     import s.implicits._
     graft.Shared.materialized(s, s"gate4-$d") {
       val tmp = graft.TempDirs.create("graft-gate4")
-      val corpus = Tables.documents(s, d).filter(col("doc_id") < 400)
-      DedupIndex.write(s, corpus, s"$tmp/dix")
-      LmModel.write(s, corpus, s"$tmp/lm")
-      QualityModel.write(s, corpus, s"$tmp/qm")
+      // The four layouts are INDEPENDENT builds over a 400-doc corpus —
+      // each is a short chain of small jobs that underfills local[32]
+      // on its own, so they build CONCURRENTLY (round 17, the q206
+      // one-shot item): Spark's scheduler interleaves jobs submitted
+      // from separate threads, and nothing below shares mutable state
+      // (distinct output dirs; expression registration happens before
+      // the fan-out — SimpleFunctionRegistry writes would otherwise
+      // race the builds' analysis). The serving artifact is identical
+      // to the sequential build — only wall-clock changes.
       graft.functions.DotProduct.register(s)
       graft.functions.CosineSim.register(s)
-      writeSemantic(s,
-        Tables.embeddings(s, d).filter(col("vec_id") < 400)
-          .select(col("vec_id"),
-            graft.functions.VectorFunctions.asDouble(col("embedding")).as("v")),
-        s"$tmp/sem")
+      def corpus = Tables.documents(s, d).filter(col("doc_id") < 400)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val builds = Seq(
+        Future(DedupIndex.write(s, corpus, s"$tmp/dix")),
+        Future(LmModel.write(s, corpus, s"$tmp/lm")),
+        Future(QualityModel.write(s, corpus, s"$tmp/qm")),
+        Future(writeSemantic(s,
+          Tables.embeddings(s, d).filter(col("vec_id") < 400)
+            .select(col("vec_id"),
+              graft.functions.VectorFunctions.asDouble(col("embedding")).as("v")),
+          s"$tmp/sem")))
+      builds.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
       Seq(tmp).toDF("dir")
     }.collect()(0).getString(0)
   }

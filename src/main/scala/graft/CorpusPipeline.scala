@@ -32,8 +32,22 @@ object CorpusPipeline {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("/tmp/graft_corpus")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Concurrency derived from heap-per-core (round 17): the derived
+    // reducer count below clears the REDUCE-side working-set cliff, but
+    // the labels build's MAP-side partial hash aggregates are a separate
+    // term — 32 concurrent tasks sharing an 8g pool is ~144 MB/task and
+    // measured FLAKY (one 400-reducer 100× run completed, the next died
+    // in AGGREGATE_OUT_OF_MEMORY at the same stage). Below ~0.5 GB/core
+    // each task reserves proportionally more cores, trading concurrency
+    // for per-task headroom: 8g/32c runs 16 × 0.5 GB tasks — the config
+    // measured reliably green at near-equal wall (BENCH.md r16: 449 s at
+    // 16c vs 480 s at 32c/256r). On a cluster the knob is executor
+    // sizing; here it is derived so the default JVM never sits on the
+    // edge. Env-independent: derived from -Xmx and the core count.
+    val taskCpus = deriveTaskCpus(Runtime.getRuntime.maxMemory, cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.task.cpus", taskCpus)
       .config("spark.sql.shuffle.partitions", cpus) // refined from data below
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -60,13 +74,36 @@ object CorpusPipeline {
     // spark.sql.shuffle.partitions itself).
     val reducers = sys.env.get("SPARK_GRAFT_SHUFFLE").map(_.toInt).getOrElse {
       val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
-      math.max(cpus.toLong, math.min(4096L, nDocs / 1250L)).toInt
+      deriveReducers(nDocs, cpus)
     }
     spark.conf.set("spark.sql.shuffle.partitions", reducers)
-    println(s"[corpus] shuffle_partitions=$reducers (cores=$cpus)")
+    println(s"[corpus] shuffle_partitions=$reducers (cores=$cpus, task_cpus=$taskCpus)")
     plans.TopKRewriteInstall.ensureInstalled(spark) // exact-dedup keep-first -> heap
     try run(spark, sfDir, outDir)
     finally spark.stop()
+  }
+
+  /** The main()'s derivation, pure so the clamps are spec-pinned:
+    * ~1250 docs/reducer, never below the core count (a small corpus
+    * keeps reducers=cores, the pre-round-17 behavior), capped at 4096
+    * (past it tiny-task scheduling overhead dominates any working-set
+    * relief). See main()'s calibration note for the measured points.
+    */
+  private[graft] def deriveReducers(nDocs: Long, cpus: Int): Int =
+    math.max(cpus.toLong, math.min(4096L, nDocs / 1250L)).toInt
+
+  /** Cores reserved per task so each concurrent task sees ≥ ~0.75 GB of
+    * heap (the labels build's measured floor at the duplicate-heavy
+    * 100× fixture; see main()'s note — 0.25 GB/task dies reproducibly,
+    * 0.5 GB/task still died one run in three in execution-alloc bursts):
+    * ceil(768 MB / heap-per-core), at least 1, at most the core count.
+    * 8g/32c → 3 (10 concurrent tasks); ≥0.75 GB/core → 1 (behavior
+    * unchanged on healthy configs).
+    */
+  private[graft] def deriveTaskCpus(maxHeapBytes: Long, cpus: Int): Int = {
+    val minPerTask = 768L * 1024 * 1024
+    val perCore = math.max(1L, maxHeapBytes / math.max(cpus, 1))
+    math.min(cpus.toLong, math.max(1L, (minPerTask + perCore - 1) / perCore)).toInt
   }
 
   def run(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {

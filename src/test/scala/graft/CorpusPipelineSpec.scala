@@ -99,4 +99,26 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(first == second, "shard membership changed across reruns")
     assert(first.nonEmpty)
   }
+
+  test("reducer derivation: cores floor, ~1250 docs/reducer, 4096 cap") {
+    // the round-17 calibration points (BENCH.md): a small corpus keeps
+    // the pre-derivation behavior (reducers = cores); 500k docs at 32
+    // cores lands 400 (margin past the measured 256-edge of the
+    // 0.25 GB/core regime); the cap bounds tiny-task overhead
+    assert(CorpusPipeline.deriveReducers(5000L, 4) == 4)      // 1x: clamps to cores
+    assert(CorpusPipeline.deriveReducers(5000L, 32) == 32)
+    assert(CorpusPipeline.deriveReducers(500000L, 32) == 400) // 100x rehearsal
+    assert(CorpusPipeline.deriveReducers(50000000L, 32) == 4096) // cap
+    assert(CorpusPipeline.deriveReducers(0L, 16) == 16)
+  }
+
+  test("task-cpus derivation: >=768MB heap per concurrent task, 1 on healthy configs") {
+    val g = 1024L * 1024 * 1024
+    assert(CorpusPipeline.deriveTaskCpus(8 * g, 32) == 3)   // 0.25 GB/core -> 10 concurrent
+    assert(CorpusPipeline.deriveTaskCpus(8 * g, 16) == 2)   // 0.5 GB/core -> 8 concurrent
+    assert(CorpusPipeline.deriveTaskCpus(16 * g, 32) == 2)
+    assert(CorpusPipeline.deriveTaskCpus(16 * g, 16) == 1)  // 1 GB/core -> unchanged
+    assert(CorpusPipeline.deriveTaskCpus(24 * g, 32) == 1)
+    assert(CorpusPipeline.deriveTaskCpus(g / 4, 4) == 4)    // degenerate: one task at a time
+  }
 }

@@ -206,8 +206,16 @@ object IngestionGate {
         .localCheckpoint(true)
       fv.write.mode("append").parquet(s"$sd/vecs")
       AnnIndex.append(s, s"$sd/ann", fv)
+      graft.Reliable.release(fv) // both consumers (store + index) have written
     }
     DedupIndex.append(s, cfg.dedupDir, fresh)
+    // `fresh` is the eager checkpoint handed to the caller; `decided`
+    // has no consumer past it — release so a long intake stream's
+    // per-batch decision frames don't accrete for the session lifetime
+    // (the round-17 block-accretion discipline; decide()'s internals
+    // stay alive because the returned frame is lazy over them — that
+    // is the decide serve contract, and they are batch-sized).
+    graft.Reliable.release(decided)
     fresh
   }
 

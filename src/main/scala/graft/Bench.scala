@@ -26,22 +26,50 @@ object Bench {
     val strict = sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1")
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       if (strict) df.queryExecution.toRdd.count() else df.count()
+    // HEAT PROBE (round 18, the r17 verdict's item 1): the r17 one-shot
+    // window carried a mid-loop host-load transient (q157–q178 inflated
+    // 2–2.6×) that both END-of-run calibration rows missed — the heat
+    // arrived and left inside the loop. This fixed-work scalar probe
+    // (the `calib` job, ~80 ms) is interleaved every 20 queries, so a
+    // transient is attributable from the artifact alone: a hot span's
+    // enclosing probes read high while the rest stay flat. Probes are
+    // timed OUTSIDE the per-query clocks and excluded from the total.
+    def heatProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 1L << 28, 1L, cpus.toInt)
+        .selectExpr("sum((id * 2654435761) % 1000003)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    heatProbe() // warm the probe's codegen'd plan pre-loop
+    val heatTrace = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     // A query that THROWS records -1, never its time-to-throw: a broken
     // query must not contribute a fake timing to the graded total or
     // occupy a slowest-15 steady slot.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val elapsed =
-        try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-        catch { case scala.util.control.NonFatal(_) => -1.0 }
-      name -> elapsed
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), i) =>
+        if (i % 20 == 0) heatTrace += ((i, heatProbe()))
+        val wall0 = System.currentTimeMillis()
+        val t0 = System.nanoTime()
+        val elapsed =
+          try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+          catch { case scala.util.control.NonFatal(_) => -1.0 }
+        (name, elapsed, wall0)
     }
+    heatTrace += ((SparkEntry.queries.size, heatProbe()))
     // %.3f via the f-interpolator is locale-sensitive (comma decimals under
     // e.g. de_DE would corrupt the JSON), so format explicitly with ROOT.
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Full per-query detail on separate lines (human log / BENCH.md).
-    results.foreach { case (n, s) => println(s"BENCHQ ${n.padTo(28, ' ')} ${d3(s)} s") }
+    // `@ <epoch ms>` is the query's wall-clock start (r17 verdict item 1:
+    // a mid-window load transient must be attributable from the artifact).
+    results.foreach { case (n, s, w0) =>
+      println(s"BENCHQ ${n.padTo(28, ' ')} ${d3(s)} s @ $w0")
+    }
+    heatTrace.foreach { case (i, s) =>
+      println(s"HEATQ  ${s"probe_before_q$i".padTo(28, ' ')} ${d3(s)} s")
+    }
+    val resultsQ: Seq[(String, Double)] = results.map(t => (t._1, t._2))
     // -1 failure sentinels are excluded from the graded total (they'd
     // *reduce* it); the per-query map still carries them as markers, and
     // `failed` below poisons the headline so breakage can never read as a
@@ -80,7 +108,7 @@ object Bench {
             .map(_.group(1)))
       }.toSet.intersect(results.map(_._1).toSet) // renamed/retired queries drop out
     }
-    val current15 = results.sortBy(-_._2).take(15).map(_._1)
+    val current15 = resultsQ.sortBy(-_._2).take(15).map(_._1)
     val steadySet =
       (priorSteady.toSeq.sorted ++
         current15.filterNot(priorSteady)).take(24).sorted
@@ -170,9 +198,13 @@ object Bench {
       // impossible total) plus the count, so no comparison against a clean
       // round can mistake "15 queries threw" for "22% faster".
       val headline = if (failed > 0) -1.0 else total
-      s"""{"metric":"total","value":${d3(headline)},"unit":"sec","failed":$failed,"queries":$qs,"steady":$st,"steady_strict":$ss$trunc,"calib":${d3(calib)},"calib_par":${d3(calibPar)},"sf":"$sfDir","n":${results.size}}"""
+      // heat_trace: [query-index, probe seconds] pairs from the in-loop
+      // fixed-work probes — the mid-window transient detector (item 1).
+      val ht = heatTrace.map { case (i, v) => s"[$i,${d3(v)}]" }
+        .mkString("[", ",", "]")
+      s"""{"metric":"total","value":${d3(headline)},"unit":"sec","failed":$failed,"queries":$qs,"steady":$st,"steady_strict":$ss$trunc,"calib":${d3(calib)},"calib_par":${d3(calibPar)},"heat_trace":$ht,"sf":"$sfDir","n":${results.size}}"""
     }
-    val bySlowest = results.sortBy(-_._2)
+    val bySlowest = resultsQ.sortBy(-_._2)
     var kept = bySlowest
     var line = render(kept.sortBy(_._1), results.size - kept.size)
     while (line.length > 1800 && kept.size > 1) {

@@ -571,8 +571,9 @@ object IndexBench {
           annGateRecallPpm = 950000L)
       else ops.IngestionGate.MaintainPolicy()
       val m = ops.IngestionGate.maintain(spark, mcfg, monitored, corpusNow, mpol)
-        .collect().map(r => (r.getString(0), r.getBoolean(2), r.getBoolean(5),
-          r.getLong(6), r.getLong(7)))
+        .collect().map(r => (r.getAs[String]("stage"), r.getAs[Boolean]("alarmed"),
+          r.getAs[Boolean]("swapped"), r.getAs[Long]("ms_rebuild"),
+          r.getAs[Long]("ms_gate")))
       val tM = (System.nanoTime() - t2) / 1e9
       val alarmed = m.collect { case (st, true, _, _, _) => st }.mkString("+")
       val swapped = m.collect { case (st, _, true, _, _) => st }.mkString("+")
@@ -666,6 +667,68 @@ object IndexBench {
     t0 = System.nanoTime()
     AnnIndex.write(spark, v2dir, s"$tmp/rel_ann_fresh")
     println(f"IXBENCH rel_fresh_ann                ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+
+    // Stage split of the REGISTERED q164/q165/q166 fixture (round 18,
+    // the r17 verdict's item 5 — the msRebuild/msGate pattern applied
+    // to the release family): same v1/v2 version scheme as the
+    // registered queries (v1 = docs %17!=5; v2 = docs %19!=3 with
+    // 'rev dup ' prefixes at %13=0), each stage timed separately so the
+    // registry's one >2 s steady (q165) decomposes and a future
+    // regression names its stage: build_v1 (amortized per session since
+    // r18's clone), delta, upgrade (tombstone+append), serve.
+    section("release_q") {
+    val v1q = docs.filter(col("doc_id") % 17 =!= 5).localCheckpoint()
+    val v2q = docs.filter(col("doc_id") % 19 =!= 3)
+      .withColumn("text", when(col("doc_id") % 13 === 0,
+        concat(lit("rev dup "), col("text"))).otherwise(col("text")))
+      .localCheckpoint()
+    var t0 = System.nanoTime()
+    val dq = ops.Release.delta(v1q, v2q, "doc_id", md5(col("text")))
+    val (na2, nc2, nr2) = dq.summary
+    println(f"IXBENCH relq_delta                   ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+      f"(added=$na2 changed=$nc2 removed=$nr2)")
+    // q164 stages
+    t0 = System.nanoTime()
+    TextIndex.writeDocs(spark, v1q, s"$tmp/relq_tix")
+    println(f"IXBENCH relq_text_build_v1           ${(System.nanoTime() - t0) / 1e9}%.3f s (amortized per session)")
+    t0 = System.nanoTime()
+    val tix = ops.Release.upgradeTextIndex(spark, s"$tmp/relq_tix", v2q, dq)
+    println(f"IXBENCH relq_text_upgrade            ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    timed("relq_text_serve")(
+      TextIndex.search(spark, tix, Seq("dup", "vector", "spark"), 20).count())
+    // q165 stages
+    t0 = System.nanoTime()
+    ops.DedupIndex.write(spark, v1q, s"$tmp/relq_dix")
+    println(f"IXBENCH relq_dedup_build_v1          ${(System.nanoTime() - t0) / 1e9}%.3f s (amortized per session)")
+    t0 = System.nanoTime()
+    ops.Release.upgradeDedupIndex(spark, s"$tmp/relq_dix", v2q, dq)
+    println(f"IXBENCH relq_dedup_upgrade           ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val probeQ = v2q.filter(col("doc_id") % 23 === 7)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .unionByName(docs.filter(col("doc_id") % 19 === 3 && col("doc_id") % 17 =!= 5)
+        .withColumn("doc_id", col("doc_id") + 200000L)).localCheckpoint()
+    timed("relq_dedup_serve")(
+      ops.DedupIndex.queryBatch(spark, s"$tmp/relq_dix", probeQ).count())
+    // q166 stages
+    val asDq = graft.functions.VectorFunctions.asDouble _
+    val e166 = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), asDq(col("embedding")).as("v")).localCheckpoint()
+    val v1e = e166.filter(col("vec_id") % 17 =!= 5).localCheckpoint()
+    val v2e = e166.filter(col("vec_id") % 19 =!= 3)
+      .withColumn("v", when(col("vec_id") % 13 === 0,
+        expr("transform(v, x -> x + 0.25d)")).otherwise(col("v")))
+      .localCheckpoint()
+    t0 = System.nanoTime()
+    val de2 = ops.Release.delta(v1e, v2e, "vec_id", xxhash64(col("v")))
+    println(f"IXBENCH relq_ann_delta               ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    t0 = System.nanoTime()
+    AnnIndex.writeVectors(spark, v1e, s"$tmp/relq_ann")
+    println(f"IXBENCH relq_ann_build_v1            ${(System.nanoTime() - t0) / 1e9}%.3f s (amortized per session)")
+    t0 = System.nanoTime()
+    val aix = ops.Release.upgradeAnnIndex(spark, s"$tmp/relq_ann", v2e, de2)
+    println(f"IXBENCH relq_ann_upgrade             ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    timed("relq_ann_serve")(aix.codes.count())
     }
 
     section("semdedup") {

@@ -205,6 +205,7 @@ object AnnIndex {
     Advanced8.pqAssign(s, d)
       .select(col("vec_id"), col("b"), (col("mk") % 100).cast("int").as("code"))
       .join(s.read.parquet(s"$dir/assigned"), Seq("vec_id"))
+      .repartition(col("c_id"))
       .write.partitionBy("c_id").mode("overwrite").parquet(s"$dir/codes")
     errStats(perVectorErrMicro(e, s.read.parquet(s"$dir/codebook")))
       .write.mode("overwrite").parquet(s"$dir/quantstats")
@@ -232,6 +233,7 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$dir/assigned")
     encodeVectors(e, s.read.parquet(s"$dir/codebook"))
       .join(s.read.parquet(s"$dir/assigned"), Seq("vec_id"))
+      .repartition(col("c_id"))
       .write.partitionBy("c_id").mode("overwrite").parquet(s"$dir/codes")
     errStats(perVectorErrMicro(e, s.read.parquet(s"$dir/codebook")))
       .write.mode("overwrite").parquet(s"$dir/quantstats")
@@ -273,7 +275,11 @@ object AnnIndex {
     */
   def delete(s: SparkSession, dir: String, ids: DataFrame,
       autoCompactAt: Long = Tombstones.AutoCompactRows): Index = {
-    ids.select(col("vec_id")).write.mode("append").parquet(s"$dir/tombstones")
+    // one ledger file per delete batch (round 18): the ledger is an
+    // anti-join side on every load; un-coalesced it lands a file per
+    // shuffle partition
+    ids.select(col("vec_id")).coalesce(1)
+      .write.mode("append").parquet(s"$dir/tombstones")
     if (s.read.parquet(s"$dir/tombstones").count() >= autoCompactAt)
       compact(s, dir)
     else load(s, dir)
@@ -292,7 +298,7 @@ object AnnIndex {
       // localCheckpoint so the rewrite doesn't race its own input scan
       live.assigned.localCheckpoint(true)
         .write.mode("overwrite").parquet(s"$dir/assigned")
-      live.codes.localCheckpoint(true)
+      live.codes.localCheckpoint(true).repartition(col("c_id"))
         .write.partitionBy("c_id").mode("overwrite").parquet(s"$dir/codes")
       val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
@@ -340,6 +346,7 @@ object AnnIndex {
       .select(col("vec_id"))
     newCodes.join(codeIds, Seq("vec_id"), "left_anti")
       .join(newAssigned, Seq("vec_id"))
+      .repartition(col("c_id"))
       .write.partitionBy("c_id").mode("append").parquet(s"$dir/codes")
     val assignedIds = s.read.parquet(s"$dir/assigned").select(col("vec_id"))
     newAssigned.join(assignedIds, Seq("vec_id"), "left_anti")

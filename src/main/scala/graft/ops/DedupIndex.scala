@@ -160,15 +160,20 @@ object DedupIndex {
       bandsEp: Option[Long] = Some(0L), sigsEp: Option[Long] = Some(0L)): Unit = {
     def stamp(df: DataFrame, ep: Option[Long]): DataFrame =
       ep.fold(df)(e => df.withColumn("ep", lit(e)))
+    // Repartition by the partition column before each dynamic-
+    // partitioned write (round 18, guide §6): one file per bucket per
+    // batch instead of (tasks × buckets) small files — the measured
+    // layout carried ~4× the files, taxing every load's footer reads,
+    // the release-upgrade clones, and the write commits themselves.
     // bands first, sigs LAST: sigs is append's done-marker (see object doc)
     stamp(TextOps.bandsOf(sigs), bandsEp)
-      .withColumn("bkt", bktCol(nB))
+      .withColumn("bkt", bktCol(nB)).repartition(col("bkt"))
       .write.partitionBy("bkt").mode(mode).parquet(s"$dir/bands")
     // appends must match the existing sigs layout — mixing flat files
     // with sbkt= partition dirs under one root is unreadable; a flat
     // (pre-round-10) layout stays flat until compact upgrades it whole
     if (sigsBucketed)
-      stamp(sigs, sigsEp).withColumn("sbkt", sbktCol(nB))
+      stamp(sigs, sigsEp).withColumn("sbkt", sbktCol(nB)).repartition(col("sbkt"))
         .write.partitionBy("sbkt").mode(mode).parquet(s"$dir/sigs")
     else stamp(sigs, sigsEp).write.mode(mode).parquet(s"$dir/sigs")
   }
@@ -260,9 +265,12 @@ object DedupIndex {
   def delete(s: SparkSession, dir: String, ids: DataFrame,
       autoCompactAt: Long = Tombstones.AutoCompactRows): Index = {
     val t = ids.select(col("doc_id"))
+    // one ledger file per delete batch (round 18): the ledger is re-read
+    // by every load's liveness fold, and an un-coalesced batch leaves a
+    // file per shuffle partition (~18-row files at bench scale)
     (if (isEpochLayout(s, dir))
        t.withColumn("te", lit(Tombstones.readEpoch(s, dir)))
-     else t).write.mode("append").parquet(s"$dir/tombstones")
+     else t).coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
     if (s.read.parquet(s"$dir/tombstones").count() >= autoCompactAt)
       compact(s, dir)
     else load(s, dir)
@@ -284,10 +292,12 @@ object DedupIndex {
       // schema, since every row is re-stamped
       live.bands.dropDuplicates("doc_id", "b")
         .drop("ep").withColumn("ep", lit(0L)).localCheckpoint(true)
+        .repartition(col("bkt"))
         .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/bands")
       live.sigs.select(col("doc_id"), col("sig")).dropDuplicates("doc_id")
         .withColumn("ep", lit(0L))
         .withColumn("sbkt", sbktCol(nB)).localCheckpoint(true)
+        .repartition(col("sbkt"))
         .write.partitionBy("sbkt").mode("overwrite").parquet(s"$dir/sigs")
       val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)

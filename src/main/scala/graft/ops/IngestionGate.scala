@@ -328,9 +328,11 @@ object IngestionGate {
     import s.implicits._
     val b = batch.localCheckpoint(true)
     val docsB = b.select(col("doc_id"), col("text"))
-    // ms_rebuild/ms_gate trail the six decision columns so positional
-    // readers of the original schema keep working; only the ANN cycle
-    // fills them (the exact-vs-sampled gate-mode cost split).
+    // ms_rebuild/ms_gate carry the exact-vs-sampled gate-mode cost
+    // split; only the ANN cycle fills them. Consumers read this frame
+    // BY NAME (round 18 — the r17 verdict's item 4 retired the
+    // positional-reader append-only-columns convention), so column
+    // order is not part of the contract.
     def row(stage: String, r: RetrainFlow.Result) =
       (stage, r.alarmPpm, r.alarmed, r.rebuilt, r.recovered, r.swapped,
         r.msRebuild, r.msGate)

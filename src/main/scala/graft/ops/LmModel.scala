@@ -203,12 +203,16 @@ object LmModel {
     ss.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ss, true)
     writeMeta(s, dir, nB)
     val tot = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+    // repartition by the partition column before the dynamic-partitioned
+    // writes (round 18, guide §6): one file per bucket, not tasks x buckets
     enrich(bi, uni, tot).withColumn("bkt", bktOf(col("gram"), nB))
+      .repartition(col("bkt"))
       .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/bigrams")
     uni.crossJoin(broadcast(tot))
       .select(col("w"), col("c"),
         Det.halfUpDiv(col("c") * Micro, col("n")).as("p_uni"))
       .withColumn("bkt", bktOf(col("w"), nB))
+      .repartition(col("bkt"))
       .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/unigrams")
     tot.coalesce(1).write.mode("overwrite").parquet(s"$dir/total")
   }

@@ -325,13 +325,53 @@ object RetrainFlow {
     * index-MUTATING flow takes of a session-shared build (the swap must
     * never retire a dir other queries serve from).
     */
-  private def copyDir(s: SparkSession, src: String, dst: String): Unit = {
+  private[graft] def copyDir(s: SparkSession, src: String, dst: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val sp = new org.apache.hadoop.fs.Path(src)
     val dp = new org.apache.hadoop.fs.Path(dst)
     val fs = sp.getFileSystem(conf)
     require(org.apache.hadoop.fs.FileUtil.copy(fs, sp,
       dp.getFileSystem(conf), dp, false, conf), s"copy $src -> $dst failed")
+  }
+
+  /** HARD-LINK clone of a local persisted layout (round 18): parquet
+    * files are immutable once committed — every mutation in this repo
+    * appends NEW files or deletes/renames whole files and directories,
+    * never writes into an existing file — so a clone whose regular
+    * files are hard links to the source's is indistinguishable from a
+    * byte copy to every reader, while costing directory metadata
+    * instead of data I/O (the byte copy of a 268-file dedup layout was
+    * ~1.9 s of each q165 invocation; links are ~ms). A mutation in the
+    * clone (append = new inode; overwrite/delete = unlink) can never
+    * reach the shared source's bytes. Falls back to [[copyDir]] when
+    * the paths are not both on a local filesystem that supports links
+    * (cross-device links throw).
+    */
+  private[graft] def linkCloneDir(s: SparkSession, src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val sp = Paths.get(src)
+    if (!Files.isDirectory(sp)) return copyDir(s, src, dst)
+    try {
+      val walk = Files.walk(sp)
+      try {
+        walk.forEach { p: Path =>
+          val target = Paths.get(dst).resolve(sp.relativize(p).toString)
+          if (Files.isDirectory(p)) Files.createDirectories(target)
+          else Files.createLink(target, p)
+        }
+      } finally walk.close()
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        // cross-device, permission, or non-local fs: fall back to bytes
+        val dp = Paths.get(dst)
+        if (Files.exists(dp)) {
+          val w = Files.walk(dp)
+          try w.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+          finally w.close()
+        }
+        copyDir(s, src, dst)
+    }
   }
 
   /** One full ANN cycle per (session, corpus): v1 index over the

@@ -127,15 +127,22 @@ object TextIndex {
     val t = toks(docs)
     def stamp(df: DataFrame): DataFrame =
       ep.fold(df)(e => df.withColumn("ep", lit(e)))
+    // Repartition by the partition column before every dynamic-
+    // partitioned write (round 18, guide §6): without it each write
+    // task emits a file per bucket it happens to hold (tasks × buckets
+    // small files — the measured layouts carried ~4× the file count,
+    // taxing every later load's footer reads, the upgrade clones, and
+    // the write commit itself); with it each bucket is exactly one
+    // file per batch, and AQE sizes the shuffle to the batch.
     // doclens is written LAST: it is [[append]]'s done-marker (the
     // anti-join target), so a crash mid-batch leaves at worst orphan
     // postings/positions for doc_ids absent from doclens — invisible to
     // BM25 only if the replay re-writes them, which the marker ensures.
     stamp(t.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf")))
-      .withColumn("bkt", bktCol(nB))
+      .withColumn("bkt", bktCol(nB)).repartition(col("bkt"))
       .write.partitionBy("bkt").mode(mode).parquet(s"$dir/postings")
     stamp(t.select(col("term"), col("doc_id"), col("pos")))
-      .withColumn("bkt", bktCol(nB))
+      .withColumn("bkt", bktCol(nB)).repartition(col("bkt"))
       .write.partitionBy("bkt").mode(mode).parquet(s"$dir/positions")
     stamp(t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
       .write.mode(mode).parquet(s"$dir/doclens")
@@ -253,14 +260,28 @@ object TextIndex {
     * the broadcast side stays bounded over any delete sequence.
     */
   def delete(s: SparkSession, dir: String, ids: DataFrame,
-      autoCompactAt: Long = Tombstones.AutoCompactRows): Index = {
+      autoCompactAt: Long = Tombstones.AutoCompactRows): Index =
+    delete(s, dir, ids, autoCompactAt, refresh = true)
+
+  /** `refresh = false` skips the stats refresh for a caller that
+    * IMMEDIATELY follows with an [[append]] (which refreshes from the
+    * post-append live set anyway) — [[Release.upgradeTextIndex]]'s
+    * delete-then-append never serves between the two, so the
+    * intermediate refresh was two dead jobs per upgrade (round 18).
+    * An auto-compact still refreshes (the rewrite needs it).
+    */
+  private[ops] def delete(s: SparkSession, dir: String, ids: DataFrame,
+      autoCompactAt: Long, refresh: Boolean): Index = {
     val t = ids.select(col("doc_id"))
+    // one ledger file per delete batch (round 18): the ledger is re-read
+    // by every load's liveness fold, and an un-coalesced batch leaves a
+    // file per shuffle partition (~18-row files at bench scale)
     (if (isEpochLayout(s, dir))
        t.withColumn("te", lit(Tombstones.readEpoch(s, dir)))
-     else t).write.mode("append").parquet(s"$dir/tombstones")
+     else t).coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
     if (s.read.parquet(s"$dir/tombstones").count() >= autoCompactAt)
       return compact(s, dir) // refreshes stats itself after the rewrite
-    refreshStats(s, dir)
+    if (refresh) refreshStats(s, dir)
     load(s, dir)
   }
 
@@ -278,9 +299,9 @@ object TextIndex {
       // schema, since every row is re-stamped
       def ep0(df: DataFrame): DataFrame = df.drop("ep").withColumn("ep", lit(0L))
       // localCheckpoint so each rewrite doesn't race its own input scan
-      ep0(live.postings).localCheckpoint(true)
+      ep0(live.postings).localCheckpoint(true).repartition(col("bkt"))
         .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/postings")
-      ep0(live.positions).localCheckpoint(true)
+      ep0(live.positions).localCheckpoint(true).repartition(col("bkt"))
         .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/positions")
       ep0(live.doclens).localCheckpoint(true)
         .write.mode("overwrite").parquet(s"$dir/doclens")

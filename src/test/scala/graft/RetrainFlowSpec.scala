@@ -282,17 +282,26 @@ class RetrainFlowSpec extends SparkSuite {
         expr("transform(v, x -> x * 1.5d + 0.25d)").as("v"))
       .localCheckpoint(true)
     val out = IngestionGate.maintain(spark, cfg, batch, docs)
-      .collect().map(r => r.getString(0) ->
-        (r.getBoolean(2), r.getBoolean(5))).toMap
+      .collect().map(r => r.getAs[String]("stage") ->
+        (r.getAs[Boolean]("alarmed"), r.getAs[Boolean]("swapped"))).toMap
     assert(out.keySet == Set("lm", "semantic"), out.toString)
     assert(out("lm") == ((true, true)), s"lm stage did not roll: $out")
     assert(out("semantic") == ((true, true)), s"semantic stage did not roll: $out")
+    // Column order is NOT part of the maintain-frame contract (round 18:
+    // readers are by-name, the positional append-only-columns convention
+    // is retired) — a schema-order shuffle must read identically.
+    val shuffled = IngestionGate.maintain(spark, cfg, batch, docs)
+      .select($"swapped", $"ms_gate", $"stage", $"alarmed", $"ms_rebuild",
+        $"recovered", $"alarm_ppm", $"rebuilt")
+      .collect().map(r => r.getAs[String]("stage") ->
+        (r.getAs[Boolean]("alarmed"), r.getAs[Boolean]("swapped"))).toMap
+    assert(shuffled.keySet == Set("lm", "semantic"), shuffled.toString)
     // the vector store rolled WITH the index (sweeps can't miss members)
     assert(spark.read.parquet(s"$base/sem/vecs").count() == 80L)
     assert(exists(s"$base/sem/vecs-retired") && !exists(s"$base/sem/vecs-staging"))
     // absorbed: the same batch against the rolled layouts is a no-op
     val out2 = IngestionGate.maintain(spark, cfg, batch, docs)
-      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Boolean]("alarmed")).toMap
     assert(out2 == Map("lm" -> false, "semantic" -> false),
       s"re-maintain was not a no-op: $out2")
     // mid-stream heal (round 16): the NEXT batch from the SAME new
@@ -305,7 +314,7 @@ class RetrainFlowSpec extends SparkSuite {
         expr("transform(v, x -> x * 1.5d + 0.25d)").as("v"))
       .localCheckpoint(true)
     val out3 = IngestionGate.maintain(spark, cfg, next, docs)
-      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Boolean]("alarmed")).toMap
     assert(out3 == Map("lm" -> false, "semantic" -> false),
       s"next new-regime batch re-alarmed after the heal: $out3")
     // …and the healed semantic layout DECIDES correctly on it: each

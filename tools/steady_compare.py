@@ -95,6 +95,43 @@ def main():
         print("WARNING: window heat > 1.5x - a normalized PASS here is weak "
               "evidence (driver-bound queries over-correct); re-run in a "
               "cooler window for a definitive read")
+    elif heat > 1.0:
+        # round-18 (r17 ADVICE): normalization divides EVERY query's ratio
+        # by the shuffle-agg heat factor, which over-corrects driver-bound
+        # / single-threaded queries — caveat any normalized pass, not just
+        # the >1.5x ones.
+        print("note: heat > 1.0x - normalized ratios over-correct "
+              "driver-bound/single-threaded queries; confirm a normalized "
+              "pass near the threshold with a same-window A/B")
+    # Mid-run heat-trace analysis (round 18, the r17 verdict's item 1):
+    # Bench interleaves a fixed-work ~80 ms probe every 20 queries and
+    # emits [query-index, seconds] pairs as `heat_trace`. A transient
+    # that arrives and leaves INSIDE the one-shot loop (the r17
+    # q157-q178 span) is invisible to the end-of-run calib rows but
+    # lights up the probes that bracket it. Flag any probe > 1.3x the
+    # run's median probe and name the bracketed query-index span.
+    def heat_spans(doc, label):
+        trace = doc.get("heat_trace") or []
+        if len(trace) < 3:
+            return
+        vals = sorted(v for _, v in trace)
+        med = vals[len(vals) // 2]
+        if med <= 0:
+            return
+        hot = [(i, v) for i, v in trace if v > 1.3 * med]
+        if hot:
+            spans = ", ".join(f"probe@q{i} {v:.3f}s ({v / med:.1f}x med)"
+                              for i, v in hot)
+            print(f"HEAT-TRACE [{label}]: median probe {med:.3f}s; hot: "
+                  f"{spans} - one-shot inflation of queries bracketed by a "
+                  f"hot probe is WINDOW HEAT, not code")
+        else:
+            print(f"heat_trace [{label}]: flat (median {med:.3f}s, "
+                  f"max {vals[-1] / med:.2f}x med) - one-shot span "
+                  f"inflation in this run cannot be blamed on mid-loop "
+                  f"host load")
+    heat_spans(old, "old")
+    heat_spans(new, "new")
     norm_hdr = f" {'norm':>7}" if heat > 1.0 else ""
     print(f"{'query':<30} {'old':>8} {'new':>8} {'ratio':>7}{norm_hdr}")
     for q in shared:

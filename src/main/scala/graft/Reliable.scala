@@ -35,8 +35,13 @@ object Reliable {
     */
   val DebugKey = "spark.graft.debugReleases"
 
+  // Keyed by (applicationId, rddId) — RDD ids restart per SparkContext,
+  // so in a JVM cycling sessions a recycled id must not mis-attribute an
+  // unrelated block failure to an old application's release (round 18,
+  // the r17 advice). Debug-only registry; bounded by the releases one
+  // debugging session performs.
   private val releasedAt =
-    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 
   /** A lazy frame read blocks that [[release]] had already dropped —
     * carries the release site so the fix (materialize before releasing,
@@ -67,7 +72,8 @@ object Reliable {
               e.getClassName != "graft.Reliable")
             .map(e => s"${e.getClassName}.${e.getMethodName}(${e.getFileName}:${e.getLineNumber})")
             .getOrElse("<unknown site>")
-          releasedAt.put(lr.rdd.id, site)
+          releasedAt.put(
+            (df.sparkSession.sparkContext.applicationId, lr.rdd.id), site)
         }
         lr.rdd.unpersist(blocking = true)
       case _ => ()
@@ -80,15 +86,22 @@ object Reliable {
     * only populated under the conf).
     */
   def diagnose(t: Throwable): Option[String] = {
+    // the failure being diagnosed belongs to the CURRENT application —
+    // look up under its id only, so a recycled rdd id from a previous
+    // SparkContext in this JVM cannot match
+    val appId = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.applicationId)
     val rddId = """rdd_(\d+)_\d+""".r
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
       .flatMap(e => rddId.findAllMatchIn(Option(e.getMessage).getOrElse("")))
       .map(_.group(1).toInt)
-      .collectFirst { case id if releasedAt.containsKey(id) =>
-        s"read of released checkpoint blocks: rdd_$id was released at " +
-          s"${releasedAt.get(id)} while a lazy frame still read it — " +
-          "materialize that frame (localCheckpoint/write) before the " +
-          "release, or move the release after its last action"
+      .collectFirst {
+        case id if appId.exists(a => releasedAt.containsKey((a, id))) =>
+          s"read of released checkpoint blocks: rdd_$id was released at " +
+            s"${releasedAt.get((appId.get, id))} while a lazy frame still read it — " +
+            "materialize that frame (localCheckpoint/write) before the " +
+            "release, or move the release after its last action"
       }
   }
 

@@ -94,14 +94,34 @@ object IngestionGate {
     * is the serve-latency path IndexBench times, and the unit the
     * mutating [[gateBatch]] composes.
     */
-  def decide(s: SparkSession, cfg: Config, batch: DataFrame): DataFrame = {
+  def decide(s: SparkSession, cfg: Config, batch: DataFrame): DataFrame =
+    decideWithHandles(s, cfg, batch)._1
+
+  /** [[decide]] plus the internal eager checkpoints the lazy result
+    * reads through (round 18, the r17 block-accretion advice): the
+    * result frame is lazy over batch-sized internal checkpoints (`b0`,
+    * the selfDedup sigs/b, the semantic selfDom), so a caller that
+    * RE-MATERIALIZES the decision — [[gateBatch]] checkpoints it per
+    * intake batch — must release them or a long stream accretes a
+    * batch-count of session-lifetime executor blocks. Callers that
+    * serve the lazy frame directly own the handles' lifetime. The
+    * known residual (recorded, not hidden): the per-stage serve calls
+    * ([[DedupIndex.queryBatch]]'s bSigs/pairs, the score batches)
+    * checkpoint their own batch-sized internals, which the result is
+    * also lazy over; those release only at session end.
+    */
+  private[graft] def decideWithHandles(s: SparkSession, cfg: Config,
+      batch: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val handles = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val b0 = batch.localCheckpoint(true) // batch-sized; read by every check
+    handles += b0
     // optional stage 0: batch-self near-dup pass (see object doc) — the
     // SAME banded join + signature verification the index check runs,
     // pointed at the batch's own bands; each verified pair keeps its min
     // doc_id, so a self-colliding batch admits one representative
     val b = if (!cfg.selfDedup) b0 else {
       val sigs = TextOps.sigsOf(b0).localCheckpoint(true)
+      handles += sigs
       val bands = TextOps.bandsOf(sigs)
       val agree = (1 to 16).map { i =>
         when(element_at(col("sa.sig"), i) === element_at(col("sb.sig"), i), 1).otherwise(0)
@@ -112,7 +132,9 @@ object IngestionGate {
         .filter(round(agree / lit(16.0), 6) >= cfg.maxJaccard &&
           col("corpus_id") < col("batch_id"))
         .select(col("batch_id").as("doc_id")).distinct()
-      b0.join(selfDups, Seq("doc_id"), "left_anti").localCheckpoint(true)
+      val bd = b0.join(selfDups, Seq("doc_id"), "left_anti").localCheckpoint(true)
+      handles += bd
+      bd
     }
     val dups = DedupIndex.queryBatch(s, cfg.dedupDir, b)
       .filter(col("est_jaccard") >= cfg.maxJaccard)
@@ -132,7 +154,7 @@ object IngestionGate {
         .select(col("doc_id"))
       lmAdmitted.join(good, Seq("doc_id"), "left_semi")
     }
-    cfg.semanticDir.fold(lexAdmitted) { sd =>
+    val admitted = cfg.semanticDir.fold(lexAdmitted) { sd =>
       // fourth stage: embedding-space dedup of the lexical survivors —
       // the paraphrase/re-render class nothing above can see. Runs
       // LAST so only lexically-admitted docs pay the batch·k
@@ -173,10 +195,12 @@ object IngestionGate {
         val selfDom = Advanced20.dominatedBy(basg, cfg.semanticTau,
             tag = "gate-semself", materialize = false)
           .select(col("vec_id").as("doc_id")).localCheckpoint(true)
+        handles += selfDom
         graft.Reliable.release(basg)
         corpusClean.join(selfDom, Seq("doc_id"), "left_anti")
       }
     }
+    (admitted, handles.toSeq)
   }
 
   /** One full gate pass: decide, land the admitted documents in the
@@ -192,7 +216,14 @@ object IngestionGate {
     * read — the same torn-write seam and heal the index family uses.
     */
   def gateBatch(s: SparkSession, cfg: Config, batch: DataFrame): DataFrame = {
-    val decided = decide(s, cfg, batch).localCheckpoint(true)
+    val (dec, handles) = decideWithHandles(s, cfg, batch)
+    val decided = dec.localCheckpoint(true)
+    // decided is a materialized copy: decide()'s internal batch-sized
+    // checkpoints have no consumer past this point — release them here
+    // so per-batch calls on a long intake stream don't accrete them for
+    // the session lifetime (round 18, the r17 advice; the serve calls'
+    // own internals are the documented residual — decideWithHandles doc)
+    handles.foreach(graft.Reliable.release)
     // pruned to the batch ids' sig buckets, not a corpus-wide scan
     val done = DedupIndex.doneIds(s, cfg.dedupDir, decided)
     val fresh = decided.join(done, Seq("doc_id"), "left_anti").localCheckpoint(true)
@@ -209,12 +240,12 @@ object IngestionGate {
       graft.Reliable.release(fv) // both consumers (store + index) have written
     }
     DedupIndex.append(s, cfg.dedupDir, fresh)
-    // `fresh` is the eager checkpoint handed to the caller; `decided`
-    // has no consumer past it — release so a long intake stream's
-    // per-batch decision frames don't accrete for the session lifetime
-    // (the round-17 block-accretion discipline; decide()'s internals
-    // stay alive because the returned frame is lazy over them — that
-    // is the decide serve contract, and they are batch-sized).
+    // `fresh` is the eager checkpoint handed to the caller — CALLER-
+    // OWNED: a long-running intake loop that drops each batch's result
+    // should Reliable.release it when done. `decided` has no consumer
+    // past it — release here (the round-17 block-accretion discipline;
+    // decide()'s internals were released above once `decided`
+    // materialized).
     graft.Reliable.release(decided)
     fresh
   }
@@ -601,11 +632,17 @@ object IngestionGate {
       // each is a short chain of small jobs that underfills local[32]
       // on its own, so they build CONCURRENTLY (round 17, the q206
       // one-shot item): Spark's scheduler interleaves jobs submitted
-      // from separate threads, and nothing below shares mutable state
-      // (distinct output dirs; expression registration happens before
-      // the fan-out — SimpleFunctionRegistry writes would otherwise
-      // race the builds' analysis). The serving artifact is identical
-      // to the sequential build — only wall-clock changes.
+      // from separate threads, and the builds write to distinct output
+      // dirs. Expression registration: the eager register calls below
+      // run before the fan-out, but writeSemantic -> AnnIndex
+      // .writeVectors RE-REGISTERS the same functions inside its
+      // Future, concurrent with the other builds' analysis — safe
+      // because SimpleFunctionRegistry's methods are synchronized and
+      // createOrReplaceTempFunction re-binds an identical function
+      // (round 18, the r17 advice: the safety comes from the
+      // registry's internal lock, not from registration ordering).
+      // The serving artifact is identical to the sequential build —
+      // only wall-clock changes.
       graft.functions.DotProduct.register(s)
       graft.functions.CosineSim.register(s)
       def corpus = Tables.documents(s, d).filter(col("doc_id") < 400)

@@ -394,7 +394,7 @@ object RetrainFlow {
         graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
         .localCheckpoint(true)
       val dir = graft.TempDirs.create("graft-rtcycle") + "/ann"
-      copyDir(s, Advanced20.sharedFixedIndexDir(s, d), dir)
+      linkCloneDir(s, Advanced20.sharedFixedIndexDir(s, d), dir)
       val batch = e.select((col("vec_id") + 1000000000L).as("vec_id"),
         expr("transform(v, x -> x * 1.5d + 0.25d)").as("v"))
       val probes = e.filter(col("vec_id") < 16)

@@ -105,7 +105,8 @@ object TextIndex {
   private def readBuckets(s: SparkSession, dir: String): Int = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
     if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
-      s.read.parquet(p.toString).collect()(0).getInt(0)
+      MetaScalar.scalarLong(s, p.toString, "buckets").map(_.toInt)
+        .getOrElse(s.read.parquet(p.toString).collect()(0).getInt(0))
     else DefaultBuckets
   }
 

@@ -60,8 +60,15 @@ object Tombstones {
     val p = new org.apache.hadoop.fs.Path(s"$dir/epoch")
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/epoch.tmp")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) s.read.parquet(p.toString).collect()(0).getLong(0)
-    else if (fs.exists(tmp)) s.read.parquet(tmp.toString).collect()(0).getLong(0)
+    // footer-stats fast path (MetaScalar, round 18): the marker is a
+    // coalesce(1) one-row write, so min==max==value in the file footer
+    // — a driver-side read instead of a Spark job per epoch check
+    if (fs.exists(p))
+      MetaScalar.scalarLong(s, p.toString, "epoch")
+        .getOrElse(s.read.parquet(p.toString).collect()(0).getLong(0))
+    else if (fs.exists(tmp))
+      MetaScalar.scalarLong(s, tmp.toString, "epoch")
+        .getOrElse(s.read.parquet(tmp.toString).collect()(0).getLong(0))
     else 0L
   }
 

@@ -4,7 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = Tune(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -40,14 +40,38 @@ object Bench {
         .selectExpr("sum((id * 2654435761) % 1000003)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    heatProbe() // warm the probe's codegen'd plan pre-loop
+    // PARALLEL in-loop heat probe (round 19): the r18 driver artifact
+    // proved the scalar probe BLIND to multi-core contention — the
+    // q16x–q19x one-shot span inflated 2–10× while the scalar probes
+    // bracketing it read near-normal, and only the END-of-run calib_par
+    // (6.78 s vs 1.84 s in the same driver's cool 8-cpu window) recorded
+    // the heat, too late to bracket the span. This is calib_par's exact
+    // shuffle-aggregate shape at 1/8 the rows (~0.2–0.3 s cool), run
+    // beside the scalar probe every 20 queries and emitted as
+    // `heat_trace_par`, so a parallel-capacity transient is attributable
+    // to a query span from the artifact alone. Outside the per-query
+    // clocks, excluded from the total, like the scalar probe.
+    def heatProbePar(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 1L << 22, 1L, cpus.toInt)
+        .selectExpr("(id * 2654435761) % 1048576 AS k", "id % 1000003 AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("sv"))
+        .selectExpr("sum(hash(k, sv))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    heatProbe() // warm the probes' codegen'd plans pre-loop
+    heatProbePar()
     val heatTrace = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val heatTracePar = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     // A query that THROWS records -1, never its time-to-throw: a broken
     // query must not contribute a fake timing to the graded total or
     // occupy a slowest-15 steady slot.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
-        if (i % 20 == 0) heatTrace += ((i, heatProbe()))
+        if (i % 20 == 0) {
+          heatTrace += ((i, heatProbe()))
+          heatTracePar += ((i, heatProbePar()))
+        }
         val wall0 = System.currentTimeMillis()
         val t0 = System.nanoTime()
         val elapsed =
@@ -56,6 +80,7 @@ object Bench {
         (name, elapsed, wall0)
     }
     heatTrace += ((SparkEntry.queries.size, heatProbe()))
+    heatTracePar += ((SparkEntry.queries.size, heatProbePar()))
     // %.3f via the f-interpolator is locale-sensitive (comma decimals under
     // e.g. de_DE would corrupt the JSON), so format explicitly with ROOT.
     def d3(v: Double): String =
@@ -68,6 +93,9 @@ object Bench {
     }
     heatTrace.foreach { case (i, s) =>
       println(s"HEATQ  ${s"probe_before_q$i".padTo(28, ' ')} ${d3(s)} s")
+    }
+    heatTracePar.foreach { case (i, s) =>
+      println(s"HEATP  ${s"par_probe_before_q$i".padTo(28, ' ')} ${d3(s)} s")
     }
     val resultsQ: Seq[(String, Double)] = results.map(t => (t._1, t._2))
     // -1 failure sentinels are excluded from the graded total (they'd
@@ -202,7 +230,9 @@ object Bench {
       // fixed-work probes — the mid-window transient detector (item 1).
       val ht = heatTrace.map { case (i, v) => s"[$i,${d3(v)}]" }
         .mkString("[", ",", "]")
-      s"""{"metric":"total","value":${d3(headline)},"unit":"sec","failed":$failed,"queries":$qs,"steady":$st,"steady_strict":$ss$trunc,"calib":${d3(calib)},"calib_par":${d3(calibPar)},"heat_trace":$ht,"sf":"$sfDir","n":${results.size}}"""
+      val htp = heatTracePar.map { case (i, v) => s"[$i,${d3(v)}]" }
+        .mkString("[", ",", "]")
+      s"""{"metric":"total","value":${d3(headline)},"unit":"sec","failed":$failed,"queries":$qs,"steady":$st,"steady_strict":$ss$trunc,"calib":${d3(calib)},"calib_par":${d3(calibPar)},"heat_trace":$ht,"heat_trace_par":$htp,"sf":"$sfDir","n":${results.size}}"""
     }
     val bySlowest = resultsQ.sortBy(-_._2)
     var kept = bySlowest

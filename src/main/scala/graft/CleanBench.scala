@@ -17,7 +17,7 @@ object CleanBench {
     // which write next to their inputs)
     val staged = args.headOption.getOrElse("/root/reference/data/staged")
     val out = if (args.length > 1) args(1) else "/tmp/graft_clean"
-    val spark = SparkSession.builder()
+    val spark = Tune(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

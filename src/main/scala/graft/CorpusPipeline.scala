@@ -45,7 +45,7 @@ object CorpusPipeline {
     // sizing; here it is derived so the default JVM never sits on the
     // edge. Env-independent: derived from -Xmx and the core count.
     val taskCpus = deriveTaskCpus(Runtime.getRuntime.maxMemory, cpus)
-    val spark = SparkSession.builder()
+    val spark = Tune(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.task.cpus", taskCpus)
       .config("spark.sql.shuffle.partitions", cpus) // refined from data below

@@ -24,7 +24,7 @@ object IndexBench {
       .map(_.split(",").map(_.trim).toSet)
     def section(name: String)(body: => Unit): Unit =
       if (sections.forall(_.contains(name))) body
-    val spark = SparkSession.builder()
+    val spark = Tune(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

@@ -31,7 +31,7 @@ object InsurancePipeline {
   def main(args: Array[String]): Unit = {
     val rawDir = args.headOption.getOrElse("/root/reference/data")
     val outDir = if (args.length > 1) args(1) else "/tmp/insurance_dw"
-    val spark = SparkSession.builder()
+    val spark = Tune(SparkSession.builder())
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")

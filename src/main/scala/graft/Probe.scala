@@ -20,7 +20,7 @@ object Probe {
     val timeSf = sys.env.get("SPARK_GRAFT_PROBE_SF")
     val finalMode = sys.env.contains("SPARK_GRAFT_PROBE_FINAL")
     val cpus = if (timeSf.isDefined || finalMode) "32" else "4"
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val spark = Tune(SparkSession.builder()).master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", if (finalMode) "64" else cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

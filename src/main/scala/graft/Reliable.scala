@@ -96,13 +96,35 @@ object Reliable {
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
       .flatMap(e => rddId.findAllMatchIn(Option(e.getMessage).getOrElse("")))
       .map(_.group(1).toInt)
-      .collectFirst {
-        case id if appId.exists(a => releasedAt.containsKey((a, id))) =>
-          s"read of released checkpoint blocks: rdd_$id was released at " +
-            s"${releasedAt.get((appId.get, id))} while a lazy frame still read it — " +
+      .collectFirst(Function.unlift { (id: Int) =>
+        // primary: the current application's id. Fallback (round-18
+        // advice): on a thread with no resolvable session (the JVM-
+        // cycling-sessions scenario the keying targets) match the rdd id
+        // across ALL registered applications, naming the app in the
+        // message — debug-only path, a looser match beats silently
+        // dropping the diagnosis.
+        val hit: Option[(String, String)] =
+          appId.filter(a => releasedAt.containsKey((a, id)))
+            .map(a => (a, releasedAt.get((a, id))))
+            .orElse {
+              if (appId.isDefined) None
+              else {
+                val it = releasedAt.entrySet().iterator()
+                var found: Option[(String, String)] = None
+                while (found.isEmpty && it.hasNext) {
+                  val e = it.next()
+                  if (e.getKey._2 == id) found = Some((e.getKey._1, e.getValue))
+                }
+                found
+              }
+            }
+        hit.map { case (app, site) =>
+          s"read of released checkpoint blocks: rdd_$id (app $app) was " +
+            s"released at $site while a lazy frame still read it — " +
             "materialize that frame (localCheckpoint/write) before the " +
             "release, or move the release after its last action"
-      }
+        }
+      })
   }
 
   /** Run `body`; if it fails on blocks a debug-mode [[release]] dropped,

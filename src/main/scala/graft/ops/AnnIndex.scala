@@ -196,8 +196,9 @@ object AnnIndex {
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     Quantizer.pqCodebook(s, d)
       .write.mode("overwrite").parquet(s"$dir/codebook")
-    val e = graft.Tables.embeddings(s, d).select(col("vec_id"),
-      graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val e = graft.Spread.lazyAuto(
+      graft.Tables.embeddings(s, d).select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v")))
     val cent = s.read.parquet(s"$dir/centroids")
       .select(col("cid").as("c_id"), col("cv"))
     assignVectors(e, cent)
@@ -205,7 +206,7 @@ object AnnIndex {
     Advanced8.pqAssign(s, d)
       .select(col("vec_id"), col("b"), (col("mk") % 100).cast("int").as("code"))
       .join(s.read.parquet(s"$dir/assigned"), Seq("vec_id"))
-      .repartition(col("c_id"))
+      .transform(Layout.writeByBucket(_, col("c_id")))
       .write.partitionBy("c_id").mode("overwrite").parquet(s"$dir/codes")
     errStats(perVectorErrMicro(e, s.read.parquet(s"$dir/codebook")))
       .write.mode("overwrite").parquet(s"$dir/quantstats")
@@ -222,7 +223,9 @@ object AnnIndex {
   def writeVectors(s: SparkSession, e0: DataFrame, dir: String): Unit = {
     graft.functions.DotProduct.register(s)
     graft.functions.CosineSim.register(s)
-    val e = e0.select(col("vec_id"), col("v")).localCheckpoint(true)
+    // materialize at healthy parallelism: the frame feeds two Lloyd
+    // trainers, the assignment, the encode and the error stats (round 19)
+    val e = graft.Spread.materialized(e0.select(col("vec_id"), col("v")))
     Quantizer.trainCentroids(e, 16, Quantizer.Iters)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     Quantizer.trainPqBlocks(Quantizer.subBlocks(e), 8, Quantizer.Iters)
@@ -233,7 +236,7 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$dir/assigned")
     encodeVectors(e, s.read.parquet(s"$dir/codebook"))
       .join(s.read.parquet(s"$dir/assigned"), Seq("vec_id"))
-      .repartition(col("c_id"))
+      .transform(Layout.writeByBucket(_, col("c_id")))
       .write.partitionBy("c_id").mode("overwrite").parquet(s"$dir/codes")
     errStats(perVectorErrMicro(e, s.read.parquet(s"$dir/codebook")))
       .write.mode("overwrite").parquet(s"$dir/quantstats")
@@ -275,12 +278,15 @@ object AnnIndex {
     */
   def delete(s: SparkSession, dir: String, ids: DataFrame,
       autoCompactAt: Long = Tombstones.AutoCompactRows): Index = {
-    // one ledger file per delete batch (round 18): the ledger is an
-    // anti-join side on every load; un-coalesced it lands a file per
-    // shuffle partition
-    ids.select(col("vec_id")).coalesce(1)
+    // one ledger file per delete batch (round 18); repartition(1), not
+    // coalesce(1): coalesce propagates the single partition UP the
+    // narrow lineage, so computing a large delete batch's ids would run
+    // one-task (round-18 advice) — repartition confines the 1-partition
+    // constraint to the write itself
+    ids.select(col("vec_id")).repartition(1)
       .write.mode("append").parquet(s"$dir/tombstones")
-    if (s.read.parquet(s"$dir/tombstones").count() >= autoCompactAt)
+    if (MetaScalar.rowCount(s, s"$dir/tombstones").getOrElse(
+        s.read.parquet(s"$dir/tombstones").count()) >= autoCompactAt)
       compact(s, dir)
     else load(s, dir)
   }
@@ -298,7 +304,8 @@ object AnnIndex {
       // localCheckpoint so the rewrite doesn't race its own input scan
       live.assigned.localCheckpoint(true)
         .write.mode("overwrite").parquet(s"$dir/assigned")
-      live.codes.localCheckpoint(true).repartition(col("c_id"))
+      live.codes.localCheckpoint(true)
+        .transform(Layout.writeByBucket(_, col("c_id")))
         .write.partitionBy("c_id").mode("overwrite").parquet(s"$dir/codes")
       val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
@@ -346,7 +353,7 @@ object AnnIndex {
       .select(col("vec_id"))
     newCodes.join(codeIds, Seq("vec_id"), "left_anti")
       .join(newAssigned, Seq("vec_id"))
-      .repartition(col("c_id"))
+      .transform(Layout.writeByBucket(_, col("c_id")))
       .write.partitionBy("c_id").mode("append").parquet(s"$dir/codes")
     val assignedIds = s.read.parquet(s"$dir/assigned").select(col("vec_id"))
     newAssigned.join(assignedIds, Seq("vec_id"), "left_anti")
@@ -364,9 +371,15 @@ object AnnIndex {
     * to probed-list ∩ allow-list members (never a post-filter that
     * k-starves the result).
     */
-  def search(s: SparkSession, ix: Index, queries: DataFrame, nprobe: Int,
-      k: Int, excludeSelf: Boolean = false,
-      allowed: Option[DataFrame] = None): DataFrame = {
+  /** The probe + candidate front of [[search]], factored so the
+    * exact-cover fast path in [[searchRerank]] can reuse the IDENTICAL
+    * candidate semantics (probe rule, self-exclusion, allow-list,
+    * DISTINCT) without paying the ADC stage. Returns (probes(qid, c_id),
+    * candp(qid, cand)).
+    */
+  private def probeCandidates(s: SparkSession, ix: Index, queries: DataFrame,
+      nprobe: Int, excludeSelf: Boolean,
+      allowed: Option[DataFrame]): (DataFrame, DataFrame) = {
     graft.functions.DotProduct.register(s)
     graft.functions.CosineSim.register(s)
     val cent = ix.centroids.select(col("cid").as("c_id"), col("cv"))
@@ -386,6 +399,14 @@ object AnnIndex {
     val candp = allowed.fold(candSelf) { a =>
       candSelf.join(a.select(col("vec_id").as("cand")), Seq("cand"), "left_semi")
     }.distinct()
+    (probes, candp)
+  }
+
+  def search(s: SparkSession, ix: Index, queries: DataFrame, nprobe: Int,
+      k: Int, excludeSelf: Boolean = false,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    val (probes, candp) =
+      probeCandidates(s, ix, queries, nprobe, excludeSelf, allowed)
     // per-query block-distance table to the codebook
     val dtab = Quantizer.subBlocks(queries.select(col("qid"), col("v")), Seq("qid"))
       .join(broadcast(ix.codebook), Seq("b"))
@@ -491,8 +512,26 @@ object AnnIndex {
     // broadcast regime the spp derivation exists to avoid.
     val shortK = math.min(math.max(k.toLong, shortlistPerProbe.toLong * np),
       Int.MaxValue.toLong).toInt
-    val short = search(s, ix, queries, np, shortK, excludeSelf, allowed)
-      .select(col("qid"), col("cand"))
+    // EXACT-COVER fast path (round 19, guide §1.2 "don't compute things
+    // you throw away"): the exact equivalence gates (RetrainFlow's
+    // annGate, q209's serve, IngestionGate.maintain) call this with
+    // frac = 1.0 and a corpus-covering shortlist. When every list is
+    // probed AND the shortlist bound exceeds the index's live membership,
+    // the ADC stage cannot cut a single candidate — its per-candidate
+    // code join, distance aggregation and rank window are dead work the
+    // exact re-rank below recomputes anyway. Skip straight from the
+    // candidate set (IDENTICAL probe/self/allow-list/DISTINCT semantics
+    // via probeCandidates) to the exact re-rank. The membership count is
+    // one count() of the (tombstone-folded) assigned table, paid only in
+    // the all-lists regime; results are bit-identical (the q209/q169
+    // oracles and RetrainFlowSpec gate both paths).
+    val exactCover = frac >= 0.999 &&
+      shortK.toLong >= ix.assigned.count()
+    val short =
+      if (exactCover)
+        probeCandidates(s, ix, queries, np, excludeSelf, allowed)._2
+      else search(s, ix, queries, np, shortK, excludeSelf, allowed)
+        .select(col("qid"), col("cand"))
     // The broadcast hints hold for SERVE-sized shortlists (the static
     // planner would otherwise shuffle the whole vector store for a
     // point-lookup probe set). A CORPUS-COVERING shortlist — the exact

@@ -168,13 +168,14 @@ object DedupIndex {
     // the release-upgrade clones, and the write commits themselves.
     // bands first, sigs LAST: sigs is append's done-marker (see object doc)
     stamp(TextOps.bandsOf(sigs), bandsEp)
-      .withColumn("bkt", bktCol(nB)).repartition(col("bkt"))
+      .withColumn("bkt", bktCol(nB)).transform(Layout.writeByBucket(_, col("bkt")))
       .write.partitionBy("bkt").mode(mode).parquet(s"$dir/bands")
     // appends must match the existing sigs layout — mixing flat files
     // with sbkt= partition dirs under one root is unreadable; a flat
     // (pre-round-10) layout stays flat until compact upgrades it whole
     if (sigsBucketed)
-      stamp(sigs, sigsEp).withColumn("sbkt", sbktCol(nB)).repartition(col("sbkt"))
+      stamp(sigs, sigsEp).withColumn("sbkt", sbktCol(nB))
+        .transform(Layout.writeByBucket(_, col("sbkt")))
         .write.partitionBy("sbkt").mode(mode).parquet(s"$dir/sigs")
     else stamp(sigs, sigsEp).write.mode(mode).parquet(s"$dir/sigs")
   }
@@ -231,8 +232,13 @@ object DedupIndex {
     * fast path); on a legacy layout it stays blocked until [[compact]],
     * as in [[AnnIndex.append]].
     */
-  def append(s: SparkSession, dir: String, docs: DataFrame): Index = {
-    val sigs = TextOps.sigsOf(docs).localCheckpoint(true)
+  def append(s: SparkSession, dir: String, docs: DataFrame): Index = graft.Jobs.labeled(s, "dedup-index: append") {
+    val sigs = graft.Jobs.labeled(s, "dedup-index: append/sigsOf") {
+      // the intake batch is serve-contract sized: one batch-bounded
+      // exchange spreads the shingle hashing off its arrival
+      // partitioning (round 19, guide §2.5)
+      TextOps.sigsOf(graft.Spread.batch(docs)).localCheckpoint(true)
+    }
     val nB = readBuckets(s, dir)
     val existing = s.read.parquet(s"$dir/sigs")
     val epochMode = existing.columns.contains("ep")
@@ -246,12 +252,16 @@ object DedupIndex {
     val done = marker
       .join(sigs.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"))
-    val fresh = sigs.join(done, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    val fresh = graft.Jobs.labeled(s, "dedup-index: append/fresh") {
+      sigs.join(done, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    }
     val ep = if (epochMode) Some(Tombstones.bumpEpoch(s, dir)) else None
-    writeBatch(fresh, dir, "append", nB,
-      sigsBucketed = existing.columns.contains("sbkt"),
-      bandsEp = if (s.read.parquet(s"$dir/bands").columns.contains("ep")) ep else None,
-      sigsEp = ep)
+    graft.Jobs.labeled(s, "dedup-index: append/writeBatch") {
+      writeBatch(fresh, dir, "append", nB,
+        sigsBucketed = existing.columns.contains("sbkt"),
+        bandsEp = if (s.read.parquet(s"$dir/bands").columns.contains("ep")) ep else None,
+        sigsEp = ep)
+    }
     load(s, dir)
   }
 
@@ -264,15 +274,18 @@ object DedupIndex {
     * later [[append]] re-adds the id without compacting.
     */
   def delete(s: SparkSession, dir: String, ids: DataFrame,
-      autoCompactAt: Long = Tombstones.AutoCompactRows): Index = {
+      autoCompactAt: Long = Tombstones.AutoCompactRows): Index = graft.Jobs.labeled(s, "dedup-index: delete") {
     val t = ids.select(col("doc_id"))
-    // one ledger file per delete batch (round 18): the ledger is re-read
-    // by every load's liveness fold, and an un-coalesced batch leaves a
-    // file per shuffle partition (~18-row files at bench scale)
+    // one ledger file per delete batch (round 18); repartition(1), not
+    // coalesce(1): coalesce propagates the single partition UP the
+    // narrow lineage, so computing a large delete batch's ids would run
+    // one-task (round-18 advice) — repartition confines the 1-partition
+    // constraint to the write itself
     (if (isEpochLayout(s, dir))
        t.withColumn("te", lit(Tombstones.readEpoch(s, dir)))
-     else t).coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
-    if (s.read.parquet(s"$dir/tombstones").count() >= autoCompactAt)
+     else t).repartition(1).write.mode("append").parquet(s"$dir/tombstones")
+    if (MetaScalar.rowCount(s, s"$dir/tombstones").getOrElse(
+        s.read.parquet(s"$dir/tombstones").count()) >= autoCompactAt)
       compact(s, dir)
     else load(s, dir)
   }
@@ -293,12 +306,12 @@ object DedupIndex {
       // schema, since every row is re-stamped
       live.bands.dropDuplicates("doc_id", "b")
         .drop("ep").withColumn("ep", lit(0L)).localCheckpoint(true)
-        .repartition(col("bkt"))
+        .transform(Layout.writeByBucket(_, col("bkt")))
         .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/bands")
       live.sigs.select(col("doc_id"), col("sig")).dropDuplicates("doc_id")
         .withColumn("ep", lit(0L))
         .withColumn("sbkt", sbktCol(nB)).localCheckpoint(true)
-        .repartition(col("sbkt"))
+        .transform(Layout.writeByBucket(_, col("sbkt")))
         .write.partitionBy("sbkt").mode("overwrite").parquet(s"$dir/sigs")
       val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
@@ -360,8 +373,11 @@ object DedupIndex {
     * candidate ids). Returns (batch_id, corpus_id, est_jaccard) in total
     * order.
     */
-  def queryBatch(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
-    val bSigs = TextOps.sigsOf(batch).localCheckpoint(true)
+  def queryBatch(s: SparkSession, dir: String, batch: DataFrame): DataFrame = graft.Jobs.labeled(s, "dedup-index: queryBatch") {
+    val bSigs = graft.Jobs.labeled(s, "dedup-index: queryBatch/sigsOf") {
+      // batch-contract spread, as in [[append]] (round 19)
+      TextOps.sigsOf(graft.Spread.batch(batch)).localCheckpoint(true)
+    }
     val bBands = TextOps.bandsOf(bSigs)
     val ix = load(s, dir) // carries the layout's persisted bucket count
     val bkts = bBands.select(bktCol(ix.buckets).as("bkt")).distinct()
@@ -370,7 +386,9 @@ object DedupIndex {
     // candidate-sized (cap-bounded) — checkpointed because the pair set
     // is consumed twice: once to name the sig buckets it needs, once in
     // the verification join itself
-    val pairs = candidatePairs(s, corpusBands, bBands).localCheckpoint(true)
+    val pairs = graft.Jobs.labeled(s, "dedup-index: queryBatch/pairs") {
+      candidatePairs(s, corpusBands, bBands).localCheckpoint(true)
+    }
     val corpusSigs = pruneSigs(ix.sigs, ix.buckets,
       pairs.select(col("corpus_id").as("doc_id")))
     val agree = (1 to 16).map { i =>

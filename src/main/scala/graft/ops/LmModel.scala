@@ -146,7 +146,9 @@ object LmModel {
     * training, [[upgrade]]'s delta sides, and (through [[modelTables]])
     * the live q154 scorer.
     */
-  private def countTables(docs: DataFrame): (DataFrame, DataFrame) = {
+  private def countTables(docs0: DataFrame): (DataFrame, DataFrame) = {
+    // spread a skinny scan/checkpoint input before tokenizing (round 19)
+    val docs = graft.Spread.lazyAuto(docs0)
     val uni = docs.select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .localCheckpoint() // feeds both marginal joins + the total, once
@@ -207,13 +209,13 @@ object LmModel {
     // repartition by the partition column before the dynamic-partitioned
     // writes (round 18, guide §6): one file per bucket, not tasks x buckets
     enrich(bi, uni, tot).withColumn("bkt", bktOf(col("gram"), nB))
-      .repartition(col("bkt"))
+      .transform(Layout.writeByBucket(_, col("bkt")))
       .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/bigrams")
     uni.crossJoin(broadcast(tot))
       .select(col("w"), col("c"),
         Det.halfUpDiv(col("c") * Micro, col("n")).as("p_uni"))
       .withColumn("bkt", bktOf(col("w"), nB))
-      .repartition(col("bkt"))
+      .transform(Layout.writeByBucket(_, col("bkt")))
       .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/unigrams")
     tot.coalesce(1).write.mode("overwrite").parquet(s"$dir/total")
   }
@@ -285,7 +287,7 @@ object LmModel {
     * AQE-chosen joins.
     */
   def scoreBatch(s: SparkSession, dir: String, docs: DataFrame): DataFrame = {
-    val t = transitions(docs)
+    val t = transitions(graft.Spread.batch(docs))
       .withColumn("w2", split(col("gram"), " ").getItem(1))
       .localCheckpoint() // batch-sized; feeds bucket discovery + the score join
     val (bg, bw) = bucketsOf(t, readBuckets(s, dir))

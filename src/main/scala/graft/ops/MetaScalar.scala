@@ -57,6 +57,35 @@ object MetaScalar {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Total row count of a FLAT parquet directory from its file footers
+    * — a driver-side metadata read replacing a `read.parquet().count()`
+    * Spark job (~100 ms of scheduling per call on the delete paths'
+    * auto-compact checks, round 19). None when the directory is absent,
+    * contains subdirectories (a partitioned layout — callers of this
+    * only ever point it at the flat tombstone ledgers), or any footer
+    * is unreadable; callers fall back to the Spark count.
+    */
+  def rowCount(s: SparkSession, dir: String): Option[Long] = {
+    try {
+      val conf = s.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return None
+      val entries = fs.listStatus(p)
+      if (entries.exists(e => e.isDirectory && !e.getPath.getName.startsWith("_")))
+        return None
+      var total = 0L
+      entries.filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+          try rdr.getFooter.getBlocks.asScala.foreach(total += _.getRowCount)
+          finally rdr.close()
+        }
+      Some(total)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   private implicit class JavaListOps[A](l: java.util.List[A]) {
     def asScala: Seq[A] = {
       val b = Seq.newBuilder[A]

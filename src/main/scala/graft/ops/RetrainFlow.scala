@@ -361,7 +361,11 @@ object RetrainFlow {
         }
       } finally walk.close()
     } catch {
-      case _: UnsupportedOperationException | _: java.io.IOException =>
+      // UncheckedIOException: Files.walk's stream iteration surfaces
+      // directory-read failures wrapped (round-18 advice) — without it a
+      // walk-time failure would propagate instead of falling back to bytes
+      case _: UnsupportedOperationException | _: java.io.IOException |
+           _: java.io.UncheckedIOException =>
         // cross-device, permission, or non-local fs: fall back to bytes
         val dp = Paths.get(dst)
         if (Files.exists(dp)) {

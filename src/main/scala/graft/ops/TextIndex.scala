@@ -125,7 +125,9 @@ object TextIndex {
     */
   private def writeBatch(docs: DataFrame, dir: String, mode: String,
       ep: Option[Long], nB: Int): Unit = {
-    val t = toks(docs)
+    // spread a skinny scan/checkpoint input before tokenizing (round 19,
+    // guide §2.5); no-op on already-parallel or exchange-bearing inputs
+    val t = toks(graft.Spread.lazyAuto(docs))
     def stamp(df: DataFrame): DataFrame =
       ep.fold(df)(e => df.withColumn("ep", lit(e)))
     // Repartition by the partition column before every dynamic-
@@ -140,10 +142,10 @@ object TextIndex {
     // postings/positions for doc_ids absent from doclens — invisible to
     // BM25 only if the replay re-writes them, which the marker ensures.
     stamp(t.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf")))
-      .withColumn("bkt", bktCol(nB)).repartition(col("bkt"))
+      .withColumn("bkt", bktCol(nB)).transform(Layout.writeByBucket(_, col("bkt")))
       .write.partitionBy("bkt").mode(mode).parquet(s"$dir/postings")
     stamp(t.select(col("term"), col("doc_id"), col("pos")))
-      .withColumn("bkt", bktCol(nB)).repartition(col("bkt"))
+      .withColumn("bkt", bktCol(nB)).transform(Layout.writeByBucket(_, col("bkt")))
       .write.partitionBy("bkt").mode(mode).parquet(s"$dir/positions")
     stamp(t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
       .write.mode(mode).parquet(s"$dir/doclens")
@@ -274,13 +276,16 @@ object TextIndex {
   private[ops] def delete(s: SparkSession, dir: String, ids: DataFrame,
       autoCompactAt: Long, refresh: Boolean): Index = {
     val t = ids.select(col("doc_id"))
-    // one ledger file per delete batch (round 18): the ledger is re-read
-    // by every load's liveness fold, and an un-coalesced batch leaves a
-    // file per shuffle partition (~18-row files at bench scale)
+    // one ledger file per delete batch (round 18); repartition(1), not
+    // coalesce(1): coalesce propagates the single partition UP the
+    // narrow lineage, so computing a large delete batch's ids would run
+    // one-task (round-18 advice) — repartition confines the 1-partition
+    // constraint to the write itself
     (if (isEpochLayout(s, dir))
        t.withColumn("te", lit(Tombstones.readEpoch(s, dir)))
-     else t).coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
-    if (s.read.parquet(s"$dir/tombstones").count() >= autoCompactAt)
+     else t).repartition(1).write.mode("append").parquet(s"$dir/tombstones")
+    if (MetaScalar.rowCount(s, s"$dir/tombstones").getOrElse(
+        s.read.parquet(s"$dir/tombstones").count()) >= autoCompactAt)
       return compact(s, dir) // refreshes stats itself after the rewrite
     if (refresh) refreshStats(s, dir)
     load(s, dir)
@@ -300,9 +305,11 @@ object TextIndex {
       // schema, since every row is re-stamped
       def ep0(df: DataFrame): DataFrame = df.drop("ep").withColumn("ep", lit(0L))
       // localCheckpoint so each rewrite doesn't race its own input scan
-      ep0(live.postings).localCheckpoint(true).repartition(col("bkt"))
+      ep0(live.postings).localCheckpoint(true)
+        .transform(Layout.writeByBucket(_, col("bkt")))
         .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/postings")
-      ep0(live.positions).localCheckpoint(true).repartition(col("bkt"))
+      ep0(live.positions).localCheckpoint(true)
+        .transform(Layout.writeByBucket(_, col("bkt")))
         .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/positions")
       ep0(live.doclens).localCheckpoint(true)
         .write.mode("overwrite").parquet(s"$dir/doclens")

@@ -116,7 +116,10 @@ object TextOps {
     * 16 longs BEFORE the shuffle.
     */
   private[ops] def sigsOf(docs: DataFrame): DataFrame = {
-    val shingleRows = withToks(docs)
+    // spread a skinny (single-file-scan / checkpoint) input before the
+    // per-shingle md5 work — round 19, guide §2.5 input skew; no-op on
+    // already-parallel or exchange-bearing inputs
+    val shingleRows = withToks(graft.Spread.lazyAuto(docs))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(NGrams.ngrams(col("toks"), 3))).as("s"))

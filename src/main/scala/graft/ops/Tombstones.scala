@@ -79,7 +79,7 @@ object Tombstones {
     * final marker intact, and a crash after the delete leaves the
     * COMPLETE staging copy, which [[readEpoch]] falls back to.
     */
-  def writeEpoch(s: SparkSession, dir: String, e: Long): Unit = {
+  def writeEpoch(s: SparkSession, dir: String, e: Long): Unit = graft.Jobs.labeled(s, "tombstones: writeEpoch") {
     import s.implicits._
     val p = new org.apache.hadoop.fs.Path(s"$dir/epoch")
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/epoch.tmp")

@@ -381,6 +381,30 @@ class AnnIndexSpec extends SparkSuite {
       s"two-stage path diverged from exact:\n got ${got.toSeq}\nwant ${want.toSeq}")
   }
 
+  test("exact-cover fast path returns exactly the ADC-shortlist path's rows") {
+    // frac = 1.0 with a corpus-covering shortlist takes the round-19
+    // exact-cover path (skip ADC straight to the re-rank); frac = 0.99
+    // rounds up to the SAME probe count (ceil(0.99·16) = 16) but stays
+    // on the ADC-shortlist path — the two must be row-identical, pinning
+    // the fast path to the legacy semantics it replaces.
+    val dir = java.nio.file.Files.createTempDirectory("graft-anncover").toString
+    AnnIndex.writeScaled(spark, sf0001, dir, nListsOverride = Some(16))
+    val ix = AnnIndex.load(spark, dir)
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("v"))
+      .localCheckpoint(true)
+    val queries = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"v")
+    def run(frac: Double) =
+      AnnIndex.searchRerank(spark, ix, e, queries, k = 6, frac = frac,
+          shortlistPerProbe = 100000, excludeSelf = true)
+        .orderBy($"qid", $"rnk")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val fast = run(1.0)
+    val legacy = run(0.99)
+    assert(fast.nonEmpty && fast.sameElements(legacy),
+      s"exact-cover path diverged:\n fast ${fast.toSeq}\nlegacy ${legacy.toSeq}")
+  }
+
   test("streaming appends maintain the index incrementally (foreachBatch)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annix7").toString
     AnnIndex.write(spark, sf0001, dir)

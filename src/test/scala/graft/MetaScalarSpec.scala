@@ -48,6 +48,23 @@ class MetaScalarSpec extends SparkSuite {
     assert(MetaScalar.scalarLong(spark, s"$dir/nul", "epoch").isEmpty)
   }
 
+  test("rowCount equals spark count on flat dirs; refuses partitioned/absent") {
+    val dir = TempDirs.create("graft_metascalar_rc")
+    // multi-file flat dir (the tombstone-ledger shape: one file per batch)
+    Seq(1L, 2L, 3L).toDF("doc_id").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/flat")
+    Seq(4L, 5L).toDF("doc_id").repartition(1)
+      .write.mode("append").parquet(s"$dir/flat")
+    assert(MetaScalar.rowCount(spark, s"$dir/flat") ===
+      Some(spark.read.parquet(s"$dir/flat").count()))
+    // empty-but-existing dir shape is not written by this repo; absent → None
+    assert(MetaScalar.rowCount(spark, s"$dir/absent").isEmpty)
+    // partitioned layout (subdirectories) → None, caller falls back
+    Seq((1L, 0), (2L, 1)).toDF("doc_id", "bkt")
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/part")
+    assert(MetaScalar.rowCount(spark, s"$dir/part").isEmpty)
+  }
+
   test("Tombstones.readEpoch via the fast path matches bumpEpoch sequence") {
     val dir = TempDirs.create("graft_metascalar3") + "/ix"
     val docs = Tables.documents(spark, sf0001).limit(50).localCheckpoint()

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val s = graft.Tune(SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

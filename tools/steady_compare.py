@@ -132,6 +132,35 @@ def main():
                   f"host load")
     heat_spans(old, "old")
     heat_spans(new, "new")
+
+    # Parallel heat-trace analysis (round 19): the r18 driver artifact
+    # showed the SCALAR probe blind to multi-core contention — a span
+    # inflated 2-10x while scalar probes read near-normal and only the
+    # end-of-run calib_par recorded the heat. Bench now interleaves a
+    # small calib_par-shaped probe too (`heat_trace_par`); same span
+    # logic, tighter threshold is unnecessary (parallel probes swing
+    # more, keep 1.3x vs median).
+    def par_heat_spans(doc, label):
+        trace = doc.get("heat_trace_par") or []
+        if len(trace) < 3:
+            return
+        vals = sorted(v for _, v in trace)
+        med = vals[len(vals) // 2]
+        if med <= 0:
+            return
+        hot = [(i, v) for i, v in trace if v > 1.3 * med]
+        if hot:
+            spans = ", ".join(f"probe@q{i} {v:.3f}s ({v / med:.1f}x med)"
+                              for i, v in hot)
+            print(f"PAR-HEAT-TRACE [{label}]: median par probe {med:.3f}s; "
+                  f"hot: {spans} - MULTI-CORE window heat around those "
+                  f"query indexes (the failure mode the scalar probes "
+                  f"cannot see)")
+        else:
+            print(f"heat_trace_par [{label}]: flat (median {med:.3f}s, "
+                  f"max {vals[-1] / med:.2f}x med)")
+    par_heat_spans(old, "old")
+    par_heat_spans(new, "new")
     norm_hdr = f" {'norm':>7}" if heat > 1.0 else ""
     print(f"{'query':<30} {'old':>8} {'new':>8} {'ratio':>7}{norm_hdr}")
     for q in shared:

@@ -124,10 +124,19 @@ object TextIndex {
     * pre-epoch layout must match its files' columns.
     */
   private def writeBatch(docs: DataFrame, dir: String, mode: String,
-      ep: Option[Long], nB: Int): Unit = {
+      ep: Option[Long], nB: Int): Unit = graft.Jobs.labeled(docs.sparkSession, "text-index: writeBatch") {
     // spread a skinny scan/checkpoint input before tokenizing (round 19,
-    // guide §2.5); no-op on already-parallel or exchange-bearing inputs
-    val t = toks(graft.Spread.lazyAuto(docs))
+    // guide §2.5); no-op on already-parallel or exchange-bearing inputs.
+    // For APPENDS the token table is additionally checkpointed: the
+    // three writes below each consume `t`, so an un-materialized batch
+    // tokenizes three times per append (round 19, guide §1.2). Appends
+    // are batch-sized by the serve contract, so the checkpoint is
+    // bounded; the corpus-sized build (mode = overwrite) keeps the
+    // recompute — a corpus × ~100-token table must not land in block
+    // storage. Released before return (no lazy consumer survives the
+    // writes).
+    val t0 = toks(graft.Spread.lazyAuto(docs))
+    val t = if (mode == "append") t0.localCheckpoint(true) else t0
     def stamp(df: DataFrame): DataFrame =
       ep.fold(df)(e => df.withColumn("ep", lit(e)))
     // Repartition by the partition column before every dynamic-
@@ -149,6 +158,7 @@ object TextIndex {
       .write.partitionBy("bkt").mode(mode).parquet(s"$dir/positions")
     stamp(t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
       .write.mode(mode).parquet(s"$dir/doclens")
+    if (mode == "append") graft.Reliable.release(t)
   }
 
   /** Epoch layouts stamp every row with its batch epoch
@@ -189,7 +199,7 @@ object TextIndex {
     * documents and a deleted index stays BIT-IDENTICAL to a fresh build
     * over the remaining corpus (TextIndexSpec).
     */
-  private def refreshStats(s: SparkSession, dir: String): Unit = {
+  private def refreshStats(s: SparkSession, dir: String): Unit = graft.Jobs.labeled(s, "text-index: refreshStats") {
     val agg = liveDoclens(s, dir)
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
       .collect()(0)
@@ -274,7 +284,7 @@ object TextIndex {
     * An auto-compact still refreshes (the rewrite needs it).
     */
   private[ops] def delete(s: SparkSession, dir: String, ids: DataFrame,
-      autoCompactAt: Long, refresh: Boolean): Index = {
+      autoCompactAt: Long, refresh: Boolean): Index = graft.Jobs.labeled(s, "text-index: delete") {
     val t = ids.select(col("doc_id"))
     // one ledger file per delete batch (round 18); repartition(1), not
     // coalesce(1): coalesce propagates the single partition UP the
@@ -334,7 +344,7 @@ object TextIndex {
     * invisible behind the tombstone); on a legacy layout it stays
     * blocked until [[compact]].
     */
-  def append(s: SparkSession, dir: String, docs: DataFrame): Index = {
+  def append(s: SparkSession, dir: String, docs: DataFrame): Index = graft.Jobs.labeled(s, "text-index: append") {
     val epochMode = isEpochLayout(s, dir)
     // epoch mode: done = LIVE ids (a tombstoned id re-appends); legacy:
     // done = ids ever written (tombstoned ids stay blocked — the
@@ -359,7 +369,7 @@ object TextIndex {
   /** BM25 top-k over the loaded index: (rnk, doc_id, bm25), q146's
     * ranking semantics (score desc, doc_id asc).
     */
-  def search(s: SparkSession, ix: Index, terms: Seq[String], k: Int): DataFrame = {
+  def search(s: SparkSession, ix: Index, terms: Seq[String], k: Int): DataFrame = graft.Jobs.labeled(s, "text-index: search") {
     val tf = ix.postings.filter(
       col("bkt").isin(bucketsOf(s, terms, ix.buckets): _*) && col("term").isin(terms: _*))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
